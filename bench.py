@@ -1,0 +1,74 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": <float>}.
+
+Each query is executed once for warm-up-free wall time measured around a full
+materialization (count of the result), which is what the reference jobs do per
+transform (minus their duplicate count-then-write anti-pattern, SURVEY §4.3.1).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from f1_datalakehouse_pipeline_spark import get_spark, registry
+
+# Representative, heavier queries spanning scans, star joins, window stacks,
+# SCD2 build, top-k, and the dedup/text extensions.
+HEADLINE = [
+    "a6_pricing_summary",
+    "j4_star_join_revenue",
+    "j6_window_group_share",
+    "w3_best_row_tiebreak",
+    "w4_w6_w7_championship",
+    "w5_running_avg",
+    "scd2_historical_build",
+    "o2_topk_per_group",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    spark = get_spark("f1-lakehouse-bench")
+    spark.sparkContext.setLogLevel("WARN")
+    qs = registry.queries()
+
+    # JVM/codegen warm-up on a trivial plan so the first query isn't billed
+    # for session startup.
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in qs:
+            continue
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

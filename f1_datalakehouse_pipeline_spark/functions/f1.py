@@ -1,0 +1,139 @@
+"""F1 domain expression library — native Column expressions only.
+
+Centralizes the domain constants and scalar logic the reference scatters
+across UDFs and transforms (SURVEY §7.4.10): the points table, fastest-lap
+bonus rule, status buckets, team-name standardization, and time formatting.
+Every function returns a Column built from pyspark.sql.functions, keeping
+whole-stage codegen and predicate pushdown intact (reference used 8 row-wise
+Python UDFs for these — SURVEY §2.10).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Reference: src/jobs/config/job_config.py:267-269, common.py:232-262.
+POINTS_BY_POSITION = (25, 18, 15, 12, 10, 8, 6, 4, 2, 1)
+SPRINT_POINTS_BY_POSITION = (8, 7, 6, 5, 4, 3, 2, 1)
+FASTEST_LAP_BONUS = 1
+FASTEST_LAP_MAX_POSITION = 10
+
+# Reference: src/jobs/utils/transformations/common.py:58-142.
+TEAM_NAME_MAP = {
+    "red bull racing": "Red Bull Racing",
+    "oracle red bull racing": "Red Bull Racing",
+    "mercedes": "Mercedes",
+    "mercedes amg petronas": "Mercedes",
+    "ferrari": "Ferrari",
+    "scuderia ferrari": "Ferrari",
+    "mclaren": "McLaren",
+    "aston martin": "Aston Martin",
+    "alpine": "Alpine",
+    "williams": "Williams",
+    "rb": "RB",
+    "visa cash app rb": "RB",
+    "racing bulls": "RB",
+    "kick sauber": "Kick Sauber",
+    "sauber": "Kick Sauber",
+    "haas": "Haas",
+    "haas f1 team": "Haas",
+    "moneygram haas f1 team": "Haas",
+}
+
+# Reference: sessions_transform.py:277-316 — locations that host sprints.
+SPRINT_LOCATIONS = ("china", "miami", "austria", "united states", "sao paulo", "qatar", "belgium")
+
+
+def points_for_position(position: Column, sprint: bool = False) -> Column:
+    """F1 points when/otherwise chain (race_results_transform.py:157-171)."""
+    table = SPRINT_POINTS_BY_POSITION if sprint else POINTS_BY_POSITION
+    expr = F.lit(0)
+    for pos, pts in reversed(list(enumerate(table, start=1))):
+        expr = F.when(position == pos, pts).otherwise(expr)
+    return expr.cast("int")
+
+
+def fastest_lap_bonus(position: Column, has_fastest_lap: Column) -> Column:
+    """+1 only when finishing inside the top 10 (common.py:232-262)."""
+    return (
+        F.when(
+            has_fastest_lap & position.isNotNull() & (position <= FASTEST_LAP_MAX_POSITION),
+            FASTEST_LAP_BONUS,
+        )
+        .otherwise(0)
+        .cast("int")
+    )
+
+
+def standardize_team_name(col: Column) -> Column:
+    """Map raw team names to canonical ones (common.py:58-142) — a when-chain
+    over a lowercase/suffix-stripped key instead of a Python UDF."""
+    key = F.regexp_replace(F.lower(F.trim(col)), r"\s+(f1|formula 1)\s+team$", "")
+    expr: Column = F.trim(col)
+    for raw, canonical in TEAM_NAME_MAP.items():
+        expr = F.when(key == raw, canonical).otherwise(expr)
+    return expr
+
+
+def standardize_race_status(
+    dnf: Column, dns: Column, dsq: Column, position: Column
+) -> Column:
+    """Keyword-bucket status ladder (common.py:265-318,
+    race_results_transform.py:264-289): DSQ > DNS > DNF > Finished."""
+    return (
+        F.when(dsq, "DSQ")
+        .when(dns, "DNS")
+        .when(dnf, "DNF")
+        .when(position.isNotNull(), "Finished")
+        .otherwise("Unknown")
+    )
+
+
+def detect_sprint_weekend(location: Column) -> Column:
+    """Substring membership over the sprint-location list
+    (sessions_transform.py:277-316) as a single rlike."""
+    pattern = "|".join(loc.replace(" ", r"\s+") for loc in SPRINT_LOCATIONS)
+    return F.lower(location).rlike(pattern)
+
+
+def seconds_to_millis(col: Column) -> Column:
+    """round(x*1000) → BIGINT (qualifying_transform.py:151-172)."""
+    return F.round(col * 1000).cast("long")
+
+
+def millis_to_seconds_decimal(col: Column, precision: int = 6, scale: int = 3) -> Column:
+    """millis → DECIMAL seconds (pitstops_transform.py:156-163)."""
+    return F.round(col / 1000.0, scale).cast(f"decimal({precision},{scale})")
+
+
+def format_millis(ms: Column) -> Column:
+    """millis → 'H:MM:SS.mmm' (race_results_transform.py:210-234) using only
+    integer arithmetic + lpad/concat (stays in codegen)."""
+    h = (ms / F.lit(3600000)).cast("long")
+    m = (ms % 3600000 / F.lit(60000)).cast("long")
+    s = (ms % 60000 / F.lit(1000)).cast("long")
+    frac = (ms % 1000).cast("long")
+    return F.concat(
+        h.cast("string"),
+        F.lit(":"),
+        F.lpad(m.cast("string"), 2, "0"),
+        F.lit(":"),
+        F.lpad(s.cast("string"), 2, "0"),
+        F.lit("."),
+        F.lpad(frac.cast("string"), 3, "0"),
+    )
+
+
+def format_lap_time(ms: Column) -> Column:
+    """millis → 'M:SS.mmm' (laps_transform.py:187-204)."""
+    m = (ms / F.lit(60000)).cast("long")
+    s = (ms % 60000 / F.lit(1000)).cast("long")
+    frac = (ms % 1000).cast("long")
+    return F.concat(
+        m.cast("string"),
+        F.lit(":"),
+        F.lpad(s.cast("string"), 2, "0"),
+        F.lit("."),
+        F.lpad(frac.cast("string"), 3, "0"),
+    )

@@ -1,0 +1,929 @@
+"""Query registry: one entry per operator family from SURVEY.md §2.
+
+Each query is a ``(spark, sf_dir) -> DataFrame`` callable exercising an
+operator of the engine on the driver's TPC-H-ish testdata, paired with an
+ANSI-SQL oracle string (run by DuckDB on the same parquet files). The driver
+hash-compares values, so every computed column is aliased identically on both
+sides and numeric results are computed EXACTLY (decimal arithmetic) before a
+final deterministic cast to DOUBLE/BIGINT — float summation order never leaks
+into results.
+
+Naming convention: the key prefix maps to the SURVEY §2 operator id(s) the
+query exercises (w4 → §2.5 W4 running totals, j2 → §2.3 J2 change-detection
+left join, …).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from f1_datalakehouse_pipeline_spark.sources.testdata import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_QUERIES: dict[str, QueryFn] = {}
+_ORACLE: dict[str, str] = {}
+
+
+def query(name: str, sql: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        _QUERIES[name] = fn
+        if sql is not None:
+            _ORACLE[name] = sql
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, QueryFn]:
+    return dict(_QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(_ORACLE)
+
+
+def _dec(col, prec: int = 18, scale: int = 2):
+    """Exact-arithmetic cast used before any SUM so results are order-independent."""
+    return F.col(col).cast(f"decimal({prec},{scale})") if isinstance(col, str) else col.cast(f"decimal({prec},{scale})")
+
+
+# ---------------------------------------------------------------------------
+# §2.2 Projections / filters / predicates (P1 typed projection, P2 null guard,
+# P3 range filter, P5 membership filter) — reference:
+# silver/pitstops_transform.py:166-199, common.py:519-523
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "p1_p5_filtered_projection",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CAST(l_quantity AS INTEGER) AS qty,
+           l_returnflag,
+           CAST(l_extendedprice AS DOUBLE) AS price
+    FROM lineitem
+    WHERE l_returnflag IN ('A', 'R')
+      AND l_quantity > 10 AND l_quantity < 40
+      AND l_orderkey IS NOT NULL
+    """,
+)
+def p1_p5_filtered_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            F.col("l_returnflag").isin("A", "R")
+            & (F.col("l_quantity") > 10)
+            & (F.col("l_quantity") < 40)
+            & F.col("l_orderkey").isNotNull()
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_quantity").cast("int").alias("qty"),
+            "l_returnflag",
+            F.col("l_extendedprice").cast("double").alias("price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 A4/A5/A6 aggregations — TPC-H Q1-shaped pricing summary with exact
+# decimal sums (reference conditional/stat aggs:
+# gold/race_weekend_insights_transform.py:363-388, pitstops_transform.py:306-330)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a6_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                    * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def a6_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # All money arithmetic is decimal end-to-end: double inputs are snapped to
+    # their true 2-decimal values once, then multiplied/summed exactly — so the
+    # result is independent of partitioning/summation order on any engine.
+    li = load_table(spark, sf_dir, "lineitem")
+    price = _dec("l_extendedprice", 12, 2)
+    disc_price = price * (1 - _dec("l_discount", 4, 2))
+    charge = disc_price * (1 + _dec("l_tax", 4, 2))
+    return (
+        li.filter(F.col("l_shipdate") <= F.to_timestamp(F.lit("1998-09-02 00:00:00")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "a1_distinct",
+    """
+    SELECT DISTINCT o_orderpriority, o_orderstatus FROM orders
+    """,
+)
+def a1_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Reference A1: unique sessions from per-driver rows (sessions_transform.py:135-160)
+    return load_table(spark, sf_dir, "orders").select("o_orderpriority", "o_orderstatus").distinct()
+
+
+@query(
+    "a3_count_distinct",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def a3_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Reference A3: countDistinct(session_key) per driver (common.py:526-558)
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@query(
+    "a4_conditional_counts",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS n_finished,
+           CAST(COUNT(CASE WHEN o_orderstatus <> 'F' THEN 1 END) AS BIGINT) AS n_open,
+           CAST(COUNT(CASE WHEN o_totalprice > 200000 THEN 1 END) AS BIGINT) AS n_large
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def a4_conditional_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Reference A4: finishers/DNF conditional counts
+    # (gold/race_weekend_insights_transform.py:363-388)
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_finished"),
+        F.count(F.when(F.col("o_orderstatus") != "F", 1)).alias("n_open"),
+        F.count(F.when(F.col("o_totalprice") > 200000, 1)).alias("n_large"),
+    )
+
+
+@query(
+    "a5_stats_agg",
+    """
+    WITH s AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))) AS s1,
+             SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS s2,
+             CAST(MIN(l_quantity) AS DOUBLE) AS min_qty,
+             CAST(MAX(l_quantity) AS DOUBLE) AS max_qty
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n, min_qty, max_qty,
+           CAST(s1 AS DOUBLE) / n AS avg_qty,
+           sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / (n - 1)) AS std_qty
+    FROM s
+    """,
+)
+def a5_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Reference A5: avg/min/max/stddev pit-duration stats
+    # (pitstops_transform.py:306-330). stddev is computed from EXACT decimal
+    # sums so the result is bit-deterministic across engines & partitionings.
+    li = load_table(spark, sf_dir, "lineitem")
+    d = _dec("l_quantity")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d).alias("s1"),
+        F.sum(d * d).alias("s2"),
+        F.min("l_quantity").cast("double").alias("min_qty"),
+        F.max("l_quantity").cast("double").alias("max_qty"),
+    )
+    s1d = F.col("s1").cast("double")
+    s2d = F.col("s2").cast("double")
+    n = F.col("n")
+    return s.select(
+        "l_returnflag",
+        "n",
+        "min_qty",
+        "max_qty",
+        (s1d / n).alias("avg_qty"),
+        F.sqrt((s2d - s1d * s1d / n) / (n - F.lit(1))).alias("std_qty"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.3 Joins
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "j4_star_join_revenue",
+    """
+    SELECT n_name, c_mktsegment,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    GROUP BY n_name, c_mktsegment
+    """,
+)
+def j4_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Reference J4: sessions × results × drivers star join, dims broadcast
+    # (gold/championship_tracker_transform.py:228-249, broadcast_utils.py:63-146).
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,10)")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name", "c_mktsegment")
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "j2_left_change_detection",
+    """
+    SELECT c_custkey, c_mktsegment,
+           CASE WHEN o.o_custkey IS NULL THEN 'NEW' ELSE 'EXISTING' END AS change_type
+    FROM customer c
+    LEFT JOIN (SELECT DISTINCT o_custkey FROM orders) o ON c.c_custkey = o.o_custkey
+    """,
+)
+def j2_left_change_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Reference J2: current-batch × existing-dim left join, null ⇒ NEW_DRIVER
+    # (scd.py:113-137).
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey").distinct()
+    return c.join(o, c.c_custkey == o.o_custkey, "left").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.when(F.col("o_custkey").isNull(), F.lit("NEW"))
+        .otherwise(F.lit("EXISTING"))
+        .alias("change_type"),
+    )
+
+
+@query(
+    "j3_left_backfill_fillna",
+    """
+    SELECT c_custkey,
+           CAST(COALESCE(o.n_orders, 0) AS BIGINT) AS n_orders,
+           CAST(COALESCE(o.total_spent, 0) AS DOUBLE) AS total_spent
+    FROM customer c
+    LEFT JOIN (
+      SELECT o_custkey, COUNT(*) AS n_orders,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total_spent
+      FROM orders GROUP BY o_custkey
+    ) o ON c.c_custkey = o.o_custkey
+    """,
+)
+def j3_left_backfill_fillna(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Reference J3: total-races backfill left join + fillna(0) (common.py:549-558).
+    c = load_table(spark, sf_dir, "customer")
+    agg = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec("o_totalprice")).alias("total_spent"),
+        )
+    )
+    return (
+        c.join(agg, c.c_custkey == agg.o_custkey, "left")
+        .select(
+            "c_custkey",
+            F.coalesce(F.col("n_orders"), F.lit(0)).cast("long").alias("n_orders"),
+            F.coalesce(F.col("total_spent"), F.lit(0)).cast("double").alias("total_spent"),
+        )
+    )
+
+
+@query(
+    "j6_window_group_share",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE)
+             / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) OVER (PARTITION BY l_orderkey) AS DOUBLE)
+             AS price_share
+    FROM lineitem
+    """,
+)
+def j6_window_group_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Reference J6 is a groupBy-then-self-join (business_logic.py:477-483) —
+    # re-expressed as a window so no extra shuffle/join is needed (SURVEY §4.3.5).
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey")
+    pd_ = _dec("l_extendedprice")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (pd_.cast("double") / F.sum(pd_).over(w).cast("double")).alias("price_share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.5 Window functions — the analytical core
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "w1_gap_to_best",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                - MIN(CAST(l_extendedprice AS DECIMAL(18,2))) OVER (PARTITION BY l_orderkey) AS DOUBLE)
+             AS gap_to_best
+    FROM lineitem
+    """,
+)
+def w1_gap_to_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Reference W1: gap to session pole time (qualifying_transform.py:185-217).
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey")
+    p = _dec("l_extendedprice")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (p - F.min(p).over(w)).cast("double").alias("gap_to_best"),
+    )
+
+
+@query(
+    "w2_personal_best_flag",
+    """
+    SELECT event_id, user_id, event_type, CAST(value AS DOUBLE) AS value,
+           value = MIN(value) OVER (PARTITION BY user_id, event_type) AS is_personal_best
+    FROM events
+    """,
+)
+def w2_personal_best_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Reference W2: personal-best lap flag (laps_transform.py:226-240).
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.col("value").cast("double").alias("value"),
+        (F.col("value") == F.min("value").over(w)).alias("is_personal_best"),
+    )
+
+
+@query(
+    "w3_best_row_tiebreak",
+    """
+    SELECT l_orderkey, l_linenumber, CAST(l_extendedprice AS DOUBLE) AS price
+    FROM (
+      SELECT l_orderkey, l_linenumber, l_extendedprice,
+             ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                ORDER BY l_extendedprice ASC, l_linenumber ASC) AS rn
+      FROM lineitem
+    ) WHERE rn = 1
+    """,
+)
+def w3_best_row_tiebreak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Reference W3: session fastest-lap with deterministic tie-break
+    # (laps_transform.py:242-271).
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy(
+        F.col("l_extendedprice").asc(), F.col("l_linenumber").asc()
+    )
+    return (
+        li.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_extendedprice").cast("double").alias("price"),
+        )
+    )
+
+
+@query(
+    "w4_w6_w7_championship",
+    """
+    WITH m AS (
+      SELECT o_custkey, strftime(date_trunc('month', o_orderdate), '%Y-%m') AS mon,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders GROUP BY 1, 2
+    ), c AS (
+      SELECT o_custkey, mon,
+             SUM(rev) OVER (PARTITION BY o_custkey ORDER BY mon
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rev
+      FROM m
+    )
+    SELECT o_custkey, mon,
+           CAST(cum_rev AS DOUBLE) AS cum_rev,
+           CAST(RANK() OVER (PARTITION BY mon ORDER BY cum_rev DESC, o_custkey ASC) AS BIGINT) AS rank_in_month,
+           CAST(MAX(cum_rev) OVER (PARTITION BY mon) - cum_rev AS DOUBLE) AS gap_to_leader
+    FROM c
+    """,
+)
+def w4_w6_w7_championship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Flagship: the championship-tracker shape (reference
+    # gold/championship_tracker_transform.py:170-353) — running total (W4,
+    # window_functions.py:58-86), rank with explicit tie-break (W6,
+    # window_functions.py:281-308), gap-to-leader (W7, :310-338) — mapped onto
+    # orders: customer ≙ driver, month ≙ race, totalprice ≙ points.
+    o = load_table(spark, sf_dir, "orders")
+    m = (
+        o.groupBy(
+            "o_custkey",
+            F.date_format(F.date_trunc("month", F.col("o_orderdate")), "yyyy-MM").alias("mon"),
+        )
+        .agg(F.sum(_dec("o_totalprice")).alias("rev"))
+    )
+    w_cum = (
+        Window.partitionBy("o_custkey")
+        .orderBy("mon")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = m.select("o_custkey", "mon", F.sum("rev").over(w_cum).alias("cum_rev"))
+    w_rank = Window.partitionBy("mon").orderBy(
+        F.col("cum_rev").desc(), F.col("o_custkey").asc()
+    )
+    w_max = Window.partitionBy("mon")
+    return c.select(
+        "o_custkey",
+        "mon",
+        F.col("cum_rev").cast("double").alias("cum_rev"),
+        F.rank().over(w_rank).cast("long").alias("rank_in_month"),
+        (F.max("cum_rev").over(w_max) - F.col("cum_rev")).cast("double").alias("gap_to_leader"),
+    )
+
+
+@query(
+    "w5_running_avg",
+    """
+    WITH m AS (
+      SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS od,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      FROM orders
+    )
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(price) OVER w AS DOUBLE)
+             / CAST(COUNT(*) OVER w AS DOUBLE) AS running_avg_price
+    FROM m
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY od, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def w5_running_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Reference W5: season-running average (window_functions.py:245-279),
+    # computed as exact-sum/count so it is order-deterministic.
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.date_format("o_orderdate", "yyyy-MM-dd"), "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    price = _dec("o_totalprice")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        (
+            F.sum(price).over(w).cast("double")
+            / F.count(F.lit(1)).over(w).cast("double")
+        ).alias("running_avg_price"),
+    )
+
+
+@query(
+    "w8_dense_rank_rounds",
+    """
+    SELECT DISTINCT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS mon,
+           CAST(DENSE_RANK() OVER (ORDER BY date_trunc('month', o_orderdate)) AS BIGINT) AS round_number
+    FROM orders
+    """,
+)
+def w8_dense_rank_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Reference W8: round_number = dense_rank over race_date
+    # (gold/driver_performance_summary_race_transform.py:248-255).
+    o = load_table(spark, sf_dir, "orders")
+    mon = F.date_trunc("month", F.col("o_orderdate"))
+    w = Window.orderBy(mon)
+    return (
+        o.select(
+            F.date_format(mon, "yyyy-MM").alias("mon"),
+            F.dense_rank().over(w).cast("long").alias("round_number"),
+        )
+        .distinct()
+    )
+
+
+@query(
+    "w10_recent_form",
+    """
+    WITH m AS (
+      SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS od,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      FROM orders
+    )
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(price) OVER w AS DOUBLE) / CAST(COUNT(*) OVER w AS DOUBLE) AS last3_avg
+    FROM m
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY od, o_orderkey
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+)
+def w10_recent_form(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Reference W10: last-N recent-form frame (window_functions.py:160-183).
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.date_format("o_orderdate", "yyyy-MM-dd"), "o_orderkey")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    price = _dec("o_totalprice")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        (
+            F.sum(price).over(w).cast("double")
+            / F.count(F.lit(1)).over(w).cast("double")
+        ).alias("last3_avg"),
+    )
+
+
+@query(
+    "w11_lag_delta",
+    """
+    WITH m AS (
+      SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS od,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      FROM orders
+    )
+    SELECT o_custkey, o_orderkey,
+           CAST(price - LAG(price) OVER (PARTITION BY o_custkey ORDER BY od, o_orderkey) AS DOUBLE)
+             AS delta_vs_prev
+    FROM m
+    """,
+)
+def w11_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Reference W11: lag/lead race-to-race deltas (window_functions.py:394-437).
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.date_format("o_orderdate", "yyyy-MM-dd"), "o_orderkey"
+    )
+    price = _dec("o_totalprice")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        (price - F.lag(price).over(w)).cast("double").alias("delta_vs_prev"),
+    )
+
+
+@query(
+    "w13_constructor_window_agg",
+    """
+    SELECT o_custkey, o_orderkey, o_orderpriority,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                  OVER (PARTITION BY o_orderpriority, o_orderstatus) AS DOUBLE) AS group_total,
+           CAST(COUNT(*) OVER (PARTITION BY o_orderpriority, o_orderstatus) AS BIGINT) AS group_n
+    FROM orders
+    """,
+)
+def w13_constructor_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Reference W13: constructor (team) aggregation over a two-key window
+    # (window_functions.py:340-392).
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority", "o_orderstatus")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderpriority",
+        F.sum(_dec("o_totalprice")).over(w).cast("double").alias("group_total"),
+        F.count(F.lit(1)).over(w).alias("group_n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.5 W9 + §2.1 S10: SCD Type 2 historical build (gaps-and-islands + lead)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "scd2_historical_build",
+    """
+    WITH obs AS (
+      SELECT o_custkey, o_orderpriority AS attr,
+             strftime(o_orderdate, '%Y-%m-%d') AS od, o_orderkey
+      FROM orders
+    ), flagged AS (
+      SELECT *,
+             CASE WHEN LAG(attr) OVER w IS NULL OR LAG(attr) OVER w <> attr
+                  THEN 1 ELSE 0 END AS changed
+      FROM obs
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY od, o_orderkey)
+    ), stints AS (
+      SELECT *,
+             SUM(changed) OVER (PARTITION BY o_custkey ORDER BY od, o_orderkey
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS stint_id
+      FROM flagged
+    ), grouped AS (
+      SELECT o_custkey, CAST(stint_id AS BIGINT) AS stint_id, attr,
+             MIN(od) AS valid_from, CAST(COUNT(*) AS BIGINT) AS n_obs
+      FROM stints GROUP BY o_custkey, stint_id, attr
+    )
+    SELECT o_custkey, stint_id, attr, valid_from, n_obs,
+           LEAD(valid_from) OVER (PARTITION BY o_custkey ORDER BY stint_id) AS valid_to,
+           LEAD(valid_from) OVER (PARTITION BY o_custkey ORDER BY stint_id) IS NULL AS is_current
+    FROM grouped
+    """,
+)
+def scd2_historical_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Reference M3 / S10+W9: SCD Type 2 historical dimension build
+    # (scd.py:199-245 semantics: stint detection → min(valid_from) → lead
+    # valid_to → is_current), generalized to any (entity, attribute, time)
+    # observation stream. Here: customer's order-priority history.
+    from f1_datalakehouse_pipeline_spark.operators.scd2 import scd2_from_observations
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey"),
+        F.col("o_orderpriority").alias("attr"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("od"),
+        F.col("o_orderkey"),
+    )
+    return scd2_from_observations(
+        o,
+        entity_col="o_custkey",
+        attr_col="attr",
+        order_cols=["od", "o_orderkey"],
+        time_col="od",
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.6 Sorts / top-k
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "o2_topk_per_group",
+    """
+    SELECT o_orderpriority, o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+           CAST(rn AS BIGINT) AS rnk
+    FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def o2_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Reference O2: top-1 by metric (business_logic.py:778-793) generalized to
+    # per-group top-k via row_number (scales: no global sort, no collect).
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "o_orderpriority",
+            "o_orderkey",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            "rnk",
+        )
+    )
+
+
+@query(
+    "o1_latest_event",
+    """
+    SELECT event_id, user_id, event_type
+    FROM events
+    ORDER BY ts DESC, event_id ASC
+    LIMIT 1
+    """,
+)
+def o1_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Reference O1: latest-GP detection orderBy(desc(date_start)).first()
+    # (f1_bronze_to_silver_transform.py:136-144). Tie-broken by id for
+    # determinism; ts is ns in parquet but total order survives µs truncation
+    # because the tie-break column decides equal-µs rows the same way.
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.orderBy(F.col("ts").desc(), F.col("event_id").asc())
+        .limit(1)
+        .select("event_id", "user_id", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.7 Set operations
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "u1_union_distinct",
+    """
+    SELECT o_orderkey, o_orderpriority, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+    FROM orders WHERE o_orderpriority = '1-URGENT'
+    UNION
+    SELECT o_orderkey, o_orderpriority, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+    FROM orders WHERE o_totalprice > 300000
+    """,
+)
+def u1_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Reference §2.7: session-list concatenation (f1_historical_load_dag.py:66-74)
+    # as a first-class unionByName + distinct.
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+    a = o.filter(F.col("o_orderpriority") == "1-URGENT")
+    b = o.filter(F.col("o_totalprice") > 300000)
+    return a.unionByName(b).distinct()
+
+
+# ---------------------------------------------------------------------------
+# §2.8 Scalar functions (all native expressions — zero Python UDFs)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "f_normalize_name",
+    """
+    SELECT p_partkey, p_type,
+           regexp_replace(regexp_replace(lower(trim(p_type)), '[^a-z0-9]+', '_', 'g'),
+                          '^_+|_+$', '', 'g') AS norm_type
+    FROM part
+    """,
+)
+def f_normalize_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Reference: GP-name normalization UDF (common.py:24-55) re-expressed as a
+    # native lower/regexp chain (SURVEY §2.8) — stays inside codegen.
+    from f1_datalakehouse_pipeline_spark.functions.names import normalize_name
+
+    p = load_table(spark, sf_dir, "part")
+    return p.select("p_partkey", "p_type", normalize_name(F.col("p_type")).alias("norm_type"))
+
+
+@query(
+    "f_status_buckets",
+    """
+    SELECT event_id, event_type,
+           CASE WHEN lower(event_type) LIKE '%error%' THEN 'FAILED'
+                WHEN lower(event_type) IN ('purchase', 'signup') THEN 'CONVERTED'
+                WHEN lower(event_type) IN ('click', 'view') THEN 'ENGAGED'
+                ELSE 'OTHER' END AS status_bucket
+    FROM events
+    """,
+)
+def f_status_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Reference: race-status standardization UDF (common.py:265-318) as a
+    # native when/otherwise ladder (SURVEY §2.8).
+    ev = load_table(spark, sf_dir, "events")
+    lt = F.lower(F.col("event_type"))
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.when(lt.like("%error%"), "FAILED")
+        .when(lt.isin("purchase", "signup"), "CONVERTED")
+        .when(lt.isin("click", "view"), "ENGAGED")
+        .otherwise("OTHER")
+        .alias("status_bucket"),
+    )
+
+
+@query(
+    "f_points_when_chain",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CAST(CASE l_linenumber
+             WHEN 1 THEN 25 WHEN 2 THEN 18 WHEN 3 THEN 15 WHEN 4 THEN 12
+             WHEN 5 THEN 10 WHEN 6 THEN 8 WHEN 7 THEN 6 ELSE 0 END
+             + CASE WHEN l_quantity >= 45 AND l_linenumber <= 10 THEN 1 ELSE 0 END
+             AS INTEGER) AS points
+    FROM lineitem
+    """,
+)
+def f_points_when_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Reference: F1 points table + fastest-lap bonus when/otherwise chain
+    # (race_results_transform.py:157-171, common.py:232-262).
+    from f1_datalakehouse_pipeline_spark.functions.f1 import points_for_position
+
+    li = load_table(spark, sf_dir, "lineitem")
+    bonus = F.when((F.col("l_quantity") >= 45) & (F.col("l_linenumber") <= 10), 1).otherwise(0)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (points_for_position(F.col("l_linenumber")) + bonus).cast("int").alias("points"),
+    )
+
+
+@query(
+    "f_time_format",
+    """
+    WITH m AS (SELECT o_orderkey, CAST(floor(o_totalprice) AS BIGINT) AS millis FROM orders)
+    SELECT o_orderkey, millis,
+           CAST(millis // 3600000 AS VARCHAR) || ':' ||
+           lpad(CAST(millis % 3600000 // 60000 AS VARCHAR), 2, '0') || ':' ||
+           lpad(CAST(millis % 60000 // 1000 AS VARCHAR), 2, '0') || '.' ||
+           lpad(CAST(millis % 1000 AS VARCHAR), 3, '0') AS fmt
+    FROM m
+    """,
+)
+def f_time_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Reference: millis → "H:MM:SS.mmm" formatting via floor/%/lpad/concat
+    # (race_results_transform.py:210-234, laps_transform.py:187-204).
+    # floor() is explicit: Spark truncates on double→long cast, DuckDB rounds.
+    from f1_datalakehouse_pipeline_spark.functions.f1 import format_millis
+
+    o = load_table(spark, sf_dir, "orders")
+    ms = F.floor("o_totalprice").cast("long")
+    return o.select("o_orderkey", ms.alias("millis"), format_millis(ms).alias("fmt"))
+
+
+@query(
+    "f_datetime_ops",
+    """
+    SELECT event_id,
+           CAST(date_part('epoch', date_trunc('second', ts)) AS BIGINT) AS epoch_s,
+           strftime(ts, '%Y-%m-%d') AS d,
+           CAST(date_part('year', ts) AS INTEGER) AS y,
+           CAST(date_part('hour', ts) AS INTEGER) AS h
+    FROM events
+    """,
+)
+def f_datetime_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Reference: unix_timestamp diffs / date casts (sessions_transform.py:225-229,
+    # championship_tracker_transform.py:241).
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.unix_timestamp(F.date_trunc("second", F.col("ts"))).alias("epoch_s"),
+        F.date_format("ts", "yyyy-MM-dd").alias("d"),
+        F.year("ts").cast("int").alias("y"),
+        F.hour("ts").cast("int").alias("h"),
+    )
+
+
+@query(
+    "f_array_q_split",
+    """
+    SELECT vec_id,
+           CAST(len(embedding) AS INTEGER) AS n_dims,
+           CAST(CASE WHEN len(embedding) >= 1 THEN embedding[1] END AS DOUBLE) AS q1,
+           CAST(CASE WHEN len(embedding) >= 2 THEN embedding[2] END AS DOUBLE) AS q2,
+           CAST(CASE WHEN len(embedding) >= 3 THEN embedding[3] END AS DOUBLE) AS q3,
+           CAST(COALESCE(
+             CASE WHEN len(embedding) >= 3 THEN embedding[3] END,
+             CASE WHEN len(embedding) >= 2 THEN embedding[2] END,
+             CASE WHEN len(embedding) >= 1 THEN embedding[1] END) AS DOUBLE) AS best
+    FROM embeddings
+    """,
+)
+def f_array_q_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Reference: qualifying duration array split — size guard + element_at +
+    # coalesce(Q3,Q2,Q1) (qualifying_transform.py:134-182).
+    e = load_table(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+
+    def at(k: int):
+        return F.when(F.size(emb) >= k, F.element_at(emb, k)).cast("double")
+
+    return e.select(
+        "vec_id",
+        F.size(emb).cast("int").alias("n_dims"),
+        at(1).alias("q1"),
+        at(2).alias("q2"),
+        at(3).alias("q3"),
+        F.coalesce(at(3), at(2), at(1)).alias("best"),
+    )

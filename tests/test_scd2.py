@@ -1,0 +1,99 @@
+"""SCD2 operator unit + invariant tests (SURVEY §5.2.3-4).
+
+Invariants from the reference's never-wired validators and the FIXTURES.md
+checklist: exactly one is_current row per entity; valid_to of a closed stint
+equals valid_from of the next; incremental merge is idempotent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from f1_datalakehouse_pipeline_spark.operators.scd2 import (
+    scd2_from_observations,
+    scd2_merge_incremental,
+)
+
+
+def _obs(spark):
+    rows = [
+        # driver 1: team A → team B (change), multiple observations per stint
+        (1, "A", "2025-01-01", 1),
+        (1, "A", "2025-02-01", 2),
+        (1, "B", "2025-03-01", 3),
+        (1, "B", "2025-04-01", 4),
+        # driver 2: single team all season
+        (2, "C", "2025-01-01", 5),
+        (2, "C", "2025-04-01", 6),
+        # driver 3: A → B → A (returns to first team: 3 stints, not 2)
+        (3, "A", "2025-01-01", 7),
+        (3, "B", "2025-02-01", 8),
+        (3, "A", "2025-03-01", 9),
+    ]
+    return spark.createDataFrame(rows, ["driver", "team", "obs_date", "seq"])
+
+
+def test_scd2_historical_build(spark):
+    dim = scd2_from_observations(
+        _obs(spark), entity_col="driver", attr_col="team",
+        order_cols=["obs_date", "seq"], time_col="obs_date",
+    ).cache()
+
+    rows = {(r.driver, r.stint_id): r for r in dim.collect()}
+    assert len(rows) == 6  # 2 + 1 + 3 stints
+    # exactly one open row per entity
+    open_counts = (
+        dim.filter("is_current").groupBy("driver").count().collect()
+    )
+    assert all(r["count"] == 1 for r in open_counts) and len(open_counts) == 3
+    # contiguity: valid_to == next stint's valid_from
+    assert rows[(1, 1)].valid_to == rows[(1, 2)].valid_from == "2025-03-01"
+    assert rows[(3, 1)].valid_to == "2025-02-01"
+    assert rows[(3, 2)].valid_to == "2025-03-01"
+    assert rows[(3, 3)].is_current and rows[(3, 3)].attr == "A"
+    # n_obs counted per stint
+    assert rows[(1, 1)].n_obs == 2 and rows[(2, 1)].n_obs == 2
+
+
+def test_scd2_merge_incremental_idempotent(spark):
+    dim = scd2_from_observations(
+        _obs(spark), entity_col="driver", attr_col="team",
+        order_cols=["obs_date", "seq"], time_col="obs_date",
+    ).select("driver", F.col("attr").alias("team"), "valid_from", "valid_to", "is_current")
+
+    updates = spark.createDataFrame(
+        [
+            (1, "B", "2025-05-01"),  # no change → passthrough
+            (2, "D", "2025-05-01"),  # team change → close + open
+            (9, "E", "2025-05-01"),  # brand-new entity → open
+        ],
+        ["driver", "team", "eff"],
+    )
+
+    merged = scd2_merge_incremental(
+        dim, updates, entity_col="driver", attr_cols=["team"], effective_col="eff"
+    ).cache()
+
+    by_driver = {
+        d: sorted(rs, key=lambda r: r.valid_from)
+        for d, rs in (
+            (k, [r for r in merged.collect() if r.driver == k]) for k in (1, 2, 3, 9)
+        )
+    }
+    assert len(by_driver[1]) == 2  # unchanged
+    assert len(by_driver[2]) == 2  # closed + new open
+    closed, opened = by_driver[2]
+    assert closed.valid_to == "2025-05-01" and not closed.is_current
+    assert opened.team == "D" and opened.is_current and opened.valid_from == "2025-05-01"
+    assert len(by_driver[9]) == 1 and by_driver[9][0].is_current
+    # exactly one open row per entity
+    counts = merged.filter("is_current").groupBy("driver").count().collect()
+    assert all(r["count"] == 1 for r in counts) and len(counts) == 4
+
+    # idempotence: re-applying the same batch is a no-op
+    merged2 = scd2_merge_incremental(
+        merged, updates, entity_col="driver", attr_cols=["team"], effective_col="eff"
+    )
+    a = sorted(map(tuple, merged.collect()))
+    b = sorted(map(tuple, merged2.collect()))
+    assert a == b
