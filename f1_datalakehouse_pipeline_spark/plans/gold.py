@@ -1,0 +1,280 @@
+"""Gold transforms: silver → 4 analytics tables.
+
+Each is a pure DataFrame composition over silver inputs — the 3-way star join
+(J4) with broadcast dims, the window stack (W4-W8), and typed selects —
+reproducing:
+
+- driver_performance_summary_qualifying ≙ gold/driver_performance_summary_qualifying_transform.py
+- driver_performance_summary_race       ≙ gold/driver_performance_summary_race_transform.py
+- championship_tracker                  ≙ gold/championship_tracker_transform.py
+- race_weekend_insights                 ≙ gold/race_weekend_insights_transform.py
+
+Fixes folded in (SURVEY §7.4): session-type filters use the canonical
+lowercase form; the weekend-insights lookups join on (year, grand_prix_name),
+not grand_prix_name alone; every rank/tie is deterministically broken.
+
+Scale notes: the fact tables (results/laps) stay un-broadcast and partition
+by (year, grand_prix_name); the dims (sessions, drivers ~30 rows) are
+explicitly broadcast — at 100 TB the star joins are map-side only, and the
+window stack shares one (driver_number)-keyed shuffle per table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _race_dim(sessions_silver: DataFrame) -> DataFrame:
+    """(session_key, year, gp, race_date, round_number) for race sessions.
+
+    W8: round_number = dense_rank over race_date within year
+    (gold/driver_performance_summary_race_transform.py:248-255).
+    """
+    races = sessions_silver.filter(F.col("session_type") == "race").select(
+        "session_key",
+        "year",
+        "grand_prix_name",
+        F.col("date_start").cast("date").alias("race_date"),
+        "is_sprint_weekend",
+    )
+    w = Window.partitionBy("year").orderBy("race_date")
+    return races.withColumn("round_number", F.dense_rank().over(w).cast("int"))
+
+
+def _quali_dim(sessions_silver: DataFrame) -> DataFrame:
+    quali = sessions_silver.filter(F.col("session_type") == "qualifying").select(
+        "session_key",
+        "year",
+        "grand_prix_name",
+        F.col("date_start").cast("date").alias("race_date"),
+    )
+    w = Window.partitionBy("year").orderBy("race_date")
+    return quali.withColumn("round_number", F.dense_rank().over(w).cast("int"))
+
+
+def _current_drivers(drivers_silver: DataFrame) -> DataFrame:
+    # P6: is_current filter (scd.py:65-69)
+    return drivers_silver.filter(F.col("is_current")).select(
+        "driver_number", "full_name", "team_name"
+    )
+
+
+def transform_championship_tracker(
+    race_results_silver: DataFrame,
+    sessions_silver: DataFrame,
+    drivers_silver: DataFrame,
+) -> DataFrame:
+    """Running totals (W4) + championship rank (W6) + gap to leader (W7).
+
+    Reference: gold/championship_tracker_transform.py:170-353 — always a full
+    season recompute because totals are cumulative (:209-217).
+    """
+    races = F.broadcast(_race_dim(sessions_silver))
+    drivers = F.broadcast(_current_drivers(drivers_silver))
+    base = (
+        race_results_silver.select(
+            "session_key", "driver_number", F.col("validated_points").alias("race_points")
+        )
+        .join(races, "session_key", "inner")
+        .join(drivers, "driver_number", "inner")
+    )
+    w_cum = (
+        Window.partitionBy("year", "driver_number")
+        .orderBy("race_date", "round_number")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    base = base.withColumn("season_points_total", F.sum("race_points").over(w_cum).cast("int"))
+    # W6: rank per race date, ties broken by driver_number asc
+    # (window_functions.py:281-308)
+    w_rank = Window.partitionBy("year", "race_date").orderBy(
+        F.col("season_points_total").desc(), F.col("driver_number").asc()
+    )
+    # W7: gap to leader — whole-partition max (window_functions.py:310-338)
+    w_race = Window.partitionBy("year", "race_date")
+    return base.select(
+        "year",
+        "race_date",
+        "grand_prix_name",
+        "round_number",
+        "driver_number",
+        "full_name",
+        "team_name",
+        "race_points",
+        "season_points_total",
+        F.rank().over(w_rank).cast("int").alias("championship_position"),
+        (F.max("season_points_total").over(w_race) - F.col("season_points_total"))
+        .cast("int")
+        .alias("gap_to_leader_points"),
+    )
+
+
+def transform_driver_performance_race(
+    race_results_silver: DataFrame,
+    sessions_silver: DataFrame,
+    drivers_silver: DataFrame,
+) -> DataFrame:
+    """Per-race driver summary with running totals and running averages.
+
+    Reference: gold/driver_performance_summary_race_transform.py:221-335
+    (W4 cumulative points, W5 running average finish).
+    """
+    races = F.broadcast(_race_dim(sessions_silver))
+    drivers = F.broadcast(_current_drivers(drivers_silver))
+    base = (
+        race_results_silver.select(
+            "session_key",
+            "driver_number",
+            F.col("position").alias("finishing_position"),
+            "race_status",
+            F.col("validated_points").alias("points"),
+        )
+        .join(races, "session_key", "inner")
+        .join(drivers, "driver_number", "inner")
+    )
+    w_cum = (
+        Window.partitionBy("year", "driver_number")
+        .orderBy("race_date", "round_number")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return base.select(
+        "year",
+        "race_date",
+        "grand_prix_name",
+        "round_number",
+        "driver_number",
+        "full_name",
+        "team_name",
+        "finishing_position",
+        "race_status",
+        "points",
+        F.sum("points").over(w_cum).cast("int").alias("season_points_total"),
+        F.round(
+            F.avg(F.col("finishing_position").cast("double")).over(w_cum), 1
+        )
+        .cast("decimal(4,1)")
+        .alias("season_avg_finish_position"),
+    )
+
+
+def transform_driver_performance_qualifying(
+    qualifying_results_silver: DataFrame,
+    sessions_silver: DataFrame,
+    drivers_silver: DataFrame,
+) -> DataFrame:
+    """Qualifying summary: gap-to-pole seconds, made_q3, running avg position.
+
+    Reference: gold/driver_performance_summary_qualifying_transform.py:211-325
+    (W1 seconds-variant gap clamped ≥0 DECIMAL(5,3), made_q3 = position ≤ 10,
+    W5 running average DECIMAL(4,1)).
+    """
+    quali = F.broadcast(_quali_dim(sessions_silver))
+    drivers = F.broadcast(_current_drivers(drivers_silver))
+    base = (
+        qualifying_results_silver.select(
+            "session_key",
+            "driver_number",
+            F.col("position").alias("qualifying_position"),
+            "best_time_millis",
+            "gap_to_pole_millis",
+        )
+        .join(quali, "session_key", "inner")
+        .join(drivers, "driver_number", "inner")
+    )
+    w_cum = (
+        Window.partitionBy("year", "driver_number")
+        .orderBy("race_date", "round_number")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    gap_s = F.greatest(F.col("gap_to_pole_millis") / 1000.0, F.lit(0.0))
+    return base.select(
+        "year",
+        "race_date",
+        "grand_prix_name",
+        "round_number",
+        "driver_number",
+        "full_name",
+        "team_name",
+        "qualifying_position",
+        "best_time_millis",
+        F.round(gap_s, 3).cast("decimal(5,3)").alias("gap_to_pole_seconds"),
+        (F.col("qualifying_position") <= 10).alias("made_q3"),
+        F.round(
+            F.avg(F.col("qualifying_position").cast("double")).over(w_cum), 1
+        )
+        .cast("decimal(4,1)")
+        .alias("season_avg_qualifying_position"),
+    )
+
+
+def transform_race_weekend_insights(
+    race_results_silver: DataFrame,
+    qualifying_results_silver: DataFrame,
+    sessions_silver: DataFrame,
+    drivers_silver: DataFrame,
+) -> DataFrame:
+    """Per-weekend rollup: pole (left join — may be missing), winner (inner),
+    finisher/DNF conditional counts.
+
+    Reference: gold/race_weekend_insights_transform.py:254-395, with the
+    under-keyed join fixed: all lookups key on (year, grand_prix_name)
+    (SURVEY §7.4.4).
+    """
+    races = _race_dim(sessions_silver)
+    drivers = F.broadcast(_current_drivers(drivers_silver))
+    keys = ["year", "grand_prix_name"]
+
+    rr = race_results_silver.join(
+        races.select("session_key", "race_date", "round_number", "is_sprint_weekend"),
+        "session_key",
+        "inner",
+    )
+    # A4: conditional counts per weekend
+    stats = rr.groupBy(*keys).agg(
+        F.first("race_date").alias("race_date"),
+        F.first("round_number").alias("round_number"),
+        F.first("is_sprint_weekend").alias("is_sprint_weekend"),
+        F.count(F.lit(1)).cast("int").alias("field_size"),
+        F.count(
+            F.when(F.col("position").isNotNull() & (F.col("position") <= 20), 1)
+        )
+        .cast("int")
+        .alias("total_finishers"),
+        F.count(F.when(F.col("race_status") == "DNF", 1)).cast("int").alias("dnf_count"),
+    )
+    winner = (
+        rr.filter(F.col("position") == 1)
+        .join(drivers, "driver_number", "inner")
+        .select(
+            *keys,
+            F.col("driver_number").alias("winner_driver_number"),
+            F.col("full_name").alias("winner_driver_name"),
+        )
+    )
+    pole = (
+        qualifying_results_silver.filter(F.col("position") == 1)
+        .join(drivers, "driver_number", "inner")
+        .select(
+            *keys,
+            F.col("driver_number").alias("pole_driver_number"),
+            F.col("full_name").alias("pole_driver_name"),
+        )
+    )
+    return (
+        stats.join(winner, keys, "inner")  # winner must exist (:297-320)
+        .join(pole, keys, "left")  # pole may be missing (:254-276)
+        .select(
+            "year",
+            "grand_prix_name",
+            "race_date",
+            "round_number",
+            "pole_driver_number",
+            "pole_driver_name",
+            "winner_driver_number",
+            "winner_driver_name",
+            "field_size",
+            "total_finishers",
+            "dnf_count",
+            "is_sprint_weekend",
+        )
+    )

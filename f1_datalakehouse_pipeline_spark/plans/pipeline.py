@@ -1,0 +1,220 @@
+"""Job runner: scope resolution, transform loop, criticality policy.
+
+Reference: the two Glue job entry points —
+src/jobs/f1_bronze_to_silver_transform.py:239-484 and
+src/jobs/f1_silver_to_gold_transform.py:248-467 — minus Glue/Airflow/XCom:
+
+- RUN_MODE HISTORICAL (full-year rebuild, partition overwrite per year) vs
+  INCREMENTAL (one Grand Prix, partition overwrite per (year, gp));
+  INCREMENTAL without an explicit GP auto-detects the latest one (O1:
+  orderBy(desc(date_start)).limit(1), :115-150).
+- criticality policy: sessions/drivers failures abort, other transforms
+  log-and-continue (:477-484).
+- NO count-then-write double execution (SURVEY §4.3.1): each transform is
+  materialized exactly once by its write; row counts come from the write via
+  ``df.observe`` metrics instead of a separate action.
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
+
+from f1_datalakehouse_pipeline_spark.operators.scd2 import scd2_merge_incremental
+from f1_datalakehouse_pipeline_spark.plans import gold, silver
+from f1_datalakehouse_pipeline_spark.sources.bronze import read_bronze
+from f1_datalakehouse_pipeline_spark.sources.tables import TableStore
+
+log = logging.getLogger(__name__)
+
+HISTORICAL = "HISTORICAL"
+INCREMENTAL = "INCREMENTAL"
+
+
+@dataclass
+class RunReport:
+    mode: str
+    year: int
+    grand_prix: str | None
+    results: dict[str, str] = field(default_factory=dict)
+    row_counts: dict[str, int] = field(default_factory=dict)
+
+
+def detect_latest_grand_prix(spark: SparkSession, bronze_root: str, year: int) -> str:
+    """Latest completed GP by race date_start (O1 top-1 probe,
+    f1_bronze_to_silver_transform.py:115-150)."""
+    races = read_bronze(spark, bronze_root, "session_result", year=year, session_type="race")
+    row = (
+        races.select("grand_prix", "date_start")
+        .orderBy(F.col("date_start").desc(), F.col("grand_prix").asc())
+        .limit(1)
+        .collect()
+    )
+    if not row:
+        raise ValueError(f"no race sessions found in bronze for year={year}")
+    return row[0]["grand_prix"]
+
+
+def _write_observed(store: TableStore, df: DataFrame, table: str, mode: str, report: RunReport) -> None:
+    obs = Observation(f"rows_{table}")
+    df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
+    if mode == HISTORICAL and table == "drivers_silver":
+        store.overwrite(df, table)
+    elif mode == HISTORICAL:
+        # full-year rebuild still scopes to the partitions in the batch
+        store.overwrite_partitions(df, table)
+    elif table == "championship_tracker":
+        # always fully recomputed: running totals are season-cumulative
+        # (f1_silver_to_gold_transform.py:209-217)
+        store.overwrite_partitions(df, table)
+    else:
+        store.overwrite_partitions(df, table)
+    report.row_counts[table] = obs.get["rows"]
+
+
+def run_bronze_to_silver(
+    spark: SparkSession,
+    bronze_root: str,
+    store: TableStore,
+    mode: str = HISTORICAL,
+    year: int = 2025,
+    grand_prix: str | None = None,
+) -> RunReport:
+    if mode == INCREMENTAL and grand_prix is None:
+        grand_prix = detect_latest_grand_prix(spark, bronze_root, year)
+    report = RunReport(mode=mode, year=year, grand_prix=grand_prix)
+    gp = grand_prix if mode == INCREMENTAL else None
+
+    def src(endpoint: str, session_type: str | None = None) -> DataFrame:
+        return read_bronze(spark, bronze_root, endpoint, year=year, grand_prix=gp, session_type=session_type)
+
+    # -- critical: sessions ------------------------------------------------
+    sessions_df = silver.transform_sessions(
+        src("session_result", "qualifying").drop("duration").unionByName(
+            src("session_result", "race").drop("duration"), allowMissingColumns=True
+        )
+    )
+    _write_observed(store, sessions_df, "sessions_silver", mode, report)
+    report.results["sessions_silver"] = "ok"
+    sessions_silver = store.read("sessions_silver").filter(F.col("year") == year)
+    if gp:
+        sessions_for_batch = sessions_silver.filter(F.col("grand_prix_name") == gp)
+    else:
+        sessions_for_batch = sessions_silver
+
+    # -- critical: drivers (SCD2) -----------------------------------------
+    if mode == HISTORICAL:
+        drivers_df = silver.transform_drivers_scd2(src("drivers"), sessions_silver)
+        _write_observed(store, drivers_df, "drivers_silver", mode, report)
+    else:
+        _incremental_drivers_merge(spark, store, src("drivers"), sessions_for_batch, report)
+    report.results["drivers_silver"] = "ok"
+
+    # -- non-critical transforms: log-and-continue -------------------------
+    batch = [
+        ("qualifying_results_silver", lambda: silver.transform_qualifying(src("session_result", "qualifying"), sessions_for_batch)),
+        ("race_results_silver", lambda: silver.transform_race_results(src("session_result", "race"), sessions_for_batch)),
+        ("laps_silver", lambda: silver.transform_laps(src("laps"), sessions_for_batch)),
+        ("pitstops_silver", lambda: silver.transform_pitstops(src("pit"), sessions_for_batch)),
+    ]
+    for table, thunk in batch:
+        try:
+            _write_observed(store, thunk(), table, mode, report)
+            report.results[table] = "ok"
+        except Exception as e:  # noqa: BLE001 — criticality policy
+            log.exception("non-critical transform %s failed", table)
+            report.results[table] = f"failed: {e}"
+    return report
+
+
+def _incremental_drivers_merge(
+    spark: SparkSession,
+    store: TableStore,
+    drivers_bronze: DataFrame,
+    sessions_for_batch: DataFrame,
+    report: RunReport,
+) -> None:
+    """Idempotent SCD2 merge of the batch's latest driver state (S10).
+
+    Replaces the reference's collect()+UPDATE+append (common.py:418-471) with
+    the pure-DataFrame merge; the dimension is tiny (~30 rows) so the
+    full-table rewrite is cheap and atomic at any scale.
+    """
+    from pyspark.sql import Window
+
+    from f1_datalakehouse_pipeline_spark.functions.f1 import standardize_team_name
+
+    attr_cols = ["broadcast_name", "full_name", "name_acronym", "team_name", "country_code"]
+    obs = (
+        drivers_bronze.filter(F.col("driver_number").isNotNull())
+        .join(sessions_for_batch.select("session_key", "date_start"), "session_key", "inner")
+        .select(
+            F.col("driver_number").cast("int").alias("driver_number"),
+            "broadcast_name",
+            "full_name",
+            "name_acronym",
+            standardize_team_name(F.col("team_name")).alias("team_name"),
+            "country_code",
+            "date_start",
+            "session_key",
+        )
+    )
+    w = Window.partitionBy("driver_number").orderBy(
+        F.col("date_start").desc(), F.col("session_key").desc()
+    )
+    updates = (
+        obs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("driver_number", *attr_cols, F.col("date_start").alias("eff"))
+    )
+    current = store.read("drivers_silver")
+    merged = scd2_merge_incremental(
+        current, updates, entity_col="driver_number", attr_cols=attr_cols, effective_col="eff"
+    )
+    # The merge reads the same table it overwrites — materialize first (the
+    # dimension is ~30 rows; at larger dim scale this would be a staged write
+    # to a temp path + atomic rename, or a Delta MERGE when available).
+    merged_pdf = merged.toPandas()
+    merged_df = spark.createDataFrame(merged_pdf, schema=merged.schema)
+    store.overwrite(merged_df, "drivers_silver")
+    report.row_counts["drivers_silver"] = len(merged_pdf)
+
+
+def run_silver_to_gold(
+    spark: SparkSession,
+    store: TableStore,
+    mode: str = HISTORICAL,
+    year: int = 2025,
+    grand_prix: str | None = None,
+) -> RunReport:
+    report = RunReport(mode=mode, year=year, grand_prix=grand_prix)
+    # P4 partition-value filters prune the silver scans (silver_readers.py:183-216)
+    sessions = store.read("sessions_silver").filter(F.col("year") == year)
+    drivers = store.read("drivers_silver")
+    race_results = store.read("race_results_silver").filter(F.col("year") == year)
+    quali_results = store.read("qualifying_results_silver").filter(F.col("year") == year)
+
+    gp_scope = F.col("grand_prix_name") == grand_prix if (mode == INCREMENTAL and grand_prix) else None
+
+    batch: list[tuple[str, DataFrame, bool]] = [
+        # championship is ALWAYS season-wide (cumulative totals)
+        ("championship_tracker", gold.transform_championship_tracker(race_results, sessions, drivers), True),
+        ("driver_performance_summary_race", gold.transform_driver_performance_race(race_results, sessions, drivers), False),
+        ("driver_performance_summary_qualifying", gold.transform_driver_performance_qualifying(quali_results, sessions, drivers), False),
+        ("race_weekend_insights", gold.transform_race_weekend_insights(race_results, quali_results, sessions, drivers), True),
+    ]
+    for table, df, season_wide in batch:
+        try:
+            if gp_scope is not None and not season_wide:
+                df = df.filter(gp_scope)
+            _write_observed(store, df, table, mode if not season_wide else HISTORICAL, report)
+            report.results[table] = "ok"
+        except Exception as e:  # noqa: BLE001
+            log.exception("gold transform %s failed", table)
+            report.results[table] = f"failed: {e}"
+            if table == "championship_tracker":
+                raise  # critical (dependency-ordered first, :352-380)
+    return report

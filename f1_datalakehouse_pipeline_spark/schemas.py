@@ -1,0 +1,203 @@
+"""Declarative schema registry for the medallion tables.
+
+Reference: src/jobs/utils/table_management/schemas.py:16-221 (dict-of-dicts
+registry rendered to Iceberg DDL). Re-expressed as StructType objects plus a
+partition-spec map; tables are plain partitioned Parquet directories managed
+by sources/tables.py (no Glue/Iceberg).
+
+Type parity (SURVEY §1.2): BIGINT keys/millis, INT positions/years, STRING
+names, TIMESTAMP dates, DATE race_date, BOOLEAN flags, DECIMAL(6,3) pit
+durations, DECIMAL(5,3)/(4,1) gold gaps/averages.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.types import (
+    BooleanType,
+    DateType,
+    DecimalType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+
+def _st(*fields: tuple) -> StructType:
+    return StructType([StructField(n, t, nullable) for n, t, nullable in fields])
+
+
+SILVER_SCHEMAS: dict[str, StructType] = {
+    # reference schemas.py:16-33
+    "sessions_silver": _st(
+        ("session_key", LongType(), False),
+        ("meeting_key", LongType(), True),
+        ("year", IntegerType(), False),
+        ("grand_prix_name", StringType(), False),
+        ("session_type", StringType(), False),
+        ("meeting_name", StringType(), True),
+        ("date_start", TimestampType(), True),
+        ("date_end", TimestampType(), True),
+        ("duration_minutes", IntegerType(), True),
+        ("is_sprint_weekend", BooleanType(), True),
+    ),
+    # reference schemas.py:35-52 (SCD Type 2)
+    "drivers_silver": _st(
+        ("driver_number", IntegerType(), False),
+        ("broadcast_name", StringType(), True),
+        ("full_name", StringType(), True),
+        ("name_acronym", StringType(), True),
+        ("team_name", StringType(), True),
+        ("country_code", StringType(), True),
+        ("valid_from", TimestampType(), False),
+        ("valid_to", TimestampType(), True),
+        ("is_current", BooleanType(), False),
+    ),
+    # reference schemas.py:54-75
+    "qualifying_results_silver": _st(
+        ("session_key", LongType(), False),
+        ("year", IntegerType(), False),
+        ("grand_prix_name", StringType(), False),
+        ("driver_number", IntegerType(), False),
+        ("position", IntegerType(), True),
+        ("q1_time_millis", LongType(), True),
+        ("q2_time_millis", LongType(), True),
+        ("q3_time_millis", LongType(), True),
+        ("best_time_millis", LongType(), True),
+        ("gap_to_pole_millis", LongType(), True),
+        ("qualifying_status", StringType(), True),
+    ),
+    # reference schemas.py:77-99
+    "race_results_silver": _st(
+        ("session_key", LongType(), False),
+        ("year", IntegerType(), False),
+        ("grand_prix_name", StringType(), False),
+        ("driver_number", IntegerType(), False),
+        ("position", IntegerType(), True),
+        ("points", IntegerType(), True),
+        ("validated_points", IntegerType(), True),
+        ("race_status", StringType(), True),
+        ("race_time_millis", LongType(), True),
+        ("race_time_formatted", StringType(), True),
+        ("gap_to_leader_seconds", DecimalType(8, 3), True),
+    ),
+    # reference schemas.py:101-118
+    "laps_silver": _st(
+        ("session_key", LongType(), False),
+        ("year", IntegerType(), False),
+        ("grand_prix_name", StringType(), False),
+        ("driver_number", IntegerType(), False),
+        ("lap_number", IntegerType(), False),
+        ("lap_time_millis", LongType(), True),
+        ("lap_time_formatted", StringType(), True),
+        ("sector_1_millis", LongType(), True),
+        ("sector_2_millis", LongType(), True),
+        ("sector_3_millis", LongType(), True),
+        ("is_personal_best", BooleanType(), True),
+        ("is_session_fastest", BooleanType(), True),
+    ),
+    # reference schemas.py:120-135
+    "pitstops_silver": _st(
+        ("session_key", LongType(), False),
+        ("year", IntegerType(), False),
+        ("grand_prix_name", StringType(), False),
+        ("driver_number", IntegerType(), False),
+        ("lap_number", IntegerType(), True),
+        ("pit_duration_seconds", DecimalType(6, 3), True),
+    ),
+}
+
+GOLD_SCHEMAS: dict[str, StructType] = {
+    # reference schemas.py:141-160
+    "driver_performance_summary_qualifying": _st(
+        ("year", IntegerType(), False),
+        ("race_date", DateType(), True),
+        ("grand_prix_name", StringType(), False),
+        ("round_number", IntegerType(), True),
+        ("driver_number", IntegerType(), False),
+        ("full_name", StringType(), True),
+        ("team_name", StringType(), True),
+        ("qualifying_position", IntegerType(), True),
+        ("best_time_millis", LongType(), True),
+        ("gap_to_pole_seconds", DecimalType(5, 3), True),
+        ("made_q3", BooleanType(), True),
+        ("season_avg_qualifying_position", DecimalType(4, 1), True),
+    ),
+    # reference schemas.py:162-180
+    "driver_performance_summary_race": _st(
+        ("year", IntegerType(), False),
+        ("race_date", DateType(), True),
+        ("grand_prix_name", StringType(), False),
+        ("round_number", IntegerType(), True),
+        ("driver_number", IntegerType(), False),
+        ("full_name", StringType(), True),
+        ("team_name", StringType(), True),
+        ("finishing_position", IntegerType(), True),
+        ("race_status", StringType(), True),
+        ("points", IntegerType(), True),
+        ("season_points_total", IntegerType(), True),
+        ("season_avg_finish_position", DecimalType(4, 1), True),
+    ),
+    # reference schemas.py:182-200
+    "championship_tracker": _st(
+        ("year", IntegerType(), False),
+        ("race_date", DateType(), True),
+        ("grand_prix_name", StringType(), False),
+        ("round_number", IntegerType(), True),
+        ("driver_number", IntegerType(), False),
+        ("full_name", StringType(), True),
+        ("team_name", StringType(), True),
+        ("race_points", IntegerType(), True),
+        ("season_points_total", IntegerType(), True),
+        ("championship_position", IntegerType(), True),
+        ("gap_to_leader_points", IntegerType(), True),
+    ),
+    # reference schemas.py:202-221
+    "race_weekend_insights": _st(
+        ("year", IntegerType(), False),
+        ("grand_prix_name", StringType(), False),
+        ("race_date", DateType(), True),
+        ("round_number", IntegerType(), True),
+        ("pole_driver_number", IntegerType(), True),
+        ("pole_driver_name", StringType(), True),
+        ("winner_driver_number", IntegerType(), True),
+        ("winner_driver_name", StringType(), True),
+        ("field_size", IntegerType(), True),
+        ("total_finishers", IntegerType(), True),
+        ("dnf_count", IntegerType(), True),
+        ("is_sprint_weekend", BooleanType(), True),
+    ),
+}
+
+# Partition specs (reference job_config.py:81-88; championship_tracker is
+# year-only and always fully recomputed — f1_silver_to_gold_transform.py:209-217).
+# sessions_silver follows job_config.py:82 ([year, grand_prix_name]) rather
+# than the DDL's year-only spec (the reference is internally inconsistent,
+# SURVEY §1.4) — the finer spec makes one-GP incremental overwrite idempotent.
+PARTITION_SPECS: dict[str, list[str]] = {
+    "sessions_silver": ["year", "grand_prix_name"],
+    "drivers_silver": [],  # small SCD dimension, unpartitioned
+    "qualifying_results_silver": ["year", "grand_prix_name"],
+    "race_results_silver": ["year", "grand_prix_name"],
+    "laps_silver": ["year", "grand_prix_name"],
+    "pitstops_silver": ["year", "grand_prix_name"],
+    "driver_performance_summary_qualifying": ["year", "grand_prix_name"],
+    "driver_performance_summary_race": ["year", "grand_prix_name"],
+    "championship_tracker": ["year"],
+    "race_weekend_insights": ["year"],
+}
+
+ALL_SCHEMAS: dict[str, StructType] = {**SILVER_SCHEMAS, **GOLD_SCHEMAS}
+
+
+def conform(df, table: str):
+    """Project/cast a DataFrame to the declared schema (order + types) —
+    the typed-projection P1 operator (sessions_transform.py:173-189)."""
+    from pyspark.sql import functions as F
+
+    schema = ALL_SCHEMAS[table]
+    return df.select(
+        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
+    )

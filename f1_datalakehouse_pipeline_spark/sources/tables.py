@@ -1,0 +1,71 @@
+"""Managed-table store: partitioned Parquet directories with atomic-enough
+write modes replacing the reference's Iceberg sinks (SURVEY §2.1 S6-S11).
+
+Write-mode parity:
+- append            ≙ writeTo().append()            (common.py:389-391)
+- overwrite         ≙ writeTo().overwrite()         (common.py:367-369)
+- overwrite_partitions ≙ writeTo().overwritePartitions() (common.py:371-387)
+  — implemented with Spark's dynamic partitionOverwriteMode, which replaces
+  exactly the partitions present in the incoming DataFrame: the incremental
+  one-GP rerun is therefore idempotent by construction (SURVEY §7.4.6).
+
+Scale notes: partition columns are the physical layout (year / grand_prix_name
+≙ date / tenant at 100 TB); Catalyst prunes reads from filters on them, and a
+dynamic overwrite only rewrites the affected leaf directories.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from f1_datalakehouse_pipeline_spark.schemas import ALL_SCHEMAS, PARTITION_SPECS, conform
+
+
+class TableStore:
+    """A warehouse directory holding one partitioned-parquet dir per table."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+
+    def path(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    def exists(self, table: str) -> bool:
+        return os.path.isdir(self.path(table))
+
+    def read(self, table: str) -> DataFrame:
+        if not self.exists(table):
+            # empty-table fallback, reference declares per-transform empty
+            # schemas for this (qualifying_transform.py:287-309)
+            return self.spark.createDataFrame([], ALL_SCHEMAS[table])
+        return self.spark.read.parquet(self.path(table))
+
+    def _writer(self, df: DataFrame, table: str):
+        w = conform(df, table).write.format("parquet")
+        parts = PARTITION_SPECS.get(table, [])
+        if parts:
+            w = w.partitionBy(*parts)
+        return w
+
+    def append(self, df: DataFrame, table: str) -> None:
+        self._writer(df, table).mode("append").save(self.path(table))
+
+    def overwrite(self, df: DataFrame, table: str) -> None:
+        # Full overwrite must be static even when the session default is
+        # dynamic, otherwise stale partitions survive.
+        self._writer(df, table).option("partitionOverwriteMode", "static").mode(
+            "overwrite"
+        ).save(self.path(table))
+
+    def overwrite_partitions(self, df: DataFrame, table: str) -> None:
+        """Replace only the partitions present in ``df`` (dynamic mode)."""
+        if not PARTITION_SPECS.get(table):
+            # unpartitioned table: partition-overwrite degenerates to overwrite
+            self.overwrite(df, table)
+            return
+        self._writer(df, table).option("partitionOverwriteMode", "dynamic").mode(
+            "overwrite"
+        ).save(self.path(table))
