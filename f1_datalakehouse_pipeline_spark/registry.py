@@ -38,11 +38,18 @@ def query(name: str, sql: str | None = None):
     return deco
 
 
+def _load_extensions() -> None:
+    # Lazy to avoid a circular import: registry_ext registers via @query.
+    import f1_datalakehouse_pipeline_spark.registry_ext  # noqa: F401
+
+
 def queries() -> dict[str, QueryFn]:
+    _load_extensions()
     return dict(_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
+    _load_extensions()
     return dict(_ORACLE)
 
 

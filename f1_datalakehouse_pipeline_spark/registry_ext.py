@@ -1,0 +1,377 @@
+"""Registry extension: large-scale training-data pipeline operators.
+
+Dedup (exact / n-gram Jaccard / MinHash-LSH / SimHash), similarity search,
+text analysis, and multimodal binary plumbing — each wired to the same DuckDB
+oracle gate as the core operators. Cross-engine exactness rests on two
+verified facts: the md5-derived 48-bit portable hash is identical in Spark
+and DuckDB, and sequential-fold float math (zip_with+aggregate vs
+list_transform+list_sum) is bit-identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from f1_datalakehouse_pipeline_spark.registry import query
+from f1_datalakehouse_pipeline_spark.sources.testdata import load_table
+from f1_datalakehouse_pipeline_spark.functions.text import (
+    MINHASH_A,
+    MINHASH_B,
+    MINHASH_P,
+    bpe_ish_token_count,
+    portable_hash48,
+    punct_ratio,
+    quality_score,
+    stopword_ratio,
+    token_count,
+)
+from f1_datalakehouse_pipeline_spark.operators import dedup, similarity
+
+# --- shared DuckDB SQL fragments (kept in lockstep with functions/text.py) ---
+
+_DUCK_HASH = "('0x' || substr(md5({x}), 1, 12))::BIGINT"
+_DUCK_TOKS = "list_filter(string_split_regex(trim({x}), '\\s+'), t -> t != '')"
+_DUCK_SHINGLES = (
+    "list_distinct(list_transform(generate_series(1, greatest(len(toks) - 2, 1)),"
+    " i -> array_to_string(toks[i:i+2], ' ')))"
+)
+
+_DUCK_SHINGLE_TABLE = f"""
+    tokd AS (SELECT doc_id, {_DUCK_TOKS.format(x='text')} AS toks FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id AS doc, {_DUCK_HASH.format(x='s')} AS h
+      FROM (SELECT doc_id, unnest({_DUCK_SHINGLES}) AS s FROM tokd)
+    ),
+    sizes AS (SELECT doc, COUNT(*) AS n FROM sh GROUP BY doc),
+    inter AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS i
+      FROM sh a JOIN sh b ON a.h = b.h AND a.doc < b.doc
+      GROUP BY 1, 2
+    ),
+    jac AS (
+      SELECT doc_a, doc_b,
+             CAST(i AS DOUBLE) / CAST(na.n + nb.n - i AS DOUBLE) AS jaccard
+      FROM inter
+      JOIN sizes na ON na.doc = doc_a
+      JOIN sizes nb ON nb.doc = doc_b
+    )
+"""
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "t_text_quality",
+    f"""
+    WITH t AS (
+      SELECT doc_id, text, {_DUCK_TOKS.format(x='text')} AS toks FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS INTEGER) AS n_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INTEGER) AS n_bpe_ish,
+           CASE WHEN length(text) > 0
+                THEN CAST(len(regexp_extract_all(text, '[.,;:!?''"()\\[\\]{{}}-]')) AS DOUBLE) / length(text)
+                ELSE 0.0 END AS punct_ratio,
+           CASE WHEN len(toks) > 0
+                THEN CAST(len(list_filter(list_transform(toks, t -> lower(t)),
+                                          t -> list_contains(['the','a','of','and','to'], t))) AS DOUBLE)
+                     / len(toks)
+                ELSE 0.0 END AS stopword_ratio
+    FROM t
+    """,
+)
+def t_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).cast("int").alias("n_tokens"),
+        bpe_ish_token_count(F.col("text")).cast("int").alias("n_bpe_ish"),
+        punct_ratio(F.col("text")).alias("punct_ratio"),
+        stopword_ratio(F.col("text"), ("the", "a", "of", "and", "to")).alias("stopword_ratio"),
+    )
+
+
+@query(
+    "t_lang_id",
+    f"""
+    WITH t AS (
+      SELECT doc_id, lang, list_transform({_DUCK_TOKS.format(x='text')}, t -> lower(t)) AS toks
+      FROM documents
+    ), votes AS (
+      SELECT doc_id, lang,
+        len(list_filter(toks, t -> list_contains(['the','a','of','and','is'], t))) AS v_en,
+        len(list_filter(toks, t -> list_contains(['der','die','das','und','ist'], t))) AS v_de,
+        len(list_filter(toks, t -> list_contains(['el','la','de','y','es'], t))) AS v_es,
+        len(list_filter(toks, t -> list_contains(['le','la','et','les','est'], t))) AS v_fr
+      FROM t
+    )
+    SELECT doc_id, lang,
+           CAST(v_en AS BIGINT) AS v_en, CAST(v_de AS BIGINT) AS v_de,
+           CAST(v_es AS BIGINT) AS v_es, CAST(v_fr AS BIGINT) AS v_fr,
+           CASE WHEN v_en = 0 AND v_de = 0 AND v_es = 0 AND v_fr = 0 THEN 'unknown'
+                WHEN v_en >= v_de AND v_en >= v_es AND v_en >= v_fr THEN 'en'
+                WHEN v_de >= v_es AND v_de >= v_fr THEN 'de'
+                WHEN v_es >= v_fr THEN 'es'
+                ELSE 'fr' END AS predicted_lang
+    FROM votes
+    """,
+)
+def t_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram/stopword-vote language id heuristic with deterministic tie-break."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.transform(
+        F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != ""),
+        lambda t: F.lower(t),
+    )
+    lists = {
+        "v_en": ("the", "a", "of", "and", "is"),
+        "v_de": ("der", "die", "das", "und", "ist"),
+        "v_es": ("el", "la", "de", "y", "es"),
+        "v_fr": ("le", "la", "et", "les", "est"),
+    }
+    def vote(ws: tuple[str, ...]):
+        arr = F.array(*[F.lit(w) for w in ws])
+        # NB: the lambda must take exactly ONE argument — F.filter treats a
+        # second parameter as the element index.
+        return F.size(F.filter(toks, lambda t: F.array_contains(arr, t))).cast("long")
+
+    votes = docs.select(
+        "doc_id",
+        "lang",
+        *[vote(ws).alias(name) for name, ws in lists.items()],
+    )
+    v = {n: F.col(n) for n in lists}
+    predicted = (
+        F.when((v["v_en"] == 0) & (v["v_de"] == 0) & (v["v_es"] == 0) & (v["v_fr"] == 0), "unknown")
+        .when((v["v_en"] >= v["v_de"]) & (v["v_en"] >= v["v_es"]) & (v["v_en"] >= v["v_fr"]), "en")
+        .when((v["v_de"] >= v["v_es"]) & (v["v_de"] >= v["v_fr"]), "de")
+        .when(v["v_es"] >= v["v_fr"], "es")
+        .otherwise("fr")
+    )
+    return votes.select("doc_id", "lang", "v_en", "v_de", "v_es", "v_fr", predicted.alias("predicted_lang"))
+
+
+@query(
+    "t_fingerprint",
+    f"""
+    SELECT doc_id, md5(text) AS fp_md5,
+           {_DUCK_HASH.format(x='text')} AS fp48
+    FROM documents
+    """,
+)
+def t_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5("text").alias("fp_md5"),
+        portable_hash48(F.col("text")).alias("fp48"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact",
+    f"""
+    SELECT {_DUCK_HASH.format(x='text')} AS content_hash,
+           MIN(doc_id) AS keeper_id,
+           CAST(COUNT(*) AS BIGINT) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.exact_dedup(docs, "doc_id", "text").select(
+        "content_hash", "keeper_id", "n_copies"
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH {_DUCK_SHINGLE_TABLE}
+    SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.2
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.2)
+
+
+def _duck_minhash_sql(threshold: float) -> str:
+    mins = ", ".join(
+        f"MIN(({MINHASH_A[i]} * h + {MINHASH_B[i]}) % {MINHASH_P}) AS mh{i}"
+        for i in range(16)
+    )
+    bands = "\n      UNION ALL ".join(
+        "SELECT doc, {b} AS band, ".format(b=b)
+        + " || ',' || ".join(f"CAST(mh{4 * b + j} AS VARCHAR)" for j in range(4))
+        + " AS band_sig FROM mh"
+        for b in range(4)
+    )
+    return f"""
+    WITH {_DUCK_SHINGLE_TABLE},
+    mh AS (SELECT doc, {mins} FROM sh GROUP BY doc),
+    bands AS ({bands}),
+    cand AS (
+      SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc < b.doc
+    )
+    SELECT c.doc_a, c.doc_b, j.jaccard
+    FROM cand c JOIN jac j ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
+    WHERE j.jaccard >= {threshold}
+    """
+
+
+@query("dedup_minhash_lsh", _duck_minhash_sql(0.2))
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", k=3, n_hashes=16, bands=4, threshold=0.2
+    )
+
+
+def _duck_simhash_sql(n_bits: int = 48) -> str:
+    bit_sums = ", ".join(
+        f"SUM(CASE WHEN (h & {1 << i}) != 0 THEN 1 ELSE 0 END) AS b{i}" for i in range(n_bits)
+    )
+    code = " + ".join(
+        f"CASE WHEN b{i} * 2 >= n THEN CAST({1 << i} AS BIGINT) ELSE 0 END" for i in range(n_bits)
+    )
+    toks = _DUCK_TOKS.format(x="text")
+    h = _DUCK_HASH.format(x="t")
+    return f"""
+    WITH tok AS (
+      SELECT doc_id AS doc, unnest({toks}) AS t FROM documents
+    ), hashed AS (SELECT doc, {h} AS h FROM tok),
+    per_doc AS (SELECT doc, COUNT(*) AS n, {bit_sums} FROM hashed GROUP BY doc)
+    SELECT doc, CAST({code} AS BIGINT) AS simhash FROM per_doc
+    """
+
+
+@query("dedup_simhash", _duck_simhash_sql())
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_codes(docs, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+_DUCK_COS = """
+    CAST(list_sum(list_transform(generate_series(1, len(qv)),
+                                 i -> qv[i]::DOUBLE * cv[i]::DOUBLE)) AS DOUBLE)
+    / (sqrt(list_sum(list_transform(qv, x -> x::DOUBLE * x::DOUBLE)))
+       * sqrt(list_sum(list_transform(cv, x -> x::DOUBLE * x::DOUBLE))))
+"""
+
+
+@query(
+    "sim_cosine_topk",
+    f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10
+    ), scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             {_DUCK_COS.replace('cv', 'e.embedding')} AS cosine
+      FROM embeddings e CROSS JOIN q
+      WHERE q.query_id != e.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rn AS BIGINT) AS rnk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id ASC) AS rn
+      FROM scored
+    ) WHERE rn <= 5
+    """,
+)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.brute_force_topk(emb, queries, k=5)
+
+
+@query(
+    "sim_embedding_neardup",
+    f"""
+    WITH v AS (SELECT vec_id, embedding FROM embeddings),
+    p AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             {_DUCK_COS.replace('qv', 'a.embedding').replace('cv', 'b.embedding')} AS cosine
+      FROM v a JOIN v b ON a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.2
+    """,
+)
+def sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs above a threshold.
+
+    At 100 TB this all-pairs form is replaced by the LSH-bucketed variant
+    (operators/similarity.lsh_bucketed_topk); the exact form is the oracle.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").cast("array<double>").alias("qv"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").cast("array<double>").alias("cv"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", similarity.cosine(F.col("qv"), F.col("cv")).alias("cosine"))
+        .filter(F.col("cosine") >= 0.2)
+    )
+
+
+# rows-only (no SQL oracle): LSH-bucketed ANN — approximate by design
+@query("sim_lsh_bucketed_topk")
+def sim_lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import random
+
+    rng = random.Random(7)
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    planes = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(4)]
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.lsh_bucketed_topk(emb, queries, planes, k=5)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal binary plumbing
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "mm_binary_metadata",
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS content_md5,
+           CASE WHEN octet_length(encode(text)) < 256 THEN 'small'
+                WHEN octet_length(encode(text)) < 1024 THEN 'medium'
+                ELSE 'large' END AS size_bucket
+    FROM documents
+    """,
+)
+def mm_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary column handling: payload bytes + typed metadata columns.
+
+    The pattern for image/audio/video at scale: keep payload as ``binary``,
+    derive typed metadata server-side, and run decode in Arrow-batched
+    mapInPandas (operators/multimodal.py).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "UTF-8")
+    n = F.octet_length(payload)
+    return docs.select(
+        "doc_id",
+        n.cast("long").alias("n_bytes"),
+        F.md5("text").alias("content_md5"),
+        F.when(n < 256, "small").when(n < 1024, "medium").otherwise("large").alias("size_bucket"),
+    )

@@ -1,0 +1,81 @@
+"""Structured Streaming ingestion — the streaming evolution of the
+reference's weekly INCREMENTAL batch mode (SURVEY §2.9: the reference has no
+streaming; this is the natural extension, not a parity requirement).
+
+Pattern: file-source ``readStream`` over the bronze landing directory →
+``foreachBatch`` running the SAME silver transforms and idempotent
+partition-overwrite/SCD-merge writes the batch pipeline uses. Because each
+micro-batch reuses the batch write semantics, replays are idempotent and the
+batch/streaming code paths cannot drift.
+
+Also provides a windowed+watermarked event aggregation, the canonical
+late-data-tolerant streaming operator shape.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.types import StructType
+
+
+def stream_file_source(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    fmt: str = "parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    reader = spark.readStream.format(fmt).schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(path)
+
+
+def foreach_batch_upsert(
+    stream_df: DataFrame,
+    upsert: Callable[[DataFrame, int], None],
+    checkpoint_dir: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Run ``upsert(batch_df, batch_id)`` per micro-batch with checkpointing.
+
+    ``available_now=True`` drains everything currently in the source then
+    stops — the streaming equivalent of one INCREMENTAL batch run, and what
+    tests use. Long-running deployments pass False and a processing trigger.
+    """
+    writer = stream_df.writeStream.foreachBatch(upsert).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling-window counts — late rows beyond the watermark are
+    dropped instead of growing state forever (the 100 TB state-bound rule)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("w"), F.col(key_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            key_col,
+            "n_events",
+            "total_value",
+        )
+    )

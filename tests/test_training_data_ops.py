@@ -1,0 +1,179 @@
+"""Unit tests for the training-data operators (dedup, similarity, multimodal,
+streaming) beyond the oracle-backed registry gate."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from f1_datalakehouse_pipeline_spark.operators import dedup, multimodal, similarity
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy cat"),  # near dup of 1
+        (4, "completely different text about spark engines and parquet files"),
+        (5, "another unrelated document mentioning window functions only"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup(docs):
+    out = {r.keeper_id: r.n_copies for r in dedup.exact_dedup(docs, "doc_id", "text").collect()}
+    assert out[1] == 2  # docs 1 and 2 collapse
+    assert out[3] == 1 and out[4] == 1 and out[5] == 1
+    assert 2 not in out
+
+
+def test_ngram_jaccard_pairs(docs):
+    pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.3).collect()
+    }
+    assert pairs[(1, 2)] == 1.0  # identical docs
+    assert 0.3 <= pairs[(1, 3)] < 1.0  # near dup
+    assert (1, 4) not in pairs and (4, 5) not in pairs
+
+
+def test_minhash_lsh_finds_high_jaccard_pairs(docs):
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.minhash_lsh_pairs(
+            docs, "doc_id", "text", threshold=0.3
+        ).collect()
+    }
+    # identical pair must always collide in every band
+    assert (1, 2) in got
+    # LSH output is a subset of the exact high-jaccard pairs
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.3).collect()
+    }
+    assert got <= exact
+
+
+def test_simhash_similarity_ordering(docs):
+    codes = {r.doc: r.simhash for r in dedup.simhash_codes(docs, "doc_id", "text").collect()}
+    assert codes[1] == codes[2]  # identical text → identical code
+
+    def hamming(a, b):
+        return bin(a ^ b).count("1")
+
+    # near-dup pair closer in hamming space than unrelated pair
+    assert hamming(codes[1], codes[3]) < hamming(codes[1], codes[4])
+
+
+def test_similarity_topk_self_excluded(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0]),   # closest to 1
+        (3, [0.0, 1.0, 0.0]),
+        (4, [-1.0, 0.0, 0.0]),  # opposite of 1
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = similarity.brute_force_topk(emb, emb.filter("vec_id = 1"), k=3).collect()
+    order = [r.neighbor_id for r in sorted(out, key=lambda r: r.rnk)]
+    assert order == [2, 3, 4]
+    assert all(r.neighbor_id != 1 for r in out)
+
+
+def test_lsh_bucketed_recall(spark):
+    import random
+
+    rng = random.Random(0)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(50)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    planes = [[rng.gauss(0, 1) for _ in range(8)] for _ in range(2)]  # 4 buckets
+    queries = emb.filter("vec_id < 5")
+    approx = similarity.lsh_bucketed_topk(emb, queries, planes, k=3).collect()
+    # every returned neighbor shares the query's bucket → sanity: nonempty,
+    # ranks contiguous from 1, no self-matches
+    assert approx
+    by_q = {}
+    for r in approx:
+        by_q.setdefault(r.query_id, []).append(r)
+        assert r.neighbor_id != r.query_id
+    for q, rs in by_q.items():
+        assert sorted(x.rnk for x in rs) == list(range(1, len(rs) + 1))
+
+
+def test_multimodal_plumbing(spark):
+    rows = [(i, bytes([i] * (10 + i))) for i in range(1, 6)]
+    raw = spark.createDataFrame(rows, ["id", "payload"])
+    def shape(schema):
+        return [(f.name, f.dataType) for f in schema.fields]
+
+    media = multimodal.attach_metadata(raw, "id", "payload", "image")
+    assert shape(media.schema) == shape(multimodal.MEDIA_SCHEMA)
+    feats = multimodal.extract_features(media)
+    assert shape(feats.schema) == shape(multimodal.FEATURE_SCHEMA)
+    got = {r.media_id: r for r in feats.collect()}
+    assert len(got) == 5
+    assert all(r.width is not None and r.feature_hash for r in got.values())
+    # deterministic: same payload → same features
+    again = {r.media_id: r for r in multimodal.extract_features(media).collect()}
+    assert {k: (v.width, v.height, v.feature_hash) for k, v in got.items()} == {
+        k: (v.width, v.height, v.feature_hash) for k, v in again.items()
+    }
+    # real decoder is an explicit stub
+    with pytest.raises(Exception, match="NotImplementedError|media codecs"):
+        multimodal.extract_features(media, decoder=multimodal.real_decoder).collect()
+
+
+def test_streaming_incremental_upsert(spark, tmp_path):
+    """availableNow file-stream → foreachBatch upsert == one INCREMENTAL run."""
+    from f1_datalakehouse_pipeline_spark.streaming.incremental import (
+        foreach_batch_upsert,
+        stream_file_source,
+    )
+
+    src = str(tmp_path / "landing")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 5).alias("k"), F.rand(42).alias("v")
+    )
+    df.write.parquet(src)
+
+    def upsert(batch_df, batch_id):
+        batch_df.groupBy("k").agg(F.count(F.lit(1)).alias("n")).write.mode(
+            "overwrite"
+        ).parquet(out)
+
+    q = stream_file_source(spark, src, df.schema).transform(lambda d: d)
+    foreach_batch_upsert(q, upsert, ckpt).awaitTermination(120)
+    got = {r.k: r.n for r in spark.read.parquet(out).collect()}
+    assert got == {i: 20 for i in range(5)}
+
+
+def test_streaming_windowed_counts(spark, tmp_path):
+    from f1_datalakehouse_pipeline_spark.streaming.incremental import (
+        windowed_event_counts,
+    )
+
+    src = str(tmp_path / "events")
+    ev = spark.createDataFrame(
+        [(1, "2024-01-01 00:10:00", "click", 1.0),
+         (2, "2024-01-01 00:50:00", "click", 2.0),
+         (3, "2024-01-01 01:10:00", "view", 3.0)],
+        ["event_id", "ts", "event_type", "value"],
+    ).withColumn("ts", F.to_timestamp("ts"))
+    ev.write.parquet(src)
+
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    agg = windowed_event_counts(stream)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("wincounts")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # append mode only emits CLOSED windows (watermark passed); with a static
+    # drain the final watermark closes the first window.
+    rows = spark.sql("select * from wincounts").collect()
+    assert all(r.n_events >= 1 for r in rows)
