@@ -56,8 +56,11 @@ def exact_dedup(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
 
 def _shingle_table(df: DataFrame, id_col: str, content_col: str, k: int) -> DataFrame:
     """(id, shingle_hash) inverted-index rows — distinct per doc."""
+    from f1_datalakehouse_pipeline_spark.operators.util import spread
+
     return (
-        df.select(F.col(id_col).alias("doc"), word_shingles(content_col, k).alias("sh"))
+        spread(df, id_col)
+        .select(F.col(id_col).alias("doc"), word_shingles(content_col, k).alias("sh"))
         .select("doc", F.explode("sh").alias("shingle"))
         .select("doc", portable_hash48(F.col("shingle")).alias("h"))
         .distinct()
@@ -103,13 +106,15 @@ def ngram_jaccard_pairs(
 
 
 def minhash_signatures(
-    df: DataFrame, id_col: str, content_col: str, k: int = 3, n_hashes: int = 16
+    df: DataFrame, id_col: str, content_col: str, k: int = 3, n_hashes: int = 16,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """(doc, i, minhash) — the MinHash signature in long form.
 
     Long form keeps the plan a single groupBy; banding pivots from here.
+    Pass a precomputed ``shingles`` table to share the scan with other stages.
     """
-    sh = _shingle_table(df, id_col, content_col, k)
+    sh = shingles if shingles is not None else _shingle_table(df, id_col, content_col, k)
     terms = [
         F.min(minhash_term(F.col("h"), i)).alias(f"mh{i}") for i in range(n_hashes)
     ]
@@ -144,7 +149,10 @@ def minhash_lsh_pairs(
     so work scales with collision count, not n².
     """
     rows_per_band = n_hashes // bands
-    sig = minhash_signatures(df, id_col, content_col, k, n_hashes)
+    # One shingle scan shared by signatures and verification; caching it
+    # avoids recomputing the tokenize→shingle→hash chain in each branch.
+    sh = _shingle_table(df, id_col, content_col, k).cache()
+    sig = minhash_signatures(df, id_col, content_col, k, n_hashes, shingles=sh)
     band_sigs = (
         sig.withColumn("band", (F.col("i") / rows_per_band).cast("int"))
         .groupBy("doc", "band")
@@ -169,9 +177,30 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .distinct()
     )
-    exact = ngram_jaccard_pairs(df, id_col, content_col, k, threshold=0.0)
-    return candidates.join(exact, ["doc_a", "doc_b"], "inner").filter(
-        F.col("jaccard") >= threshold
+    # Exact-Jaccard verification computed ONLY for LSH candidates — the
+    # all-co-shingle-pairs join would dominate the plan and defeat the point
+    # of LSH (candidate count ≪ co-occurrence count at scale).
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
+    ca = candidates.join(sh.select(F.col("doc").alias("doc_a"), "h"), "doc_a")
+    inter = (
+        ca.join(sh.select(F.col("doc").alias("doc_b"), "h"), ["doc_b", "h"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    na = sizes.select(F.col("doc").alias("doc_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("doc").alias("doc_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("inter")).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
     )
 
 
@@ -181,8 +210,11 @@ def simhash_codes(df: DataFrame, id_col: str, content_col: str, n_bits: int = 48
     explode → one groupBy(doc) with n_bits conditional sums (majority vote per
     bit, ties round up) → recombined code. Output: (doc, simhash).
     """
+    from f1_datalakehouse_pipeline_spark.operators.util import spread
+
     tok = (
-        df.select(F.col(id_col).alias("doc"), F.explode(tokens(F.col(content_col))).alias("t"))
+        spread(df, id_col)
+        .select(F.col(id_col).alias("doc"), F.explode(tokens(F.col(content_col))).alias("t"))
         .select("doc", portable_hash48(F.col("t")).alias("h"))
     )
     aggs = [F.count(F.lit(1)).alias("n")] + [

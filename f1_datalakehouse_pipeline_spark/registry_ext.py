@@ -85,7 +85,9 @@ _DUCK_SHINGLE_TABLE = f"""
     """,
 )
 def t_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    from f1_datalakehouse_pipeline_spark.operators.util import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     return docs.select(
         "doc_id",
         token_count(F.col("text")).cast("int").alias("n_tokens"),
@@ -122,7 +124,9 @@ def t_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def t_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram/stopword-vote language id heuristic with deterministic tie-break."""
-    docs = load_table(spark, sf_dir, "documents")
+    from f1_datalakehouse_pipeline_spark.operators.util import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     toks = F.transform(
         F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != ""),
         lambda t: F.lower(t),
