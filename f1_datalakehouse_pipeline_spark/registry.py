@@ -934,3 +934,316 @@ def f_array_q_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         at(3).alias("q3"),
         F.coalesce(at(3), at(2), at(1)).alias("best"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Coverage batch 2: remaining §2 operator families + classic star-query shapes
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a2_latest_attr",
+    """
+    SELECT o_custkey,
+           arg_max(o_orderpriority, o_orderkey) AS latest_priority,
+           strftime(MIN(o_orderdate), '%Y-%m-%d') AS first_order,
+           strftime(MAX(o_orderdate), '%Y-%m-%d') AS last_order
+    FROM orders
+    GROUP BY o_custkey
+    """,
+)
+def a2_latest_attr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Reference A2: groupBy + min/max/last latest-attribute pattern
+    # (scd.py:100-109,213-225) — the reference's `last()` is order-dependent;
+    # max_by on a unique key is the deterministic Spark-native form (and fixes
+    # the scd.py:108 Python-builtin-max bug by construction).
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.expr("max_by(o_orderpriority, o_orderkey)").alias("latest_priority"),
+        F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("first_order"),
+        F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("last_order"),
+    )
+
+
+@query(
+    "j1_j5_lookup_join",
+    """
+    WITH seg AS (
+      SELECT c_mktsegment,
+             MAX(c_acctbal) AS top_bal
+      FROM customer GROUP BY c_mktsegment
+    ), top_cust AS (
+      SELECT c.c_mktsegment, MIN(c.c_custkey) AS top_custkey
+      FROM customer c JOIN seg s
+        ON c.c_mktsegment = s.c_mktsegment AND c.c_acctbal = s.top_bal
+      GROUP BY c.c_mktsegment
+    )
+    SELECT n.n_name, c.c_mktsegment, c.c_custkey,
+           CAST(c.c_acctbal AS DOUBLE) AS acctbal,
+           t.top_custkey
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    LEFT JOIN top_cust t ON c.c_mktsegment = t.c_mktsegment
+    """,
+)
+def j1_j5_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Reference J1 (dim inner join, common.py:500-523) + J5 (left lookup join
+    # to a derived best-of table — the pole/winner pattern,
+    # race_weekend_insights_transform.py:254-320), tie-broken by min key.
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    seg = c.groupBy("c_mktsegment").agg(F.max("c_acctbal").alias("top_bal"))
+    top = (
+        c.join(F.broadcast(seg), "c_mktsegment")
+        .filter(F.col("c_acctbal") == F.col("top_bal"))
+        .groupBy("c_mktsegment")
+        .agg(F.min("c_custkey").alias("top_custkey"))
+    )
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(top), "c_mktsegment", "left")
+        .select(
+            "n_name",
+            "c_mktsegment",
+            "c_custkey",
+            F.col("c_acctbal").cast("double").alias("acctbal"),
+            "top_custkey",
+        )
+    )
+
+
+@query(
+    "w9_lead_validity",
+    """
+    SELECT o_custkey, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS od,
+           LEAD(o_orderkey) OVER w AS next_orderkey,
+           LEAD(o_orderkey) OVER w IS NULL AS is_latest
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY strftime(o_orderdate, '%Y-%m-%d'), o_orderkey)
+    """,
+)
+def w9_lead_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Reference W9: valid_to = lead(valid_from); is_current = lead IS NULL
+    # (scd.py:227-240) in isolation.
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.date_format("o_orderdate", "yyyy-MM-dd"), "o_orderkey"
+    )
+    nxt = F.lead("o_orderkey").over(w)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("od"),
+        nxt.alias("next_orderkey"),
+        nxt.isNull().alias("is_latest"),
+    )
+
+
+@query(
+    "w12_teammate_compare",
+    """
+    WITH t AS (
+      SELECT c_nationkey, c_mktsegment, c_custkey,
+             CAST(c_acctbal AS DECIMAL(12,2)) AS bal
+      FROM customer
+    )
+    SELECT c_nationkey, c_mktsegment, c_custkey,
+           CAST(bal AS DOUBLE) AS acctbal,
+           CAST(bal - LAG(bal) OVER w AS DOUBLE) AS delta_vs_teammate,
+           CAST(COUNT(*) OVER (PARTITION BY c_nationkey, c_mktsegment) AS BIGINT) AS team_size
+    FROM t
+    WINDOW w AS (PARTITION BY c_nationkey, c_mktsegment ORDER BY c_custkey)
+    """,
+)
+def w12_teammate_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Reference W12: teammate-comparison window partitioned by (team, race)
+    # ordered by driver (window_functions.py:185-202).
+    c = load_table(spark, sf_dir, "customer")
+    bal = F.col("c_acctbal").cast("decimal(12,2)")
+    w = Window.partitionBy("c_nationkey", "c_mktsegment").orderBy("c_custkey")
+    wt = Window.partitionBy("c_nationkey", "c_mktsegment")
+    return c.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "c_custkey",
+        bal.cast("double").alias("acctbal"),
+        (bal - F.lag(bal).over(w)).cast("double").alias("delta_vs_teammate"),
+        F.count(F.lit(1)).over(wt).alias("team_size"),
+    )
+
+
+@query(
+    "u2_except_antijoin",
+    """
+    SELECT c_custkey, c_mktsegment FROM customer
+    EXCEPT
+    SELECT c.c_custkey, c.c_mktsegment
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    """,
+)
+def u2_except_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Set difference (customers with no orders): exceptAll/except ≙ left-anti
+    # join under the hood — §2.7 extension beyond the reference's Python-side
+    # list concat.
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    with_orders = (
+        load_table(spark, sf_dir, "customer")
+        .join(load_table(spark, sf_dir, "orders"), F.col("c_custkey") == F.col("o_custkey"))
+        .select("c_custkey", "c_mktsegment")
+    )
+    return c.exceptAll(with_orders.distinct()).distinct()
+
+
+@query(
+    "a8_rollup_revenue",
+    """
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders
+    GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    """,
+)
+def a8_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Beyond-reference (SURVEY §2.4 notes the reference has no grouping sets):
+    # hierarchical totals via ROLLUP — subtotal rows carry NULL group keys in
+    # both engines.
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.sum(_dec("o_totalprice")).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@query(
+    "w_sessionize_events",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, date_trunc('second', ts) AS ts_s,
+             epoch(date_trunc('second', ts)) AS ep
+      FROM events
+    ), flagged AS (
+      SELECT *,
+             CASE WHEN ep - LAG(ep) OVER w > 1800 OR LAG(ep) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ep, event_id)
+    ), sess AS (
+      SELECT *,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ep, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_seq
+      FROM flagged
+    )
+    SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MAX(ep) - MIN(ep) AS BIGINT) AS duration_s
+    FROM sess
+    GROUP BY user_id, session_seq
+    """,
+)
+def w_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Sessionization (30-min inactivity gap) — gaps-and-islands over the
+    # event stream; the batch shape of streaming session windows. One shuffle
+    # on user_id shared by both windows and the final groupBy.
+    ev = load_table(spark, sf_dir, "events")
+    ep = F.unix_timestamp(F.date_trunc("second", F.col("ts")))
+    e = ev.select("user_id", "event_id", ep.alias("ep"))
+    w = Window.partitionBy("user_id").orderBy("ep", "event_id")
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev = F.lag("ep").over(w)
+    new_session = F.when(prev.isNull() | ((F.col("ep") - prev) > 1800), 1).otherwise(0)
+    sess = e.withColumn("session_seq", F.sum(new_session).over(w_run).cast("long"))
+    return sess.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max("ep") - F.min("ep")).cast("long").alias("duration_s"),
+    )
+
+
+@query(
+    "tpch_q3_shipping_priority",
+    """
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+           o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    """,
+)
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q3 shape: selective dim filter → star join → exact-decimal agg.
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.to_timestamp(F.lit("1995-03-15 00:00:00"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.to_timestamp(F.lit("1995-03-15 00:00:00"))
+    )
+    rev = _dec("l_extendedprice", 12, 2) * (1 - _dec("l_discount", 4, 2))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "orderdate", "o_orderpriority")
+    )
+
+
+@query(
+    "tpch_q5_local_supplier",
+    """
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+)
+def tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q5 shape: 6-way join with a local-supplier (two-key) edge; every
+    # dim side broadcast, fact table never shuffled until the final agg.
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01 00:00:00")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1998-01-01 00:00:00")))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    rev = _dec("l_extendedprice", 12, 2) * (1 - _dec("l_discount", 4, 2))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
