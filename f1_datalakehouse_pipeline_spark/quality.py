@@ -1,0 +1,108 @@
+"""Data-quality checks: invariants & reconciliations as DataFrames.
+
+The reference defines validators but never wires them into jobs
+(business_logic.py:670-743, common.py:620-654 — SURVEY §5.1); here each check
+returns a violations DataFrame (empty ⇒ pass) so pipelines can collect counts
+via one action (or `observe` metrics) instead of log-and-forget.
+
+All checks are pure filters/aggregations — partition-parallel, no collect.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+@dataclass
+class CheckResult:
+    name: str
+    violations: int
+    sample: list
+
+
+def run_checks(checks: dict[str, DataFrame], sample_n: int = 5) -> list[CheckResult]:
+    """Materialize each violations DataFrame once; keep a small sample."""
+    out = []
+    for name, df in checks.items():
+        rows = df.limit(sample_n + 1).collect()
+        n = df.count() if len(rows) > sample_n else len(rows)
+        out.append(CheckResult(name, n, [r.asDict() for r in rows[:sample_n]]))
+    return out
+
+
+# --- range/invariant checks (business_logic.py:670-743 semantics) ----------
+
+
+def check_position_range(df: DataFrame, col: str = "position", lo: int = 1, hi: int = 20) -> DataFrame:
+    c = F.col(col)
+    return df.filter(c.isNotNull() & ((c < lo) | (c > hi)))
+
+
+def check_points_range(df: DataFrame, col: str = "validated_points", lo: int = 0, hi: int = 26) -> DataFrame:
+    c = F.col(col)
+    return df.filter(c.isNotNull() & ((c < lo) | (c > hi)))
+
+
+def check_non_negative(df: DataFrame, col: str) -> DataFrame:
+    return df.filter(F.col(col).isNotNull() & (F.col(col) < 0))
+
+
+# --- reconciliation (race_results_transform.py:133-191 semantics) ----------
+
+
+def reconcile_points(race_results_silver: DataFrame) -> DataFrame:
+    """Rows where API-reported points disagree with position-derived points."""
+    return race_results_silver.filter(
+        F.col("points").isNotNull()
+        & F.col("validated_points").isNotNull()
+        & (F.col("points") != F.col("validated_points"))
+    ).select("session_key", "driver_number", "position", "points", "validated_points")
+
+
+# --- SCD2 structural invariants (FIXTURES.md §5) ---------------------------
+
+
+def check_scd2_single_current(dim: DataFrame, entity_col: str) -> DataFrame:
+    """Entities with ≠1 open (is_current) row."""
+    return (
+        dim.filter(F.col("is_current"))
+        .groupBy(entity_col)
+        .agg(F.count(F.lit(1)).alias("n_open"))
+        .filter(F.col("n_open") != 1)
+    )
+
+
+def check_scd2_contiguous(dim: DataFrame, entity_col: str) -> DataFrame:
+    """Stints whose valid_to ≠ the next stint's valid_from (gap or overlap)."""
+    w = Window.partitionBy(entity_col).orderBy("valid_from")
+    nxt = F.lead("valid_from").over(w)
+    return (
+        dim.withColumn("__next_from", nxt)
+        .filter(
+            F.col("__next_from").isNotNull()
+            & ~F.col("valid_to").eqNullSafe(F.col("__next_from"))
+        )
+        .select(entity_col, "valid_from", "valid_to", "__next_from")
+    )
+
+
+# --- schema compatibility (common.py:620-654 semantics) --------------------
+
+
+def schema_diff(df: DataFrame, expected: "DataFrame | object") -> dict:
+    """Missing / extra / type-mismatched columns vs an expected StructType."""
+    from pyspark.sql.types import StructType
+
+    exp: StructType = expected.schema if isinstance(expected, DataFrame) else expected
+    actual = {f.name: f.dataType for f in df.schema.fields}
+    want = {f.name: f.dataType for f in exp.fields}
+    return {
+        "missing": sorted(set(want) - set(actual)),
+        "extra": sorted(set(actual) - set(want)),
+        "type_mismatch": sorted(
+            n for n in set(want) & set(actual) if want[n] != actual[n]
+        ),
+    }

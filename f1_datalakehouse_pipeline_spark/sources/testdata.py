@@ -30,7 +30,22 @@ TESTDATA_TABLES = (
 )
 
 
+def _ensure_session_confs(spark: SparkSession) -> None:
+    """Pin the runtime-settable confs registry semantics depend on.
+
+    The harness may hand us a session built without the engine's session
+    factory; these are all SQL confs, so setting them per-read is safe.
+    """
+    # TIMESTAMP(NANOS) parquet (events.ts) is unreadable without this.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # date_format/unix_timestamp outputs must match the (tz-naive) DuckDB oracle.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # permissive NULL-on-bad-input semantics (see session.py docstring).
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
         # TIMESTAMP(NANOS) parquet read as ns-long (see session.py conf);

@@ -187,3 +187,34 @@ def test_incremental_idempotent(lakehouse, spark):
         run_silver_to_gold(spark, store, mode=INCREMENTAL, year=fx.YEAR, grand_prix=rep.grand_prix)
     after = snapshot()
     assert before == after
+
+
+def test_quality_checks(lakehouse):
+    from f1_datalakehouse_pipeline_spark import quality
+    from f1_datalakehouse_pipeline_spark.schemas import SILVER_SCHEMAS
+
+    store = lakehouse["store"]
+    rr = store.read("race_results_silver")
+    dim = store.read("drivers_silver")
+
+    # invariants hold on the pipeline output
+    assert quality.check_position_range(rr).count() == 0
+    assert quality.check_points_range(rr).count() == 0
+    assert quality.check_scd2_single_current(dim, "driver_number").count() == 0
+    assert quality.check_scd2_contiguous(dim, "driver_number").count() == 0
+    # reconciliation surfaces exactly the 2 fixture mismatches (bahrain GP)
+    mism = quality.reconcile_points(rr)
+    assert mism.count() == 2
+    # schema diff is clean against the registry
+    assert quality.schema_diff(rr, SILVER_SCHEMAS["race_results_silver"]) == {
+        "missing": [], "extra": [], "type_mismatch": []
+    }
+    # run_checks collects everything in one pass
+    results = quality.run_checks({
+        "points_range": quality.check_points_range(rr),
+        "points_reconciliation": mism,
+    })
+    by_name = {r.name: r for r in results}
+    assert by_name["points_range"].violations == 0
+    assert by_name["points_reconciliation"].violations == 2
+    assert len(by_name["points_reconciliation"].sample) == 2
