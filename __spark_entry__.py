@@ -8,11 +8,18 @@ correctness gate at sf0.01.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from f1_datalakehouse_pipeline_spark import registry
+# The harness may import this module with any cwd; make the package findable.
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+from f1_datalakehouse_pipeline_spark import registry  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:

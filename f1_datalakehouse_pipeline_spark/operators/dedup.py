@@ -152,20 +152,24 @@ def minhash_lsh_pairs(
     # One shingle scan shared by signatures and verification; caching it
     # avoids recomputing the tokenize→shingle→hash chain in each branch.
     sh = _shingle_table(df, id_col, content_col, k).cache()
-    sig = minhash_signatures(df, id_col, content_col, k, n_hashes, shingles=sh)
-    band_sigs = (
-        sig.withColumn("band", (F.col("i") / rows_per_band).cast("int"))
-        .groupBy("doc", "band")
-        .agg(
+    # Wide signature: ONE groupBy(doc) computes all n_hashes mins; band
+    # signatures are then a pure projection (explode of per-band structs) —
+    # no second shuffle (the long-form explode→groupBy(doc,band) alternative
+    # re-shuffles the signatures for nothing).
+    terms = [F.min(minhash_term(F.col("h"), i)).alias(f"mh{i}") for i in range(n_hashes)]
+    wide = sh.groupBy("doc").agg(*terms)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
             F.concat_ws(
-                ",",
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("i", "mh"))),
-                    lambda s: s["mh"].cast("string"),
-                ),
-            ).alias("band_sig")
+                ",", *[F.col(f"mh{b * rows_per_band + j}").cast("string") for j in range(rows_per_band)]
+            ).alias("band_sig"),
         )
-    )
+        for b in range(bands)
+    ]
+    band_sigs = wide.select(
+        "doc", F.explode(F.array(*band_structs)).alias("bs")
+    ).select("doc", F.col("bs.band").alias("band"), F.col("bs.band_sig").alias("band_sig"))
     a, b = band_sigs.alias("a"), band_sigs.alias("b")
     candidates = (
         a.join(
