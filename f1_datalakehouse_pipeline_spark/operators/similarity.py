@@ -114,3 +114,55 @@ def lsh_bucketed_topk(
         scored.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= k)
     )
+
+
+def brute_force_topk_vectorized(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """The 100 TB scale path: numpy matmul per Arrow batch via mapInPandas.
+
+    The (small) query matrix is closed over and shipped once per task; each
+    Arrow batch of candidates scores against ALL queries in one BLAS call —
+    the Python boundary is paid per-batch, not per-pair. Result semantics
+    match brute_force_topk up to float associativity (matmul reorders sums),
+    hence this variant is NOT the oracle-matching one.
+    """
+    import numpy as np
+    import pandas as pd
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
+    q_norm = np.linalg.norm(q_mat, axis=1)
+
+    out_schema = "query_id long, neighbor_id long, cosine double"
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            c_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            c_mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            c_norm = np.linalg.norm(c_mat, axis=1)
+            sims = (c_mat @ q_mat.T) / np.outer(c_norm, q_norm)
+            n_c, n_q = sims.shape
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(q_ids[np.newaxis, :], n_c, axis=0).ravel(),
+                    "neighbor_id": np.repeat(c_ids, n_q),
+                    "cosine": sims.ravel(),
+                }
+            )
+
+    scored = embeddings.select(id_col, vec_col).mapInPandas(score, schema=out_schema)
+    scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rnk", F.row_number().over(w).cast("long")).filter(
+        F.col("rnk") <= k
+    )

@@ -379,3 +379,106 @@ def mm_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("text").alias("content_md5"),
         F.when(n < 256, "small").when(n < 1024, "medium").otherwise("large").alias("size_bucket"),
     )
+
+
+# ---------------------------------------------------------------------------
+# As-of & range joins (custom operators, operators/asof.py)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "asof_purchase_to_view",
+    """
+    WITH views AS (
+      SELECT user_id, ts,
+             MAX(event_id) AS view_event_id,
+             arg_max(value, event_id) AS view_value
+      FROM events WHERE event_type = 'view'
+      GROUP BY user_id, ts
+    ), p AS (
+      SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id,
+           CAST(epoch_us(p.ts) AS BIGINT) AS ts_us,
+           CAST(p.value AS DOUBLE) AS value,
+           v.view_event_id,
+           CAST(v.view_value AS DOUBLE) AS view_value,
+           CAST(epoch_us(v.ts) AS BIGINT) AS view_ts_us
+    FROM p ASOF JOIN views v ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+)
+def asof_purchase_to_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # For each purchase, the user's most recent prior (inclusive) view —
+    # the canonical as-of shape (operators/asof.asof_join, union+window, one
+    # shuffle on user_id). Oracle: DuckDB's native ASOF JOIN.
+    from f1_datalakehouse_pipeline_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max("event_id").alias("view_event_id"),
+            F.expr("max_by(value, event_id)").alias("view_value"),
+        )
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    joined = asof_join(
+        purchases,
+        views,
+        by=["user_id"],
+        left_time="ts",
+        right_time="ts",
+        right_values=["view_event_id", "view_value"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.col("value").cast("double").alias("value"),
+        F.col("view_event_id_asof").alias("view_event_id"),
+        F.col("view_value_asof").cast("double").alias("view_value"),
+        F.unix_micros("ts_asof").alias("view_ts_us"),
+    )
+
+
+@query(
+    "range_join_ship_window",
+    """
+    WITH iv AS (
+      SELECT o_orderkey,
+             CAST(epoch(o_orderdate) AS BIGINT) AS s,
+             CAST(epoch(o_orderdate) AS BIGINT) + 2592000 AS e
+      FROM orders WHERE o_orderpriority = '1-URGENT'
+    ), pts AS (
+      SELECT CAST(epoch(l_shipdate) AS BIGINT) AS p
+      FROM lineitem WHERE l_returnflag = 'R'
+    )
+    SELECT o_orderkey, CAST(COUNT(*) AS BIGINT) AS n_ships_in_window
+    FROM iv JOIN pts ON pts.p >= iv.s AND pts.p <= iv.e
+    GROUP BY o_orderkey
+    """,
+)
+def range_join_ship_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Point-in-interval join with NO equality key: returned-lineitem ship
+    # dates falling in a 30-day window after each urgent order. The binned
+    # equi-join (operators/asof.range_join_binned) replaces the cartesian
+    # inequality join; bucket width = interval span so explode factor ≈ 2.
+    from f1_datalakehouse_pipeline_spark.operators.asof import range_join_binned
+
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    iv = orders.select(
+        "o_orderkey",
+        F.unix_timestamp("o_orderdate").alias("s"),
+        (F.unix_timestamp("o_orderdate") + 2592000).alias("e"),
+    )
+    pts = li.select(F.unix_timestamp("l_shipdate").alias("p"))
+    joined = range_join_binned(pts, iv, "p", "s", "e", bucket_width=2592000)
+    return joined.groupBy("o_orderkey").agg(
+        F.count(F.lit(1)).alias("n_ships_in_window")
+    )

@@ -1,0 +1,56 @@
+"""Unit tests for as-of and range joins (operators/asof.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from f1_datalakehouse_pipeline_spark.operators.asof import asof_join, range_join_binned
+
+
+def test_asof_backward_inclusive(spark):
+    left = spark.createDataFrame(
+        [(1, 10, "L10"), (1, 5, "L5"), (1, 2, "L2"), (2, 7, "Lx")],
+        ["k", "t", "lv"],
+    )
+    right = spark.createDataFrame(
+        [(1, 5, "R5"), (1, 8, "R8"), (3, 1, "R?")], ["k", "t", "rv"]
+    )
+    out = {
+        (r.k, r.t): (r.rv_asof, r.t_asof)
+        for r in asof_join(left, right, ["k"], "t", "t", ["rv"]).collect()
+    }
+    assert out[(1, 10)] == ("R8", 8)   # latest <= 10
+    assert out[(1, 5)] == ("R5", 5)    # inclusive equality
+    assert (1, 2) not in out           # no prior right row → dropped (inner)
+    assert (2, 7) not in out           # key with no right rows
+
+
+def test_asof_tie_on_time_prefers_right_then_left(spark):
+    left = spark.createDataFrame([(1, 5, "L")], ["k", "t", "lv"])
+    right = spark.createDataFrame([(1, 5, "R")], ["k", "t", "rv"])
+    out = asof_join(left, right, ["k"], "t", "t", ["rv"]).collect()
+    assert len(out) == 1 and out[0].rv_asof == "R"
+
+
+def test_range_join_binned_matches_naive(spark):
+    import random
+
+    rng = random.Random(3)
+    pts = spark.createDataFrame(
+        [(i, rng.randint(0, 1000)) for i in range(200)], ["pid", "t"]
+    )
+    ivs = spark.createDataFrame(
+        [(j, s := rng.randint(0, 950), s + rng.randint(5, 60)) for j in range(50)],
+        ["iid", "start", "end"],
+    )
+    binned = {
+        (r.pid, r.iid)
+        for r in range_join_binned(pts, ivs, "t", "start", "end", bucket_width=64).collect()
+    }
+    naive = {
+        (r.pid, r.iid)
+        for r in pts.crossJoin(ivs)
+        .filter((F.col("t") >= F.col("start")) & (F.col("t") <= F.col("end")))
+        .collect()
+    }
+    assert binned == naive

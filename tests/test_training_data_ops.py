@@ -177,3 +177,20 @@ def test_streaming_windowed_counts(spark, tmp_path):
     # drain the final watermark closes the first window.
     rows = spark.sql("select * from wincounts").collect()
     assert all(r.n_events >= 1 for r in rows)
+
+
+def test_vectorized_topk_matches_native(spark, sf_dir):
+    """Arrow/numpy scale path returns the same neighbors as the fold-based
+    oracle implementation (float assoc. differences can only flip exact
+    ties, which the id tie-break resolves identically)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter("vec_id < 5")
+    native = {
+        (r.query_id, r.rnk): r.neighbor_id
+        for r in similarity.brute_force_topk(emb, queries, k=3).collect()
+    }
+    vec = {
+        (r.query_id, r.rnk): r.neighbor_id
+        for r in similarity.brute_force_topk_vectorized(emb, queries, k=3).collect()
+    }
+    assert native == vec
