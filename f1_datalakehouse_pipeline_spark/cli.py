@@ -1,0 +1,89 @@
+"""CLI entry points — the spark-submit surface of the engine.
+
+Parity with the reference's two Glue job mains (SURVEY §3.1-3.2):
+``f1_bronze_to_silver_transform.py --RUN_MODE ... --GRAND_PRIX ... --YEAR ...``
+and the silver→gold equivalent, minus Glue/Airflow. The weekly-incremental
+Airflow DAG (§3.3) collapses into ``run-incremental`` (detection happens
+in-engine via pipeline.detect_latest_grand_prix — no XCom needed).
+
+Usage:
+    python -m f1_datalakehouse_pipeline_spark bronze-to-silver \
+        --bronze /path/bronze --warehouse /path/warehouse \
+        --mode HISTORICAL --year 2025 [--grand-prix monaco]
+    python -m f1_datalakehouse_pipeline_spark silver-to-gold ...
+    python -m f1_datalakehouse_pipeline_spark run-incremental ...  (both layers)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from f1_datalakehouse_pipeline_spark.plans.pipeline import (
+    HISTORICAL,
+    INCREMENTAL,
+    run_bronze_to_silver,
+    run_silver_to_gold,
+)
+from f1_datalakehouse_pipeline_spark.session import get_spark
+from f1_datalakehouse_pipeline_spark.sources.tables import TableStore
+
+
+def _common(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--bronze", required=False, help="bronze root directory")
+    p.add_argument("--warehouse", required=True, help="silver/gold table root")
+    p.add_argument("--mode", choices=[HISTORICAL, INCREMENTAL], default=HISTORICAL)
+    p.add_argument("--year", type=int, default=2025)
+    p.add_argument("--grand-prix", default=None, help="incremental scope (auto-detected if omitted)")
+    p.add_argument("--master", default=None)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(prog="f1-lakehouse-spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    for name in ("bronze-to-silver", "silver-to-gold", "run-incremental"):
+        _common(sub.add_parser(name))
+    return ap
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    spark = get_spark(f"f1-lakehouse-{args.cmd}", master=args.master)
+    store = TableStore(spark, args.warehouse)
+    reports = []
+    try:
+        if args.cmd in ("bronze-to-silver", "run-incremental"):
+            if not args.bronze:
+                raise SystemExit("--bronze is required for bronze-to-silver")
+            mode = INCREMENTAL if args.cmd == "run-incremental" else args.mode
+            rep = run_bronze_to_silver(
+                spark, args.bronze, store, mode=mode, year=args.year, grand_prix=args.grand_prix
+            )
+            reports.append(rep)
+            args.grand_prix = rep.grand_prix  # propagate detection (≙ XCom)
+        if args.cmd in ("silver-to-gold", "run-incremental"):
+            mode = INCREMENTAL if args.cmd == "run-incremental" else args.mode
+            reports.append(
+                run_silver_to_gold(
+                    spark, store, mode=mode, year=args.year, grand_prix=args.grand_prix
+                )
+            )
+    finally:
+        out = [
+            {
+                "mode": r.mode,
+                "year": r.year,
+                "grand_prix": r.grand_prix,
+                "results": r.results,
+                "row_counts": r.row_counts,
+            }
+            for r in reports
+        ]
+        print(json.dumps(out))
+    failed = any(v != "ok" for r in reports for v in r.results.values())
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -194,3 +194,55 @@ def test_vectorized_topk_matches_native(spark, sf_dir):
         for r in similarity.brute_force_topk_vectorized(emb, queries, k=3).collect()
     }
     assert native == vec
+
+
+def test_stateful_running_aggregate(spark, tmp_path):
+    """applyInPandasWithState carries per-key totals across micro-batches."""
+    from f1_datalakehouse_pipeline_spark.streaming.stateful import running_aggregate
+
+    src = str(tmp_path / "s1")
+    df = spark.range(60).select(
+        (F.col("id") % 3).alias("k"), F.lit(1).cast("long").alias("v")
+    )
+    df.coalesce(2).write.parquet(src)
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = running_aggregate(stream, "k", "v")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("runagg")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        "select key, max(running_n) n, max(running_total) t from runagg group by key"
+    ).collect()
+    got = {r.key: (r.n, r.t) for r in rows}
+    assert got == {0: (20, 20), 1: (20, 20), 2: (20, 20)}
+
+
+def test_stateful_running_dedup(spark, tmp_path):
+    from f1_datalakehouse_pipeline_spark.streaming.stateful import running_dedup
+
+    src = str(tmp_path / "s2")
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c"), (2, "d"), (3, "e")], ["k", "payload"]
+    )
+    df.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    out = running_dedup(stream, "k", "k long, payload string")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("rundedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from rundedup").collect()
+    assert sorted(r.k for r in rows) == [1, 2, 3]  # one row per key
