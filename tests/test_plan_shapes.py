@@ -1,0 +1,92 @@
+"""Plan-shape regression tests: the optimizations PERF_NOTES claims must be
+visible in the physical plan, not just intended."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+from pyspark.sql import functions as F
+
+from f1_datalakehouse_pipeline_spark import registry
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_pushdown_and_column_pruning(spark, sf_dir):
+    q = registry.queries()["a6_pricing_summary"](spark, sf_dir)
+    plan = plan_of(q)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # projection pruned to the 7 referenced columns — l_orderkey absent
+    assert "l_orderkey" not in plan.split("ReadSchema")[1][:400]
+
+
+def test_star_join_broadcasts_dims(spark, sf_dir):
+    q = registry.queries()["j4_star_join_revenue"](spark, sf_dir)
+    plan = plan_of(q)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_bronze_partition_pruning(spark, tmp_path):
+    """Partition-column filters must prune at the source (S3 semantics)."""
+    from f1_datalakehouse_pipeline_spark.sources.bronze import read_bronze
+
+    df = spark.range(20).select(
+        F.col("id"),
+        (F.col("id") % 2 + 2024).cast("int").alias("year"),
+        F.when(F.col("id") % 2 == 0, "monaco").otherwise("miami").alias("grand_prix"),
+        F.lit("race").alias("session_type"),
+    )
+    root = str(tmp_path / "bronze")
+    df.write.partitionBy("year", "grand_prix", "session_type").parquet(f"{root}/laps")
+
+    scan = read_bronze(spark, root, "laps", year=2024, grand_prix="monaco")
+    plan = plan_of(scan)
+    assert "PartitionFilters" in plan
+    assert "year" in plan.split("PartitionFilters")[1][:200]
+    assert scan.count() == 10
+
+
+def test_window_stack_shares_partitioning(spark, sf_dir):
+    """The championship window stack must not re-shuffle for the second
+    mon-window (rank + max share one exchange)."""
+    q = registry.queries()["w4_w6_w7_championship"](spark, sf_dir)
+    plan = plan_of(q)
+    # 3 logical partitionings (groupBy, custkey-window, mon-windows) ⇒ at most
+    # 3 shuffle exchanges in the final plan
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges <= 3, f"window stack re-shuffles: {n_exchanges} exchanges"
+
+
+def test_compact_preserves_data(spark, tmp_path):
+    import glob as g
+
+    from f1_datalakehouse_pipeline_spark.sources.tables import TableStore, compact
+
+    store = TableStore(spark, str(tmp_path / "wh"))
+    df = spark.range(100).select(
+        F.col("id").cast("long").alias("session_key"),
+        F.lit(2025).alias("year"),
+        F.when(F.col("id") % 2 == 0, "monaco").otherwise("miami").alias("grand_prix_name"),
+        F.lit("race").alias("session_type"),
+        F.lit("GP").alias("meeting_name"),
+        F.lit(None).cast("long").alias("meeting_key"),
+        F.current_timestamp().alias("date_start"),
+        F.current_timestamp().alias("date_end"),
+        F.lit(60).alias("duration_minutes"),
+        F.lit(False).alias("is_sprint_weekend"),
+    ).repartition(8)
+    store.overwrite(df, "sessions_silver")
+    before = sorted(map(tuple, store.read("sessions_silver").drop("date_start", "date_end").collect()))
+    n_files_before = len(g.glob(str(tmp_path / "wh/sessions_silver/**/*.parquet"), recursive=True))
+    compact(store, "sessions_silver", target_partitions=1)
+    after = sorted(map(tuple, store.read("sessions_silver").drop("date_start", "date_end").collect()))
+    n_files_after = len(g.glob(str(tmp_path / "wh/sessions_silver/**/*.parquet"), recursive=True))
+    assert before == after
+    assert n_files_after < n_files_before
