@@ -242,3 +242,56 @@ __all__ = [
     "simhash_codes",
     "MINHASH_A",
 ]
+
+
+def connected_keepers(pairs: DataFrame, max_iterations: int = 10) -> DataFrame:
+    """Resolve near-dup pairs into clusters: (doc, keeper) with keeper =
+    min doc id reachable through the pair graph.
+
+    Iterative min-label propagation (the standard Spark transitive-closure
+    loop): each round joins current labels across edges and keeps the min;
+    stops when no label changes. Rounds needed = graph diameter — near-dup
+    clusters are shallow (usually ≤3), so this is 2-4 shuffles total, each
+    keyed on doc id. No driver-side graph state beyond the loop counter.
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc"))
+        .distinct()
+        .withColumn("keeper", F.col("doc"))
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels.withColumnRenamed("doc", "dst2"), edges.dst == F.col("dst2"))
+            .groupBy("src")
+            .agg(F.min("keeper").alias("n_keeper"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.doc == neighbor_min.src, "left")
+            .select(
+                "doc",
+                F.least(F.col("keeper"), F.coalesce(F.col("n_keeper"), F.col("keeper"))).alias("keeper"),
+            )
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "doc")
+            .filter(F.col("u.keeper") != F.col("l.keeper"))
+            .limit(1)
+            .count()
+        )
+        labels = updated.localCheckpoint(eager=True)  # truncate lineage per round
+        if changed == 0:
+            break
+    return labels
+
+
+def apply_dedup(df: DataFrame, id_col: str, pairs: DataFrame) -> DataFrame:
+    """Drop every non-keeper member of each near-dup cluster (keeps rows that
+    belong to no cluster untouched)."""
+    drop = connected_keepers(pairs).filter(F.col("doc") != F.col("keeper"))
+    return df.join(drop, df[id_col] == drop.doc, "left_anti")

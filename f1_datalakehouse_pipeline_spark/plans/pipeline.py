@@ -183,6 +183,27 @@ def _incremental_drivers_merge(
     report.row_counts["drivers_silver"] = len(merged_pdf)
 
 
+def validate_silver(store: TableStore) -> list:
+    """Collected quality gate (SURVEY §5.2.5): invariants + reconciliations
+    over the silver layer, one action per check, violations surfaced (not
+    just logged like the reference's count-and-log approach)."""
+    from f1_datalakehouse_pipeline_spark import quality
+
+    rr = store.read("race_results_silver")
+    qr = store.read("qualifying_results_silver")
+    dim = store.read("drivers_silver")
+    return quality.run_checks(
+        {
+            "race_position_range": quality.check_position_range(rr),
+            "race_points_range": quality.check_points_range(rr),
+            "quali_gap_non_negative": quality.check_non_negative(qr, "gap_to_pole_millis"),
+            "points_reconciliation": quality.reconcile_points(rr),
+            "scd2_single_current": quality.check_scd2_single_current(dim, "driver_number"),
+            "scd2_contiguous": quality.check_scd2_contiguous(dim, "driver_number"),
+        }
+    )
+
+
 def run_silver_to_gold(
     spark: SparkSession,
     store: TableStore,

@@ -246,3 +246,25 @@ def test_stateful_running_dedup(spark, tmp_path):
     q.awaitTermination(120)
     rows = spark.sql("select * from rundedup").collect()
     assert sorted(r.k for r in rows) == [1, 2, 3]  # one row per key
+
+
+def test_connected_keepers_and_apply(spark):
+    # clusters: {1,2,3} via chain 1-2, 2-3 ; {7,9}; 5 untouched
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9)], ["doc_a", "doc_b"]
+    )
+    labels = {r.doc: r.keeper for r in dedup.connected_keepers(pairs).collect()}
+    assert labels == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7}
+
+    docs = spark.createDataFrame([(i, f"d{i}") for i in (1, 2, 3, 5, 7, 9)], ["doc_id", "text"])
+    kept = sorted(r.doc_id for r in dedup.apply_dedup(docs, "doc_id", pairs).collect())
+    assert kept == [1, 5, 7]
+
+
+def test_end_to_end_minhash_dedup(docs):
+    """Full near-dup pipeline: LSH pairs -> clusters -> filtered corpus."""
+    pairs = dedup.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.3)
+    kept = sorted(r.doc_id for r in dedup.apply_dedup(docs, "doc_id", pairs).collect())
+    # docs 1,2 identical (and 3 near-dup of 1): cluster keeps min id 1
+    assert 1 in kept and 2 not in kept
+    assert 4 in kept and 5 in kept
