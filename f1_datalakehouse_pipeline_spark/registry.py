@@ -1247,3 +1247,34 @@ def tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(F.sum(rev).cast("double").alias("revenue"))
     )
+
+
+@query(
+    "u3_intersect",
+    """
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def u3_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # §2.7 completion: customers with both an urgent and a finished order.
+    o = load_table(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    finished = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return urgent.intersect(finished)
+
+
+# rows-only: approximate aggregates are engine-specific by construction
+@query("a10_approx_distinct")
+def a10_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # HLL++ sketch counting — the 100 TB path for cardinality (exact
+    # countDistinct is a full shuffle of the key set; the sketch is a few KB
+    # per group and merges map-side). No SQL oracle: sketch estimates are
+    # engine-specific; the unit check is the rows-only gate plus the exact
+    # comparison in tests.
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
+        F.countDistinct("o_custkey").alias("exact_customers"),
+    )

@@ -83,3 +83,9 @@ def test_query_matches_oracle(name, spark, sf_dir, oracle_con):
             f"{name}.{c}: {(~eq).sum()} mismatches, first: "
             f"spark={sa[(~eq).idxmax()]!r} oracle={sb[(~eq).idxmax()]!r}"
         )
+
+
+def test_approx_distinct_close_to_exact(spark, sf_dir):
+    out = registry.queries()["a10_approx_distinct"](spark, sf_dir).collect()
+    for r in out:
+        assert abs(r.approx_customers - r.exact_customers) <= max(3, 0.1 * r.exact_customers)
