@@ -333,17 +333,53 @@ def sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# rows-only (no SQL oracle): LSH-bucketed ANN — approximate by design
-@query("sim_lsh_bucketed_topk")
-def sim_lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _lsh_planes(dim: int = 64, n: int = 4):
     import random
 
     rng = random.Random(7)
+    return [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(n)]
+
+
+def _duck_lsh_sql() -> str:
+    planes = _lsh_planes()
+    def dot(vec: str, plane: list[float]) -> str:
+        lit = "[" + ", ".join(repr(x) for x in plane) + "]"
+        return (f"list_sum(list_transform(generate_series(1, len({vec})), "
+                f"j -> {vec}[j]::DOUBLE * ({lit}::DOUBLE[])[j]))")
+    def bucket(vec: str) -> str:
+        return " + ".join(
+            f"(CASE WHEN {dot(vec, pl)} >= 0 THEN {1 << i} ELSE 0 END)"
+            for i, pl in enumerate(planes)
+        )
+    return f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qv, {bucket('embedding')} AS bucket
+      FROM embeddings WHERE vec_id < 10
+    ), c AS (
+      SELECT vec_id AS neighbor_id, embedding AS cv, {bucket('embedding')} AS bucket
+      FROM embeddings
+    ), scored AS (
+      SELECT q.query_id, c.neighbor_id, {_DUCK_COS} AS cosine
+      FROM c JOIN q USING (bucket)
+      WHERE q.query_id != c.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rn AS BIGINT) AS rnk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id ASC) AS rn
+      FROM scored
+    ) WHERE rn <= 5
+    """
+
+
+@query("sim_lsh_bucketed_topk", None)
+def sim_lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Deterministic hyperplanes (seed 7, dim 64) shared with the SQL oracle —
+    # sign-bucket + cosine are exact, so even the "approximate" ANN variant is
+    # hash-verifiable. Oracle attached below once _DUCK_COS is in scope.
     emb = load_table(spark, sf_dir, "embeddings")
-    dim = len(emb.select("embedding").first()[0])
-    planes = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(4)]
     queries = emb.filter(F.col("vec_id") < 10)
-    return similarity.lsh_bucketed_topk(emb, queries, planes, k=5)
+    return similarity.lsh_bucketed_topk(emb, queries, _lsh_planes(), k=5)
 
 
 # ---------------------------------------------------------------------------
@@ -536,3 +572,9 @@ def a9_pivot_doc_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .na.fill(0, ["en", "de", "es", "fr", "zh"])
         .select("source", *[F.col(c).cast("long").alias(c) for c in ["en", "de", "es", "fr", "zh"]])
     )
+
+
+# attach the LSH oracle (deterministic planes make it SQL-expressible)
+from f1_datalakehouse_pipeline_spark import registry as _registry  # noqa: E402
+
+_registry._ORACLE["sim_lsh_bucketed_topk"] = _duck_lsh_sql()

@@ -268,3 +268,33 @@ def test_end_to_end_minhash_dedup(docs):
     # docs 1,2 identical (and 3 near-dup of 1): cluster keeps min id 1
     assert 1 in kept and 2 not in kept
     assert 4 in kept and 5 in kept
+
+
+def test_salted_join_matches_plain(spark):
+    from f1_datalakehouse_pipeline_spark.operators.skew import salted_join
+
+    # hot key: 90% of fact rows share key 1
+    fact = spark.createDataFrame(
+        [(1 if i % 10 else 2, i, float(i)) for i in range(200)], ["k", "rid", "v"]
+    )
+    dim = spark.createDataFrame([(1, "hot"), (2, "cold"), (3, "unused")], ["k", "label"])
+    salted = {(r.rid, r.label) for r in salted_join(fact, dim, ["k"], n_salt=4).collect()}
+    plain = {(r.rid, r.label) for r in fact.join(dim, "k").collect()}
+    assert salted == plain
+
+
+def test_salted_aggregate_matches_plain(spark):
+    from f1_datalakehouse_pipeline_spark.operators.skew import salted_aggregate
+
+    df = spark.createDataFrame(
+        [(i % 3, i, i * 2) for i in range(100)], ["k", "v", "v2"]
+    ).select("k", F.col("v").cast("long").alias("v"))
+    out = {r.k: (r.total, r.n) for r in salted_aggregate(
+        df.withColumnRenamed("v", "total").withColumn("n", F.lit(1)),
+        ["k"], {"total": "sum", "n": "count"}, n_salt=4,
+    ).collect()}
+    expected = {
+        r.k: (r.total, r.n)
+        for r in df.groupBy("k").agg(F.sum("v").alias("total"), F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert out == expected
