@@ -58,23 +58,24 @@ def team_for(driver: int, gp_idx: int) -> str:
     return TEAMS_RAW[(driver - 1) // 2]
 
 
-def _write(root: str, endpoint: str, gp_slug: str, session_type: str, pdf: pd.DataFrame, schema: pa.Schema | None = None):
+def _write(root: str, endpoint: str, gp_slug: str, session_type: str, pdf: pd.DataFrame, schema: pa.Schema | None = None, year: int = YEAR):
     d = os.path.join(
-        root, endpoint, f"year={YEAR}", f"grand_prix={gp_slug}", f"session_type={session_type}"
+        root, endpoint, f"year={year}", f"grand_prix={gp_slug}", f"session_type={session_type}"
     )
     os.makedirs(d, exist_ok=True)
     table = pa.Table.from_pandas(pdf, schema=schema, preserve_index=False)
     pq.write_table(table, os.path.join(d, "part-000.parquet"))
 
 
-def generate_bronze(root: str) -> None:
-    rng = random.Random(42)
+def generate_bronze(root: str, year: int = YEAR) -> None:
+    rng = random.Random(42 + year - YEAR)
+    yoff = (year - YEAR) * 100
     for gp_idx, (meeting_name, gp_slug) in enumerate(GPS):
-        meeting_key = 1000 + gp_idx
-        race_day = datetime(YEAR, 3, 1) + timedelta(days=14 * gp_idx)
+        meeting_key = 1000 + gp_idx + yoff * 10
+        race_day = datetime(year, 3, 1) + timedelta(days=14 * gp_idx)
         for is_race in (0, 1):
             st = "race" if is_race else "qualifying"
-            session_key = 9000 + 2 * gp_idx + is_race
+            session_key = 9000 + yoff + 2 * gp_idx + is_race
             date_start = race_day + timedelta(days=is_race, hours=14)
             date_end = None if (gp_idx == 1 and not is_race) else date_start + timedelta(hours=1 + is_race)
 
@@ -141,7 +142,7 @@ def generate_bronze(root: str) -> None:
                     ("dsq", pa.bool_()),
                 ]
             )
-            _write(root, "session_result", gp_slug, st, pdf, schema)
+            _write(root, "session_result", gp_slug, st, pdf, schema, year=year)
 
             # drivers: one row per driver per session
             drows = [
@@ -157,7 +158,7 @@ def generate_bronze(root: str) -> None:
                 )
                 for drv in range(1, N_DRIVERS + 1)
             ]
-            _write(root, "drivers", gp_slug, st, pd.DataFrame(drows))
+            _write(root, "drivers", gp_slug, st, pd.DataFrame(drows), year=year)
 
             if not is_race:
                 continue
@@ -204,7 +205,7 @@ def generate_bronze(root: str) -> None:
                         segments_sector_3=[2064],
                     )
                 )
-            _write(root, "laps", gp_slug, st, pd.DataFrame(lrows))
+            _write(root, "laps", gp_slug, st, pd.DataFrame(lrows), year=year)
 
             # pit stops (race only), pit_duration in MILLISECONDS
             prows = []
@@ -220,4 +221,4 @@ def generate_bronze(root: str) -> None:
                     )
             prows[0]["pit_duration"] = None  # NULL → filtered
             prows[1]["pit_duration"] = 0.0   # zero → filtered
-            _write(root, "pit", gp_slug, st, pd.DataFrame(prows))
+            _write(root, "pit", gp_slug, st, pd.DataFrame(prows), year=year)

@@ -218,3 +218,55 @@ def test_quality_checks(lakehouse):
     assert by_name["points_range"].violations == 0
     assert by_name["points_reconciliation"].violations == 2
     assert len(by_name["points_reconciliation"].sample) == 2
+
+
+def test_multi_year_partition_isolation(lakehouse, spark):
+    """A second season's HISTORICAL rebuild must not touch year-2025 data
+    (year-scoped dynamic partition overwrite), and gold season stats stay
+    per-year."""
+    store = lakehouse["store"]
+    bronze = lakehouse["bronze"]
+    y2025_before = sorted(
+        map(tuple, store.read("race_results_silver").filter(F.col("year") == fx.YEAR).collect())
+    )
+
+    fx.generate_bronze(bronze, year=2026)
+    rep = run_bronze_to_silver(spark, bronze, store, mode=HISTORICAL, year=2026)
+    assert all(v == "ok" for v in rep.results.values()), rep.results
+    run_silver_to_gold(spark, store, mode=HISTORICAL, year=2026)
+
+    y2025_after = sorted(
+        map(tuple, store.read("race_results_silver").filter(F.col("year") == fx.YEAR).collect())
+    )
+    assert y2025_before == y2025_after
+    # both years present and separately ranked in gold
+    ct = store.read("championship_tracker")
+    years = {r.year for r in ct.select("year").distinct().collect()}
+    assert years == {2025, 2026}
+    per_year_rounds = {
+        r.year: r.n for r in ct.groupBy("year").agg(
+            F.countDistinct("round_number").alias("n")
+        ).collect()
+    }
+    assert per_year_rounds == {2025: fx.N_GP, 2026: fx.N_GP}
+
+
+def test_gold_race_summary_consistent_with_championship(lakehouse):
+    """season_points_total must agree between the two gold tables computing it."""
+    store = lakehouse["store"]
+    rs = store.read("driver_performance_summary_race").filter(F.col("year") == fx.YEAR)
+    ct = store.read("championship_tracker").filter(F.col("year") == fx.YEAR)
+    a = {
+        (r.driver_number, r.round_number): r.season_points_total for r in rs.collect()
+    }
+    b = {
+        (r.driver_number, r.round_number): r.season_points_total for r in ct.collect()
+    }
+    assert a == b
+    # per-row points equal the validated silver points
+    rr = store.read("race_results_silver").filter(F.col("year") == fx.YEAR)
+    silver_pts = {
+        (r.driver_number, r.grand_prix_name): r.validated_points for r in rr.collect()
+    }
+    for r in rs.collect():
+        assert r.points == silver_pts[(r.driver_number, r.grand_prix_name)]
