@@ -192,12 +192,28 @@ PARTITION_SPECS: dict[str, list[str]] = {
 ALL_SCHEMAS: dict[str, StructType] = {**SILVER_SCHEMAS, **GOLD_SCHEMAS}
 
 
-def conform(df, table: str):
+def conform(df, table: str, allow_missing: bool = False):
     """Project/cast a DataFrame to the declared schema (order + types) —
-    the typed-projection P1 operator (sessions_transform.py:173-189)."""
+    the typed-projection P1 operator (sessions_transform.py:173-189).
+
+    ``allow_missing=True`` fills absent columns with typed NULLs — the
+    schema-evolution read path: after a column is added to the registry,
+    old files read through ``mergeSchema`` + this projection without a
+    rewrite (parquet-native equivalent of Iceberg add-column evolution).
+    """
     from pyspark.sql import functions as F
 
     schema = ALL_SCHEMAS[table]
-    return df.select(
-        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
-    )
+    cols = []
+    present = set(df.columns)
+    for f in schema.fields:
+        if f.name in present:
+            cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+        elif allow_missing:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+        else:
+            raise ValueError(
+                f"column {f.name!r} missing for table {table!r}; "
+                "pass allow_missing=True for schema-evolution reads"
+            )
+    return df.select(*cols)

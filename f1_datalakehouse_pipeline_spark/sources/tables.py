@@ -36,11 +36,17 @@ class TableStore:
     def exists(self, table: str) -> bool:
         return os.path.isdir(self.path(table))
 
-    def read(self, table: str) -> DataFrame:
+    def read(self, table: str, conformed: bool = False) -> DataFrame:
+        """Read a managed table; ``conformed=True`` merges file schemas and
+        projects to the current registry schema with NULL backfill for
+        columns added since the files were written (schema evolution)."""
         if not self.exists(table):
             # empty-table fallback, reference declares per-transform empty
             # schemas for this (qualifying_transform.py:287-309)
             return self.spark.createDataFrame([], ALL_SCHEMAS[table])
+        if conformed:
+            df = self.spark.read.option("mergeSchema", "true").parquet(self.path(table))
+            return conform(df, table, allow_missing=True)
         return self.spark.read.parquet(self.path(table))
 
     def _writer(self, df: DataFrame, table: str):

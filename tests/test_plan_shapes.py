@@ -90,3 +90,49 @@ def test_compact_preserves_data(spark, tmp_path):
     n_files_after = len(g.glob(str(tmp_path / "wh/sessions_silver/**/*.parquet"), recursive=True))
     assert before == after
     assert n_files_after < n_files_before
+
+
+def test_schema_evolution_read(spark, tmp_path):
+    """Files written before a registry column existed read back with typed
+    NULL backfill (no rewrite) — Iceberg-style add-column evolution on
+    plain parquet."""
+    from f1_datalakehouse_pipeline_spark.schemas import ALL_SCHEMAS
+    from f1_datalakehouse_pipeline_spark.sources.tables import TableStore
+
+    store = TableStore(spark, str(tmp_path / "wh"))
+    full = ALL_SCHEMAS["pitstops_silver"]
+    old_cols = [f.name for f in full.fields if f.name != "pit_duration_seconds"]
+
+    # simulate pre-evolution files: write WITHOUT the evolved column by
+    # bypassing conform (raw parquet into the table dir)
+    df = spark.createDataFrame(
+        [(1, 2025, "monaco", 44, 12)],
+        ["session_key", "year", "grand_prix_name", "driver_number", "lap_number"],
+    ).select(*old_cols)
+    df.write.partitionBy("year", "grand_prix_name").parquet(store.path("pitstops_silver"))
+
+    out = store.read("pitstops_silver", conformed=True)
+    assert [f.name for f in out.schema.fields] == [f.name for f in full.fields]
+    row = out.collect()[0]
+    assert row.pit_duration_seconds is None and row.driver_number == 44
+
+    # strict mode refuses silently-missing columns
+    import pytest as _pytest
+
+    from f1_datalakehouse_pipeline_spark.schemas import conform
+
+    with _pytest.raises(ValueError, match="pit_duration_seconds"):
+        conform(df, "pitstops_silver")
+
+
+def test_tablestore_append(spark, tmp_path):
+    from f1_datalakehouse_pipeline_spark.sources.tables import TableStore
+
+    store = TableStore(spark, str(tmp_path / "wh"))
+    mk = lambda key: spark.createDataFrame(
+        [(key, 2025, "monaco", 44, 12, 23.456)],
+        ["session_key", "year", "grand_prix_name", "driver_number", "lap_number", "pit_duration_seconds"],
+    )
+    store.append(mk(1), "pitstops_silver")
+    store.append(mk(2), "pitstops_silver")
+    assert store.read("pitstops_silver").count() == 2
