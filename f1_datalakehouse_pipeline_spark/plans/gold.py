@@ -2,12 +2,14 @@
 
 Each is a pure DataFrame composition over silver inputs — the 3-way star join
 (J4) with broadcast dims, the window stack (W4-W8), and typed selects —
-reproducing:
+reproducing column-for-column (schemas.py:141-221 of the reference):
 
 - driver_performance_summary_qualifying ≙ gold/driver_performance_summary_qualifying_transform.py
 - driver_performance_summary_race       ≙ gold/driver_performance_summary_race_transform.py
+  (incl. grid_position from qualifying and positions_gained = grid − finish)
 - championship_tracker                  ≙ gold/championship_tracker_transform.py
 - race_weekend_insights                 ≙ gold/race_weekend_insights_transform.py
+  (incl. pole_to_win and race_winner_team)
 
 Fixes folded in (SURVEY §7.4): session-type filters use the canonical
 lowercase form; the weekend-insights lookups join on (year, grand_prix_name),
@@ -16,13 +18,20 @@ not grand_prix_name alone; every rank/tie is deterministically broken.
 Scale notes: the fact tables (results/laps) stay un-broadcast and partition
 by (year, grand_prix_name); the dims (sessions, drivers ~30 rows) are
 explicitly broadcast — at 100 TB the star joins are map-side only, and the
-window stack shares one (driver_number)-keyed shuffle per table.
+window stack shares one (driver_number)-keyed shuffle per table. Audit
+columns are stamped once at the end (reference adds created/updated
+timestamps on every gold row).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _with_audit(df: DataFrame) -> DataFrame:
+    now = F.current_timestamp()
+    return df.withColumn("created_timestamp", now).withColumn("updated_timestamp", now)
 
 
 def _race_dim(sessions_silver: DataFrame) -> DataFrame:
@@ -54,9 +63,12 @@ def _quali_dim(sessions_silver: DataFrame) -> DataFrame:
 
 
 def _current_drivers(drivers_silver: DataFrame) -> DataFrame:
-    # P6: is_current filter (scd.py:65-69)
+    # P6: is_current filter (scd.py:65-69); driver_name = broadcast name
+    # (reference gold schemas: 'Driver broadcast name')
     return drivers_silver.filter(F.col("is_current")).select(
-        "driver_number", "full_name", "team_name"
+        "driver_number",
+        F.col("broadcast_name").alias("driver_name"),
+        "team_name",
     )
 
 
@@ -74,7 +86,10 @@ def transform_championship_tracker(
     drivers = F.broadcast(_current_drivers(drivers_silver))
     base = (
         race_results_silver.select(
-            "session_key", "driver_number", F.col("validated_points").alias("race_points")
+            "session_key",
+            "driver_number",
+            F.col("position").alias("finish_position"),
+            F.col("validated_points").cast("decimal(4,1)").alias("race_points"),
         )
         .join(races, "session_key", "inner")
         .join(drivers, "driver_number", "inner")
@@ -84,7 +99,10 @@ def transform_championship_tracker(
         .orderBy("race_date", "round_number")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    base = base.withColumn("season_points_total", F.sum("race_points").over(w_cum).cast("int"))
+    base = base.withColumn(
+        "season_points_total",
+        F.sum("race_points").over(w_cum).cast("decimal(6,1)"),
+    )
     # W6: rank per race date, ties broken by driver_number asc
     # (window_functions.py:281-308)
     w_rank = Window.partitionBy("year", "race_date").orderBy(
@@ -92,68 +110,88 @@ def transform_championship_tracker(
     )
     # W7: gap to leader — whole-partition max (window_functions.py:310-338)
     w_race = Window.partitionBy("year", "race_date")
-    return base.select(
-        "year",
-        "race_date",
-        "grand_prix_name",
-        "round_number",
-        "driver_number",
-        "full_name",
-        "team_name",
-        "race_points",
-        "season_points_total",
-        F.rank().over(w_rank).cast("int").alias("championship_position"),
-        (F.max("season_points_total").over(w_race) - F.col("season_points_total"))
-        .cast("int")
-        .alias("gap_to_leader_points"),
+    return _with_audit(
+        base.select(
+            "year",
+            "race_date",
+            "grand_prix_name",
+            "round_number",
+            "driver_number",
+            "driver_name",
+            "team_name",
+            "finish_position",
+            "race_points",
+            "season_points_total",
+            F.rank().over(w_rank).cast("int").alias("championship_position"),
+            (F.max("season_points_total").over(w_race) - F.col("season_points_total"))
+            .cast("decimal(6,1)")
+            .alias("points_gap_to_leader"),
+        )
     )
 
 
 def transform_driver_performance_race(
     race_results_silver: DataFrame,
+    qualifying_results_silver: DataFrame,
     sessions_silver: DataFrame,
     drivers_silver: DataFrame,
 ) -> DataFrame:
-    """Per-race driver summary with running totals and running averages.
+    """Per-race driver summary with grid/finish/positions_gained and running
+    totals/averages.
 
     Reference: gold/driver_performance_summary_race_transform.py:221-335
-    (W4 cumulative points, W5 running average finish).
+    (W4 cumulative points, W5 running average finish; positions_gained =
+    grid − finish, grid from the same weekend's qualifying results).
     """
     races = F.broadcast(_race_dim(sessions_silver))
     drivers = F.broadcast(_current_drivers(drivers_silver))
+    grid = qualifying_results_silver.select(
+        "year",
+        "grand_prix_name",
+        "driver_number",
+        F.col("position").alias("grid_position"),
+    )
     base = (
         race_results_silver.select(
             "session_key",
             "driver_number",
-            F.col("position").alias("finishing_position"),
+            F.col("position").alias("finish_position"),
             "race_status",
-            F.col("validated_points").alias("points"),
+            F.col("validated_points").cast("decimal(4,1)").alias("race_points"),
         )
         .join(races, "session_key", "inner")
         .join(drivers, "driver_number", "inner")
+        .join(grid, ["year", "grand_prix_name", "driver_number"], "left")
     )
     w_cum = (
         Window.partitionBy("year", "driver_number")
         .orderBy("race_date", "round_number")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return base.select(
-        "year",
-        "race_date",
-        "grand_prix_name",
-        "round_number",
-        "driver_number",
-        "full_name",
-        "team_name",
-        "finishing_position",
-        "race_status",
-        "points",
-        F.sum("points").over(w_cum).cast("int").alias("season_points_total"),
-        F.round(
-            F.avg(F.col("finishing_position").cast("double")).over(w_cum), 1
+    return _with_audit(
+        base.select(
+            "session_key",
+            "year",
+            "race_date",
+            "grand_prix_name",
+            "round_number",
+            "driver_number",
+            "driver_name",
+            "team_name",
+            "grid_position",
+            "finish_position",
+            (F.col("grid_position") - F.col("finish_position"))
+            .cast("int")
+            .alias("positions_gained"),
+            "race_status",
+            "race_points",
+            F.sum("race_points").over(w_cum).cast("decimal(6,1)").alias("season_points_total"),
+            F.round(
+                F.avg(F.col("finish_position").cast("double")).over(w_cum), 1
+            )
+            .cast("decimal(4,1)")
+            .alias("season_avg_finish_position"),
         )
-        .cast("decimal(4,1)")
-        .alias("season_avg_finish_position"),
     )
 
 
@@ -187,23 +225,26 @@ def transform_driver_performance_qualifying(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     gap_s = F.greatest(F.col("gap_to_pole_millis") / 1000.0, F.lit(0.0))
-    return base.select(
-        "year",
-        "race_date",
-        "grand_prix_name",
-        "round_number",
-        "driver_number",
-        "full_name",
-        "team_name",
-        "qualifying_position",
-        "best_time_millis",
-        F.round(gap_s, 3).cast("decimal(5,3)").alias("gap_to_pole_seconds"),
-        (F.col("qualifying_position") <= 10).alias("made_q3"),
-        F.round(
-            F.avg(F.col("qualifying_position").cast("double")).over(w_cum), 1
+    return _with_audit(
+        base.select(
+            "session_key",
+            "year",
+            "race_date",
+            "grand_prix_name",
+            "round_number",
+            "driver_number",
+            "driver_name",
+            "team_name",
+            "qualifying_position",
+            "best_time_millis",
+            F.round(gap_s, 3).cast("decimal(5,3)").alias("gap_to_pole_seconds"),
+            (F.col("qualifying_position") <= 10).alias("made_q3"),
+            F.round(
+                F.avg(F.col("qualifying_position").cast("double")).over(w_cum), 1
+            )
+            .cast("decimal(4,1)")
+            .alias("season_avg_qualifying_position"),
         )
-        .cast("decimal(4,1)")
-        .alias("season_avg_qualifying_position"),
     )
 
 
@@ -214,7 +255,7 @@ def transform_race_weekend_insights(
     drivers_silver: DataFrame,
 ) -> DataFrame:
     """Per-weekend rollup: pole (left join — may be missing), winner (inner),
-    finisher/DNF conditional counts.
+    winner's team, pole_to_win flag, finisher/DNF conditional counts.
 
     Reference: gold/race_weekend_insights_transform.py:254-395, with the
     under-keyed join fixed: all lookups key on (year, grand_prix_name)
@@ -248,7 +289,8 @@ def transform_race_weekend_insights(
         .select(
             *keys,
             F.col("driver_number").alias("winner_driver_number"),
-            F.col("full_name").alias("winner_driver_name"),
+            F.col("driver_name").alias("race_winner_driver"),
+            F.col("team_name").alias("race_winner_team"),
         )
     )
     pole = (
@@ -257,10 +299,10 @@ def transform_race_weekend_insights(
         .select(
             *keys,
             F.col("driver_number").alias("pole_driver_number"),
-            F.col("full_name").alias("pole_driver_name"),
+            F.col("driver_name").alias("pole_position_driver"),
         )
     )
-    return (
+    return _with_audit(
         stats.join(winner, keys, "inner")  # winner must exist (:297-320)
         .join(pole, keys, "left")  # pole may be missing (:254-276)
         .select(
@@ -269,9 +311,14 @@ def transform_race_weekend_insights(
             "race_date",
             "round_number",
             "pole_driver_number",
-            "pole_driver_name",
+            "pole_position_driver",
             "winner_driver_number",
-            "winner_driver_name",
+            "race_winner_driver",
+            "race_winner_team",
+            F.coalesce(
+                F.col("pole_driver_number") == F.col("winner_driver_number"),
+                F.lit(False),
+            ).alias("pole_to_win"),
             "field_size",
             "total_finishers",
             "dnf_count",

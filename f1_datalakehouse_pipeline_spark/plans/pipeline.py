@@ -223,7 +223,7 @@ def run_silver_to_gold(
     batch: list[tuple[str, DataFrame, bool]] = [
         # championship is ALWAYS season-wide (cumulative totals)
         ("championship_tracker", gold.transform_championship_tracker(race_results, sessions, drivers), True),
-        ("driver_performance_summary_race", gold.transform_driver_performance_race(race_results, sessions, drivers), False),
+        ("driver_performance_summary_race", gold.transform_driver_performance_race(race_results, quali_results, sessions, drivers), False),
         ("driver_performance_summary_qualifying", gold.transform_driver_performance_qualifying(quali_results, sessions, drivers), False),
         ("race_weekend_insights", gold.transform_race_weekend_insights(race_results, quali_results, sessions, drivers), True),
     ]

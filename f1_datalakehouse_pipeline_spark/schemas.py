@@ -109,65 +109,83 @@ SILVER_SCHEMAS: dict[str, StructType] = {
     ),
 }
 
+_AUDIT = (
+    ("created_timestamp", TimestampType(), True),
+    ("updated_timestamp", TimestampType(), True),
+)
+
 GOLD_SCHEMAS: dict[str, StructType] = {
-    # reference schemas.py:141-160
+    # reference schemas.py:142-160 (column-for-column; best_time_millis is an
+    # engine extra)
     "driver_performance_summary_qualifying": _st(
+        ("session_key", LongType(), False),
         ("year", IntegerType(), False),
         ("race_date", DateType(), True),
         ("grand_prix_name", StringType(), False),
         ("round_number", IntegerType(), True),
         ("driver_number", IntegerType(), False),
-        ("full_name", StringType(), True),
+        ("driver_name", StringType(), True),
         ("team_name", StringType(), True),
         ("qualifying_position", IntegerType(), True),
         ("best_time_millis", LongType(), True),
         ("gap_to_pole_seconds", DecimalType(5, 3), True),
         ("made_q3", BooleanType(), True),
         ("season_avg_qualifying_position", DecimalType(4, 1), True),
+        *_AUDIT,
     ),
-    # reference schemas.py:162-180
+    # reference schemas.py:162-180 (race_status / season_avg are engine extras)
     "driver_performance_summary_race": _st(
+        ("session_key", LongType(), False),
         ("year", IntegerType(), False),
         ("race_date", DateType(), True),
         ("grand_prix_name", StringType(), False),
         ("round_number", IntegerType(), True),
         ("driver_number", IntegerType(), False),
-        ("full_name", StringType(), True),
+        ("driver_name", StringType(), True),
         ("team_name", StringType(), True),
-        ("finishing_position", IntegerType(), True),
+        ("grid_position", IntegerType(), True),
+        ("finish_position", IntegerType(), True),
+        ("positions_gained", IntegerType(), True),
         ("race_status", StringType(), True),
-        ("points", IntegerType(), True),
-        ("season_points_total", IntegerType(), True),
+        ("race_points", DecimalType(4, 1), True),
+        ("season_points_total", DecimalType(6, 1), True),
         ("season_avg_finish_position", DecimalType(4, 1), True),
+        *_AUDIT,
     ),
-    # reference schemas.py:182-200
+    # reference schemas.py:184-202
     "championship_tracker": _st(
         ("year", IntegerType(), False),
         ("race_date", DateType(), True),
         ("grand_prix_name", StringType(), False),
         ("round_number", IntegerType(), True),
         ("driver_number", IntegerType(), False),
-        ("full_name", StringType(), True),
+        ("driver_name", StringType(), True),
         ("team_name", StringType(), True),
-        ("race_points", IntegerType(), True),
-        ("season_points_total", IntegerType(), True),
+        ("finish_position", IntegerType(), True),
+        ("race_points", DecimalType(4, 1), True),
+        ("season_points_total", DecimalType(6, 1), True),
         ("championship_position", IntegerType(), True),
-        ("gap_to_leader_points", IntegerType(), True),
+        ("points_gap_to_leader", DecimalType(6, 1), True),
+        *_AUDIT,
     ),
-    # reference schemas.py:202-221
+    # reference schemas.py:206-221 (driver numbers / field_size / sprint flag
+    # are engine extras)
     "race_weekend_insights": _st(
         ("year", IntegerType(), False),
         ("grand_prix_name", StringType(), False),
         ("race_date", DateType(), True),
         ("round_number", IntegerType(), True),
         ("pole_driver_number", IntegerType(), True),
-        ("pole_driver_name", StringType(), True),
+        ("pole_position_driver", StringType(), True),
         ("winner_driver_number", IntegerType(), True),
-        ("winner_driver_name", StringType(), True),
+        ("race_winner_driver", StringType(), True),
+        ("race_winner_team", StringType(), True),
+        ("pole_to_win", BooleanType(), True),
         ("field_size", IntegerType(), True),
         ("total_finishers", IntegerType(), True),
         ("dnf_count", IntegerType(), True),
         ("is_sprint_weekend", BooleanType(), True),
+        *_AUDIT,
     ),
 }
 

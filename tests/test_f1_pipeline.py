@@ -144,7 +144,7 @@ def test_championship_tracker(lakehouse):
     # leader gap 0 each race; rank 1 exists; tie-break deterministic
     for _, g in pdf.groupby("round_number"):
         lead = g[g["championship_position"] == 1]
-        assert (lead["gap_to_leader_points"] == 0).all()
+        assert (lead["points_gap_to_leader"].astype(float) == 0).all()
         assert g["season_points_total"].max() == lead["season_points_total"].iloc[0]
 
 
@@ -176,7 +176,10 @@ def test_incremental_idempotent(lakehouse, spark):
     def snapshot():
         out = {}
         for t in ("sessions_silver", "race_results_silver", "drivers_silver", "championship_tracker"):
-            out[t] = sorted(map(tuple, store.read(t).collect()))
+            df = store.read(t)
+            # audit timestamps are re-stamped per run by design — exclude
+            df = df.drop("created_timestamp", "updated_timestamp")
+            out[t] = sorted(map(tuple, df.collect()))
         return out
 
     before = snapshot()
@@ -269,4 +272,6 @@ def test_gold_race_summary_consistent_with_championship(lakehouse):
         (r.driver_number, r.grand_prix_name): r.validated_points for r in rr.collect()
     }
     for r in rs.collect():
-        assert r.points == silver_pts[(r.driver_number, r.grand_prix_name)]
+        assert float(r.race_points) == float(silver_pts[(r.driver_number, r.grand_prix_name)])
+        if r.grid_position is not None and r.finish_position is not None:
+            assert r.positions_gained == r.grid_position - r.finish_position
