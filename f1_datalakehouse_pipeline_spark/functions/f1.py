@@ -90,6 +90,30 @@ def standardize_race_status(
     )
 
 
+def qualifying_status(
+    dsq: Column, dns: Column, q1: Column, q2: Column, q3: Column
+) -> Column:
+    """Qualifying elimination ladder (qualifying_transform.py:240-248):
+    DSQ > DNS > Q3 > Q2-OUT > Q1-OUT > DNQ."""
+    return (
+        F.when(dsq, "DSQ")
+        .when(dns, "DNS")
+        .when(q3.isNotNull(), "Q3")
+        .when(q2.isNotNull(), "Q2-OUT")
+        .when(q1.isNotNull(), "Q1-OUT")
+        .otherwise("DNQ")
+    )
+
+
+def session_name_for_type(session_type: Column) -> Column:
+    """Descriptive session name (sessions_transform.py:213-218)."""
+    return (
+        F.when(session_type == "qualifying", "Qualifying Session")
+        .when(session_type == "race", "Race Session")
+        .otherwise(session_type)
+    )
+
+
 def detect_sprint_weekend(location: Column) -> Column:
     """Substring membership over the sprint-location list
     (sessions_transform.py:277-316) as a single rlike."""

@@ -156,7 +156,7 @@ def transform_driver_performance_race(
             "session_key",
             "driver_number",
             F.col("position").alias("finish_position"),
-            "race_status",
+            F.col("standardized_status").alias("race_status"),
             F.col("validated_points").cast("decimal(4,1)").alias("race_points"),
         )
         .join(races, "session_key", "inner")
@@ -213,7 +213,7 @@ def transform_driver_performance_qualifying(
             "session_key",
             "driver_number",
             F.col("position").alias("qualifying_position"),
-            "best_time_millis",
+            F.col("fastest_qualifying_time_millis").alias("best_time_millis"),
             "gap_to_pole_millis",
         )
         .join(quali, "session_key", "inner")
@@ -281,7 +281,7 @@ def transform_race_weekend_insights(
         )
         .cast("int")
         .alias("total_finishers"),
-        F.count(F.when(F.col("race_status") == "DNF", 1)).cast("int").alias("dnf_count"),
+        F.count(F.when(F.col("standardized_status") == "DNF", 1)).cast("int").alias("dnf_count"),
     )
     winner = (
         rr.filter(F.col("position") == 1)

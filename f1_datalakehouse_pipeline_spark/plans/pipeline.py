@@ -147,10 +147,16 @@ def _incremental_drivers_merge(
 
     from f1_datalakehouse_pipeline_spark.functions.f1 import standardize_team_name
 
-    attr_cols = ["broadcast_name", "full_name", "name_acronym", "team_name", "country_code"]
+    attr_cols = ["broadcast_name", "full_name", "name_acronym", "team_name",
+                 "country_code", "team_colour"]
     obs = (
-        drivers_bronze.filter(F.col("driver_number").isNotNull())
-        .join(sessions_for_batch.select("session_key", "date_start"), "session_key", "inner")
+        drivers_bronze.drop("session_type", "grand_prix", "year")
+        .filter(F.col("driver_number").isNotNull())
+        .join(
+            sessions_for_batch.select("session_key", "date_start", "session_type"),
+            "session_key",
+            "inner",
+        )
         .select(
             F.col("driver_number").cast("int").alias("driver_number"),
             "broadcast_name",
@@ -158,7 +164,9 @@ def _incremental_drivers_merge(
             "name_acronym",
             standardize_team_name(F.col("team_name")).alias("team_name"),
             "country_code",
+            "team_colour",
             "date_start",
+            "session_type",
             "session_key",
         )
     )
@@ -170,10 +178,33 @@ def _incremental_drivers_merge(
         .filter(F.col("rn") == 1)
         .select("driver_number", *attr_cols, F.col("date_start").alias("eff"))
     )
-    current = store.read("drivers_silver")
+    # total_races and audit cols are derived, not SCD attributes — strip them
+    # for the merge and recompute after.
+    current = store.read("drivers_silver").drop(
+        "total_races", "created_timestamp", "updated_timestamp"
+    )
     merged = scd2_merge_incremental(
         current, updates, entity_col="driver_number", attr_cols=attr_cols, effective_col="eff"
     )
+    # total_races = distinct race sessions seen so far (prior silver results ∪
+    # this batch) — idempotent under reruns because it is a distinct-union.
+    prior = store.read("race_results_silver").select("driver_number", "session_key")
+    batch_races = obs.filter(F.col("session_type") == "race").select(
+        "driver_number", "session_key"
+    )
+    races = (
+        prior.unionByName(batch_races)
+        .distinct()
+        .groupBy("driver_number")
+        .agg(F.countDistinct("session_key").alias("total_races"))
+    )
+    merged = (
+        merged.join(races, "driver_number", "left").fillna({"total_races": 0})
+    )
+    from f1_datalakehouse_pipeline_spark.plans.silver import _with_audit
+    from f1_datalakehouse_pipeline_spark.schemas import conform
+
+    merged = conform(_with_audit(merged), "drivers_silver")
     # The merge reads the same table it overwrites — materialize first (the
     # dimension is ~30 rows; at larger dim scale this would be a staged write
     # to a temp path + atomic rename, or a Delta MERGE when available).

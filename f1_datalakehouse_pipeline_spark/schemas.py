@@ -29,83 +29,115 @@ def _st(*fields: tuple) -> StructType:
     return StructType([StructField(n, t, nullable) for n, t, nullable in fields])
 
 
+_AUDIT_SILVER = (
+    ("created_timestamp", TimestampType(), True),
+    ("updated_timestamp", TimestampType(), True),
+)
+
 SILVER_SCHEMAS: dict[str, StructType] = {
-    # reference schemas.py:16-33
+    # reference schemas.py:17-33 (meeting_name kept as an engine extra)
     "sessions_silver": _st(
         ("session_key", LongType(), False),
-        ("meeting_key", LongType(), True),
-        ("year", IntegerType(), False),
-        ("grand_prix_name", StringType(), False),
         ("session_type", StringType(), False),
+        ("session_name", StringType(), True),
+        ("meeting_key", LongType(), True),
         ("meeting_name", StringType(), True),
+        ("grand_prix_name", StringType(), False),
         ("date_start", TimestampType(), True),
         ("date_end", TimestampType(), True),
-        ("duration_minutes", IntegerType(), True),
+        ("year", IntegerType(), False),
+        ("session_duration_minutes", IntegerType(), True),
         ("is_sprint_weekend", BooleanType(), True),
+        *_AUDIT_SILVER,
     ),
     # reference schemas.py:35-52 (SCD Type 2)
     "drivers_silver": _st(
         ("driver_number", IntegerType(), False),
         ("broadcast_name", StringType(), True),
         ("full_name", StringType(), True),
-        ("name_acronym", StringType(), True),
         ("team_name", StringType(), True),
         ("country_code", StringType(), True),
+        ("team_colour", StringType(), True),
+        ("name_acronym", StringType(), True),
+        ("total_races", IntegerType(), True),
         ("valid_from", TimestampType(), False),
         ("valid_to", TimestampType(), True),
         ("is_current", BooleanType(), False),
+        *_AUDIT_SILVER,
     ),
-    # reference schemas.py:54-75
+    # reference schemas.py:54-71
     "qualifying_results_silver": _st(
         ("session_key", LongType(), False),
-        ("year", IntegerType(), False),
-        ("grand_prix_name", StringType(), False),
         ("driver_number", IntegerType(), False),
         ("position", IntegerType(), True),
         ("q1_time_millis", LongType(), True),
         ("q2_time_millis", LongType(), True),
         ("q3_time_millis", LongType(), True),
-        ("best_time_millis", LongType(), True),
+        ("fastest_qualifying_time_millis", LongType(), True),
         ("gap_to_pole_millis", LongType(), True),
         ("qualifying_status", StringType(), True),
+        ("year", IntegerType(), False),
+        ("grand_prix_name", StringType(), False),
+        *_AUDIT_SILVER,
     ),
-    # reference schemas.py:77-99
+    # reference schemas.py:74-93 (race_time_millis kept as an engine extra;
+    # grid_position/positions_gained are NULL placeholders filled in Gold,
+    # race_results_transform.py:312-315)
     "race_results_silver": _st(
         ("session_key", LongType(), False),
-        ("year", IntegerType(), False),
-        ("grand_prix_name", StringType(), False),
         ("driver_number", IntegerType(), False),
         ("position", IntegerType(), True),
+        ("grid_position", IntegerType(), True),
         ("points", IntegerType(), True),
         ("validated_points", IntegerType(), True),
-        ("race_status", StringType(), True),
+        ("positions_gained", IntegerType(), True),
+        ("time", StringType(), True),
         ("race_time_millis", LongType(), True),
-        ("race_time_formatted", StringType(), True),
-        ("gap_to_leader_seconds", DecimalType(8, 3), True),
-    ),
-    # reference schemas.py:101-118
-    "laps_silver": _st(
-        ("session_key", LongType(), False),
+        ("gap_to_winner_millis", LongType(), True),
+        ("status", StringType(), True),
+        ("standardized_status", StringType(), True),
         ("year", IntegerType(), False),
         ("grand_prix_name", StringType(), False),
+        *_AUDIT_SILVER,
+    ),
+    # reference schemas.py:96-117 (sector millis kept as engine extras;
+    # position_at_lap/gaps/tires are NULL placeholders, laps_transform.py:297-308)
+    "laps_silver": _st(
+        ("session_key", LongType(), False),
         ("driver_number", IntegerType(), False),
         ("lap_number", IntegerType(), False),
+        ("lap_time", StringType(), True),
         ("lap_time_millis", LongType(), True),
-        ("lap_time_formatted", StringType(), True),
         ("sector_1_millis", LongType(), True),
         ("sector_2_millis", LongType(), True),
         ("sector_3_millis", LongType(), True),
+        ("position_at_lap", IntegerType(), True),
+        ("gap_to_leader_millis", LongType(), True),
+        ("interval_to_ahead_millis", LongType(), True),
         ("is_personal_best", BooleanType(), True),
-        ("is_session_fastest", BooleanType(), True),
-    ),
-    # reference schemas.py:120-135
-    "pitstops_silver": _st(
-        ("session_key", LongType(), False),
+        ("is_fastest_lap", BooleanType(), True),
+        ("tire_compound", StringType(), True),
+        ("track_status", StringType(), True),
         ("year", IntegerType(), False),
         ("grand_prix_name", StringType(), False),
+        ("session_type", StringType(), True),
+        *_AUDIT_SILVER,
+    ),
+    # reference schemas.py:120-135 (strategy placeholders,
+    # pitstops_transform.py:220-239)
+    "pitstops_silver": _st(
+        ("session_key", LongType(), False),
         ("driver_number", IntegerType(), False),
         ("lap_number", IntegerType(), True),
-        ("pit_duration_seconds", DecimalType(6, 3), True),
+        ("pit_duration", DecimalType(6, 3), True),
+        ("positions_lost_gained", IntegerType(), True),
+        ("undercut_attempt", BooleanType(), True),
+        ("safety_car_stop", BooleanType(), True),
+        ("tire_compound_old", StringType(), True),
+        ("tire_compound_new", StringType(), True),
+        ("year", IntegerType(), False),
+        ("grand_prix_name", StringType(), False),
+        *_AUDIT_SILVER,
     ),
 }
 

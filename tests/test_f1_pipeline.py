@@ -47,8 +47,9 @@ def test_sessions_silver(lakehouse):
     assert rows[("miami", "race")].is_sprint_weekend
     assert not rows[("monaco", "race")].is_sprint_weekend
     # NULL date_end ⇒ NULL duration (sessions_transform.py:225-229 path)
-    assert rows[("sao_paulo", "qualifying")].duration_minutes is None
-    assert rows[("bahrain", "race")].duration_minutes == 120
+    assert rows[("sao_paulo", "qualifying")].session_duration_minutes is None
+    assert rows[("bahrain", "race")].session_duration_minutes == 120
+    assert rows[("bahrain", "race")].session_name == "Race Session"
 
 
 def test_drivers_scd2(lakehouse):
@@ -67,6 +68,9 @@ def test_drivers_scd2(lakehouse):
     assert len(stints) == 2
     assert stints[0].valid_to == stints[1].valid_from
     assert stints[1].is_current and not stints[0].is_current
+    # total_races backfill (J3): every driver raced all fixture GPs
+    d2 = lakehouse["store"].read("drivers_silver").filter("is_current")
+    assert {r.total_races for r in d2.collect()} == {fx.N_GP}
 
 
 def test_qualifying_silver(lakehouse):
@@ -79,11 +83,13 @@ def test_qualifying_silver(lakehouse):
         # Q-split: pos ≤ 10 has Q3, 11-15 only Q1/Q2, 16-20 only Q1
         if r.position <= 10:
             assert r.q3_time_millis is not None
-            assert r.best_time_millis == r.q3_time_millis
+            assert r.fastest_qualifying_time_millis == r.q3_time_millis
+            assert r.qualifying_status in ("Q3", "DSQ")
         elif r.position <= 15:
             assert r.q3_time_millis is None and r.q2_time_millis is not None
         else:
             assert r.q2_time_millis is None and r.q1_time_millis is not None
+            assert r.qualifying_status in ("Q1-OUT", "DSQ")
         assert r.gap_to_pole_millis >= 0
     # pole has gap 0
     assert min(r.gap_to_pole_millis for r in rows.values()) == 0
@@ -101,17 +107,17 @@ def test_race_results_points_and_status(lakehouse):
     for r in bahrain.values():
         if r.position is not None and r.position <= 10:
             assert r.validated_points == fx.POINTS[r.position - 1]
-        if r.race_status == "DNF":
+        if r.standardized_status == "DNF":
             assert r.position is None
     # time formatting shape H:MM:SS.mmm
-    some = next(r for r in bahrain.values() if r.race_time_formatted)
-    assert len(some.race_time_formatted.split(":")) == 3
+    some = next(r for r in bahrain.values() if r.time)
+    assert len(some.time.split(":")) == 3
 
 
 def test_laps_flags(lakehouse):
     laps = lakehouse["store"].read("laps_silver").filter(F.col("grand_prix_name") == "bahrain")
     # exactly one session-fastest, tie broken toward lower driver_number
-    fastest = laps.filter("is_session_fastest").collect()
+    fastest = laps.filter("is_fastest_lap").collect()
     assert len(fastest) == 1 and fastest[0].driver_number == 1
     assert fastest[0].lap_number == fx.N_LAPS + 1
     # NULL sector ⇒ NULL lap time but sectors retained
@@ -129,7 +135,7 @@ def test_pitstops_filtered(lakehouse):
     p = lakehouse["store"].read("pitstops_silver").filter(F.col("grand_prix_name") == "bahrain")
     n = p.count()
     assert n == fx.N_DRIVERS * 2 - 2  # NULL and zero rows dropped
-    stats = p.agg(F.min("pit_duration_seconds"), F.max("pit_duration_seconds")).collect()[0]
+    stats = p.agg(F.min("pit_duration"), F.max("pit_duration")).collect()[0]
     assert 20 < float(stats[0]) < float(stats[1]) < 36
 
 

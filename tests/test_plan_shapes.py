@@ -101,7 +101,10 @@ def test_schema_evolution_read(spark, tmp_path):
 
     store = TableStore(spark, str(tmp_path / "wh"))
     full = ALL_SCHEMAS["pitstops_silver"]
-    old_cols = [f.name for f in full.fields if f.name != "pit_duration_seconds"]
+    evolved = {"pit_duration", "positions_lost_gained", "undercut_attempt",
+               "safety_car_stop", "tire_compound_old", "tire_compound_new",
+               "created_timestamp", "updated_timestamp"}
+    old_cols = [f.name for f in full.fields if f.name not in evolved]
 
     # simulate pre-evolution files: write WITHOUT the evolved column by
     # bypassing conform (raw parquet into the table dir)
@@ -114,14 +117,14 @@ def test_schema_evolution_read(spark, tmp_path):
     out = store.read("pitstops_silver", conformed=True)
     assert [f.name for f in out.schema.fields] == [f.name for f in full.fields]
     row = out.collect()[0]
-    assert row.pit_duration_seconds is None and row.driver_number == 44
+    assert row.pit_duration is None and row.driver_number == 44
 
     # strict mode refuses silently-missing columns
     import pytest as _pytest
 
     from f1_datalakehouse_pipeline_spark.schemas import conform
 
-    with _pytest.raises(ValueError, match="pit_duration_seconds"):
+    with _pytest.raises(ValueError, match="pit_duration"):
         conform(df, "pitstops_silver")
 
 
@@ -129,10 +132,14 @@ def test_tablestore_append(spark, tmp_path):
     from f1_datalakehouse_pipeline_spark.sources.tables import TableStore
 
     store = TableStore(spark, str(tmp_path / "wh"))
-    mk = lambda key: spark.createDataFrame(
-        [(key, 2025, "monaco", 44, 12, 23.456)],
-        ["session_key", "year", "grand_prix_name", "driver_number", "lap_number", "pit_duration_seconds"],
-    )
+    def mk(key):
+        base = spark.createDataFrame(
+            [(key, 2025, "monaco", 44, 12, 23.456)],
+            ["session_key", "year", "grand_prix_name", "driver_number", "lap_number", "pit_duration"],
+        )
+        from f1_datalakehouse_pipeline_spark.schemas import conform as _c
+
+        return _c(base, "pitstops_silver", allow_missing=True)
     store.append(mk(1), "pitstops_silver")
     store.append(mk(2), "pitstops_silver")
     assert store.read("pitstops_silver").count() == 2
