@@ -69,24 +69,29 @@ def test_compact_preserves_data(spark, tmp_path):
 
     from f1_datalakehouse_pipeline_spark.sources.tables import TableStore, compact
 
+    from f1_datalakehouse_pipeline_spark.schemas import conform
+
     store = TableStore(spark, str(tmp_path / "wh"))
-    df = spark.range(100).select(
-        F.col("id").cast("long").alias("session_key"),
-        F.lit(2025).alias("year"),
-        F.when(F.col("id") % 2 == 0, "monaco").otherwise("miami").alias("grand_prix_name"),
-        F.lit("race").alias("session_type"),
-        F.lit("GP").alias("meeting_name"),
-        F.lit(None).cast("long").alias("meeting_key"),
-        F.current_timestamp().alias("date_start"),
-        F.current_timestamp().alias("date_end"),
-        F.lit(60).alias("duration_minutes"),
-        F.lit(False).alias("is_sprint_weekend"),
+    df = conform(
+        spark.range(100).select(
+            F.col("id").cast("long").alias("session_key"),
+            F.lit(2025).alias("year"),
+            F.when(F.col("id") % 2 == 0, "monaco").otherwise("miami").alias("grand_prix_name"),
+            F.lit("race").alias("session_type"),
+            F.lit("GP").alias("meeting_name"),
+            F.lit(None).cast("long").alias("meeting_key"),
+            F.lit("2025-03-01 14:00:00").cast("timestamp").alias("date_start"),
+            F.lit("2025-03-01 16:00:00").cast("timestamp").alias("date_end"),
+            F.lit(False).alias("is_sprint_weekend"),
+        ),
+        "sessions_silver",
+        allow_missing=True,
     ).repartition(8)
     store.overwrite(df, "sessions_silver")
-    before = sorted(map(tuple, store.read("sessions_silver").drop("date_start", "date_end").collect()))
+    before = sorted(map(tuple, store.read("sessions_silver").collect()))
     n_files_before = len(g.glob(str(tmp_path / "wh/sessions_silver/**/*.parquet"), recursive=True))
     compact(store, "sessions_silver", target_partitions=1)
-    after = sorted(map(tuple, store.read("sessions_silver").drop("date_start", "date_end").collect()))
+    after = sorted(map(tuple, store.read("sessions_silver").collect()))
     n_files_after = len(g.glob(str(tmp_path / "wh/sessions_silver/**/*.parquet"), recursive=True))
     assert before == after
     assert n_files_after < n_files_before
