@@ -325,3 +325,53 @@ def transform_race_weekend_insights(
             "is_sprint_weekend",
         )
     )
+
+
+def transform_lap_analytics(laps_silver: DataFrame) -> DataFrame:
+    """Fill the lap metrics the reference declares but never computes
+    (laps_transform.py:297-300 leaves position_at_lap / gap_to_leader_millis /
+    interval_to_ahead_millis as NULL placeholders "deferred to Gold", and no
+    gold transform exists for them).
+
+    One window family keyed by session: cumulative race time per driver →
+    position at each lap (rank of elapsed time among drivers on that lap) →
+    gap to leader → interval to the car ahead (lag over position). All four
+    metrics share the session_key partitioning, so the stack costs two
+    shuffles total (driver-cumsum, then per-lap ranking).
+    """
+    timed = laps_silver.filter(F.col("lap_time_millis").isNotNull())
+    w_cum = (
+        Window.partitionBy("session_key", "driver_number")
+        .orderBy("lap_number")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    elapsed = timed.withColumn(
+        "elapsed_millis", F.sum("lap_time_millis").over(w_cum)
+    )
+    w_lap = Window.partitionBy("session_key", "lap_number").orderBy(
+        F.col("elapsed_millis").asc(), F.col("driver_number").asc()
+    )
+    w_lap_all = Window.partitionBy("session_key", "lap_number")
+    ranked = (
+        elapsed.withColumn("position_at_lap", F.rank().over(w_lap).cast("int"))
+        .withColumn(
+            "gap_to_leader_millis",
+            (F.col("elapsed_millis") - F.min("elapsed_millis").over(w_lap_all)).cast("long"),
+        )
+        .withColumn(
+            "interval_to_ahead_millis",
+            (F.col("elapsed_millis") - F.lag("elapsed_millis").over(w_lap)).cast("long"),
+        )
+    )
+    return ranked.select(
+        "session_key",
+        "year",
+        "grand_prix_name",
+        "driver_number",
+        "lap_number",
+        "lap_time_millis",
+        F.col("elapsed_millis").cast("long").alias("elapsed_millis"),
+        "position_at_lap",
+        "gap_to_leader_millis",
+        "interval_to_ahead_millis",
+    )

@@ -281,3 +281,29 @@ def test_gold_race_summary_consistent_with_championship(lakehouse):
         assert float(r.race_points) == float(silver_pts[(r.driver_number, r.grand_prix_name)])
         if r.grid_position is not None and r.finish_position is not None:
             assert r.positions_gained == r.grid_position - r.finish_position
+
+
+def test_lap_analytics(lakehouse):
+    """position_at_lap / gaps computed from cumulative lap times — the
+    metrics the reference schema declares but never fills."""
+    from f1_datalakehouse_pipeline_spark.plans.gold import transform_lap_analytics
+
+    laps = lakehouse["store"].read("laps_silver").filter(
+        (F.col("grand_prix_name") == "bahrain") & (F.col("year") == fx.YEAR)
+    )
+    la = transform_lap_analytics(laps).cache()
+    pdf = la.toPandas()
+
+    for (_, lap), g in pdf.groupby(["session_key", "lap_number"]):
+        # positions are 1..n contiguous (rank over distinct elapsed is dense here)
+        assert sorted(g["position_at_lap"]) == list(range(1, len(g) + 1))
+        lead = g[g["position_at_lap"] == 1]
+        assert (lead["gap_to_leader_millis"] == 0).all()
+        assert lead["interval_to_ahead_millis"].isna().all()
+        rest = g[g["position_at_lap"] > 1]
+        assert (rest["gap_to_leader_millis"] > 0).all()
+        assert (rest["interval_to_ahead_millis"] >= 0).all()
+    # elapsed is monotone per driver
+    for _, g in pdf.groupby(["session_key", "driver_number"]):
+        e = list(g.sort_values("lap_number")["elapsed_millis"])
+        assert e == sorted(e)
