@@ -1278,3 +1278,128 @@ def a10_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
         F.countDistinct("o_custkey").alias("exact_customers"),
     )
+
+
+@query(
+    "a11_share_of_total",
+    """
+    WITH rev AS (
+      SELECT n_name, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS r
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name
+    ), tot AS (SELECT SUM(r) AS t FROM rev)
+    SELECT n_name, CAST(r AS DOUBLE) AS revenue,
+           CAST(r AS DOUBLE) / CAST(t AS DOUBLE) AS share_of_total
+    FROM rev CROSS JOIN tot
+    """,
+)
+def a11_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Share-of-global-total via a broadcast scalar cross join — the
+    # scale-correct form (a window over an EMPTY partition spec would funnel
+    # the whole table through one reducer).
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    rev = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum(_dec("o_totalprice")).alias("r"))
+    )
+    tot = rev.agg(F.sum("r").alias("t"))
+    return rev.crossJoin(F.broadcast(tot)).select(
+        "n_name",
+        F.col("r").cast("double").alias("revenue"),
+        (F.col("r").cast("double") / F.col("t").cast("double")).alias("share_of_total"),
+    )
+
+
+@query(
+    "j8_semi_join",
+    """
+    SELECT c_custkey, c_mktsegment
+    FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+    )
+    """,
+)
+def j8_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # EXISTS decorrelates to a left-semi join: one pass, no duplication,
+    # probe side never materialized into the output.
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+@query(
+    "ts_rollup_gapfill",
+    """
+    WITH bounds AS (
+      SELECT CAST(epoch(date_trunc('hour', MIN(ts))) AS BIGINT) AS lo,
+             CAST(epoch(date_trunc('hour', MAX(ts))) AS BIGINT) AS hi
+      FROM events
+    ), grid AS (
+      SELECT u.user_id, gs.b AS bucket_s
+      FROM (SELECT DISTINCT user_id FROM events WHERE user_id < 20) u
+      CROSS JOIN bounds
+      CROSS JOIN LATERAL (SELECT unnest(generate_series(lo, hi, 3600)) AS b) gs
+    ), agg AS (
+      SELECT user_id,
+             CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket_s,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+      FROM events WHERE user_id < 20
+      GROUP BY 1, 2
+    )
+    SELECT g.user_id, g.bucket_s,
+           COALESCE(a.n_events, 0) AS n_events,
+           a.total_value,
+           last_value(a.total_value IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.bucket_s
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS total_value_ffill
+    FROM grid g LEFT JOIN agg a ON g.user_id = a.user_id AND g.bucket_s = a.bucket_s
+    """,
+)
+def ts_rollup_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Hypertable-style rollup: hourly time buckets per key with GAP FILLING
+    # (dense bucket grid via sequence+explode) and forward-fill via
+    # last(ignorenulls) — the batch shape of a time-series continuous
+    # aggregate. Grid generation is per-key-parallel (explode of a bounded
+    # sequence), never a driver-side loop.
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    bucket = F.unix_timestamp(F.date_trunc("hour", F.col("ts")))
+    agg = ev.groupBy("user_id", bucket.alias("bucket_s")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+    )
+    bounds = ev.agg(
+        F.min(bucket).alias("lo"), F.max(bucket).alias("hi")
+    )
+    users = ev.select("user_id").distinct()
+    grid = (
+        users.crossJoin(F.broadcast(bounds))
+        .select(
+            "user_id",
+            F.explode(F.sequence(F.col("lo"), F.col("hi"), F.lit(3600))).alias("bucket_s"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket_s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(agg, ["user_id", "bucket_s"], "left")
+        .select(
+            "user_id",
+            "bucket_s",
+            F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+            "total_value",
+            F.last("total_value", ignorenulls=True).over(w).alias("total_value_ffill"),
+        )
+    )
