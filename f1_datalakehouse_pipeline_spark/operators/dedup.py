@@ -68,7 +68,8 @@ def _shingle_table(df: DataFrame, id_col: str, content_col: str, k: int) -> Data
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, id_col: str, content_col: str, k: int = 3, threshold: float = 0.5
+    df: DataFrame, id_col: str, content_col: str, k: int = 3, threshold: float = 0.5,
+    max_doc_frequency: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard similarity for doc pairs sharing at least one shingle.
 
@@ -76,12 +77,20 @@ def ngram_jaccard_pairs(
     |A∪B| = |A| + |B| − |A∩B|. Output: (doc_a, doc_b, jaccard) with
     doc_a < doc_b and jaccard ≥ threshold.
 
-    Scale: the self-join is on the shingle hash — hot shingles (boilerplate)
-    should be pre-filtered by document frequency at 100 TB (df-cap), which
-    composes here as a ``.filter`` on a count window over ``h``.
+    ``max_doc_frequency`` is the 100 TB lever: shingles appearing in more
+    than N documents (boilerplate headers, license blocks) are dropped from
+    the inverted index BEFORE the self-join — a hot shingle in d docs costs
+    O(d²) candidate rows, so the cap bounds the worst key. Doc sizes are
+    still computed pre-cap, so Jaccard stays exact for surviving pairs'
+    denominators while hot-shingle-only pairs drop out (approximation is
+    one-sided and documented).
     """
     sh = _shingle_table(df, id_col, content_col, k)
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
+    if max_doc_frequency is not None:
+        doc_freq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+        hot = doc_freq.filter(F.col("df") > max_doc_frequency).select("h")
+        sh = sh.join(hot, "h", "left_anti")
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
         a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc") < F.col("b.doc")))

@@ -166,3 +166,78 @@ def brute_force_topk_vectorized(
     return scored.withColumn("rnk", F.row_number().over(w).cast("long")).filter(
         F.col("rnk") <= k
     )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 3,
+    train_sample: int = 2048,
+    seed: int = 13,
+    kmeans_iters: int = 5,
+) -> DataFrame:
+    """IVF-style approximate top-k: k-means coarse quantizer + probe lists.
+
+    Training runs driver-side on a bounded sample (numpy k-means on ≤
+    ``train_sample`` vectors — O(sample·dim·lists), independent of table
+    size); assignment and probing are distributed: centroids broadcast as
+    literal arrays, every vector scored against n_lists centroids map-side,
+    candidates joined on list id. Recall is tuned by ``n_probe``.
+    """
+    import numpy as np
+
+    sample = (
+        embeddings.select(vec_col)
+        .sample(fraction=1.0, seed=seed)
+        .limit(train_sample)
+        .collect()
+    )
+    x = np.array([r[0] for r in sample], dtype=np.float64)
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rng = np.random.RandomState(seed)
+    cent = x[rng.choice(len(x), size=min(n_lists, len(x)), replace=False)]
+    for _ in range(kmeans_iters):
+        assign = np.argmax(x @ cent.T, axis=1)
+        for j in range(len(cent)):
+            members = x[assign == j]
+            if len(members):
+                c = members.mean(axis=0)
+                cent[j] = c / max(np.linalg.norm(c), 1e-12)
+
+    cent_cols = [
+        F.array(*[F.lit(float(v)) for v in cent[j]]) for j in range(len(cent))
+    ]
+
+    def list_scores(vec: Column) -> Column:
+        return F.array(*[dot(vec, c) for c in cent_cols])
+
+    def top_lists(vec: Column, n: int) -> Column:
+        scores = list_scores(vec)
+        idx = F.sequence(F.lit(0), F.lit(len(cent) - 1))
+        pairs = F.zip_with(scores, idx, lambda s, i: F.struct(s.alias("s"), i.alias("i")))
+        return F.slice(F.reverse(F.array_sort(pairs)), 1, n)
+
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
+    ).withColumn("list_id", top_lists(F.col("cv"), 1)[0]["i"])
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    ).withColumn(
+        "list_id", F.explode(F.transform(top_lists(F.col("qv"), n_probe), lambda s: s["i"]))
+    )
+    scored = (
+        c.join(F.broadcast(q), "list_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cosine"))
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rnk", F.row_number().over(w).cast("long")).filter(
+        F.col("rnk") <= k
+    )

@@ -298,3 +298,32 @@ def test_salted_aggregate_matches_plain(spark):
         for r in df.groupBy("k").agg(F.sum("v").alias("total"), F.count(F.lit(1)).alias("n")).collect()
     }
     assert out == expected
+
+
+def test_df_cap_drops_boilerplate_pairs(spark):
+    rows = [
+        (i, f"BOILER PLATE HEADER unique{i} words{i} here{i}") for i in range(1, 7)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    # without a cap, the shared 1-gram shingles make every pair a candidate
+    uncapped = dedup.ngram_jaccard_pairs(df, "doc_id", "text", k=1, threshold=0.01)
+    assert uncapped.count() == 15  # all C(6,2) pairs co-occur
+    capped = dedup.ngram_jaccard_pairs(
+        df, "doc_id", "text", k=1, threshold=0.01, max_doc_frequency=3
+    )
+    assert capped.count() == 0  # only boilerplate co-occurs → all pruned
+
+
+def test_ivf_topk_recall(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter("vec_id < 5")
+    exact = {
+        r.query_id: r.neighbor_id
+        for r in similarity.brute_force_topk(emb, queries, k=1).collect()
+    }
+    approx = similarity.ivf_topk(emb, queries, k=1, n_lists=8, n_probe=4)
+    got = {r.query_id: r.neighbor_id for r in approx.collect()}
+    assert set(got) == set(exact)  # every query answered
+    # with half the lists probed, most top-1 neighbors should be recovered
+    hits = sum(1 for q in exact if got.get(q) == exact[q])
+    assert hits >= len(exact) // 2, f"IVF recall too low: {hits}/{len(exact)}"
