@@ -49,8 +49,14 @@ class TableStore:
             return conform(df, table, allow_missing=True)
         return self.spark.read.parquet(self.path(table))
 
-    def _writer(self, df: DataFrame, table: str):
-        w = conform(df, table).write.format("parquet")
+    def _writer(self, df: DataFrame, table: str, sort_by: list[str] | None = None):
+        out = conform(df, table)
+        if sort_by:
+            # cluster rows inside each file so parquet min/max statistics
+            # prune on these columns (the plain-parquet cousin of Z-ORDER;
+            # reference tunes Iceberg file layout, iceberg_manager.py:65-77)
+            out = out.sortWithinPartitions(*sort_by)
+        w = out.write.format("parquet")
         parts = PARTITION_SPECS.get(table, [])
         if parts:
             w = w.partitionBy(*parts)
@@ -66,15 +72,17 @@ class TableStore:
             "overwrite"
         ).save(self.path(table))
 
-    def overwrite_partitions(self, df: DataFrame, table: str) -> None:
+    def overwrite_partitions(
+        self, df: DataFrame, table: str, sort_by: list[str] | None = None
+    ) -> None:
         """Replace only the partitions present in ``df`` (dynamic mode)."""
         if not PARTITION_SPECS.get(table):
             # unpartitioned table: partition-overwrite degenerates to overwrite
             self.overwrite(df, table)
             return
-        self._writer(df, table).option("partitionOverwriteMode", "dynamic").mode(
-            "overwrite"
-        ).save(self.path(table))
+        self._writer(df, table, sort_by).option(
+            "partitionOverwriteMode", "dynamic"
+        ).mode("overwrite").save(self.path(table))
 
 
 def compact(store: TableStore, table: str, target_partitions: int = 1) -> None:
