@@ -375,3 +375,98 @@ def transform_lap_analytics(laps_silver: DataFrame) -> DataFrame:
         "gap_to_leader_millis",
         "interval_to_ahead_millis",
     )
+
+
+def transform_constructor_championship(
+    race_results_silver: DataFrame,
+    sessions_silver: DataFrame,
+    drivers_silver: DataFrame,
+) -> DataFrame:
+    """Constructor (team) championship — the table the reference's helpers
+    point at but never build (window_functions.py:340-392 W13 constructor
+    window aggs; business_logic.py:459-483 team points, expressed there as a
+    groupBy + self-join — here the window form, SURVEY §4.3.5).
+
+    Team points per race via groupBy sum, then the same running-total /
+    rank / gap stack as the driver championship, keyed by team.
+    """
+    races = F.broadcast(_race_dim(sessions_silver))
+    drivers = F.broadcast(_current_drivers(drivers_silver))
+    per_team_race = (
+        race_results_silver.select(
+            "session_key",
+            "driver_number",
+            F.col("validated_points").cast("decimal(4,1)").alias("pts"),
+        )
+        .join(races, "session_key", "inner")
+        .join(drivers, "driver_number", "inner")
+        .groupBy("year", "race_date", "grand_prix_name", "round_number", "team_name")
+        .agg(F.sum("pts").cast("decimal(5,1)").alias("race_points"))
+    )
+    w_cum = (
+        Window.partitionBy("year", "team_name")
+        .orderBy("race_date", "round_number")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = per_team_race.withColumn(
+        "season_points_total", F.sum("race_points").over(w_cum).cast("decimal(7,1)")
+    )
+    w_rank = Window.partitionBy("year", "race_date").orderBy(
+        F.col("season_points_total").desc(), F.col("team_name").asc()
+    )
+    w_race = Window.partitionBy("year", "race_date")
+    return _with_audit(
+        cum.select(
+            "year",
+            "race_date",
+            "grand_prix_name",
+            "round_number",
+            "team_name",
+            "race_points",
+            "season_points_total",
+            F.rank().over(w_rank).cast("int").alias("championship_position"),
+            (F.max("season_points_total").over(w_race) - F.col("season_points_total"))
+            .cast("decimal(7,1)")
+            .alias("points_gap_to_leader"),
+        )
+    )
+
+
+def weekend_biggest_mover(
+    race_results_silver: DataFrame,
+    qualifying_results_silver: DataFrame,
+    sessions_silver: DataFrame,
+    drivers_silver: DataFrame,
+) -> DataFrame:
+    """Biggest mover per weekend (reference O2 top-1 probe,
+    business_logic.py:778-793, turned into a distributed per-group top-1):
+    the driver gaining the most places grid→finish, ties to the lower
+    driver number.
+    """
+    races = F.broadcast(_race_dim(sessions_silver))
+    drivers = F.broadcast(_current_drivers(drivers_silver))
+    keys = ["year", "grand_prix_name"]
+    grid = qualifying_results_silver.select(
+        *keys, "driver_number", F.col("position").alias("grid_position")
+    )
+    moved = (
+        race_results_silver.filter(F.col("position").isNotNull())
+        .select("session_key", "driver_number", F.col("position").alias("finish_position"))
+        .join(races.select("session_key", *keys), "session_key")
+        .join(grid, [*keys, "driver_number"], "inner")
+        .withColumn("positions_gained", F.col("grid_position") - F.col("finish_position"))
+    )
+    w = Window.partitionBy(*keys).orderBy(
+        F.col("positions_gained").desc(), F.col("driver_number").asc()
+    )
+    return (
+        moved.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .join(drivers, "driver_number", "inner")
+        .select(
+            *keys,
+            F.col("driver_number").alias("biggest_mover_driver_number"),
+            F.col("driver_name").alias("biggest_mover_driver"),
+            "positions_gained",
+        )
+    )

@@ -307,3 +307,110 @@ def test_lap_analytics(lakehouse):
     for _, g in pdf.groupby(["session_key", "driver_number"]):
         e = list(g.sort_values("lap_number")["elapsed_millis"])
         assert e == sorted(e)
+
+
+def test_constructor_championship(lakehouse):
+    from f1_datalakehouse_pipeline_spark.plans.gold import transform_constructor_championship
+
+    store = lakehouse["store"]
+    cc = transform_constructor_championship(
+        store.read("race_results_silver").filter(F.col("year") == fx.YEAR),
+        store.read("sessions_silver").filter(F.col("year") == fx.YEAR),
+        store.read("drivers_silver"),
+    ).toPandas()
+    # team totals = sum of its drivers' totals at final round
+    ct = lakehouse["store"].read("championship_tracker").filter(
+        F.col("year") == fx.YEAR
+    ).toPandas()
+    last = ct["round_number"].max()
+    driver_final = ct[ct["round_number"] == last]
+    team_from_drivers = (
+        driver_final.groupby("team_name")["season_points_total"]
+        .apply(lambda s: sum(map(float, s)))
+        .to_dict()
+    )
+    cc_final = cc[cc["round_number"] == last]
+    team_from_cc = {
+        r.team_name: float(r.season_points_total) for r in cc_final.itertuples()
+    }
+    # every team in both; totals can differ ONLY for the team-change driver's
+    # teams (driver points follow the driver's current team; constructor
+    # points accrue to the team that scored them per race)
+    moved = {fx.TEAMS_RAW[(fx.TEAM_CHANGE_DRIVER - 1) // 2],
+             fx.TEAMS_RAW[(fx.TEAM_CHANGE_DRIVER - 1) // 2 + 1]}
+    from f1_datalakehouse_pipeline_spark.functions.f1 import TEAM_NAME_MAP
+    moved = {TEAM_NAME_MAP.get(t.lower(), t) for t in moved}
+    for team, total in team_from_cc.items():
+        if team not in moved:
+            assert total == team_from_drivers.get(team, 0.0), team
+    # rank/gap invariants
+    for _, g in cc.groupby(["round_number"]):
+        lead = g[g["championship_position"] == 1]
+        assert (lead["points_gap_to_leader"].astype(float) == 0).all()
+
+
+def test_weekend_biggest_mover(lakehouse):
+    from f1_datalakehouse_pipeline_spark.plans.gold import weekend_biggest_mover
+
+    store = lakehouse["store"]
+    bm = weekend_biggest_mover(
+        store.read("race_results_silver").filter(F.col("year") == fx.YEAR),
+        store.read("qualifying_results_silver").filter(F.col("year") == fx.YEAR),
+        store.read("sessions_silver").filter(F.col("year") == fx.YEAR),
+        store.read("drivers_silver"),
+    )
+    rows = {r.grand_prix_name: r for r in bm.collect()}
+    assert len(rows) == fx.N_GP  # one mover per weekend
+    # cross-check one weekend by brute force
+    rs = store.read("driver_performance_summary_race").filter(
+        (F.col("grand_prix_name") == "bahrain") & (F.col("year") == fx.YEAR)
+        & F.col("positions_gained").isNotNull()
+    ).toPandas()
+    best = rs.sort_values(["positions_gained", "driver_number"], ascending=[False, True]).iloc[0]
+    assert rows["bahrain"].biggest_mover_driver_number == best["driver_number"]
+    assert rows["bahrain"].positions_gained == best["positions_gained"]
+
+
+def test_streaming_bronze_to_silver(lakehouse, spark, tmp_path):
+    """Structured Streaming ingest of bronze race results → race_results_silver
+    via foreachBatch reusing the SAME batch transform + idempotent partition
+    overwrite (streaming/incremental.py design: batch and streaming code
+    paths cannot drift)."""
+    from f1_datalakehouse_pipeline_spark.plans.silver import transform_race_results
+    from f1_datalakehouse_pipeline_spark.sources.tables import TableStore
+    from f1_datalakehouse_pipeline_spark.streaming.incremental import (
+        foreach_batch_upsert,
+    )
+
+    bronze = lakehouse["bronze"]
+    sessions = lakehouse["store"].read("sessions_silver").filter(F.col("year") == fx.YEAR)
+    stream_store = TableStore(spark, str(tmp_path / "stream_wh"))
+
+    # schema from a static read of the same partition layout
+    static = (
+        spark.read.option("basePath", f"{bronze}/session_result")
+        .parquet(f"{bronze}/session_result/year=*/grand_prix=*/session_type=race")
+    )
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("basePath", f"{bronze}/session_result")
+        .parquet(f"{bronze}/session_result/year=*/grand_prix=*/session_type=race")
+    )
+
+    def upsert(batch_df, batch_id):
+        out = transform_race_results(batch_df, sessions)
+        stream_store.overwrite_partitions(out, "race_results_silver")
+
+    q = foreach_batch_upsert(stream, upsert, str(tmp_path / "ckpt"))
+    q.awaitTermination(180)
+
+    got = sorted(
+        map(tuple, stream_store.read("race_results_silver")
+            .drop("created_timestamp", "updated_timestamp").collect())
+    )
+    want = sorted(
+        map(tuple, lakehouse["store"].read("race_results_silver")
+            .filter(F.col("year") == fx.YEAR)
+            .drop("created_timestamp", "updated_timestamp").collect())
+    )
+    assert got == want
