@@ -37,11 +37,20 @@ _DUCK_SHINGLES = (
     " i -> array_to_string(toks[i:i+2], ' ')))"
 )
 
+_SHINGLE_P = 2305843009213693951  # 2^61 - 1, functions/text.MINHASH_P
+_DUCK_TOKEN_HASHES = (
+    "list_transform({toks}, tk -> ('0x' || substr(md5(tk), 1, 12))::BIGINT)"
+)
 _DUCK_SHINGLE_TABLE = f"""
     tokd AS (SELECT doc_id, {_DUCK_TOKS.format(x='text')} AS toks FROM documents),
+    thash AS (SELECT doc_id, {_DUCK_TOKEN_HASHES.format(toks='toks')} AS hs FROM tokd),
     sh AS (
-      SELECT DISTINCT doc_id AS doc, {_DUCK_HASH.format(x='s')} AS h
-      FROM (SELECT doc_id, unnest({_DUCK_SHINGLES}) AS s FROM tokd)
+      SELECT DISTINCT doc_id AS doc, h FROM (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, greatest(len(hs) - 2, 1)),
+                      i -> ((12289 * hs[i] + 23 * hs[i+1] + hs[i+2]) % {_SHINGLE_P}) % {1 << 48})) AS h
+        FROM thash
+      ) WHERE h IS NOT NULL
     ),
     sizes AS (SELECT doc, COUNT(*) AS n FROM sh GROUP BY doc),
     inter AS (
