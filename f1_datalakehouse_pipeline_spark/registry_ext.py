@@ -32,11 +32,6 @@ from f1_datalakehouse_pipeline_spark.operators import dedup, similarity
 
 _DUCK_HASH = "('0x' || substr(md5({x}), 1, 12))::BIGINT"
 _DUCK_TOKS = "list_filter(string_split_regex(trim({x}), '\\s+'), t -> t != '')"
-_DUCK_SHINGLES = (
-    "list_distinct(list_transform(generate_series(1, greatest(len(toks) - 2, 1)),"
-    " i -> array_to_string(toks[i:i+2], ' ')))"
-)
-
 _SHINGLE_P = 2305843009213693951  # 2^61 - 1, functions/text.MINHASH_P
 _DUCK_TOKEN_HASHES = (
     "list_transform({toks}, tk -> ('0x' || substr(md5(tk), 1, 12))::BIGINT)"
