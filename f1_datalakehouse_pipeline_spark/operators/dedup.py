@@ -31,7 +31,6 @@ from f1_datalakehouse_pipeline_spark.functions.text import (
     minhash_term,
     portable_hash48,
     tokens,
-    word_shingles,
 )
 
 

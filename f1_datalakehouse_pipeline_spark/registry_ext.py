@@ -84,7 +84,19 @@ _DUCK_SHINGLE_TABLE = f"""
                 THEN CAST(len(list_filter(list_transform(toks, t -> lower(t)),
                                           t -> list_contains(['the','a','of','and','to'], t))) AS DOUBLE)
                      / len(toks)
-                ELSE 0.0 END AS stopword_ratio
+                ELSE 0.0 END AS stopword_ratio,
+           ((CASE WHEN len(toks) BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END)
+            + (CASE WHEN (CASE WHEN length(text) > 0
+                     THEN CAST(len(regexp_extract_all(text, '[.,;:!?''"()\[\]{{}}-]')) AS DOUBLE) / length(text)
+                     ELSE 0.0 END) < 0.3 THEN 1.0 ELSE 0.0 END)
+            + (CASE WHEN (CASE WHEN len(toks) > 0
+                     THEN CAST(len(list_filter(list_transform(toks, t -> lower(t)),
+                                               t -> list_contains(['the','a','of','and','to'], t))) AS DOUBLE) / len(toks)
+                     ELSE 0.0 END) > 0.0
+                    AND (CASE WHEN len(toks) > 0
+                     THEN CAST(len(list_filter(list_transform(toks, t -> lower(t)),
+                                               t -> list_contains(['the','a','of','and','to'], t))) AS DOUBLE) / len(toks)
+                     ELSE 0.0 END) < 0.8 THEN 1.0 ELSE 0.0 END)) / 3.0 AS quality
     FROM t
     """,
 )
@@ -98,6 +110,7 @@ def t_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         bpe_ish_token_count(F.col("text")).cast("int").alias("n_bpe_ish"),
         punct_ratio(F.col("text")).alias("punct_ratio"),
         stopword_ratio(F.col("text"), ("the", "a", "of", "and", "to")).alias("stopword_ratio"),
+        quality_score(F.col("text")).alias("quality"),
     )
 
 
