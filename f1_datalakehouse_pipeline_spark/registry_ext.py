@@ -87,7 +87,7 @@ _DUCK_SHINGLE_TABLE = f"""
                 ELSE 0.0 END AS stopword_ratio,
            ((CASE WHEN len(toks) BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END)
             + (CASE WHEN (CASE WHEN length(text) > 0
-                     THEN CAST(len(regexp_extract_all(text, '[.,;:!?''"()\[\]{{}}-]')) AS DOUBLE) / length(text)
+                     THEN CAST(len(regexp_extract_all(text, '[.,;:!?''"()\\[\\]{{}}-]')) AS DOUBLE) / length(text)
                      ELSE 0.0 END) < 0.3 THEN 1.0 ELSE 0.0 END)
             + (CASE WHEN (CASE WHEN len(toks) > 0
                      THEN CAST(len(list_filter(list_transform(toks, t -> lower(t)),
