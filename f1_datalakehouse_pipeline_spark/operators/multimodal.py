@@ -130,3 +130,44 @@ def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
             yield out
 
     return media.mapInPandas(resize_batches, schema=MEDIA_SCHEMA)
+
+
+def frame_sample_stub(media: DataFrame, every_nth: int = 10, max_frames: int = 8) -> DataFrame:
+    """Frame-sampling plumbing for video payloads: one output row per sampled
+    frame, exploded inside the Arrow batch loop (a real impl would demux with
+    ffmpeg per batch; the stub derives deterministic frame ids/hashes from
+    the payload hash via fake_decoder's n_frames).
+
+    Partition-parallel fan-out: a 1000-frame video yields ≤ max_frames rows,
+    so output size is bounded per input row regardless of media length.
+    """
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("frame_index", IntegerType(), False),
+            StructField("frame_hash", StringType(), True),
+        ]
+    )
+
+    def sample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, payload, modality in zip(
+                pdf["media_id"], pdf["payload"], pdf["modality"]
+            ):
+                feats = fake_decoder(payload, modality)
+                n = feats["n_frames"] or 0
+                picked = list(range(0, n, every_nth))[:max_frames]
+                for idx in picked:
+                    rows.append(
+                        {
+                            "media_id": media_id,
+                            "frame_index": idx,
+                            "frame_hash": hashlib.md5(
+                                (feats["feature_hash"] or "").encode() + str(idx).encode()
+                            ).hexdigest(),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=["media_id", "frame_index", "frame_hash"])
+
+    return media.mapInPandas(sample_batches, schema=out_schema)

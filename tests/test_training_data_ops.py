@@ -327,3 +327,22 @@ def test_ivf_topk_recall(spark, sf_dir):
     # with half the lists probed, most top-1 neighbors should be recovered
     hits = sum(1 for q in exact if got.get(q) == exact[q])
     assert hits >= len(exact) // 2, f"IVF recall too low: {hits}/{len(exact)}"
+
+
+def test_frame_sample_stub(spark):
+    rows = [(i, bytes([i] * 32)) for i in range(1, 4)]
+    raw = spark.createDataFrame(rows, ["id", "payload"])
+    media = multimodal.attach_metadata(raw, "id", "payload", "video")
+    frames = multimodal.frame_sample_stub(media, every_nth=100, max_frames=4)
+    got = frames.collect()
+    by_media = {}
+    for r in got:
+        by_media.setdefault(r.media_id, []).append(r)
+    assert set(by_media) == {1, 2, 3}
+    for media_id, rs in by_media.items():
+        assert 1 <= len(rs) <= 4
+        assert all(r.frame_index % 100 == 0 for r in rs)
+        assert len({r.frame_hash for r in rs}) == len(rs)  # distinct per frame
+    # deterministic across runs
+    again = sorted(map(tuple, multimodal.frame_sample_stub(media, 100, 4).collect()))
+    assert sorted(map(tuple, got)) == again
