@@ -88,4 +88,5 @@ def test_query_matches_oracle(name, spark, sf_dir, oracle_con):
 def test_approx_distinct_close_to_exact(spark, sf_dir):
     out = registry.queries()["a10_approx_distinct"](spark, sf_dir).collect()
     for r in out:
-        assert abs(r.approx_customers - r.exact_customers) <= max(3, 0.1 * r.exact_customers)
+        assert r.exact_customers > 0
+        assert r.within_2pct_of_exact is True
