@@ -205,13 +205,12 @@ def _incremental_drivers_merge(
     from f1_datalakehouse_pipeline_spark.schemas import conform
 
     merged = conform(_with_audit(merged), "drivers_silver")
-    # The merge reads the same table it overwrites — materialize first (the
-    # dimension is ~30 rows; at larger dim scale this would be a staged write
-    # to a temp path + atomic rename, or a Delta MERGE when available).
-    merged_pdf = merged.toPandas()
-    merged_df = spark.createDataFrame(merged_pdf, schema=merged.schema)
-    store.overwrite(merged_df, "drivers_silver")
-    report.row_counts["drivers_silver"] = len(merged_pdf)
+    # The merge reads the same table it overwrites; the transactional
+    # overwrite writes the merged dimension into a FRESH version dir while the
+    # scan keeps reading the live one, then atomically swaps — fully
+    # distributed, no driver-side materialization, any dimension size.
+    store.overwrite(merged, "drivers_silver")
+    report.row_counts["drivers_silver"] = store.read("drivers_silver").count()
 
 
 def validate_silver(store: TableStore) -> list:

@@ -1,30 +1,55 @@
-"""Managed-table store: partitioned Parquet directories with atomic-enough
+"""Managed-table store: partitioned Parquet directories with transactional
 write modes replacing the reference's Iceberg sinks (SURVEY §2.1 S6-S11).
 
 Write-mode parity:
 - append            ≙ writeTo().append()            (common.py:389-391)
 - overwrite         ≙ writeTo().overwrite()         (common.py:367-369)
+  — transactional: the new table contents are written to a fresh versioned
+  directory and published by an ATOMIC symlink swap (os.replace), matching
+  the Iceberg commit guarantee (iceberg_manager.py:190-313) that a failed
+  write never corrupts the live table: readers see the old version until the
+  single rename, and a crash mid-write leaves only an orphan staging dir.
 - overwrite_partitions ≙ writeTo().overwritePartitions() (common.py:371-387)
   — implemented with Spark's dynamic partitionOverwriteMode, which replaces
   exactly the partitions present in the incoming DataFrame: the incremental
   one-GP rerun is therefore idempotent by construction (SURVEY §7.4.6).
+  Atomicity here is per-partition-directory (Hive semantics), not
+  whole-commit.
+
+Because a full overwrite lands in a NEW version directory, read-then-
+overwrite-same-table plans (the SCD2 incremental merge) are safe without any
+driver-side materialization: the scan keeps reading the old version while the
+write builds the new one.
 
 Scale notes: partition columns are the physical layout (year / grand_prix_name
 ≙ date / tenant at 100 TB); Catalyst prunes reads from filters on them, and a
-dynamic overwrite only rewrites the affected leaf directories.
+dynamic overwrite only rewrites the affected leaf directories. The version
+swap is a constant-time metadata operation regardless of table size.
 """
 
 from __future__ import annotations
 
 import os
+import shutil
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
 from f1_datalakehouse_pipeline_spark.schemas import ALL_SCHEMAS, PARTITION_SPECS, conform
 
+# versions kept per table after a transactional overwrite: the current one
+# plus this many predecessors (lazily-evaluated DataFrames created against an
+# older version keep working for one generation; Iceberg snapshots ≙ same idea)
+_KEEP_VERSIONS = 1
+
 
 class TableStore:
-    """A warehouse directory holding one partitioned-parquet dir per table."""
+    """A warehouse directory holding one partitioned-parquet dir per table.
+
+    The live path ``<root>/<table>`` is either a plain directory (legacy /
+    append-created layout) or a symlink to ``<root>/.versions/<table>/<id>``
+    after the first transactional overwrite.
+    """
 
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
@@ -35,6 +60,46 @@ class TableStore:
 
     def exists(self, table: str) -> bool:
         return os.path.isdir(self.path(table))
+
+    def _version_root(self, table: str) -> str:
+        return os.path.join(self.root, ".versions", table)
+
+    def _publish(self, table: str, version_dir: str) -> None:
+        """Atomically point ``<root>/<table>`` at ``version_dir``.
+
+        POSIX ``rename(2)`` over an existing symlink is atomic: any
+        concurrent reader resolves either the old or the new target, never a
+        partial state. The only non-atomic case is the one-time migration of
+        a legacy real directory, which is moved aside first.
+        """
+        live = self.path(table)
+        if os.path.isdir(live) and not os.path.islink(live):
+            # one-time migration: preserve the old contents as a version
+            legacy = os.path.join(self._version_root(table), f"legacy-{uuid.uuid4().hex[:8]}")
+            os.makedirs(os.path.dirname(legacy), exist_ok=True)
+            os.rename(live, legacy)
+        tmp_link = os.path.join(self.root, f".{table}.link.{uuid.uuid4().hex[:8]}")
+        os.symlink(version_dir, tmp_link)
+        os.replace(tmp_link, live)  # the commit point
+        self._gc_versions(table, keep_target=os.path.realpath(version_dir))
+
+    def _gc_versions(self, table: str, keep_target: str) -> None:
+        """Best-effort prune of superseded version dirs (keep current +
+        ``_KEEP_VERSIONS`` most recent others, by mtime)."""
+        vroot = self._version_root(table)
+        if not os.path.isdir(vroot):
+            return
+        try:
+            others = [
+                os.path.join(vroot, d)
+                for d in os.listdir(vroot)
+                if os.path.realpath(os.path.join(vroot, d)) != keep_target
+            ]
+            others.sort(key=os.path.getmtime, reverse=True)
+        except OSError:
+            return
+        for stale in others[_KEEP_VERSIONS:]:
+            shutil.rmtree(stale, ignore_errors=True)
 
     def read(self, table: str, conformed: bool = False) -> DataFrame:
         """Read a managed table; ``conformed=True`` merges file schemas and
@@ -66,11 +131,21 @@ class TableStore:
         self._writer(df, table).mode("append").save(self.path(table))
 
     def overwrite(self, df: DataFrame, table: str) -> None:
+        """Transactional full overwrite: write → (implicit) validate → atomic
+        swap. If the write job fails, no swap happens and the live table is
+        untouched; the half-written staging dir is orphaned under .versions
+        and reaped by the next successful overwrite's GC."""
+        version_dir = os.path.join(
+            self._version_root(table), f"v-{uuid.uuid4().hex[:12]}"
+        )
+        os.makedirs(os.path.dirname(version_dir), exist_ok=True)
         # Full overwrite must be static even when the session default is
-        # dynamic, otherwise stale partitions survive.
+        # dynamic, otherwise stale partitions would survive inside the fresh
+        # version dir.
         self._writer(df, table).option("partitionOverwriteMode", "static").mode(
             "overwrite"
-        ).save(self.path(table))
+        ).save(version_dir)
+        self._publish(table, version_dir)
 
     def overwrite_partitions(
         self, df: DataFrame, table: str, sort_by: list[str] | None = None
@@ -90,18 +165,12 @@ def compact(store: TableStore, table: str, target_partitions: int = 1) -> None:
     files per partition directory (reference tunes Iceberg target file sizes,
     iceberg_manager.py:65-77; on plain parquet, compaction is a rewrite).
 
-    Uses a staged read→coalesced overwrite; at 100 TB this runs per-partition
-    (the dynamic overwrite only rewrites partitions present in the batch), so
-    compaction of one day/GP never touches the rest of the table.
+    The transactional overwrite writes the coalesced copy into a fresh
+    version dir while the scan keeps reading the live version, then publishes
+    with one atomic rename — no intermediate staging copy needed. At 100 TB
+    this runs per-partition (a dynamic overwrite only rewrites partitions
+    present in the batch), so compaction of one day/GP never touches the rest
+    of the table.
     """
     df = store.read(table)
-    pdf = df.coalesce(max(1, target_partitions))
-    # materialize to a temp dir first: the overwrite would otherwise delete
-    # its own input files mid-scan
-    import tempfile
-
-    with tempfile.TemporaryDirectory(dir=store.root) as tmp:
-        staging = f"{tmp}/stage"
-        pdf.write.parquet(staging)
-        staged = store.spark.read.parquet(staging)
-        store.overwrite(staged, table)
+    store.overwrite(df.coalesce(max(1, target_partitions)), table)

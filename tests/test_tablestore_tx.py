@@ -1,0 +1,92 @@
+"""Transactional-write semantics of TableStore (SURVEY §2.1 S8; reference
+Iceberg commit guarantees at iceberg_manager.py:190-313): a full overwrite is
+write-to-fresh-version + atomic symlink swap, so a failed write never
+corrupts the live table and read-then-overwrite-same-table plans need no
+driver-side materialization."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from f1_datalakehouse_pipeline_spark.schemas import conform
+from f1_datalakehouse_pipeline_spark.sources.tables import TableStore
+
+
+def _sessions(spark, n, gp="monaco"):
+    return conform(
+        spark.range(n).select(
+            F.col("id").cast("long").alias("session_key"),
+            F.lit(2025).alias("year"),
+            F.lit(gp).alias("grand_prix_name"),
+            F.lit("race").alias("session_type"),
+            F.lit("GP").alias("meeting_name"),
+            F.lit(None).cast("long").alias("meeting_key"),
+            F.lit("2025-03-01 14:00:00").cast("timestamp").alias("date_start"),
+            F.lit("2025-03-01 16:00:00").cast("timestamp").alias("date_end"),
+            F.lit(False).alias("is_sprint_weekend"),
+        ),
+        "sessions_silver",
+        allow_missing=True,
+    )
+
+
+def test_overwrite_publishes_via_symlink_and_gcs_versions(spark, tmp_path):
+    store = TableStore(spark, str(tmp_path / "wh"))
+    for i, n in enumerate([10, 20, 30, 40]):
+        store.overwrite(_sessions(spark, n), "sessions_silver")
+        assert store.read("sessions_silver").count() == n
+    live = store.path("sessions_silver")
+    assert os.path.islink(live)
+    vroot = os.path.join(store.root, ".versions", "sessions_silver")
+    # current + at most 1 kept predecessor survive GC
+    assert len(os.listdir(vroot)) <= 2
+
+
+def test_failed_overwrite_leaves_old_table_readable(spark, tmp_path):
+    store = TableStore(spark, str(tmp_path / "wh"))
+    store.overwrite(_sessions(spark, 10, gp="monaco"), "sessions_silver")
+
+    @F.udf("string")
+    def boom(x):
+        raise ValueError("mid-write failure")
+
+    bad = _sessions(spark, 5, gp="miami").withColumn("meeting_name", boom("meeting_name"))
+    with pytest.raises(Exception, match="mid-write failure"):
+        store.overwrite(bad, "sessions_silver")
+
+    # the live table is intact: same rows, same partition values
+    out = store.read("sessions_silver")
+    assert out.count() == 10
+    assert out.select("grand_prix_name").distinct().collect()[0][0] == "monaco"
+
+    # and the store recovers: the next good overwrite commits normally
+    store.overwrite(_sessions(spark, 7, gp="miami"), "sessions_silver")
+    assert store.read("sessions_silver").count() == 7
+
+
+def test_read_then_overwrite_same_table_is_safe(spark, tmp_path):
+    """The SCD2 incremental-merge shape: the overwrite's input scans the very
+    table being overwritten. The versioned write keeps reading the old files
+    while building the new version — no toPandas/checkpoint needed."""
+    store = TableStore(spark, str(tmp_path / "wh"))
+    store.overwrite(_sessions(spark, 12), "sessions_silver")
+    current = store.read("sessions_silver")
+    doubled = current.unionByName(
+        current.withColumn("session_key", F.col("session_key") + 1000)
+    )
+    store.overwrite(doubled, "sessions_silver")
+    assert store.read("sessions_silver").count() == 24
+
+
+def test_legacy_plain_dir_migrates_on_first_overwrite(spark, tmp_path):
+    store = TableStore(spark, str(tmp_path / "wh"))
+    # append creates the legacy real-directory layout
+    store.append(_sessions(spark, 5), "sessions_silver")
+    assert not os.path.islink(store.path("sessions_silver"))
+    store.overwrite(_sessions(spark, 8), "sessions_silver")
+    assert os.path.islink(store.path("sessions_silver"))
+    assert store.read("sessions_silver").count() == 8
+    # appends keep working through the symlink
+    store.append(_sessions(spark, 3, gp="miami"), "sessions_silver")
+    assert store.read("sessions_silver").count() == 11
