@@ -23,8 +23,12 @@ stage is exactly reproducible in the DuckDB oracle.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+log = logging.getLogger(__name__)
 
 from f1_datalakehouse_pipeline_spark.functions.text import (
     MINHASH_A,
@@ -267,11 +271,14 @@ def connected_keepers(pairs: DataFrame, max_iterations: int = 10) -> DataFrame:
     """Resolve near-dup pairs into clusters: (doc, keeper) with keeper =
     min doc id reachable through the pair graph.
 
-    Iterative min-label propagation (the standard Spark transitive-closure
-    loop): each round joins current labels across edges and keeps the min;
-    stops when no label changes. Rounds needed = graph diameter — near-dup
-    clusters are shallow (usually ≤3), so this is 2-4 shuffles total, each
-    keyed on doc id. No driver-side graph state beyond the loop counter.
+    Iterative min-label propagation PLUS pointer jumping: each round (a)
+    takes the min label across edges, then (b) jumps every label to its
+    keeper's keeper. The jump halves the remaining chain depth per round, so
+    convergence needs O(log diameter) rounds — max_iterations=10 covers
+    chains ~2^10 hops deep, far beyond any real near-dup cluster. Each round
+    is two keyed shuffles on doc id; no driver-side graph state beyond the
+    loop counter. If the loop still exits unconverged (pathological graph), a
+    warning is logged: apply_dedup would then under-drop duplicates.
     """
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
@@ -283,17 +290,32 @@ def connected_keepers(pairs: DataFrame, max_iterations: int = 10) -> DataFrame:
         .distinct()
         .withColumn("keeper", F.col("doc"))
     )
+    converged = False
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels.withColumnRenamed("doc", "dst2"), edges.dst == F.col("dst2"))
             .groupBy("src")
             .agg(F.min("keeper").alias("n_keeper"))
         )
-        updated = (
+        propagated = (
             labels.join(neighbor_min, labels.doc == neighbor_min.src, "left")
             .select(
                 "doc",
                 F.least(F.col("keeper"), F.coalesce(F.col("n_keeper"), F.col("keeper"))).alias("keeper"),
+            )
+        )
+        # pointer jumping: doc -> keeper(keeper(doc)); this is what turns the
+        # linear-diameter walk into a logarithmic one
+        parent = propagated.select(
+            F.col("doc").alias("p_doc"), F.col("keeper").alias("p_keeper")
+        )
+        updated = (
+            propagated.join(parent, propagated.keeper == parent.p_doc, "left")
+            .select(
+                "doc",
+                F.least(
+                    F.col("keeper"), F.coalesce(F.col("p_keeper"), F.col("keeper"))
+                ).alias("keeper"),
             )
         )
         changed = (
@@ -305,7 +327,15 @@ def connected_keepers(pairs: DataFrame, max_iterations: int = 10) -> DataFrame:
         )
         labels = updated.localCheckpoint(eager=True)  # truncate lineage per round
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        log.warning(
+            "connected_keepers did not converge in %d rounds; clusters deeper "
+            "than ~2^%d hops may have multiple keepers (under-deduplication)",
+            max_iterations,
+            max_iterations,
+        )
     return labels
 
 

@@ -93,7 +93,13 @@ def scd2_merge_incremental(
     - new entities get a new open row;
     - re-running with the same batch yields the same output (idempotent),
       because "changed" is computed by comparing attribute values, not by
-      the presence of an update row.
+      the presence of an update row;
+    - a late-arriving (backdated) update whose effective timestamp precedes
+      the open row's ``valid_from`` is clamped to ``valid_from`` —
+      ``greatest(valid_from, effective)`` — so the close/open boundary never
+      violates the ``valid_to >= valid_from`` contiguity invariant. True
+      bitemporal history-rewrite is out of scope (matches the reference,
+      which also applies updates only forward).
 
     Expects ``current_dim`` columns: entity, attrs..., valid_from, valid_to,
     is_current. Returns the same shape.
@@ -119,22 +125,29 @@ def scd2_merge_incremental(
 
     dim_cols = [c for c in current_dim.columns]
 
+    # effective time clamped so a backdated update can't close an open row
+    # before it opened (valid_to < valid_from); brand-new entities keep the
+    # raw effective time (their valid_from is NULL in the outer join)
+    eff_clamped = F.when(is_new, F.col("__eff")).otherwise(
+        F.greatest(F.col("__eff"), F.col("valid_from"))
+    )
+
     # 1. open rows with no (or no-op) update: pass through
     unchanged = joined.filter(~changed & ~is_new).select(*dim_cols)
-    # 2. changed entities: close the old row at the update's effective time
+    # 2. changed entities: close the old row at the (clamped) effective time
     closed_now = (
         joined.filter(changed)
-        .withColumn("valid_to", F.col("__eff"))
+        .withColumn("valid_to", eff_clamped)
         .withColumn("is_current", F.lit(False))
         .select(*dim_cols)
     )
-    # 3. changed or brand-new entities: open a fresh row
+    # 3. changed or brand-new entities: open a fresh row at the same boundary
     opened = (
         joined.filter(changed | (is_new & has_update))
         .select(
             F.col(entity_col),
             *[F.col(f"__u_{c}").alias(c) for c in attr_cols],
-            F.col("__eff").alias("valid_from"),
+            eff_clamped.alias("valid_from"),
             F.lit(None).cast(current_dim.schema["valid_to"].dataType).alias("valid_to"),
             F.lit(True).alias("is_current"),
         )

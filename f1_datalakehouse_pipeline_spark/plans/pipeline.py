@@ -23,6 +23,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
+from f1_datalakehouse_pipeline_spark.functions.names import normalize_grand_prix_name
 from f1_datalakehouse_pipeline_spark.operators.scd2 import scd2_merge_incremental
 from f1_datalakehouse_pipeline_spark.plans import gold, silver
 from f1_datalakehouse_pipeline_spark.sources.bronze import read_bronze
@@ -101,7 +102,18 @@ def run_bronze_to_silver(
     report.results["sessions_silver"] = "ok"
     sessions_silver = store.read("sessions_silver").filter(F.col("year") == year)
     if gp:
-        sessions_for_batch = sessions_silver.filter(F.col("grand_prix_name") == gp)
+        # The bronze partition slug and silver's grand_prix_name normalize
+        # differently for punctuated GPs ('Magny-Cours' slug vs 'magny_cours'
+        # silver name) — compare through the SAME normalizer silver used, and
+        # fail loudly rather than silently no-op on an empty scope.
+        sessions_for_batch = sessions_silver.filter(
+            F.col("grand_prix_name") == normalize_grand_prix_name(F.lit(gp))
+        )
+        if sessions_for_batch.limit(1).count() == 0:
+            raise ValueError(
+                f"INCREMENTAL scope matched no silver sessions for "
+                f"year={year} grand_prix={gp!r} — check the GP slug"
+            )
     else:
         sessions_for_batch = sessions_silver
 
@@ -248,7 +260,13 @@ def run_silver_to_gold(
     race_results = store.read("race_results_silver").filter(F.col("year") == year)
     quali_results = store.read("qualifying_results_silver").filter(F.col("year") == year)
 
-    gp_scope = F.col("grand_prix_name") == grand_prix if (mode == INCREMENTAL and grand_prix) else None
+    # normalize the caller's GP value the same way silver names were built
+    # (an externally-supplied slug like 'Magny-Cours' must still scope rows)
+    gp_scope = (
+        F.col("grand_prix_name") == normalize_grand_prix_name(F.lit(grand_prix))
+        if (mode == INCREMENTAL and grand_prix)
+        else None
+    )
 
     batch: list[tuple[str, DataFrame, bool]] = [
         # championship is ALWAYS season-wide (cumulative totals)

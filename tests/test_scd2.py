@@ -97,3 +97,29 @@ def test_scd2_merge_incremental_idempotent(spark):
     a = sorted(map(tuple, merged.collect()))
     b = sorted(map(tuple, merged2.collect()))
     assert a == b
+
+
+def test_scd2_merge_backdated_update_clamps_to_valid_from(spark):
+    """A late-arriving update older than the open row's valid_from must not
+    produce valid_to < valid_from; the boundary clamps to valid_from and the
+    contiguity invariant holds."""
+    dim = scd2_from_observations(
+        _obs(spark), entity_col="driver", attr_col="team",
+        order_cols=["obs_date", "seq"], time_col="obs_date",
+    ).select("driver", F.col("attr").alias("team"), "valid_from", "valid_to", "is_current")
+
+    # driver 2's open stint started 2025-01-01; the update is backdated
+    updates = spark.createDataFrame([(2, "Z", "2024-06-15")], ["driver", "team", "eff"])
+    merged = scd2_merge_incremental(
+        dim, updates, entity_col="driver", attr_cols=["team"], effective_col="eff"
+    ).cache()
+
+    rows = sorted(
+        [r for r in merged.collect() if r.driver == 2], key=lambda r: (r.valid_from, r.is_current)
+    )
+    closed, opened = rows
+    assert closed.valid_to == closed.valid_from == "2025-01-01"  # clamped, not 2024-06-15
+    assert opened.valid_from == "2025-01-01" and opened.team == "Z" and opened.is_current
+    # invariant: no row anywhere with valid_to < valid_from
+    bad = merged.filter(F.col("valid_to") < F.col("valid_from")).count()
+    assert bad == 0

@@ -346,3 +346,13 @@ def test_frame_sample_stub(spark):
     # deterministic across runs
     again = sorted(map(tuple, multimodal.frame_sample_stub(media, 100, 4).collect()))
     assert sorted(map(tuple, got)) == again
+
+
+def test_connected_keepers_long_chain_pointer_jumping(spark):
+    """A 40-hop path graph converges well inside max_iterations=10: pointer
+    jumping gives O(log diameter) rounds, not O(diameter)."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], ["doc_a", "doc_b"]
+    )
+    labels = {r.doc: r.keeper for r in dedup.connected_keepers(pairs).collect()}
+    assert len(labels) == 41 and set(labels.values()) == {0}
