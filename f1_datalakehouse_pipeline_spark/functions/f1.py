@@ -149,6 +149,41 @@ def format_millis(ms: Column) -> Column:
     )
 
 
+def time_string_to_millis(col: Column) -> Column:
+    """Time-string → BIGINT millis (common.py:145-206 ``calculate_time_millis``),
+    as a pure regexp/arithmetic expression (stays in codegen, no UDF).
+
+    Formats: 'H:MM:SS.mmm', 'M:SS.mmm', 'SS.mmm', plain integer seconds;
+    anything else → NULL. Reference quirks preserved exactly: the fractional
+    part is parsed as an INTEGER MILLIS COUNT, not a decimal fraction
+    ('1:23.4' → 4 ms, '1:23.456789' → 456789 ms). Deviation: exotic float
+    forms the reference's ``float()`` would accept ('1e3') parse as NULL here.
+    """
+    s = F.trim(col.cast("string"))
+    hms = r"^(\d+):(\d+):(\d+)(?:\.(\d+))?$"
+    mmss = r"^(\d+):(\d+)(?:\.(\d+))?$"
+    ssmmm = r"^(\d+)\.(\d+)$"
+    plain = r"^\d+$"
+
+    def _g(pattern: str, idx: int) -> Column:
+        return F.regexp_extract(s, pattern, idx).cast("long")
+
+    def _frac(pattern: str, idx: int) -> Column:
+        # optional fractional group: '' (no match) casts to NULL → 0
+        return F.coalesce(F.regexp_extract(s, pattern, idx).cast("long"), F.lit(0))
+
+    return (
+        F.when(
+            s.rlike(hms),
+            _g(hms, 1) * 3600000 + _g(hms, 2) * 60000 + _g(hms, 3) * 1000 + _frac(hms, 4),
+        )
+        .when(s.rlike(mmss), _g(mmss, 1) * 60000 + _g(mmss, 2) * 1000 + _frac(mmss, 3))
+        .when(s.rlike(ssmmm), _g(ssmmm, 1) * 1000 + _g(ssmmm, 2))
+        .when(s.rlike(plain), s.cast("long") * 1000)
+        .otherwise(F.lit(None).cast("long"))
+    )
+
+
 def format_lap_time(ms: Column) -> Column:
     """millis → 'M:SS.mmm' (laps_transform.py:187-204)."""
     m = (ms / F.lit(60000)).cast("long")

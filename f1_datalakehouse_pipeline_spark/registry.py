@@ -917,6 +917,65 @@ def f_time_format(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "f_time_parse",
+    r"""
+    WITH src AS (
+      SELECT o_orderkey,
+        CASE o_orderkey % 5
+          WHEN 0 THEN printf('%d:%02d:%02d.%03d', o_orderkey % 3 + 1, o_orderkey % 60, o_orderkey % 60, o_orderkey % 1000)
+          WHEN 1 THEN printf('%d:%02d.%03d', o_orderkey % 10, o_orderkey % 60, o_orderkey % 1000)
+          WHEN 2 THEN printf('%d.%03d', o_orderkey % 90, o_orderkey % 1000)
+          WHEN 3 THEN printf('%d', o_orderkey % 120)
+          ELSE 'x' || CAST(o_orderkey AS VARCHAR)
+        END AS time_str
+      FROM orders
+    )
+    SELECT o_orderkey, time_str,
+      CASE
+        WHEN regexp_matches(time_str, '^(\d+):(\d+):(\d+)(?:\.(\d+))?$') THEN
+          TRY_CAST(regexp_extract(time_str, '^(\d+):(\d+):(\d+)(?:\.(\d+))?$', 1) AS BIGINT) * 3600000
+          + TRY_CAST(regexp_extract(time_str, '^(\d+):(\d+):(\d+)(?:\.(\d+))?$', 2) AS BIGINT) * 60000
+          + TRY_CAST(regexp_extract(time_str, '^(\d+):(\d+):(\d+)(?:\.(\d+))?$', 3) AS BIGINT) * 1000
+          + COALESCE(TRY_CAST(regexp_extract(time_str, '^(\d+):(\d+):(\d+)(?:\.(\d+))?$', 4) AS BIGINT), 0)
+        WHEN regexp_matches(time_str, '^(\d+):(\d+)(?:\.(\d+))?$') THEN
+          TRY_CAST(regexp_extract(time_str, '^(\d+):(\d+)(?:\.(\d+))?$', 1) AS BIGINT) * 60000
+          + TRY_CAST(regexp_extract(time_str, '^(\d+):(\d+)(?:\.(\d+))?$', 2) AS BIGINT) * 1000
+          + COALESCE(TRY_CAST(regexp_extract(time_str, '^(\d+):(\d+)(?:\.(\d+))?$', 3) AS BIGINT), 0)
+        WHEN regexp_matches(time_str, '^(\d+)\.(\d+)$') THEN
+          TRY_CAST(regexp_extract(time_str, '^(\d+)\.(\d+)$', 1) AS BIGINT) * 1000
+          + TRY_CAST(regexp_extract(time_str, '^(\d+)\.(\d+)$', 2) AS BIGINT)
+        WHEN regexp_matches(time_str, '^\d+$') THEN TRY_CAST(time_str AS BIGINT) * 1000
+        ELSE NULL
+      END AS millis
+    FROM src
+    """,
+)
+def f_time_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Reference §2.8: calculate_time_millis (common.py:145-206) — the
+    # time-string → millis parser, re-expressed as native regexp arithmetic
+    # (functions/f1.py:time_string_to_millis). The query synthesizes all four
+    # accepted formats plus garbage from o_orderkey; the DuckDB oracle parses
+    # the SAME strings with an independent SQL implementation, so the two
+    # parsers are checked against each other value-by-value.
+    from f1_datalakehouse_pipeline_spark.functions.f1 import time_string_to_millis
+
+    o = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    time_str = (
+        F.when(k % 5 == 0, F.format_string("%d:%02d:%02d.%03d", k % 3 + 1, k % 60, k % 60, k % 1000))
+        .when(k % 5 == 1, F.format_string("%d:%02d.%03d", k % 10, k % 60, k % 1000))
+        .when(k % 5 == 2, F.format_string("%d.%03d", k % 90, k % 1000))
+        .when(k % 5 == 3, F.format_string("%d", k % 120))
+        .otherwise(F.concat(F.lit("x"), k.cast("string")))
+    )
+    return o.select(
+        "o_orderkey",
+        time_str.alias("time_str"),
+        time_string_to_millis(time_str).alias("millis"),
+    )
+
+
+@query(
     "f_datetime_ops",
     """
     SELECT event_id,

@@ -90,3 +90,28 @@ def test_approx_distinct_close_to_exact(spark, sf_dir):
     for r in out:
         assert r.exact_customers > 0
         assert r.within_2pct_of_exact is True
+
+
+def test_time_string_to_millis_reference_semantics(spark):
+    """calculate_time_millis (common.py:145-206) parity, including the quirk
+    that the fractional part is an integer millis count, not a decimal."""
+    from f1_datalakehouse_pipeline_spark.functions.f1 import time_string_to_millis
+    from pyspark.sql import functions as F
+
+    cases = [
+        ("1:23.456", 83456),
+        ("23.456", 23456),
+        ("1:23:45.678", 5025678),
+        ("0:00:01.001", 1001),
+        ("1:23.4", 83004),        # quirk: int('4') ms, not 400 ms
+        ("1:23.456789", 539789),  # quirk: overlong frac is a raw millis count
+        ("  2:03.500 ", 123500),  # leading/trailing whitespace stripped
+        ("83", 83000),            # plain integer seconds
+        ("", None),
+        ("abc", None),
+        ("1:2:3:4", None),
+    ]
+    df = spark.createDataFrame([(s,) for s, _ in cases], ["s"])
+    got = {r.s: r.ms for r in df.select("s", time_string_to_millis(F.col("s")).alias("ms")).collect()}
+    for s, want in cases:
+        assert got[s] == want, (s, got[s], want)
