@@ -72,17 +72,35 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_wall_time",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_query_wall_time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+
+    # Scale section (VERDICT r1 item 6): dedup at an sf1-equivalent document
+    # count (10x the sf0.1 corpus, bounded dup-cluster structure). Reported
+    # SEPARATELY from "value" so the headline total stays comparable round
+    # over round; tools/scale_stress.py holds the full 50K/500K/5M ladder.
+    if os.environ.get("SPARK_GRAFT_SCALE_BENCH", "1") != "0" and sf == 0.1:
+        from f1_datalakehouse_pipeline_spark.operators import dedup
+        from tools.scale_stress import scaled_docs
+
+        docs = scaled_docs(spark, sf_dir, factor=10)
+        scale: dict[str, float | int] = {"docs": docs.count()}
+        t0 = time.time()
+        dedup.minhash_lsh_pairs(docs, "doc_id", "text").write.format("noop").mode("overwrite").save()
+        scale["minhash_lsh_sec"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        dedup.ngram_jaccard_pairs(docs, "doc_id", "text", max_doc_frequency=32).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        scale["ngram_jaccard_capped_sec"] = round(time.time() - t0, 3)
+        out["scale_sf1_dedup"] = scale
+
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

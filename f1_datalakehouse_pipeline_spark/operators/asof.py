@@ -33,6 +33,7 @@ def asof_join(
     right_time: str,
     right_values: Sequence[str],
     suffix: str = "_asof",
+    tolerance: float | None = None,
 ) -> DataFrame:
     """Backward-inclusive as-of join (inner): latest right row ≤ left time.
 
@@ -41,6 +42,12 @@ def asof_join(
     Output: all left columns + ``{value}{suffix}`` columns + matched right
     time as ``{right_time}{suffix}``; left rows with no prior right row drop
     (inner semantics, matching DuckDB ASOF JOIN).
+
+    ``tolerance`` (same units as the time column cast to double — seconds for
+    timestamps): additionally drop rows whose matched right time is more than
+    this far in the past. This is the sensor/trade-quote "stale match" guard;
+    the filter runs AFTER the as-of resolution, so semantics are "the latest
+    prior match, if fresh enough" — not "the latest match within the window".
     """
     by = list(by)
     l_tag = left.select(
@@ -71,11 +78,17 @@ def asof_join(
         *[F.last(f"__rv_{v}", ignorenulls=True).over(w).alias(f"{v}{suffix}") for v in right_values],
         F.last("__rt", ignorenulls=True).over(w).alias(f"{right_time}{suffix}"),
     )
-    return (
+    out = (
         carried.filter(F.col("__side") == 1)
         .filter(F.col(f"{right_time}{suffix}").isNotNull())
         .drop("__t", "__side", "__rt", *[f"__rv_{v}" for v in right_values])
     )
+    if tolerance is not None:
+        out = out.filter(
+            F.col(left_time).cast("double") - F.col(f"{right_time}{suffix}").cast("double")
+            <= F.lit(float(tolerance))
+        )
+    return out
 
 
 def range_join_binned(

@@ -10,7 +10,7 @@ list_transform+list_sum) is bit-identical.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from f1_datalakehouse_pipeline_spark.registry import query
@@ -227,7 +227,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.2)
 
 
-def _duck_minhash_sql(threshold: float) -> str:
+def _duck_minhash_ctes(threshold: float, recursive: bool = False) -> str:
+    """The minhash-LSH pair computation as a reusable CTE block ending in a
+    ``pairs(doc_a, doc_b, jaccard)`` CTE."""
     mins = ", ".join(
         f"MIN(({MINHASH_A[i]} * h + {MINHASH_B[i]}) % {MINHASH_P}) AS mh{i}"
         for i in range(16)
@@ -239,18 +241,23 @@ def _duck_minhash_sql(threshold: float) -> str:
         for b in range(4)
     )
     return f"""
-    WITH {_DUCK_SHINGLE_TABLE},
+    WITH {"RECURSIVE" if recursive else ""} {_DUCK_SHINGLE_TABLE},
     mh AS (SELECT doc, {mins} FROM sh GROUP BY doc),
     bands AS ({bands}),
     cand AS (
       SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
       FROM bands a JOIN bands b
         ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc < b.doc
-    )
-    SELECT c.doc_a, c.doc_b, j.jaccard
-    FROM cand c JOIN jac j ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
-    WHERE j.jaccard >= {threshold}
-    """
+    ),
+    pairs AS (
+      SELECT c.doc_a, c.doc_b, j.jaccard
+      FROM cand c JOIN jac j ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
+      WHERE j.jaccard >= {threshold}
+    )"""
+
+
+def _duck_minhash_sql(threshold: float) -> str:
+    return _duck_minhash_ctes(threshold) + "\n    SELECT doc_a, doc_b, jaccard FROM pairs"
 
 
 @query("dedup_minhash_lsh", _duck_minhash_sql(0.2))
@@ -589,6 +596,212 @@ def a9_pivot_doc_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .na.fill(0, ["en", "de", "es", "fr", "zh"])
         .select("source", *[F.col(c).cast("long").alias(c) for c in ["en", "de", "es", "fr", "zh"]])
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-2 additions: tolerance as-of, grouping sets, ntile, URL parsing,
+# token histogram, end-to-end dedup pipeline
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "asof_tolerance_join",
+    """
+    WITH views AS (
+      SELECT user_id, ts,
+             MAX(event_id) AS view_event_id
+      FROM events WHERE event_type = 'view'
+      GROUP BY user_id, ts
+    ), p AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ), m AS (
+      SELECT p.event_id, p.user_id, p.ts, v.view_event_id, v.ts AS vts
+      FROM p ASOF JOIN views v ON p.user_id = v.user_id AND p.ts >= v.ts
+    )
+    SELECT event_id, user_id,
+           CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+           view_event_id,
+           CAST(epoch_us(vts) AS BIGINT) AS view_ts_us
+    FROM m WHERE epoch(ts) - epoch(vts) <= 3600
+    """,
+)
+def asof_tolerance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # As-of with a staleness bound: the latest prior view only counts if it
+    # happened within the last hour (operators/asof.asof_join tolerance
+    # param — the sensor/trade-quote "stale match" guard). Same single-shuffle
+    # union+window plan; the tolerance is a post-resolution filter.
+    from f1_datalakehouse_pipeline_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_event_id"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = asof_join(
+        purchases,
+        views,
+        by=["user_id"],
+        left_time="ts",
+        right_time="ts",
+        right_values=["view_event_id"],
+        tolerance=3600.0,
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.col("view_event_id_asof").alias("view_event_id"),
+        F.unix_micros("ts_asof").alias("view_ts_us"),
+    )
+
+
+@query(
+    "a12_grouping_sets",
+    """
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
+    """,
+)
+def a12_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Arbitrary grouping sets (beyond a8's ROLLUP): per-priority totals and
+    # per-status totals in ONE scan + one expand — not two separate groupBys
+    # unioned (which would scan twice). SQL form because GROUPING SETS has no
+    # PySpark DataFrame equivalent; Catalyst plans an Expand over one scan.
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("a12_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, o_orderstatus,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_orders
+        FROM a12_orders
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
+        """
+    )
+
+
+@query(
+    "w14_ntile_quartiles",
+    """
+    SELECT c_custkey, c_mktsegment,
+           CAST(c_acctbal AS DOUBLE) AS acctbal,
+           CAST(NTILE(4) OVER (PARTITION BY c_mktsegment
+                               ORDER BY c_acctbal, c_custkey) AS BIGINT) AS quartile
+    FROM customer
+    """,
+)
+def w14_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Quartile bucketing per segment — ntile window, deterministic tie-break
+    # on the unique key so both engines agree at bucket boundaries.
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.col("c_acctbal").cast("double").alias("acctbal"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )
+
+
+@query(
+    "f_url_parse",
+    """
+    WITH u AS (
+      SELECT o_orderkey,
+             printf('https://shop%d.example.com/cat/%d/item?id=%d&ref=r%d',
+                    o_orderkey % 5, o_orderkey % 20, o_orderkey, o_orderkey % 7) AS url
+      FROM orders
+    )
+    SELECT o_orderkey, url,
+           regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+           regexp_extract(url, '^https?://[^/]+([^?#]*)', 1) AS path,
+           regexp_extract(url, '[?&]ref=([^&#]*)', 1) AS ref
+    FROM u
+    """,
+)
+def f_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # URL decomposition for web-scraped corpora — Spark's built-in parse_url
+    # (JVM-side, codegen) vs the oracle's regexp equivalents.
+    o = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    url = F.format_string(
+        "https://shop%d.example.com/cat/%d/item?id=%d&ref=r%d", k % 5, k % 20, k, k % 7
+    )
+    return o.select("o_orderkey", url.alias("url")).select(
+        "o_orderkey",
+        "url",
+        F.expr("parse_url(url, 'HOST')").alias("host"),
+        F.expr("parse_url(url, 'PATH')").alias("path"),
+        F.expr("parse_url(url, 'QUERY', 'ref')").alias("ref"),
+    )
+
+
+@query(
+    "t_token_histogram",
+    f"""
+    WITH tok AS (
+      SELECT unnest({_DUCK_TOKS.format(x='text')}) AS token FROM documents
+    )
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+    FROM tok
+    GROUP BY token
+    ORDER BY n DESC, token ASC
+    LIMIT 25
+    """,
+)
+def t_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Corpus token-frequency head — explode + groupBy + deterministic top-k
+    # (count desc, token asc). At 100 TB the groupBy partial-aggregates
+    # map-side (tokens repeat heavily), and the global top-25 is a TakeOrdered
+    # over per-partition heads, never a full sort.
+    from f1_datalakehouse_pipeline_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(25)
+    )
+
+
+@query(
+    "dedup_docs_pipeline",
+    _duck_minhash_ctes(0.2, recursive=True)
+    + """,
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(doc, r) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.doc
+    ),
+    keeper AS (SELECT doc, LEAST(doc, MIN(r)) AS k FROM reach GROUP BY doc),
+    dropped AS (SELECT doc FROM keeper WHERE k < doc)
+    SELECT doc_id FROM documents
+    WHERE doc_id NOT IN (SELECT doc FROM dropped)
+    """,
+)
+def dedup_docs_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # END-TO-END near-dup removal: MinHash-LSH pairs -> connected-component
+    # cluster resolution (pointer-jumping min-label propagation) -> keep only
+    # cluster keepers. The oracle reproduces the full chain in SQL, closing
+    # the transitive closure with a recursive CTE — so even the iterative
+    # graph step is hash-verified, not just rows-only.
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", k=3, n_hashes=16, bands=4, threshold=0.2
+    )
+    return dedup.apply_dedup(docs, "doc_id", pairs).select("doc_id")
 
 
 # attach the LSH oracle (deterministic planes make it SQL-expressible)

@@ -81,6 +81,12 @@ def get_spark(
     )
     confs = dict(DEFAULT_CONFS)
     confs["spark.sql.shuffle.partitions"] = str(shuffle_partitions or par)
+    # In local mode the driver JVM IS the cluster; Spark's 1g default heap
+    # OOMs the first real broadcast build. Size it like a worker node
+    # (overridable; ignored if a session already exists).
+    confs.setdefault(
+        "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+    )
     if extra_confs:
         confs.update(extra_confs)
     for k, v in confs.items():

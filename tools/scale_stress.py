@@ -1,0 +1,145 @@
+"""Scale-stress harness for the dedup paths (VERDICT r1, next-round item 6).
+
+Generates deterministic scaled documents tables (factor x sf0.1's 5000 docs)
+with BOUNDED near-dup structure, caches them as parquet under .scale_cache/,
+and times the two heavyweight dedup operators end-to-end at each scale:
+
+- minhash_lsh_pairs (signatures -> bands -> bucket join -> verify)
+- ngram_jaccard_pairs (inverted-index self-join, with/without the
+  max_doc_frequency hot-shingle cap)
+
+Generator structure: each base doc yields ``factor`` variants; variants
+2i/2i+1 share a salt and are near-dups of each other (one trailing token
+apart), while every 3rd word carries the salt so k=3 word shingles NEVER
+collide across salts — cluster size is capped at 2 regardless of factor, so
+the true pair count grows linearly and any super-linear runtime is the
+operator's fault, not the data's. A --boilerplate mode prepends a shared
+unsalted header to every doc, manufacturing hot shingles that hit every
+document — the worst case max_doc_frequency exists to cap.
+
+Usage:
+  python tools/scale_stress.py [--factors 10,100] [--boilerplate] [--big]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from f1_datalakehouse_pipeline_spark import get_spark
+from f1_datalakehouse_pipeline_spark.operators import dedup
+from f1_datalakehouse_pipeline_spark.sources.testdata import load_table
+
+CACHE = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scale_cache")
+BOILERPLATE = (
+    "permission is hereby granted free of charge to any person obtaining a copy "
+    "of this software and associated documentation files to deal in the software "
+    "without restriction"
+)
+
+
+def scaled_docs(
+    spark: SparkSession, sf_dir: str, factor: int, boilerplate: bool = False
+) -> DataFrame:
+    """factor x the sf_dir documents table, deterministic, clusters of 2."""
+    tag = f"docs_x{factor}{'_bp' if boilerplate else ''}"
+    path = os.path.join(CACHE, tag)
+    if not os.path.isdir(path):
+        base = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        reps = spark.range(factor).select(F.col("id").alias("rep"))
+        out = base.crossJoin(reps)
+        salt = (F.col("rep") / 2).cast("long").cast("string")
+        # salt every 3rd word: no k=3 word shingle survives across salts
+        words = F.split(F.col("text"), " ")
+        salted = F.concat_ws(
+            " ",
+            F.transform(
+                words,
+                lambda w, i: F.when(i % 3 == 0, F.concat(w, F.lit("q"), salt)).otherwise(w),
+            ),
+        )
+        text = F.when(F.col("rep") % 2 == 1, F.concat(salted, F.lit(" zzvariant"))).otherwise(salted)
+        if boilerplate:
+            text = F.concat(F.lit(BOILERPLATE + " "), text)
+        out = out.select(
+            (F.col("doc_id") + F.col("rep") * F.lit(1_000_000)).alias("doc_id"),
+            text.alias("text"),
+        )
+        out.repartition(max(32, factor // 8)).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+def timed(label: str, thunk) -> tuple[float, int]:
+    t0 = time.perf_counter()
+    n = thunk()
+    dt = time.perf_counter() - t0
+    print(f"  {label}: {dt:.1f}s ({n} rows)", flush=True)
+    return dt, n
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--factors", default="10,100")
+    ap.add_argument("--big", action="store_true", help="add factor 1000 (~5M docs)")
+    ap.add_argument("--boilerplate", action="store_true")
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    args = ap.parse_args()
+    factors = [int(f) for f in args.factors.split(",")]
+    if args.big:
+        factors.append(1000)
+
+    spark = get_spark("scale-stress")
+    spark.sparkContext.setLogLevel("ERROR")
+    results: dict[str, dict] = {}
+
+    # warm codegen/shuffle paths so factor-1 overhead doesn't pollute slopes
+    dedup.minhash_lsh_pairs(
+        load_table(spark, args.sf_dir, "documents"), "doc_id", "text"
+    ).count()
+
+    for factor in factors:
+        docs = scaled_docs(spark, args.sf_dir, factor, boilerplate=args.boilerplate)
+        n_docs = docs.count()
+        print(f"factor {factor}: {n_docs} docs", flush=True)
+        r: dict = {"docs": n_docs}
+        r["minhash_lsh_sec"], r["minhash_pairs"] = timed(
+            "minhash_lsh", lambda: dedup.minhash_lsh_pairs(docs, "doc_id", "text").count()
+        )
+        r["ngram_capped_sec"], r["ngram_capped_pairs"] = timed(
+            "ngram_jaccard (df cap 32)",
+            lambda: dedup.ngram_jaccard_pairs(
+                docs, "doc_id", "text", max_doc_frequency=32
+            ).count(),
+        )
+        if args.boilerplate and factor <= 1:
+            # uncapped on boilerplate data is the quadratic trap (every hot
+            # shingle costs O(docs²) candidate rows) — only safe at base size
+            r["ngram_uncapped_sec"], r["ngram_uncapped_pairs"] = timed(
+                "ngram_jaccard UNCAPPED",
+                lambda: dedup.ngram_jaccard_pairs(docs, "doc_id", "text").count(),
+            )
+        results[str(factor)] = r
+
+    if len(factors) >= 2:
+        f0, f1 = str(factors[0]), str(factors[-1])
+        ratio = factors[-1] / factors[0]
+        for op in ("minhash_lsh_sec", "ngram_capped_sec"):
+            growth = results[f1][op] / max(results[f0][op], 1e-9)
+            results.setdefault("slopes", {})[op] = {
+                "data_ratio": ratio,
+                "time_ratio": round(growth, 2),
+                "linear_ok": bool(growth <= 2 * ratio),
+            }
+    print(json.dumps(results, indent=2))
+
+
+if __name__ == "__main__":
+    main()
