@@ -163,6 +163,7 @@ def minhash_lsh_pairs(
     n_hashes: int = 16,
     bands: int = 4,
     threshold: float = 0.5,
+    max_doc_frequency: int | None = None,
 ) -> DataFrame:
     """Near-dup candidate pairs via banded MinHash-LSH, verified with exact
     Jaccard. Output: (doc_a, doc_b, jaccard) for candidates ≥ threshold.
@@ -170,11 +171,25 @@ def minhash_lsh_pairs(
     rows_per_band = n_hashes // bands; two docs become candidates iff some
     band's full signature slice matches. Bucket join is on (band, band_sig)
     so work scales with collision count, not n².
+
+    ``max_doc_frequency``: drop shingles appearing in more than N documents
+    BEFORE computing signatures. Boilerplate (license headers, templates)
+    otherwise dominates the per-permutation minima — near-identical shared
+    prefixes make unrelated documents collide in every band and candidate
+    generation degrades toward O(n²) (measured: a 170-char header shared by a
+    50K-doc corpus stalled the uncapped run; capped at 32 it finished in
+    seconds). Jaccard is then similarity over non-boilerplate content —
+    the semantics a real dedup pass wants anyway.
     """
     rows_per_band = n_hashes // bands
     # One shingle scan shared by signatures and verification; caching it
     # avoids recomputing the tokenize→shingle→hash chain in each branch.
-    sh = _shingle_table(df, id_col, content_col, k).cache()
+    sh = _shingle_table(df, id_col, content_col, k)
+    if max_doc_frequency is not None:
+        doc_freq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+        hot = doc_freq.filter(F.col("df") > max_doc_frequency).select("h")
+        sh = sh.join(hot, "h", "left_anti")
+    sh = sh.cache()
     # Wide signature: ONE groupBy(doc) computes all n_hashes mins; band
     # signatures are then a pure projection (explode of per-band structs) —
     # no second shuffle (the long-form explode→groupBy(doc,band) alternative

@@ -356,3 +356,27 @@ def test_connected_keepers_long_chain_pointer_jumping(spark):
     )
     labels = {r.doc: r.keeper for r in dedup.connected_keepers(pairs).collect()}
     assert len(labels) == 41 and set(labels.values()) == {0}
+
+
+def test_minhash_lsh_df_cap_survives_boilerplate(spark):
+    """A shared boilerplate header must not make unrelated docs near-dups:
+    with max_doc_frequency the hot shingles drop out of signatures AND
+    verification, so only genuinely-similar bodies pair up."""
+    bp = "permission is hereby granted free of charge to any person obtaining a copy of this software"
+    rows = []
+    for i in range(40):
+        body = " ".join(f"w{i}t{j}" for j in range(30))
+        rows.append((i, f"{bp} {body}"))
+    # 100/101 share a body one token apart -> true near-dup pair
+    shared = " ".join(f"s{j}" for j in range(30))
+    rows.append((100, f"{bp} {shared}"))
+    rows.append((101, f"{bp} {shared} extra"))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    pairs = dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", threshold=0.5, max_doc_frequency=5
+    ).collect()
+    got = {(r.doc_a, r.doc_b) for r in pairs}
+    assert (100, 101) in got
+    # no boilerplate-only pairings among the 40 unrelated docs
+    assert all(a == 100 or b == 101 for a, b in got), got

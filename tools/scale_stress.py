@@ -110,8 +110,14 @@ def main() -> None:
         n_docs = docs.count()
         print(f"factor {factor}: {n_docs} docs", flush=True)
         r: dict = {"docs": n_docs}
+        # boilerplate corpora need the df cap on the MinHash path too — shared
+        # shingles otherwise dominate signatures and every band collides
+        mh_cap = 32 if args.boilerplate else None
         r["minhash_lsh_sec"], r["minhash_pairs"] = timed(
-            "minhash_lsh", lambda: dedup.minhash_lsh_pairs(docs, "doc_id", "text").count()
+            f"minhash_lsh (df cap {mh_cap})",
+            lambda: dedup.minhash_lsh_pairs(
+                docs, "doc_id", "text", max_doc_frequency=mh_cap
+            ).count(),
         )
         r["ngram_capped_sec"], r["ngram_capped_pairs"] = timed(
             "ngram_jaccard (df cap 32)",
@@ -119,12 +125,31 @@ def main() -> None:
                 docs, "doc_id", "text", max_doc_frequency=32
             ).count(),
         )
-        if args.boilerplate and factor <= 1:
-            # uncapped on boilerplate data is the quadratic trap (every hot
-            # shingle costs O(docs²) candidate rows) — only safe at base size
-            r["ngram_uncapped_sec"], r["ngram_uncapped_pairs"] = timed(
-                "ngram_jaccard UNCAPPED",
-                lambda: dedup.ngram_jaccard_pairs(docs, "doc_id", "text").count(),
+        if args.boilerplate:
+            # The quadratic trap quantified WITHOUT running it: each shingle
+            # in d docs generates d(d-1)/2 inverted-index candidate rows, so
+            # the cost of capped vs uncapped is computable from doc
+            # frequencies alone (one extra groupBy, no self-join).
+            from f1_datalakehouse_pipeline_spark.operators.dedup import _shingle_table
+
+            df_counts = (
+                _shingle_table(docs, "doc_id", "text", 3)
+                .groupBy("h")
+                .agg(F.count(F.lit(1)).alias("df"))
+            )
+            pair_rows = F.sum(F.col("df") * (F.col("df") - 1) / 2)
+            est = df_counts.agg(
+                pair_rows.alias("uncapped"),
+                F.sum(
+                    F.when(F.col("df") <= 32, F.col("df") * (F.col("df") - 1) / 2).otherwise(0)
+                ).alias("capped"),
+            ).collect()[0]
+            r["est_candidate_rows_uncapped"] = int(est["uncapped"])
+            r["est_candidate_rows_capped"] = int(est["capped"])
+            print(
+                f"  inverted-index candidate rows: uncapped {int(est['uncapped']):,} "
+                f"vs df<=32 capped {int(est['capped']):,}",
+                flush=True,
             )
         results[str(factor)] = r
 
