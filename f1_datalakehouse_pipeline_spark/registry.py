@@ -72,6 +72,8 @@ _VERIFY_FIRST = [
     "f_url_parse",
     "t_token_histogram",
     "dedup_docs_pipeline",
+    "w15_range_frame",
+    "p8_percentile_cont",
 ]
 
 
@@ -671,6 +673,58 @@ def w13_constructor_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
         F.sum(_dec("o_totalprice")).over(w).cast("double").alias("group_total"),
         F.count(F.lit(1)).over(w).alias("group_n"),
+    )
+
+
+@query(
+    "w15_range_frame",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                 PARTITION BY o_custkey
+                 ORDER BY date_diff('day', DATE '1970-01-01', o_orderdate)
+                 RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS rev_trailing_30d
+    FROM orders
+    """,
+)
+def w15_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # RANGE (value-based) frame — a distinct physical window mode from the
+    # rowsBetween stacks elsewhere (§2.5 extension): trailing-30-day revenue
+    # per customer. RANGE frames are tie-safe by construction (all rows with
+    # equal ordering value share a frame), so no tie-break column is needed.
+    o = load_table(spark, sf_dir, "orders")
+    day = F.datediff(F.col("o_orderdate"), F.lit("1970-01-01"))
+    w = Window.partitionBy("o_custkey").orderBy(day).rangeBetween(-30, 0)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(_dec("o_totalprice")).over(w).cast("double").alias("rev_trailing_30d"),
+    )
+
+
+@query(
+    "p8_percentile_cont",
+    """
+    SELECT o_orderpriority,
+           quantile_cont(CAST(o_totalprice AS DOUBLE), 0.25) AS p25,
+           quantile_cont(CAST(o_totalprice AS DOUBLE), 0.50) AS p50,
+           quantile_cont(CAST(o_totalprice AS DOUBLE), 0.75) AS p75
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def p8_percentile_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # EXACT linear-interpolation percentiles (both engines implement the
+    # same lower + (upper-lower)*frac at rank p*(n-1), so doubles match
+    # bit-for-bit). At 100 TB swap for approx_percentile (t-digest sketch,
+    # map-side mergeable) — kept exact here because exactness is what the
+    # oracle can verify; a10 demonstrates the sketch-accuracy-contract
+    # pattern for the approximate twin.
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.expr("percentile(CAST(o_totalprice AS DOUBLE), 0.25)").alias("p25"),
+        F.expr("percentile(CAST(o_totalprice AS DOUBLE), 0.50)").alias("p50"),
+        F.expr("percentile(CAST(o_totalprice AS DOUBLE), 0.75)").alias("p75"),
     )
 
 

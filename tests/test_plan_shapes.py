@@ -148,3 +148,39 @@ def test_tablestore_append(spark, tmp_path):
     store.append(mk(1), "pitstops_silver")
     store.append(mk(2), "pitstops_silver")
     assert store.read("pitstops_silver").count() == 2
+
+
+def test_bucketed_join_plans_no_exchange(spark, tmp_path):
+    """Tables bucketed on the join key must join WITHOUT a shuffle: the
+    catalog's bucket spec satisfies the join's required distribution, so the
+    physical plan has zero Exchange nodes (and with sortBy, zero Sorts on the
+    bucketed side). This is the write-once-join-many amortization for fact
+    tables at scale."""
+    from f1_datalakehouse_pipeline_spark.sources.bucketed import read_bucketed, save_bucketed
+
+    a = spark.range(10000).select(
+        F.col("id").alias("k"), (F.col("id") % 97).alias("va")
+    )
+    b = spark.range(10000).select(
+        F.col("id").alias("k"), (F.col("id") % 31).alias("vb")
+    )
+    save_bucketed(a, "bk_a", ["k"], 8, sort_cols=["k"], path=str(tmp_path / "bk_a"))
+    save_bucketed(b, "bk_b", ["k"], 8, sort_cols=["k"], path=str(tmp_path / "bk_b"))
+    try:
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = read_bucketed(spark, "bk_a").join(read_bucketed(spark, "bk_b"), "k")
+            plan = plan_of(joined)
+            assert "SortMergeJoin" in plan
+            assert "Exchange" not in plan, plan
+            assert joined.count() == 10000
+
+            # aggregation on the bucket key is exchange-free too
+            agg = read_bucketed(spark, "bk_a").groupBy("k").agg(F.sum("va"))
+            assert "Exchange" not in plan_of(agg)
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bk_a")
+        spark.sql("DROP TABLE IF EXISTS bk_b")
