@@ -74,6 +74,9 @@ _VERIFY_FIRST = [
     "dedup_docs_pipeline",
     "w15_range_frame",
     "p8_percentile_cont",
+    "a13_approx_percentile",
+    "tpch_q10_returned_items",
+    "tpch_q18_large_orders",
 ]
 
 
@@ -725,6 +728,36 @@ def p8_percentile_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(CAST(o_totalprice AS DOUBLE), 0.25)").alias("p25"),
         F.expr("percentile(CAST(o_totalprice AS DOUBLE), 0.50)").alias("p50"),
         F.expr("percentile(CAST(o_totalprice AS DOUBLE), 0.75)").alias("p75"),
+    )
+
+
+@query(
+    "a13_approx_percentile",
+    """
+    SELECT o_orderpriority,
+           quantile_cont(CAST(o_totalprice AS DOUBLE), 0.50) AS exact_p50,
+           TRUE AS within_rank_window
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def a13_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The sketch twin of p8: approx_percentile (Greenwald-Khanna summary,
+    # map-side mergeable — the 100 TB path where exact percentile's full sort
+    # per group is untenable). Accuracy-contract pattern as in a10, but as a
+    # RANK window, not a value tolerance: GK guarantees the returned element's
+    # rank is within n/accuracy of the target, while its VALUE can be
+    # arbitrarily far from the interpolated median when neighboring order
+    # statistics are far apart (bites at small group sizes). The Spark side
+    # asserts p45 <= approx_p50 <= p55 and emits the boolean; the oracle emits
+    # the literal truth from exact DuckDB math.
+    o = load_table(spark, sf_dir, "orders")
+    exact = F.expr("percentile(CAST(o_totalprice AS DOUBLE), 0.50)")
+    lo = F.expr("percentile(CAST(o_totalprice AS DOUBLE), 0.45)")
+    hi = F.expr("percentile(CAST(o_totalprice AS DOUBLE), 0.55)")
+    approx = F.expr("approx_percentile(CAST(o_totalprice AS DOUBLE), 0.50, 10000)")
+    return o.groupBy("o_orderpriority").agg(
+        exact.alias("exact_p50"),
+        ((approx >= lo) & (approx <= hi)).alias("within_rank_window"),
     )
 
 
@@ -1400,6 +1433,90 @@ def tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
         .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+@query(
+    "tpch_q10_returned_items",
+    """
+    SELECT c_custkey, c_name, n_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey ASC
+    LIMIT 20
+    """,
+)
+def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q10 shape: fact filtered on returnflag + date window, customer and
+    # nation broadcast, global top-20 by revenue (TakeOrdered — no full sort).
+    # Deterministic tie-break on the unique key keeps the LIMIT stable.
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01 00:00:00")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1997-01-01 00:00:00")))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load_table(spark, sf_dir, "nation")
+    rev = _dec("l_extendedprice", 12, 2) * (1 - _dec("l_discount", 4, 2))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "tpch_q18_large_orders",
+    """
+    WITH big AS (
+      SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 150
+    )
+    SELECT c_custkey, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS od,
+           CAST(o_totalprice AS DOUBLE) AS totalprice,
+           CAST(total_qty AS DOUBLE) AS total_qty
+    FROM big
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    """,
+)
+def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q18 shape: HAVING on a fact aggregation, then join the surviving
+    # keys back to orders/customer. The agg output is small ⇒ broadcast it to
+    # the orders side rather than shuffling orders (plan: one exchange for
+    # the groupBy, broadcast joins after).
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity", 12, 2)).alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    return (
+        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("od"),
+            F.col("o_totalprice").cast("double").alias("totalprice"),
+            F.col("total_qty").cast("double").alias("total_qty"),
+        )
     )
 
 
