@@ -14,7 +14,7 @@ late-data-tolerant streaming operator shape.
 
 from __future__ import annotations
 
-from collections.abc import Callable
+from collections.abc import Callable, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -53,6 +53,24 @@ def foreach_batch_upsert(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def dedup_within_watermark(
+    events: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exactly-once-per-key dedup with BOUNDED state: Spark's
+    dropDuplicatesWithinWatermark keeps a key only until the watermark passes
+    it, so state size tracks the watermark window, not the stream's lifetime
+    (a plain dropDuplicates on a stream grows state forever — the 100 TB
+    anti-pattern). Duplicates arriving within the watermark window dedup
+    exactly; duplicates later than the watermark are the accepted loss, same
+    contract as any watermarked operator."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )
 
 
 def windowed_event_counts(

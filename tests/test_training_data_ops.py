@@ -380,3 +380,40 @@ def test_minhash_lsh_df_cap_survives_boilerplate(spark):
     assert (100, 101) in got
     # no boilerplate-only pairings among the 40 unrelated docs
     assert all(a == 100 or b == 101 for a, b in got), got
+
+
+def test_dedup_within_watermark_bounded_state(spark, tmp_path):
+    """Built-in watermarked streaming dedup: duplicate event_ids inside the
+    watermark window collapse to one row, with state bounded by the window."""
+    from datetime import datetime
+
+    from f1_datalakehouse_pipeline_spark.streaming.incremental import dedup_within_watermark
+
+    src = str(tmp_path / "s3")
+    t = lambda m: datetime(2025, 1, 1, 10, m)
+    df = spark.createDataFrame(
+        [
+            (1, t(0), "a"),
+            (1, t(5), "a-dup"),   # duplicate key within watermark -> dropped
+            (2, t(10), "b"),
+            (3, t(20), "c"),
+            (2, t(25), "b-dup"),  # duplicate key within watermark -> dropped
+            (4, t(59), "d"),
+        ],
+        ["event_id", "ts", "payload"],
+    )
+    df.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    out = dedup_within_watermark(stream, ["event_id"], ts_col="ts", watermark="2 hours")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("wmdedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from wmdedup").collect()
+    assert sorted(r.event_id for r in rows) == [1, 2, 3, 4]
+    kept = {r.event_id: r.payload for r in rows}
+    assert kept[1] == "a" and kept[2] == "b"  # first occurrence wins
