@@ -77,6 +77,63 @@ def scaled_docs(
     return spark.read.parquet(path)
 
 
+def scaled_lineitem(spark: SparkSession, sf_dir: str, factor: int) -> DataFrame:
+    """factor x the sf_dir lineitem table (orderkeys preserved so dim joins
+    keep their selectivity; linenumber offset keeps rows unique)."""
+    path = os.path.join(CACHE, f"lineitem_x{factor}")
+    if not os.path.isdir(path):
+        base = load_table(spark, sf_dir, "lineitem")
+        reps = spark.range(factor).select(F.col("id").alias("rep"))
+        out = base.crossJoin(reps).withColumn(
+            "l_linenumber", F.col("l_linenumber") + F.col("rep").cast("int") * 10
+        ).drop("rep")
+        out.repartition(max(32, factor * 4)).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+def run_fact_scale(spark: SparkSession, sf_dir: str, factor: int) -> dict:
+    """Time the relational core (scan-agg + star join) against a scaled fact
+    table with the ORIGINAL dimension tables — the shape of a 100 TB star
+    schema where facts dwarf dims."""
+    li = scaled_lineitem(spark, sf_dir, factor)
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r: dict = {"lineitem_rows": li.count()}
+
+    def pricing():
+        price = F.col("l_extendedprice").cast("decimal(12,2)")
+        disc = F.col("l_discount").cast("decimal(4,2)")
+        return (
+            li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.sum("l_quantity").alias("sum_qty"),
+                F.sum(price * (1 - disc)).alias("sum_disc_price"),
+                F.avg("l_discount").alias("avg_disc"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .count()
+        )
+
+    def star():
+        rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+            1 - F.col("l_discount").cast("decimal(4,2)")
+        )
+        return (
+            li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .groupBy("n_name")
+            .agg(F.sum(rev).alias("revenue"))
+            .count()
+        )
+
+    r["pricing_summary_sec"], _ = timed("pricing summary (scan+agg)", pricing)
+    r["star_join_sec"], _ = timed("star join (broadcast dims)", star)
+    return r
+
+
 def timed(label: str, thunk) -> tuple[float, int]:
     t0 = time.perf_counter()
     n = thunk()
@@ -90,6 +147,7 @@ def main() -> None:
     ap.add_argument("--factors", default="10,100")
     ap.add_argument("--big", action="store_true", help="add factor 1000 (~5M docs)")
     ap.add_argument("--boilerplate", action="store_true")
+    ap.add_argument("--facts", action="store_true", help="scale the lineitem fact side instead of documents")
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     args = ap.parse_args()
     factors = [int(f) for f in args.factors.split(",")]
@@ -99,6 +157,13 @@ def main() -> None:
     spark = get_spark("scale-stress")
     spark.sparkContext.setLogLevel("ERROR")
     results: dict[str, dict] = {}
+
+    if args.facts:
+        for factor in factors:
+            print(f"fact factor {factor}:", flush=True)
+            results[str(factor)] = run_fact_scale(spark, args.sf_dir, factor)
+        print(json.dumps(results, indent=2))
+        return
 
     # warm codegen/shuffle paths so factor-1 overhead doesn't pollute slopes
     dedup.minhash_lsh_pairs(
