@@ -77,6 +77,8 @@ _VERIFY_FIRST = [
     "a13_approx_percentile",
     "tpch_q10_returned_items",
     "tpch_q18_large_orders",
+    "a14_salted_aggregate",
+    "t_corpus_curation",
 ]
 
 
@@ -758,6 +760,37 @@ def a13_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.groupBy("o_orderpriority").agg(
         exact.alias("exact_p50"),
         ((approx >= lo) & (approx <= hi)).alias("within_rank_window"),
+    )
+
+
+@query(
+    "a14_salted_aggregate",
+    """
+    SELECT o_orderpriority,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def a14_salted_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The explicit two-phase salted aggregation (operators/skew.py) against a
+    # plain-GROUP-BY oracle: partial groupBy((key, salt)) then final
+    # groupBy(key) must be value-identical to the one-step form — decimal
+    # arithmetic makes the sum order-independent, so the hash-match proves the
+    # skew-mitigation rewrite is semantics-preserving. Use on keys too hot
+    # for one reducer (AQE skew-split handles joins; this bounds agg state).
+    from f1_datalakehouse_pipeline_spark.operators.skew import salted_aggregate
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", _dec("o_totalprice").alias("revenue")
+    )
+    out = salted_aggregate(
+        o, ["o_orderpriority"], {"revenue": "sum", "n": "count"}, n_salt=8
+    )
+    return out.select(
+        "o_orderpriority",
+        F.col("revenue").cast("double").alias("revenue"),
+        F.col("n").cast("long").alias("n"),
     )
 
 

@@ -804,6 +804,113 @@ def dedup_docs_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.apply_dedup(docs, "doc_id", pairs).select("doc_id")
 
 
+_DUCK_QUALITY = """
+    ((CASE WHEN len({toks}) BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END)
+     + (CASE WHEN (CASE WHEN length({text}) > 0
+              THEN CAST(len(regexp_extract_all({text}, '[.,;:!?''"()\\[\\]{{}}-]')) AS DOUBLE) / length({text})
+              ELSE 0.0 END) < 0.3 THEN 1.0 ELSE 0.0 END)
+     + (CASE WHEN (CASE WHEN len({toks}) > 0
+              THEN CAST(len(list_filter(list_transform({toks}, t -> lower(t)),
+                                        t -> list_contains(['the','a','of','and','to'], t))) AS DOUBLE) / len({toks})
+              ELSE 0.0 END) > 0.0
+             AND (CASE WHEN len({toks}) > 0
+              THEN CAST(len(list_filter(list_transform({toks}, t -> lower(t)),
+                                        t -> list_contains(['the','a','of','and','to'], t))) AS DOUBLE) / len({toks})
+              ELSE 0.0 END) < 0.8 THEN 1.0 ELSE 0.0 END)) / 3.0
+"""
+
+
+@query(
+    "t_corpus_curation",
+    _duck_minhash_ctes(0.2, recursive=True)
+    + f""",
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(doc, r) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.doc
+    ),
+    keeper AS (SELECT doc, LEAST(doc, MIN(r)) AS k FROM reach GROUP BY doc),
+    dropped AS (SELECT doc FROM keeper WHERE k < doc),
+    lc AS (SELECT doc_id, list_transform(toks, t -> lower(t)) AS ltoks FROM tokd),
+    votes AS (
+      SELECT doc_id,
+        len(list_filter(ltoks, t -> list_contains(['the','a','of','and','is'], t))) AS v_en,
+        len(list_filter(ltoks, t -> list_contains(['der','die','das','und','ist'], t))) AS v_de,
+        len(list_filter(ltoks, t -> list_contains(['el','la','de','y','es'], t))) AS v_es,
+        len(list_filter(ltoks, t -> list_contains(['le','la','et','les','est'], t))) AS v_fr
+      FROM lc
+    ),
+    pred AS (
+      SELECT doc_id,
+        CASE WHEN v_en = 0 AND v_de = 0 AND v_es = 0 AND v_fr = 0 THEN 'unknown'
+             WHEN v_en >= v_de AND v_en >= v_es AND v_en >= v_fr THEN 'en'
+             WHEN v_de >= v_es AND v_de >= v_fr THEN 'de'
+             WHEN v_es >= v_fr THEN 'es'
+             ELSE 'fr' END AS predicted_lang
+      FROM votes
+    ),
+    qual AS (
+      SELECT d.doc_id, {_DUCK_QUALITY.format(text='d.text', toks='t.toks')} AS quality
+      FROM documents d JOIN tokd t USING (doc_id)
+    )
+    SELECT d.doc_id, p.predicted_lang, q.quality
+    FROM documents d
+    JOIN pred p USING (doc_id)
+    JOIN qual q USING (doc_id)
+    WHERE p.predicted_lang = 'en' AND q.quality >= 0.99
+      AND d.doc_id NOT IN (SELECT doc FROM dropped)
+    """,
+)
+def t_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The full training-data curation pass in ONE oracle-verified query:
+    # language filter (stopword-vote heuristic) ∧ quality gate (composite
+    # score == 1.0) ∧ near-dup removal (MinHash-LSH → connected components →
+    # keepers only). Each stage is individually verified elsewhere
+    # (t_lang_id, t_text_quality, dedup_docs_pipeline); this proves the
+    # COMPOSITION — the thing a real corpus pipeline actually runs.
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", k=3, n_hashes=16, bands=4, threshold=0.2
+    )
+    kept = dedup.apply_dedup(docs, "doc_id", pairs)
+
+    toks = F.transform(
+        F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != ""),
+        lambda t: F.lower(t),
+    )
+    lists = {
+        "v_en": ("the", "a", "of", "and", "is"),
+        "v_de": ("der", "die", "das", "und", "ist"),
+        "v_es": ("el", "la", "de", "y", "es"),
+        "v_fr": ("le", "la", "et", "les", "est"),
+    }
+
+    def vote(ws: tuple[str, ...]):
+        arr = F.array(*[F.lit(w) for w in ws])
+        return F.size(F.filter(toks, lambda t: F.array_contains(arr, t))).cast("long")
+
+    v = {name: vote(ws) for name, ws in lists.items()}
+    predicted = (
+        F.when((v["v_en"] == 0) & (v["v_de"] == 0) & (v["v_es"] == 0) & (v["v_fr"] == 0), "unknown")
+        .when((v["v_en"] >= v["v_de"]) & (v["v_en"] >= v["v_es"]) & (v["v_en"] >= v["v_fr"]), "en")
+        .when((v["v_de"] >= v["v_es"]) & (v["v_de"] >= v["v_fr"]), "de")
+        .when(v["v_es"] >= v["v_fr"], "es")
+        .otherwise("fr")
+    )
+    return (
+        kept.select(
+            "doc_id",
+            predicted.alias("predicted_lang"),
+            quality_score(F.col("text")).alias("quality"),
+        )
+        .filter((F.col("predicted_lang") == "en") & (F.col("quality") >= 0.99))
+    )
+
+
 # attach the LSH oracle (deterministic planes make it SQL-expressible)
 from f1_datalakehouse_pipeline_spark import registry as _registry  # noqa: E402
 

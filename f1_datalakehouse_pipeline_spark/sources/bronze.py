@@ -40,6 +40,7 @@ def read_bronze(
     year: int | None = None,
     grand_prix: str | None = None,
     session_type: str | None = None,
+    tolerate_corrupt: bool = False,
 ) -> DataFrame:
     """Schema-merging scan with partition-filter pushdown (S3+S4).
 
@@ -53,9 +54,17 @@ def read_bronze(
     Spark-idiomatic version of the reference's manual partition-path
     construction (qualifying_transform.py:101-112), kept ONLY where the
     heterogeneous schema forces it.
+
+    ``tolerate_corrupt`` skips unreadable files instead of failing the scan —
+    the landing zone is written by external producers (reference: pandas
+    uploads from MWAA tasks, s3_writer.py:62-128), so a half-uploaded or
+    truncated object must not take down the whole batch. Default False:
+    silent data loss is worse than a failed job unless explicitly opted in.
     """
     base = bronze_path(root, endpoint)
     reader = spark.read.option("mergeSchema", "true").option("basePath", base)
+    if tolerate_corrupt:
+        reader = reader.option("ignoreCorruptFiles", "true")
     if session_type is not None:
         df = reader.parquet(f"{base}/year=*/grand_prix=*/session_type={session_type}")
     else:

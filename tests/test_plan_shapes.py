@@ -184,3 +184,45 @@ def test_bucketed_join_plans_no_exchange(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS bk_a")
         spark.sql("DROP TABLE IF EXISTS bk_b")
+
+
+def test_bronze_corrupt_file_tolerance(spark, tmp_path):
+    from f1_datalakehouse_pipeline_spark.sources.bronze import read_bronze
+
+    import pytest as _pytest
+
+    df = spark.range(10).select(
+        F.col("id"),
+        F.lit(2025).alias("year"),
+        F.lit("monaco").alias("grand_prix"),
+        F.lit("race").alias("session_type"),
+    )
+    root = str(tmp_path / "bronze")
+    df.write.partitionBy("year", "grand_prix", "session_type").parquet(f"{root}/laps")
+    # a half-uploaded object lands next to the good files
+    import glob as g
+    leaf = g.glob(f"{root}/laps/year=2025/grand_prix=monaco/session_type=race")[0]
+    with open(f"{leaf}/part-corrupt.parquet", "wb") as f:
+        f.write(b"this is not parquet at all")
+
+    with _pytest.raises(Exception):
+        read_bronze(spark, root, "laps", year=2025).count()
+    out = read_bronze(spark, root, "laps", year=2025, tolerate_corrupt=True)
+    assert out.count() == 10
+
+
+def test_tpch_q10_uses_take_ordered_and_broadcasts(spark, sf_dir):
+    q = registry.queries()["tpch_q10_returned_items"](spark, sf_dir)
+    plan = plan_of(q)
+    assert "TakeOrderedAndProject" in plan  # top-20 without a full sort
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_tpch_q18_single_exchange(spark, sf_dir):
+    import re as _re
+
+    q = registry.queries()["tpch_q18_large_orders"](spark, sf_dir)
+    plan = plan_of(q)
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+    n_ex = len(_re.findall(r"\(\d+\) Exchange", plan))
+    assert n_ex <= 1, f"expected the single groupBy exchange, got {n_ex}"
