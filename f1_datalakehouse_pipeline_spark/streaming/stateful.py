@@ -10,6 +10,11 @@ extensions the engine offers on top of Structured Streaming's built-ins:
 - running_aggregate: per-key running count/sum maintained in state and
   emitted per batch — the template for custom sessionization/feature
   accumulation that ``groupBy().agg()`` update-mode can't express.
+- session_windows: gap-based sessionization carried across micro-batches —
+  a session CLOSES (and emits) only when a later event proves the gap
+  elapsed, so results are identical no matter how the stream is chopped
+  into batches (the batch sessionizer w_sessionize_events is the oracle
+  shape; the trailing open session per key stays in state by design).
 
 State is per-key and bounded (GroupStateTimeout.ProcessingTimeTimeout
 evicts idle keys), so executor memory stays O(active keys) at 100 TB.
@@ -32,6 +37,13 @@ from pyspark.sql.types import (
 _DEDUP_STATE = StructType([StructField("seen", LongType())])
 _AGG_STATE = StructType(
     [StructField("n", LongType()), StructField("total", LongType())]
+)
+_SESSION_STATE = StructType(
+    [
+        StructField("start", LongType()),
+        StructField("last", LongType()),
+        StructField("n", LongType()),
+    ]
 )
 
 
@@ -68,6 +80,77 @@ def running_dedup(
         fn,
         outputStructType=out_schema,
         stateStructType=_DEDUP_STATE,
+        outputMode="append",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if idle_timeout_ms
+            else GroupStateTimeout.NoTimeout
+        ),
+    )
+
+
+def session_windows(
+    stream: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap_s: int,
+    idle_timeout_ms: int | None = None,
+) -> DataFrame:
+    """Gap-based sessionization across micro-batches.
+
+    ``ts_col`` must be epoch seconds (long). Within each key the state holds
+    the current open session (start, last, n); an event more than ``gap_s``
+    after ``last`` closes and EMITS the open session and starts a new one.
+    Emission is therefore batch-boundary-invariant: replaying the same events
+    in different batch splits yields byte-identical closed sessions, PROVIDED
+    batches arrive in event-time order per key (within a batch order doesn't
+    matter — events are sorted; across batches a late event older than the
+    open session would mis-split, the same contract as any non-watermarked
+    stateful op). The final open session per key remains in state
+    (emit-on-close semantics); continuous deployments bound state with
+    ``idle_timeout_ms``.
+    """
+
+    def fn(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        start, last, n = state.get if state.exists else (None, None, 0)
+        closed: list[tuple[int, int, int]] = []
+        ts_all: list[int] = []
+        for pdf in pdfs:
+            if len(pdf):
+                ts_all.extend(int(t) for t in pdf[ts_col])
+        for t in sorted(ts_all):
+            if start is None:
+                start, last, n = t, t, 1
+            elif t - last > gap_s:
+                closed.append((start, last, n))
+                start, last, n = t, t, 1
+            else:
+                last, n = t, n + 1
+        if start is not None:
+            state.update((start, last, n))
+        if idle_timeout_ms:
+            state.setTimeoutDuration(idle_timeout_ms)
+        if not closed:
+            return iter(())
+        return iter(
+            (
+                pd.DataFrame(
+                    {
+                        "key": [key[0]] * len(closed),
+                        "session_start": [c[0] for c in closed],
+                        "session_end": [c[1] for c in closed],
+                        "n_events": [c[2] for c in closed],
+                    }
+                ),
+            )
+        )
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType="key long, session_start long, session_end long, n_events long",
+        stateStructType=_SESSION_STATE,
         outputMode="append",
         timeoutConf=(
             GroupStateTimeout.ProcessingTimeTimeout

@@ -417,3 +417,49 @@ def test_dedup_within_watermark_bounded_state(spark, tmp_path):
     assert sorted(r.event_id for r in rows) == [1, 2, 3, 4]
     kept = {r.event_id: r.payload for r in rows}
     assert kept[1] == "a" and kept[2] == "b"  # first occurrence wins
+
+
+def test_stateful_session_windows_batch_invariant(spark, tmp_path):
+    """Closed sessions from the stateful streaming sessionizer must not
+    depend on how the stream is chopped into micro-batches."""
+    from f1_datalakehouse_pipeline_spark.streaming.stateful import session_windows
+
+    # key 1: sessions [100..130 (3 ev)], [200..210 (2 ev)], open [400]
+    # key 2: sessions [50 (1 ev)], open [500..510]
+    events = [
+        (1, 100), (1, 115), (1, 130),
+        (2, 50),
+        (1, 200), (1, 210),
+        (2, 500), (2, 510),
+        (1, 400),
+    ]
+    src = str(tmp_path / "sess")
+    df = spark.createDataFrame(events, ["k", "ts"])
+    # three files -> three time-ordered micro-batches with maxFilesPerTrigger=1
+    import os
+
+    os.makedirs(src, exist_ok=True)
+    spark.createDataFrame(events[:4], ["k", "ts"]).coalesce(1).write.parquet(src + "/b0")
+    spark.createDataFrame(events[4:6], ["k", "ts"]).coalesce(1).write.parquet(src + "/b1")
+    spark.createDataFrame(events[6:], ["k", "ts"]).coalesce(1).write.parquet(src + "/b2")
+
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/b*")
+    )
+    out = session_windows(stream, "k", "ts", gap_s=50)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sesswin")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = sorted(
+        (r.key, r.session_start, r.session_end, r.n_events)
+        for r in spark.sql("select * from sesswin").collect()
+    )
+    # closed sessions only; the trailing open session per key stays in state
+    assert rows == [(1, 100, 130, 3), (1, 200, 210, 2), (2, 50, 50, 1)]
