@@ -79,6 +79,7 @@ _VERIFY_FIRST = [
     "tpch_q18_large_orders",
     "a14_salted_aggregate",
     "t_corpus_curation",
+    "t_train_test_split",
 ]
 
 

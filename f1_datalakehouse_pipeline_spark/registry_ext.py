@@ -911,6 +911,40 @@ def t_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "t_train_test_split",
+    f"""
+    WITH h AS (
+      SELECT doc_id, {_DUCK_HASH.format(x="'split-seed-1:' || CAST(doc_id AS VARCHAR)")} % 100 AS bucket
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'valid'
+                ELSE 'test' END AS split
+    FROM h
+    """,
+)
+def t_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Deterministic hash-based train/valid/test assignment (80/10/10): the
+    # split is a pure function of (seed, doc_id) — reproducible across runs,
+    # engines, partitionings, and dataset growth (a doc never changes split
+    # when new docs arrive, unlike sample() or randomSplit()). The portable
+    # 48-bit md5 hash makes the oracle exact. At 100 TB this is a map-only
+    # projection: no shuffle, no state.
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = portable_hash48(
+        F.concat(F.lit("split-seed-1:"), F.col("doc_id").cast("string"))
+    ) % 100
+    return docs.select(
+        "doc_id",
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "valid")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
 # attach the LSH oracle (deterministic planes make it SQL-expressible)
 from f1_datalakehouse_pipeline_spark import registry as _registry  # noqa: E402
 

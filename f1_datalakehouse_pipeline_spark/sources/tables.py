@@ -101,6 +101,36 @@ class TableStore:
         for stale in others[_KEEP_VERSIONS:]:
             shutil.rmtree(stale, ignore_errors=True)
 
+    def versions(self, table: str) -> list[str]:
+        """Version directories for ``table``, newest first (current included).
+        Plain-parquet time travel: the transactional overwrite keeps the
+        current version plus ``_KEEP_VERSIONS`` predecessors (≙ Iceberg
+        snapshots, iceberg_manager.py history; bounded retention instead of
+        unbounded snapshot log)."""
+        live = self.path(table)
+        vroot = self._version_root(table)
+        if not os.path.isdir(vroot):
+            return [live] if os.path.isdir(live) else []
+        current = os.path.realpath(live)
+        dirs = [os.path.join(vroot, d) for d in os.listdir(vroot)]
+        dirs.sort(key=lambda p: (os.path.realpath(p) != current, -os.path.getmtime(p)))
+        return dirs
+
+    def read_version(self, table: str, n_back: int = 0, conformed: bool = False) -> DataFrame:
+        """Read the table as of ``n_back`` overwrites ago (0 = current).
+
+        Raises IndexError past the retention horizon — deliberately loud:
+        silently serving current data for a time-travel read would corrupt
+        any reproducibility claim built on it.
+        """
+        vs = self.versions(table)
+        if n_back >= len(vs):
+            raise IndexError(
+                f"{table}: only {len(vs)} retained versions, asked for n_back={n_back}"
+            )
+        df = self.spark.read.option("mergeSchema", "true").parquet(vs[n_back])
+        return conform(df, table, allow_missing=True) if conformed else df
+
     def read(self, table: str, conformed: bool = False) -> DataFrame:
         """Read a managed table; ``conformed=True`` merges file schemas and
         projects to the current registry schema with NULL backfill for

@@ -90,3 +90,19 @@ def test_legacy_plain_dir_migrates_on_first_overwrite(spark, tmp_path):
     # appends keep working through the symlink
     store.append(_sessions(spark, 3, gp="miami"), "sessions_silver")
     assert store.read("sessions_silver").count() == 11
+
+
+def test_time_travel_reads_previous_version(spark, tmp_path):
+    import pytest as _pytest
+
+    store = TableStore(spark, str(tmp_path / "wh"))
+    store.overwrite(_sessions(spark, 10, gp="monaco"), "sessions_silver")
+    store.overwrite(_sessions(spark, 25, gp="miami"), "sessions_silver")
+
+    assert store.read_version("sessions_silver", 0).count() == 25
+    prev = store.read_version("sessions_silver", 1)
+    assert prev.count() == 10
+    assert prev.select("grand_prix_name").distinct().collect()[0][0] == "monaco"
+    # past the retention horizon -> loud failure, never silent wrong data
+    with _pytest.raises(IndexError):
+        store.read_version("sessions_silver", 5)
