@@ -134,6 +134,61 @@ def run_fact_scale(spark: SparkSession, sf_dir: str, factor: int) -> dict:
     return r
 
 
+def scaled_embeddings(spark: SparkSession, sf_dir: str, factor: int) -> DataFrame:
+    """factor x the embeddings table; replicas are slightly perturbed per rep
+    (native array transform) so vectors stay distinct but realistic."""
+    path = os.path.join(CACHE, f"embeddings_x{factor}")
+    if not os.path.isdir(path):
+        base = load_table(spark, sf_dir, "embeddings")
+        reps = spark.range(factor).select(F.col("id").alias("rep"))
+        out = base.crossJoin(reps).select(
+            (F.col("vec_id") + F.col("rep") * F.lit(1_000_000)).alias("vec_id"),
+            F.transform(
+                F.col("embedding"),
+                lambda x, i: x + (F.col("rep") % 7).cast("double") * 0.001 * (i % 5).cast("double"),
+            ).alias("embedding"),
+        )
+        out.repartition(max(32, factor)).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+def run_ann_scale(spark: SparkSession, sf_dir: str, factor: int) -> dict:
+    """Brute-force vs vectorized vs LSH vs IVF over a scaled vector corpus:
+    wall time plus recall@5 of the approximate paths against brute truth."""
+    from f1_datalakehouse_pipeline_spark.operators import similarity
+    from f1_datalakehouse_pipeline_spark.registry_ext import _lsh_planes
+
+    emb = scaled_embeddings(spark, sf_dir, factor)
+    queries = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 10)
+    r: dict = {"vectors": emb.count()}
+
+    def recall(approx_df, truth: set) -> float:
+        got = {(x.query_id, x.neighbor_id) for x in approx_df.collect()}
+        return round(len(got & truth) / max(len(truth), 1), 3)
+
+    t0 = time.perf_counter()
+    truth_rows = similarity.brute_force_topk(emb, queries, k=5).collect()
+    r["brute_sec"] = round(time.perf_counter() - t0, 2)
+    truth = {(x.query_id, x.neighbor_id) for x in truth_rows}
+
+    t0 = time.perf_counter()
+    vec = similarity.brute_force_topk_vectorized(emb, queries, k=5)
+    r["vectorized_recall"] = recall(vec, truth)
+    r["vectorized_sec"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    lsh = similarity.lsh_bucketed_topk(emb, queries, _lsh_planes(), k=5)
+    r["lsh_recall"] = recall(lsh, truth)
+    r["lsh_sec"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    ivf = similarity.ivf_topk(emb, queries, k=5)
+    r["ivf_recall"] = recall(ivf, truth)
+    r["ivf_sec"] = round(time.perf_counter() - t0, 2)
+    print(f"  {r}", flush=True)
+    return r
+
+
 def timed(label: str, thunk) -> tuple[float, int]:
     t0 = time.perf_counter()
     n = thunk()
@@ -148,6 +203,7 @@ def main() -> None:
     ap.add_argument("--big", action="store_true", help="add factor 1000 (~5M docs)")
     ap.add_argument("--boilerplate", action="store_true")
     ap.add_argument("--facts", action="store_true", help="scale the lineitem fact side instead of documents")
+    ap.add_argument("--ann", action="store_true", help="scale the embeddings table and measure ANN variants")
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     args = ap.parse_args()
     factors = [int(f) for f in args.factors.split(",")]
@@ -162,6 +218,13 @@ def main() -> None:
         for factor in factors:
             print(f"fact factor {factor}:", flush=True)
             results[str(factor)] = run_fact_scale(spark, args.sf_dir, factor)
+        print(json.dumps(results, indent=2))
+        return
+
+    if args.ann:
+        for factor in factors:
+            print(f"ann factor {factor}:", flush=True)
+            results[str(factor)] = run_ann_scale(spark, args.sf_dir, factor)
         print(json.dumps(results, indent=2))
         return
 
