@@ -64,6 +64,27 @@ def attach_metadata(df: DataFrame, id_col: str, payload_col: str, modality: str)
     )
 
 
+def sniff_mime(payload) -> "F.Column":
+    """Magic-byte MIME sniffing on a binary column — pure native expressions
+    (hex of the first bytes), NO decode and NO Python: this is the metadata
+    pass a 100 TB media pipeline runs over every payload before routing to
+    per-modality decoders, so it must stay in codegen.
+
+    Covers the common container magics; unknown prefixes → 'application/
+    octet-stream'."""
+    hx = F.hex(F.substring(payload, 1, 8))
+    return (
+        F.when(hx.startswith("89504E47"), "image/png")
+        .when(hx.startswith("FFD8FF"), "image/jpeg")
+        .when(hx.startswith("47494638"), "image/gif")
+        .when(hx.startswith("52494646"), "audio/wav")  # RIFF (wav/avi container)
+        .when(hx.startswith("664C6143"), "audio/flac")  # fLaC
+        .when(hx.startswith("25504446"), "application/pdf")  # %PDF
+        .when(F.substring(hx, 9, 8) == "66747970", "video/mp4")  # ....ftyp
+        .otherwise("application/octet-stream")
+    )
+
+
 def fake_decoder(payload: bytes, modality: str) -> dict:
     """Deterministic stand-in for a real codec (PIL/librosa/ffmpeg).
 

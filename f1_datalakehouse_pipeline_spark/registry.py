@@ -80,6 +80,7 @@ _VERIFY_FIRST = [
     "a14_salted_aggregate",
     "t_corpus_curation",
     "t_train_test_split",
+    "mm_magic_sniff",
 ]
 
 

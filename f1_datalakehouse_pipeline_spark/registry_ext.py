@@ -912,6 +912,49 @@ def t_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "mm_magic_sniff",
+    """
+    WITH p AS (
+      SELECT doc_id,
+             encode(CASE CAST(doc_id % 4 AS INTEGER)
+                      WHEN 0 THEN 'RIFF' WHEN 1 THEN 'GIF8'
+                      WHEN 2 THEN '%PDF' ELSE 'fLaC' END || text) AS payload
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(octet_length(payload) AS BIGINT) AS n_bytes,
+           CASE substring(decode(payload), 1, 4)
+             WHEN 'RIFF' THEN 'audio/wav'
+             WHEN 'GIF8' THEN 'image/gif'
+             WHEN '%PDF' THEN 'application/pdf'
+             WHEN 'fLaC' THEN 'audio/flac'
+             ELSE 'application/octet-stream' END AS sniffed
+    FROM p
+    """,
+)
+def mm_magic_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Binary-column magic sniffing with an EXACT oracle: payloads are
+    # fabricated from text with printable container magics (so DuckDB can
+    # build byte-identical blobs), then sniffed from the payload bytes. The
+    # production function (operators/multimodal.sniff_mime) additionally
+    # covers the non-printable magics (PNG/JPEG/mp4) via hex-prefix compare —
+    # same plan shape, unit-tested.
+    from f1_datalakehouse_pipeline_spark.operators.multimodal import sniff_mime
+
+    docs = load_table(spark, sf_dir, "documents")
+    k = (F.col("doc_id") % 4).cast("int")
+    magic = (
+        F.when(k == 0, "RIFF").when(k == 1, "GIF8").when(k == 2, "%PDF").otherwise("fLaC")
+    )
+    payload = F.encode(F.concat(magic, F.col("text")), "UTF-8")
+    return docs.select(
+        "doc_id",
+        F.octet_length(payload).cast("long").alias("n_bytes"),
+        sniff_mime(payload).alias("sniffed"),
+    )
+
+
+@query(
     "t_train_test_split",
     f"""
     WITH h AS (

@@ -463,3 +463,23 @@ def test_stateful_session_windows_batch_invariant(spark, tmp_path):
     )
     # closed sessions only; the trailing open session per key stays in state
     assert rows == [(1, 100, 130, 3), (1, 200, 210, 2), (2, 50, 50, 1)]
+
+
+def test_sniff_mime_real_magics(spark):
+    from f1_datalakehouse_pipeline_spark.operators.multimodal import sniff_mime
+
+    payloads = [
+        (1, b"\x89PNG\r\n\x1a\n....", "image/png"),
+        (2, b"\xff\xd8\xff\xe0JFIF", "image/jpeg"),
+        (3, b"GIF89a......", "image/gif"),
+        (4, b"RIFF....WAVE", "audio/wav"),
+        (5, b"fLaC\x00\x00\x00\x22", "audio/flac"),
+        (6, b"%PDF-1.7 ...", "application/pdf"),
+        (7, b"\x00\x00\x00\x18ftypmp42", "video/mp4"),
+        (8, b"random bytes", "application/octet-stream"),
+        (9, b"", "application/octet-stream"),
+    ]
+    df = spark.createDataFrame([(i, p) for i, p, _ in payloads], ["media_id", "payload"])
+    got = {r.media_id: r.mime for r in df.select("media_id", sniff_mime(F.col("payload")).alias("mime")).collect()}
+    for i, _, want in payloads:
+        assert got[i] == want, (i, got[i], want)
