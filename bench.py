@@ -106,20 +106,25 @@ def main() -> None:
     # SEPARATELY from "value" so the headline total stays comparable round
     # over round; tools/scale_stress.py holds the full 50K/500K/5M ladder.
     if os.environ.get("SPARK_GRAFT_SCALE_BENCH", "1") != "0" and sf == 0.1:
-        from f1_datalakehouse_pipeline_spark.operators import dedup
-        from tools.scale_stress import scaled_docs
+        # Guarded: a scale-section failure (disk, cache dir perms) must never
+        # cost the headline bench line.
+        try:
+            from f1_datalakehouse_pipeline_spark.operators import dedup
+            from tools.scale_stress import scaled_docs
 
-        docs = scaled_docs(spark, sf_dir, factor=10)
-        scale: dict[str, float | int] = {"docs": docs.count()}
-        t0 = time.time()
-        dedup.minhash_lsh_pairs(docs, "doc_id", "text").write.format("noop").mode("overwrite").save()
-        scale["minhash_lsh_sec"] = round(time.time() - t0, 3)
-        t0 = time.time()
-        dedup.ngram_jaccard_pairs(docs, "doc_id", "text", max_doc_frequency=32).write.format(
-            "noop"
-        ).mode("overwrite").save()
-        scale["ngram_jaccard_capped_sec"] = round(time.time() - t0, 3)
-        out["scale_sf1_dedup"] = scale
+            docs = scaled_docs(spark, sf_dir, factor=10)
+            scale: dict[str, float | int] = {"docs": docs.count()}
+            t0 = time.time()
+            dedup.minhash_lsh_pairs(docs, "doc_id", "text").write.format("noop").mode("overwrite").save()
+            scale["minhash_lsh_sec"] = round(time.time() - t0, 3)
+            t0 = time.time()
+            dedup.ngram_jaccard_pairs(docs, "doc_id", "text", max_doc_frequency=32).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            scale["ngram_jaccard_capped_sec"] = round(time.time() - t0, 3)
+            out["scale_sf1_dedup"] = scale
+        except Exception as e:  # noqa: BLE001 — diagnostic, not fatal
+            out["scale_sf1_dedup"] = {"error": f"{type(e).__name__}: {e}"[:200]}
 
     print(json.dumps(out))
 

@@ -86,6 +86,15 @@ def run_bronze_to_silver(
 ) -> RunReport:
     if mode == INCREMENTAL and grand_prix is None:
         grand_prix = detect_latest_grand_prix(spark, bronze_root, year)
+    if grand_prix is not None:
+        # Canonicalize ONCE with the same normalizer that produced the bronze
+        # partition slugs and silver names ('Sao-Paulo' → 'sao_paulo'): both
+        # the bronze partition filter and the silver scope below then compare
+        # canonical-to-canonical. One 1-row local job; idempotent for
+        # already-canonical slugs (detect_latest_grand_prix returns one).
+        grand_prix = spark.range(1).select(
+            normalize_grand_prix_name(F.lit(grand_prix)).alias("g")
+        ).head()[0]
     report = RunReport(mode=mode, year=year, grand_prix=grand_prix)
     gp = grand_prix if mode == INCREMENTAL else None
 

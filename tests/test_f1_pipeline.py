@@ -414,3 +414,34 @@ def test_streaming_bronze_to_silver(lakehouse, spark, tmp_path):
             .drop("created_timestamp", "updated_timestamp").collect())
     )
     assert got == want
+
+
+def test_incremental_empty_scope_aborts_loudly(lakehouse, spark, tmp_path):
+    """A GP slug matching no silver sessions must raise, not silently no-op
+    (ADVICE r1: slug-normalization mismatch made incrementals vanish)."""
+    import pytest as _pytest
+
+    from f1_datalakehouse_pipeline_spark.plans.pipeline import run_bronze_to_silver
+    from f1_datalakehouse_pipeline_spark.sources.tables import TableStore
+
+    with _pytest.raises(ValueError, match="matched no silver sessions"):
+        run_bronze_to_silver(
+            spark, lakehouse["bronze"], lakehouse["store"], mode="INCREMENTAL",
+            year=2025, grand_prix="nonexistent_gp",
+        )
+
+
+def test_incremental_scope_accepts_unnormalized_slug(lakehouse, spark):
+    """An externally-supplied punctuated slug ('Sao-Paulo') scopes the same
+    sessions as the canonical silver name (normalize-before-compare)."""
+    from f1_datalakehouse_pipeline_spark.plans.pipeline import run_bronze_to_silver
+
+    report = run_bronze_to_silver(
+        spark, lakehouse["bronze"], lakehouse["store"], mode="INCREMENTAL",
+        year=2025, grand_prix="Sao-Paulo",
+    )
+    assert report.results["sessions_silver"] == "ok"
+    assert report.grand_prix == "sao_paulo"  # canonicalized at entry
+    # and the bronze-side partition filter actually selected the GP's rows
+    # (not a silent empty batch): the batch re-wrote real race results
+    assert report.row_counts.get("race_results_silver", 0) > 0
