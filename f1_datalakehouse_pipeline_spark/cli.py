@@ -44,12 +44,31 @@ def build_parser() -> argparse.ArgumentParser:
     sub = ap.add_subparsers(dest="cmd", required=True)
     for name in ("bronze-to-silver", "silver-to-gold", "run-incremental"):
         _common(sub.add_parser(name))
+    ing = sub.add_parser("ingest", help="REST API -> bronze landing (S1)")
+    ing.add_argument("--bronze", required=True)
+    ing.add_argument("--year", type=int, default=2025)
+    ing.add_argument("--base-url", required=True, help="API base URL")
+    ing.add_argument("--rate-limit", type=float, default=0.5)
+    ing.add_argument("--master", default=None)
     return ap
 
 
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
     spark = get_spark(f"f1-lakehouse-{args.cmd}", master=args.master)
+    if args.cmd == "ingest":
+        from f1_datalakehouse_pipeline_spark.sources.ingest import (
+            RestClient,
+            http_transport,
+            ingest_year,
+        )
+
+        client = RestClient(
+            http_transport(args.base_url), rate_limit_seconds=args.rate_limit
+        )
+        counts = ingest_year(spark, client, args.bronze, year=args.year)
+        print(json.dumps({"ingested": counts}))
+        return 0
     store = TableStore(spark, args.warehouse)
     reports = []
     try:
