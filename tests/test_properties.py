@@ -90,3 +90,104 @@ def test_jaccard_bounds_and_symmetry(spark, texts):
         tb = set(texts[r.doc_b].split())
         if ta == tb and ta:
             assert r.jaccard == 1.0
+
+
+def _py_calculate_time_millis(time_str):
+    """Independent Python port of the reference parser (common.py:145-206) —
+    the ground truth the native expression must agree with on ANY string."""
+    if not time_str or time_str == "":
+        return None
+    try:
+        time_str = time_str.strip()
+        if time_str.count(":") == 2:
+            parts = time_str.split(":")
+            hours, minutes = int(parts[0]), int(parts[1])
+            sp = parts[2].split(".")
+            seconds = int(sp[0])
+            millis = int(sp[1]) if len(sp) > 1 else 0
+            return hours * 3600000 + minutes * 60000 + seconds * 1000 + millis
+        elif time_str.count(":") == 1:
+            parts = time_str.split(":")
+            minutes = int(parts[0])
+            sp = parts[1].split(".")
+            seconds = int(sp[0])
+            millis = int(sp[1]) if len(sp) > 1 else 0
+            return minutes * 60000 + seconds * 1000 + millis
+        elif "." in time_str:
+            sp = time_str.split(".")
+            return int(sp[0]) * 1000 + int(sp[1])
+        else:
+            return int(float(time_str) * 1000)
+    except (ValueError, IndexError, AttributeError):
+        return None
+
+
+time_strings = st.one_of(
+    st.from_regex(r"\A[0-9]{1,2}:[0-9]{1,2}:[0-9]{1,2}(\.[0-9]{1,6})?\Z"),
+    st.from_regex(r"\A[0-9]{1,3}:[0-9]{1,2}(\.[0-9]{1,6})?\Z"),
+    st.from_regex(r"\A[0-9]{1,5}(\.[0-9]{1,4})?\Z"),
+    st.text(max_size=12),  # arbitrary garbage
+)
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(strings=st.lists(time_strings, min_size=1, max_size=20))
+def test_time_parser_matches_reference_port(spark, strings):
+    from pyspark.sql import functions as F
+
+    from f1_datalakehouse_pipeline_spark.functions.f1 import time_string_to_millis
+
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(strings)], ["i", "s"])
+    got = {
+        r.i: r.ms
+        for r in df.select("i", time_string_to_millis(F.col("s")).alias("ms")).collect()
+    }
+    for i, s in enumerate(strings):
+        want = _py_calculate_time_millis(s)
+        # documented deviation: exotic float()-parseable forms (e.g. '1e3',
+        # unicode digits, signs, inf/nan) are NULL natively
+        stripped = s.strip() if isinstance(s, str) else s
+        if want is not None and stripped and not __import__("re").fullmatch(
+            r"[0-9]+(:[0-9]+){0,2}(\.[0-9]+)?", stripped
+        ):
+            continue
+        assert got[i] == want, (s, got[i], want)
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(0, 255), st.integers(0, 255)), min_size=1, max_size=30, unique=True
+    )
+)
+def test_morton_key_is_injective_and_monotone_per_axis(spark, pts):
+    from pyspark.sql import functions as F
+
+    from f1_datalakehouse_pipeline_spark.functions.zorder import morton_interleave
+
+    df = spark.createDataFrame(pts, ["x", "y"])
+    rows = df.select(
+        "x", "y", morton_interleave([F.col("x"), F.col("y")], bits=8).alias("z")
+    ).collect()
+    seen = {}
+    for r in rows:
+        # injective on the grid
+        assert (r.x, r.y) not in seen or seen[(r.x, r.y)] == r.z
+        seen[(r.x, r.y)] = r.z
+    assert len(set(seen.values())) == len(seen)
+    # monotone along each axis when the other coordinate is fixed
+    by_x = {}
+    for (x, y), z in seen.items():
+        by_x.setdefault(x, []).append((y, z))
+    for x, items in by_x.items():
+        items.sort()
+        zs = [z for _, z in items]
+        assert zs == sorted(zs)
