@@ -160,11 +160,36 @@ class TableStore:
     def append(self, df: DataFrame, table: str) -> None:
         self._writer(df, table).mode("append").save(self.path(table))
 
-    def overwrite(self, df: DataFrame, table: str) -> None:
+    def overwrite(
+        self,
+        df: DataFrame,
+        table: str,
+        sort_by: list[str] | None = None,
+        cluster_by: list[str] | None = None,
+    ) -> None:
         """Transactional full overwrite: write → (implicit) validate → atomic
         swap. If the write job fails, no swap happens and the live table is
         untouched; the half-written staging dir is orphaned under .versions
-        and reaped by the next successful overwrite's GC."""
+        and reaped by the next successful overwrite's GC.
+
+        ``cluster_by``: Z-order the write on these (integer-valued) columns —
+        range-partition + sort on the Morton interleave key so EVERY listed
+        column gets tight per-file min/max stats (functions/zorder.py; the
+        plain-parquet OPTIMIZE ZORDER BY). Mutually exclusive with
+        ``sort_by`` (single-dimension clustering)."""
+        if cluster_by:
+            from pyspark.sql import functions as F
+
+            from f1_datalakehouse_pipeline_spark.functions.zorder import morton_interleave
+
+            key = morton_interleave([F.col(c) for c in cluster_by])
+            n = max(2, self.spark.sparkContext.defaultParallelism)
+            df = (
+                df.withColumn("__z", key)
+                .repartitionByRange(n, "__z")
+                .sortWithinPartitions("__z")
+                .drop("__z")
+            )
         version_dir = os.path.join(
             self._version_root(table), f"v-{uuid.uuid4().hex[:12]}"
         )
@@ -172,7 +197,7 @@ class TableStore:
         # Full overwrite must be static even when the session default is
         # dynamic, otherwise stale partitions would survive inside the fresh
         # version dir.
-        self._writer(df, table).option("partitionOverwriteMode", "static").mode(
+        self._writer(df, table, sort_by).option("partitionOverwriteMode", "static").mode(
             "overwrite"
         ).save(version_dir)
         self._publish(table, version_dir)

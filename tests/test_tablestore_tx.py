@@ -106,3 +106,37 @@ def test_time_travel_reads_previous_version(spark, tmp_path):
     # past the retention horizon -> loud failure, never silent wrong data
     with _pytest.raises(IndexError):
         store.read_version("sessions_silver", 5)
+
+
+def test_overwrite_cluster_by_zorders_the_write(spark, tmp_path):
+    """cluster_by routes the version write through the Morton range-sort:
+    data survives intact and both clustered columns get non-degenerate
+    per-file ranges (full z-order quality is covered in test_zorder)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    store = TableStore(spark, str(tmp_path / "wh"))
+    df = _sessions(spark, 2000).withColumn(
+        "meeting_key", (F.col("session_key") * 37 % 256).cast("long")
+    )
+    store.overwrite(df, "sessions_silver", cluster_by=["session_key", "meeting_key"])
+    out = store.read("sessions_silver")
+    assert out.count() == 2000
+    live = os.path.realpath(store.path("sessions_silver"))
+    files = glob.glob(f"{live}/**/*.parquet", recursive=True)
+    assert len(files) > 1  # range partitioning produced multiple files
+    # z-ranges are disjoint-ish: session_key per-file spans ≪ global range
+    spans = []
+    for f in files:
+        md = pq.read_metadata(f)
+        lo, hi = None, None
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                c = md.row_group(rg).column(ci)
+                if c.path_in_schema == "session_key" and c.statistics is not None:
+                    lo = c.statistics.min if lo is None else min(lo, c.statistics.min)
+                    hi = c.statistics.max if hi is None else max(hi, c.statistics.max)
+        assert lo is not None
+        spans.append(hi - lo)
+    assert sum(spans) / len(spans) < 2000 * 0.8
