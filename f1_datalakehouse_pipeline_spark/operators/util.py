@@ -15,6 +15,14 @@ def spread(df: DataFrame, *cols: str) -> DataFrame:
     """
     sc = df.sparkSession.sparkContext
     n = sc.defaultParallelism
-    if df.rdd.getNumPartitions() >= n:
+    # Decide off the FILE LISTING, not df.rdd.getNumPartitions(): the RDD
+    # conversion forces plan analysis + a physical RDD per call. inputFiles()
+    # is analysis-only; a many-file input is already parallel enough, and a
+    # non-file source (empty list) just takes the repartition.
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:  # noqa: BLE001 — conservative fallback
+        n_files = 0
+    if n_files >= n:
         return df
     return df.repartition(n, *cols) if cols else df.repartition(n)
