@@ -81,6 +81,10 @@ _VERIFY_FIRST = [
     "t_corpus_curation",
     "t_train_test_split",
     "mm_magic_sniff",
+    "j9_full_outer_reconcile",
+    "w16_percent_rank_cume",
+    "f_regex_extract_all",
+    "a15_corr_decimal",
 ]
 
 
@@ -793,6 +797,148 @@ def a14_salted_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
         F.col("revenue").cast("double").alias("revenue"),
         F.col("n").cast("long").alias("n"),
+    )
+
+
+@query(
+    "j9_full_outer_reconcile",
+    """
+    WITH a AS (
+      SELECT o_custkey, COUNT(*) AS n_a
+      FROM orders WHERE o_orderstatus = 'F' GROUP BY o_custkey
+    ), b AS (
+      SELECT o_custkey, COUNT(*) AS n_b
+      FROM orders WHERE o_orderstatus = 'O' GROUP BY o_custkey
+    )
+    SELECT COALESCE(a.o_custkey, b.o_custkey) AS o_custkey,
+           CAST(COALESCE(n_a, 0) AS BIGINT) AS n_finished,
+           CAST(COALESCE(n_b, 0) AS BIGINT) AS n_open,
+           CASE WHEN a.o_custkey IS NULL THEN 'right_only'
+                WHEN b.o_custkey IS NULL THEN 'left_only'
+                ELSE 'both' END AS presence
+    FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey
+    """,
+)
+def j9_full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Standalone full-outer reconciliation (two aggregates diffed with
+    # presence tagging) — the snapshot-compare shape scd2_merge_incremental
+    # uses internally, exposed as its own §2.3 operator with an oracle.
+    o = load_table(spark, sf_dir, "orders")
+    a = (
+        o.filter(F.col("o_orderstatus") == "F")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_a"))
+        .withColumnRenamed("o_custkey", "ck_a")
+    )
+    b = (
+        o.filter(F.col("o_orderstatus") == "O")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_b"))
+        .withColumnRenamed("o_custkey", "ck_b")
+    )
+    j = a.join(b, a.ck_a == b.ck_b, "full_outer")
+    return j.select(
+        F.coalesce("ck_a", "ck_b").alias("o_custkey"),
+        F.coalesce("n_a", F.lit(0)).cast("long").alias("n_finished"),
+        F.coalesce("n_b", F.lit(0)).cast("long").alias("n_open"),
+        F.when(F.col("ck_a").isNull(), "right_only")
+        .when(F.col("ck_b").isNull(), "left_only")
+        .otherwise("both")
+        .alias("presence"),
+    )
+
+
+@query(
+    "w16_percent_rank_cume",
+    """
+    SELECT c_custkey, c_mktsegment,
+           percent_rank() OVER w AS pr,
+           cume_dist() OVER w AS cd
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def w16_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Relative-rank window functions (§2.5 completion): both engines compute
+    # percent_rank = (rank-1)/(n-1) and cume_dist = n_le/n as exact integer
+    # ratios in double — bit-identical with a deterministic tie-break.
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+
+
+@query(
+    "f_regex_extract_all",
+    r"""
+    SELECT o_orderkey,
+           array_to_string(regexp_extract_all(o_orderpriority, '[A-Z]+'), '|') AS words,
+           CAST(len(regexp_extract_all(o_orderpriority, '[0-9]+')) AS INTEGER) AS n_number_runs,
+           COALESCE(regexp_extract_all(o_orderpriority, '[0-9]+')[1], '') AS first_number_run
+    FROM orders
+    """,
+)
+def f_regex_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Array-returning regex extraction (log/text mining staple): all matches
+    # (joined to one string so the driver's value-hash sees scalar columns),
+    # match count, first match with empty-string default. Stays in codegen.
+    o = load_table(spark, sf_dir, "orders")
+    # idx=0 (full match) — Spark defaults to capture group 1, DuckDB to 0
+    nums = F.regexp_extract_all("o_orderpriority", F.lit(r"[0-9]+"), 0)
+    return o.select(
+        "o_orderkey",
+        F.concat_ws("|", F.regexp_extract_all("o_orderpriority", F.lit(r"[A-Z]+"), 0)).alias("words"),
+        F.size(nums).alias("n_number_runs"),
+        F.coalesce(F.element_at(nums, 1), F.lit("")).alias("first_number_run"),
+    )
+
+
+@query(
+    "a15_corr_decimal",
+    """
+    WITH s AS (
+      SELECT o_orderpriority,
+             CAST(COUNT(*) AS DECIMAL(18,0)) AS n,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS sx,
+             SUM(CAST(o_custkey % 7 AS DECIMAL(18,2))
+                 * CAST(o_totalprice AS DECIMAL(18,2))) AS sxy,
+             SUM(CAST(o_custkey % 7 AS DECIMAL(18,2))) AS sy
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority,
+           CAST(n AS BIGINT) AS n,
+           CAST(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS DOUBLE) AS cov_num
+    FROM s
+    """,
+)
+def a15_corr_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Correlation/covariance the oracle-exact way: the five moment sums run
+    # in DECIMAL (order-independent, partial-aggregable map-side — the same
+    # shape corr() uses internally), and only the final covariance numerator
+    # n*Sxy - Sx*Sy is computed in double. Spark's built-in corr() streams
+    # float accumulators whose summation order varies by partitioning —
+    # correct at scale but not hash-matchable; this decimal form is both.
+    o = load_table(spark, sf_dir, "orders")
+    x = _dec("o_totalprice")
+    y = (F.col("o_custkey") % 7).cast("decimal(18,2)")
+    s = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("decimal(18,0)").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y * x).alias("sxy"),
+        F.sum(y).alias("sy"),
+    )
+    return s.select(
+        "o_orderpriority",
+        F.col("n").cast("long").alias("n"),
+        (
+            F.col("n").cast("double") * F.col("sxy").cast("double")
+            - F.col("sx").cast("double") * F.col("sy").cast("double")
+        ).alias("cov_num"),
     )
 
 

@@ -45,7 +45,12 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
                 if isinstance(v, (datetime.datetime, datetime.date)):
                     return v.isoformat()
                 if isinstance(v, (list, np.ndarray)):
-                    return tuple(round(float(x), 9) for x in v)
+                    return tuple(
+                        round(float(x), 9)
+                        if isinstance(x, (int, float, np.floating, np.integer))
+                        else x
+                        for x in v
+                    )
                 return v
 
             df[c] = s.map(conv)
