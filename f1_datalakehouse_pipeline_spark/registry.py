@@ -85,6 +85,8 @@ _VERIFY_FIRST = [
     "w16_percent_rank_cume",
     "f_regex_extract_all",
     "a15_corr_decimal",
+    "f_posexplode_tokens",
+    "ts_interpolate_linear",
 ]
 
 

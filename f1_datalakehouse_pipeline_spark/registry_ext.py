@@ -955,6 +955,125 @@ def mm_magic_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ts_interpolate_linear",
+    """
+    WITH ev AS (
+      SELECT user_id, ts AS t, CAST(value AS DOUBLE) AS value
+      FROM events WHERE event_type = 'view'
+    ), b AS (
+      SELECT user_id, date_trunc('hour', MIN(t)) AS mn, date_trunc('hour', MAX(t)) AS mx
+      FROM ev GROUP BY user_id
+    ), grid AS (
+      SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 6 HOUR)) AS t FROM b
+    ), u AS (
+      SELECT user_id, t, CAST(NULL AS DOUBLE) AS value, 1 AS is_grid FROM grid
+      UNION ALL SELECT user_id, t, value, 0 FROM ev
+    ), f AS (
+      SELECT user_id, t, is_grid,
+        last_value(value IGNORE NULLS) OVER wb AS vp,
+        last_value(CASE WHEN value IS NOT NULL THEN t END IGNORE NULLS) OVER wb AS tp,
+        first_value(value IGNORE NULLS) OVER wf AS vn,
+        first_value(CASE WHEN value IS NOT NULL THEN t END IGNORE NULLS) OVER wf AS tn
+      FROM u
+      WINDOW wb AS (PARTITION BY user_id ORDER BY t, is_grid
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wf AS (PARTITION BY user_id ORDER BY t, is_grid
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, CAST(epoch_us(t) AS BIGINT) AS ts_us,
+           CASE WHEN epoch_us(tn) = epoch_us(tp) THEN vp
+                ELSE vp + (vn - vp) * (CAST(epoch_us(t) - epoch_us(tp) AS DOUBLE)
+                                       / CAST(epoch_us(tn) - epoch_us(tp) AS DOUBLE))
+           END AS v_interp
+    FROM f
+    WHERE is_grid = 1 AND vp IS NOT NULL AND vn IS NOT NULL
+    """,
+)
+def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Time-series resample + LINEAR interpolation (the hypertable staple
+    # beyond ts_rollup_gapfill's forward-fill): per user, a 6-hour grid gets
+    # v(t) = vp + (vn-vp)*(t-tp)/(tn-tp) from the surrounding observations.
+    # Grid and events union once, ONE ordering per direction (two window
+    # passes over the same partitioning = one shuffle), no self-join.
+    # The interpolation arithmetic is a single scalar expression — no
+    # reduction — so doubles match the oracle bit-for-bit.
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "view")
+        .select("user_id", F.col("ts").alias("t"), F.col("value").cast("double").alias("value"))
+    )
+    b = ev.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("t")).alias("mn"),
+        F.date_trunc("hour", F.max("t")).alias("mx"),
+    )
+    grid = b.select(
+        "user_id",
+        F.explode(F.sequence("mn", "mx", F.expr("interval 6 hours"))).alias("t"),
+    )
+    u = grid.select(
+        "user_id", "t", F.lit(None).cast("double").alias("value"), F.lit(1).alias("is_grid")
+    ).unionByName(ev.select("user_id", "t", "value", F.lit(0).alias("is_grid")))
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "is_grid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "is_grid")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    t_obs = F.when(F.col("value").isNotNull(), F.col("t"))
+    f = u.select(
+        "user_id",
+        "t",
+        "is_grid",
+        F.last("value", ignorenulls=True).over(wb).alias("vp"),
+        F.last(t_obs, ignorenulls=True).over(wb).alias("tp"),
+        F.first("value", ignorenulls=True).over(wf).alias("vn"),
+        F.first(t_obs, ignorenulls=True).over(wf).alias("tn"),
+    )
+    g, tp, tn = F.unix_micros("t"), F.unix_micros("tp"), F.unix_micros("tn")
+    interp = F.when(tn == tp, F.col("vp")).otherwise(
+        F.col("vp")
+        + (F.col("vn") - F.col("vp"))
+        * ((g - tp).cast("double") / (tn - tp).cast("double"))
+    )
+    return (
+        f.filter((F.col("is_grid") == 1) & F.col("vp").isNotNull() & F.col("vn").isNotNull())
+        .select("user_id", g.alias("ts_us"), interp.alias("v_interp"))
+    )
+
+
+@query(
+    "f_posexplode_tokens",
+    f"""
+    WITH tokd2 AS (
+      SELECT doc_id, {_DUCK_TOKS.format(x='text')} AS toks
+      FROM documents WHERE doc_id % 20 = 0
+    ), idx AS (
+      SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i FROM tokd2
+    )
+    SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, toks[i] AS token
+    FROM idx WHERE (i - 1) % 7 = 0
+    """,
+)
+def f_posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Lateral array explosion WITH POSITION (§2.8 array completion): every
+    # 7th token of every 20th doc — posexplode is the UDTF-shaped built-in
+    # (generator expression, stays in codegen; ordinality is 0-based in
+    # Spark, 1-based in DuckDB's WITH ORDINALITY, aligned here).
+    from f1_datalakehouse_pipeline_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 20 == 0)
+    return (
+        docs.select("doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "token"))
+        .filter(F.col("pos") % 7 == 0)
+        .select("doc_id", "pos", "token")
+    )
+
+
+@query(
     "t_train_test_split",
     f"""
     WITH h AS (
