@@ -87,6 +87,8 @@ _VERIFY_FIRST = [
     "a15_corr_decimal",
     "f_posexplode_tokens",
     "ts_interpolate_linear",
+    "a16_mode_per_group",
+    "f_levenshtein_pairs",
 ]
 
 
@@ -941,6 +943,69 @@ def a15_corr_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("double") * F.col("sxy").cast("double")
             - F.col("sx").cast("double") * F.col("sy").cast("double")
         ).alias("cov_num"),
+    )
+
+
+@query(
+    "a16_mode_per_group",
+    """
+    WITH counts AS (
+      SELECT c_mktsegment, c_nationkey, COUNT(*) AS n
+      FROM customer GROUP BY c_mktsegment, c_nationkey
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                   ORDER BY n DESC, c_nationkey ASC) AS rn
+      FROM counts
+    )
+    SELECT c_mktsegment, c_nationkey AS mode_nation, CAST(n AS BIGINT) AS n
+    FROM ranked WHERE rn = 1
+    """,
+)
+def a16_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Most-frequent-value per group (mode) as count + top-1 window with a
+    # deterministic tie-break — built-in mode() has engine-defined ties, this
+    # form is exact. Two shuffles (count, then per-group top-1 over the much
+    # smaller counts table).
+    c = load_table(spark, sf_dir, "customer")
+    counts = c.groupBy("c_mktsegment", "c_nationkey").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("n"), F.asc("c_nationkey"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("c_mktsegment", F.col("c_nationkey").alias("mode_nation"), F.col("n").cast("long").alias("n"))
+    )
+
+
+@query(
+    "f_levenshtein_pairs",
+    """
+    WITH d AS (
+      SELECT doc_id, substring(text, 1, 40) AS head FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(levenshtein(a.head, b.head) AS INTEGER) AS edit_distance
+    FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
+    """,
+)
+def f_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Edit distance (fuzzy-matching staple, §2.8 extension): identical DP
+    # algorithm in both engines on 40-char prefixes of consecutive docs —
+    # a self-join keyed on doc_id+1, never all-pairs. At corpus scale this
+    # slots in as the verification metric after LSH candidate generation
+    # (swap exact Jaccard for edit distance where char-level similarity
+    # matters, e.g. near-identical code files).
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, 40).alias("head")
+    )
+    a = d.select(F.col("doc_id").alias("doc_a"), F.col("head").alias("head_a"))
+    b = d.select(F.col("doc_id").alias("doc_b"), F.col("head").alias("head_b"))
+    return (
+        a.join(b, F.col("doc_b") == F.col("doc_a") + 1)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("head_a", "head_b").cast("int").alias("edit_distance"),
+        )
     )
 
 
