@@ -91,6 +91,53 @@ def asof_join(
     return out
 
 
+def interval_overlap_join_binned(
+    left: DataFrame,
+    right: DataFrame,
+    left_start,
+    left_end,
+    right_start,
+    right_end,
+    bucket_width: int,
+) -> DataFrame:
+    """Interval × interval overlap join (a.s <= b.e AND b.s <= a.e) with no
+    equality key, made shuffle-joinable the same way as range_join_binned:
+    both sides explode their bucket spans, the equi-join on bucket prunes to
+    same-bucket candidates, an exact predicate filters, and a distinct
+    removes multi-bucket duplicates (a pair overlapping across k buckets
+    matches k times). Choose ``bucket_width`` ≈ typical span so the explode
+    factor stays ~2 per side. Never a cartesian product.
+    """
+
+    def _binned(df: DataFrame, s, e, prefix: str) -> DataFrame:
+        s = F.col(s) if isinstance(s, str) else s
+        e = F.col(e) if isinstance(e, str) else e
+        return (
+            df.withColumn(f"__{prefix}s", s.cast("long"))
+            .withColumn(f"__{prefix}e", e.cast("long"))
+            .withColumn(
+                "__bucket",
+                F.explode(
+                    F.sequence(
+                        (F.col(f"__{prefix}s") / bucket_width).cast("long"),
+                        (F.col(f"__{prefix}e") / bucket_width).cast("long"),
+                    )
+                ),
+            )
+        )
+
+    l_b = _binned(left, left_start, left_end, "l")
+    r_b = _binned(right, right_start, right_end, "r")
+    return (
+        l_b.join(r_b, "__bucket")
+        .filter(
+            (F.col("__ls") <= F.col("__re")) & (F.col("__rs") <= F.col("__le"))
+        )
+        .drop("__bucket", "__ls", "__le", "__rs", "__re")
+        .distinct()
+    )
+
+
 def range_join_binned(
     points: DataFrame,
     intervals: DataFrame,

@@ -89,6 +89,8 @@ _VERIFY_FIRST = [
     "ts_interpolate_linear",
     "a16_mode_per_group",
     "f_levenshtein_pairs",
+    "j10_interval_overlap",
+    "u5_union_schema_drift",
 ]
 
 
@@ -944,6 +946,27 @@ def a15_corr_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.col("sx").cast("double") * F.col("sy").cast("double")
         ).alias("cov_num"),
     )
+
+
+@query(
+    "u5_union_schema_drift",
+    """
+    SELECT o_orderkey, o_orderpriority, NULL AS o_orderstatus
+    FROM orders WHERE o_orderstatus = 'F' AND o_orderkey % 100 = 0
+    UNION ALL BY NAME
+    SELECT o_orderkey, o_orderstatus, NULL AS o_orderpriority
+    FROM orders WHERE o_orderstatus = 'O' AND o_orderkey % 100 = 0
+    """,
+)
+def u5_union_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Union across drifted schemas (§2.7 + schema-evolution intersection):
+    # unionByName(allowMissingColumns=True) aligns by NAME and NULL-fills
+    # absent columns — positional unionAll would silently cross-wire columns.
+    # ≙ DuckDB's UNION ALL BY NAME.
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0)
+    a = o.filter(F.col("o_orderstatus") == "F").select("o_orderkey", "o_orderpriority")
+    b = o.filter(F.col("o_orderstatus") == "O").select("o_orderkey", "o_orderstatus")
+    return a.unionByName(b, allowMissingColumns=True)
 
 
 @query(

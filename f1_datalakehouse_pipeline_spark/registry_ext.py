@@ -955,6 +955,48 @@ def mm_magic_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "j10_interval_overlap",
+    """
+    WITH a AS (
+      SELECT o_orderkey AS key_a,
+             CAST(epoch(o_orderdate) AS BIGINT) AS s_a,
+             CAST(epoch(o_orderdate) AS BIGINT) + 2592000 AS e_a
+      FROM orders WHERE o_orderpriority = '1-URGENT' AND o_custkey % 50 = 0
+    ), b AS (
+      SELECT o_orderkey AS key_b,
+             CAST(epoch(o_orderdate) AS BIGINT) AS s_b,
+             CAST(epoch(o_orderdate) AS BIGINT) + 1296000 AS e_b
+      FROM orders WHERE o_orderpriority = '2-HIGH' AND o_custkey % 50 = 0
+    )
+    SELECT key_a, key_b
+    FROM a JOIN b ON s_a <= e_b AND s_b <= e_a
+    """,
+)
+def j10_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Interval × interval overlap with NO equality key
+    # (operators/asof.interval_overlap_join_binned): both interval sets
+    # explode to bucket spans, equi-join on bucket, exact predicate, distinct
+    # — candidate cost ∝ same-bucket pairs, never the cartesian product the
+    # oracle's inequality join implies.
+    from f1_datalakehouse_pipeline_spark.operators.asof import interval_overlap_join_binned
+
+    o = load_table(spark, sf_dir, "orders")
+    base = o.filter(F.col("o_custkey") % 50 == 0)
+    a = base.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_orderkey").alias("key_a"),
+        F.unix_timestamp("o_orderdate").alias("s_a"),
+        (F.unix_timestamp("o_orderdate") + 2592000).alias("e_a"),
+    )
+    b = base.filter(F.col("o_orderpriority") == "2-HIGH").select(
+        F.col("o_orderkey").alias("key_b"),
+        F.unix_timestamp("o_orderdate").alias("s_b"),
+        (F.unix_timestamp("o_orderdate") + 1296000).alias("e_b"),
+    )
+    joined = interval_overlap_join_binned(a, b, "s_a", "e_a", "s_b", "e_b", bucket_width=2592000)
+    return joined.select("key_a", "key_b")
+
+
+@query(
     "ts_interpolate_linear",
     """
     WITH ev AS (

@@ -54,3 +54,28 @@ def test_range_join_binned_matches_naive(spark):
         .collect()
     }
     assert binned == naive
+
+
+def test_interval_overlap_binned_matches_naive(spark):
+    """Binned interval-overlap join must equal the naive inequality join for
+    arbitrary interval sets (including touching endpoints and containment)."""
+    from f1_datalakehouse_pipeline_spark.operators.asof import interval_overlap_join_binned
+
+    a_rows = [(1, 0, 10), (2, 5, 25), (3, 100, 140), (4, 30, 30)]
+    b_rows = [(10, 8, 12), (11, 25, 29), (12, 90, 200), (13, 31, 40)]
+    a = spark.createDataFrame(a_rows, ["key_a", "s_a", "e_a"])
+    b = spark.createDataFrame(b_rows, ["key_b", "s_b", "e_b"])
+
+    got = sorted(
+        (r.key_a, r.key_b)
+        for r in interval_overlap_join_binned(a, b, "s_a", "e_a", "s_b", "e_b", bucket_width=7)
+        .select("key_a", "key_b")
+        .collect()
+    )
+    naive = sorted(
+        (ka, kb)
+        for ka, s1, e1 in a_rows
+        for kb, s2, e2 in b_rows
+        if s1 <= e2 and s2 <= e1
+    )
+    assert got == naive
