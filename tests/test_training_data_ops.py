@@ -483,3 +483,57 @@ def test_sniff_mime_real_magics(spark):
     got = {r.media_id: r.mime for r in df.select("media_id", sniff_mime(F.col("payload")).alias("mime")).collect()}
     for i, _, want in payloads:
         assert got[i] == want, (i, got[i], want)
+
+
+def test_stream_static_enrichment(spark, tmp_path):
+    from f1_datalakehouse_pipeline_spark.streaming.joins import enrich_with_dim
+
+    src = str(tmp_path / "se")
+    ev = spark.createDataFrame([(1, 10), (2, 20), (3, 30)], ["k", "v"])
+    ev.coalesce(1).write.parquet(src)
+    dim = spark.createDataFrame([(1, "gold"), (2, "silver")], ["k", "tier"])
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    out = enrich_with_dim(stream, dim, "k")
+    q = (
+        out.writeStream.format("memory").queryName("enrich")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    rows = {r.k: r.tier for r in spark.sql("select * from enrich").collect()}
+    assert rows == {1: "gold", 2: "silver", 3: None}
+
+
+def test_stream_stream_join_within_window(spark, tmp_path):
+    """Watermarked stream-stream join: purchases match views of the same user
+    at most 1h earlier; older views don't match."""
+    from datetime import datetime
+
+    from f1_datalakehouse_pipeline_spark.streaming.joins import stream_stream_within
+
+    t = lambda h, m=0: datetime(2025, 1, 1, h, m)
+    vsrc, psrc = str(tmp_path / "views"), str(tmp_path / "purch")
+    views = spark.createDataFrame(
+        [(1, t(9, 50), 100), (2, t(8, 0), 200), (3, t(10, 0), 300)],
+        ["user", "vts", "view_id"],
+    )
+    purchases = spark.createDataFrame(
+        [(1, t(10, 0), 1000),   # view 10 min earlier -> match
+         (2, t(10, 0), 2000),   # view 2h earlier -> NO match
+         (3, t(10, 30), 3000)], # view 30 min earlier -> match
+        ["user", "pts", "purchase_id"],
+    )
+    views.coalesce(1).write.parquet(vsrc)
+    purchases.coalesce(1).write.parquet(psrc)
+    vstream = spark.readStream.schema(views.schema).parquet(vsrc)
+    pstream = spark.readStream.schema(purchases.schema).parquet(psrc)
+    out = stream_stream_within(
+        pstream, vstream, key="user", left_ts="pts", right_ts="vts",
+        within="1 hour", right_cols=["view_id"],
+    )
+    q = (
+        out.writeStream.format("memory").queryName("ssj")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    rows = {(r.user, r.purchase_id, r.r_view_id) for r in spark.sql("select * from ssj").collect()}
+    assert rows == {(1, 1000, 100), (3, 3000, 300)}
