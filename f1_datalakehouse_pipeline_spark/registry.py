@@ -91,6 +91,8 @@ _VERIFY_FIRST = [
     "f_levenshtein_pairs",
     "j10_interval_overlap",
     "u5_union_schema_drift",
+    "t_weighted_sample",
+    "t_pack_sequences",
 ]
 
 

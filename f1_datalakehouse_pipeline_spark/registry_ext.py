@@ -1088,6 +1088,74 @@ def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "t_weighted_sample",
+    f"""
+    WITH q AS (
+      SELECT doc_id,
+             {_DUCK_HASH.format(x="'wsample-7:' || CAST(doc_id AS VARCHAR)")} % 1000000 AS h,
+             {_DUCK_QUALITY.format(text='text', toks=_DUCK_TOKS.format(x='text'))} AS quality
+      FROM documents
+    )
+    SELECT doc_id, quality
+    FROM q WHERE h < CAST(floor(quality * 500000) AS BIGINT)
+    """,
+)
+def t_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Quality-weighted deterministic sampling: doc kept with probability
+    # quality * 0.5, decided by hash(seed, doc_id) < threshold — the
+    # training-corpus downsampler that is reproducible across runs, engines,
+    # and partitionings (rand()-based sampling is none of those). Map-only:
+    # no shuffle, no state; the weight can be any per-row expression.
+    docs = load_table(spark, sf_dir, "documents")
+    h = portable_hash48(
+        F.concat(F.lit("wsample-7:"), F.col("doc_id").cast("string"))
+    ) % 1000000
+    q = quality_score(F.col("text"))
+    return (
+        docs.select("doc_id", q.alias("quality"), h.alias("h"))
+        .filter(F.col("h") < F.floor(F.col("quality") * 500000).cast("long"))
+        .select("doc_id", "quality")
+    )
+
+
+@query(
+    "t_pack_sequences",
+    f"""
+    WITH t AS (
+      SELECT doc_id, len({_DUCK_TOKS.format(x='text')}) AS n_tokens FROM documents
+    ), c AS (
+      SELECT doc_id, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM t
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(floor((cum - 1) / 2048) AS BIGINT) AS pack_id
+    FROM c
+    """,
+)
+def t_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Sequence packing for training batches: assign docs to ~2048-token packs
+    # by running-token-count division — the deterministic streaming-greedy
+    # packer (a pack may straddle the boundary by one doc; exact bin packing
+    # is NP-hard and order-dependent, this form is reproducible and one
+    # window pass). Global ORDER BY doc_id window = single partition — at
+    # 100 TB, partition by shard/date first and pack within shards (same
+    # expression under a partitionBy), which also matches how training data
+    # is actually sharded.
+    from f1_datalakehouse_pipeline_spark.functions.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", token_count(F.col("text")).cast("long").alias("n_tokens"))
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return t.select(
+        "doc_id",
+        "n_tokens",
+        F.floor((F.sum("n_tokens").over(w) - 1) / 2048).cast("long").alias("pack_id"),
+    )
+
+
+@query(
     "f_posexplode_tokens",
     f"""
     WITH tokd2 AS (
