@@ -81,6 +81,9 @@ def main() -> None:
         "asof_tolerance_join",
         "t_token_histogram",
         "dedup_docs_pipeline",
+        "ts_interpolate_linear",
+        "j10_interval_overlap",
+        "t_pack_sequences",
     ]
     extra_timings: dict[str, float] = {}
     for name in EXTRA:

@@ -369,6 +369,8 @@ def connected_keepers(pairs: DataFrame, max_iterations: int = 10) -> DataFrame:
 
 def apply_dedup(df: DataFrame, id_col: str, pairs: DataFrame) -> DataFrame:
     """Drop every non-keeper member of each near-dup cluster (keeps rows that
-    belong to no cluster untouched)."""
+    belong to no cluster untouched). The drop set is ∝ duplicate count — tiny
+    relative to the corpus — so it broadcasts and the anti-join never
+    shuffles the full table."""
     drop = connected_keepers(pairs).filter(F.col("doc") != F.col("keeper"))
-    return df.join(drop, df[id_col] == drop.doc, "left_anti")
+    return df.join(F.broadcast(drop), df[id_col] == drop.doc, "left_anti")
