@@ -93,6 +93,7 @@ _VERIFY_FIRST = [
     "u5_union_schema_drift",
     "t_weighted_sample",
     "t_pack_sequences",
+    "w17_session_window_native",
 ]
 
 

@@ -1088,6 +1088,47 @@ def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "w17_session_window_native",
+    """
+    WITH e AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events WHERE event_type = 'click'
+    ), s AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM e
+    )
+    SELECT user_id,
+           CAST(epoch_us(MIN(ts)) AS BIGINT) AS session_start_us,
+           CAST(epoch_us(MAX(ts) + INTERVAL 30 MINUTE) AS BIGINT) AS session_end_us,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def w17_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Spark's BUILT-IN session_window aggregation (gap-close semantics:
+    # window end = last event + gap) cross-checked against the manual
+    # gaps-and-islands form in SQL — proving the built-in and the
+    # w_sessionize_events island construction agree exactly. One shuffle on
+    # (user_id, session), mergeable at scale.
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "click")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            F.unix_micros(F.col("w.end")).alias("session_end_us"),
+            F.col("n_events").cast("long").alias("n_events"),
+        )
+    )
+
+
+@query(
     "t_weighted_sample",
     f"""
     WITH q AS (
