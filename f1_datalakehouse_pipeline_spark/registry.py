@@ -94,6 +94,7 @@ _VERIFY_FIRST = [
     "t_weighted_sample",
     "t_pack_sequences",
     "w17_session_window_native",
+    "f_map_ops",
 ]
 
 
@@ -948,6 +949,40 @@ def a15_corr_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("double") * F.col("sxy").cast("double")
             - F.col("sx").cast("double") * F.col("sy").cast("double")
         ).alias("cov_num"),
+    )
+
+
+@query(
+    "f_map_ops",
+    """
+    WITH m AS (
+      SELECT o_orderkey,
+             MAP {'prio': o_orderpriority, 'status': o_orderstatus} AS attrs
+      FROM orders WHERE o_orderkey % 50 = 0
+    )
+    SELECT o_orderkey,
+           map_extract(attrs, 'prio')[1] AS prio,
+           map_extract(attrs, 'status')[1] AS status,
+           CAST(cardinality(attrs) AS INTEGER) AS n_keys,
+           map_extract(attrs, 'missing')[1] AS missing
+    FROM m
+    """,
+)
+def f_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Map-typed columns (§1.2 type-system completion): build, key lookup,
+    # cardinality, missing-key NULL — the property-bag shape used for sparse
+    # per-row attributes (feature flags, experiment arms) where a wide schema
+    # would be mostly NULL columns. Scalars out, so the value-hash applies.
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 50 == 0)
+    m = F.create_map(
+        F.lit("prio"), F.col("o_orderpriority"), F.lit("status"), F.col("o_orderstatus")
+    )
+    return o.select(
+        "o_orderkey",
+        F.element_at(m, "prio").alias("prio"),
+        F.element_at(m, "status").alias("status"),
+        F.size(F.map_keys(m)).alias("n_keys"),
+        F.element_at(m, "missing").alias("missing"),
     )
 
 
