@@ -202,6 +202,21 @@ class TableStore:
         ).save(version_dir)
         self._publish(table, version_dir)
 
+    def merge_upsert(self, updates: DataFrame, table: str, keys: list[str]) -> None:
+        """MERGE INTO semantics on plain parquet: rows matching on ``keys``
+        are replaced by the update row, unmatched updates insert, unmatched
+        existing rows persist — committed via the transactional overwrite
+        (write-new-version + atomic swap), so the merge is all-or-nothing
+        like Iceberg's MERGE (iceberg_manager.py commit path). ``updates``
+        must be unique per key. The anti-join + union runs distributed; the
+        read-then-overwrite cycle is safe because the write lands in a fresh
+        version dir while the scan reads the live one.
+        """
+        current = self.read(table)
+        kept = current.join(updates.select(*keys), keys, "left_anti")
+        merged = kept.unionByName(updates.select(*current.columns))
+        self.overwrite(merged, table)
+
     def overwrite_partitions(
         self, df: DataFrame, table: str, sort_by: list[str] | None = None
     ) -> None:

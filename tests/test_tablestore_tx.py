@@ -140,3 +140,24 @@ def test_overwrite_cluster_by_zorders_the_write(spark, tmp_path):
         assert lo is not None
         spans.append(hi - lo)
     assert sum(spans) / len(spans) < 2000 * 0.8
+
+
+def test_merge_upsert_update_insert_persist(spark, tmp_path):
+    """MERGE semantics: matched keys update, new keys insert, untouched rows
+    persist — atomically (one version swap)."""
+    store = TableStore(spark, str(tmp_path / "wh"))
+    store.overwrite(_sessions(spark, 5, gp="monaco"), "sessions_silver")
+
+    updates = _sessions(spark, 2, gp="miami").withColumn(
+        "session_key", F.col("session_key") + 3  # keys 3,4 update; none insert
+    ).union(_sessions(spark, 1, gp="miami").withColumn("session_key", F.lit(99)))
+    store.merge_upsert(updates, "sessions_silver", keys=["session_key"])
+
+    out = store.read("sessions_silver")
+    assert out.count() == 6  # 5 original (2 replaced) + 1 inserted
+    gp = {r.session_key: r.grand_prix_name for r in out.collect()}
+    assert gp[0] == "monaco" and gp[2] == "monaco"      # persisted
+    assert gp[3] == "miami" and gp[4] == "miami"        # updated
+    assert gp[99] == "miami"                            # inserted
+    # previous version still time-travelable
+    assert store.read_version("sessions_silver", 1).count() == 5
