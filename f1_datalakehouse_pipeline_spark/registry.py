@@ -95,6 +95,8 @@ _VERIFY_FIRST = [
     "t_pack_sequences",
     "w17_session_window_native",
     "f_map_ops",
+    "a17_unpivot_metrics",
+    "j11_correlated_scalar_subquery",
 ]
 
 
@@ -983,6 +985,54 @@ def f_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(m, "status").alias("status"),
         F.size(F.map_keys(m)).alias("n_keys"),
         F.element_at(m, "missing").alias("missing"),
+    )
+
+
+@query(
+    "a17_unpivot_metrics",
+    """
+    SELECT o_orderkey, 'totalprice' AS metric, CAST(o_totalprice AS DOUBLE) AS val
+    FROM orders WHERE o_orderkey % 100 = 0
+    UNION ALL
+    SELECT o_orderkey, 'custkey', CAST(o_custkey AS DOUBLE)
+    FROM orders WHERE o_orderkey % 100 = 0
+    """,
+)
+def a17_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # UNPIVOT/melt (§2.4 inverse of a9's pivot): wide metric columns to long
+    # (key, metric, value) rows — one scan + Expand, NOT a union of
+    # re-scans (which is what the portable oracle SQL spells).
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0)
+    return o.select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("totalprice"),
+        F.col("o_custkey").cast("double").alias("custkey"),
+    ).unpivot("o_orderkey", ["totalprice", "custkey"], "metric", "val")
+
+
+@query(
+    "j11_correlated_scalar_subquery",
+    """
+    SELECT c_custkey,
+           (SELECT CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+            FROM orders o WHERE o.o_custkey = c.c_custkey) AS max_order
+    FROM customer c
+    """,
+)
+def j11_correlated_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Correlated scalar subquery — Catalyst DECORRELATES it into an aggregate
+    # + left outer join (one shuffle), never a per-row re-execution; the
+    # oracle runs the identical SQL text. The §2.3 form users write naturally
+    # and the optimizer must rewrite.
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("j11_customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("j11_orders")
+    return spark.sql(
+        """
+        SELECT c_custkey,
+               (SELECT CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                FROM j11_orders o WHERE o.o_custkey = c.c_custkey) AS max_order
+        FROM j11_customer c
+        """
     )
 
 

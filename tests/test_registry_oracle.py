@@ -115,3 +115,32 @@ def test_time_string_to_millis_reference_semantics(spark):
     got = {r.s: r.ms for r in df.select("s", time_string_to_millis(F.col("s")).alias("ms")).collect()}
     for s, want in cases:
         assert got[s] == want, (s, got[s], want)
+
+
+def test_driver_gate_rotation_invariants():
+    """The driver's correctness gate records only the first 50 queries()
+    entries. Two invariants keep the rotation sound: (1) every promoted
+    entry actually fits the 50-slot window; (2) every entry past the window
+    already has a green row in a prior round's CORRECTNESS file."""
+    import json
+    import os
+
+    q = list(registry.queries().keys())
+    promoted = [n for n in registry._VERIFY_FIRST if n in q]
+    assert len(promoted) <= 50, (
+        f"_VERIFY_FIRST has {len(promoted)} live entries; entries past 50 "
+        "will silently miss driver verification"
+    )
+    greens: set[str] = set()
+    for f in sorted(os.listdir("/root/repo")):
+        if f.startswith("CORRECTNESS_r") and f.endswith(".json"):
+            data = json.load(open(os.path.join("/root/repo", f)))
+            greens |= {
+                k for k, v in data.items()
+                if v.get("rows_match") and v.get("hash_match")
+            }
+    unverified_tail = [n for n in q[50:] if n not in greens]
+    assert unverified_tail == [], (
+        f"queries past the 50-entry driver window lack any prior green row: "
+        f"{unverified_tail}"
+    )
