@@ -144,3 +144,16 @@ def test_driver_gate_rotation_invariants():
         f"queries past the 50-entry driver window lack any prior green row: "
         f"{unverified_tail}"
     )
+
+
+def test_pack_sequences_budget_invariant(spark, sf_dir):
+    """Every pack's token total stays within budget + one overflow doc (the
+    greedy-packing contract)."""
+    out = registry.queries()["t_pack_sequences"](spark, sf_dir)
+    from pyspark.sql import functions as F
+
+    packs = out.groupBy("pack_id").agg(
+        F.sum("n_tokens").alias("total"), F.max("n_tokens").alias("biggest")
+    ).collect()
+    for p in packs:
+        assert p.total <= 2048 + p.biggest, (p.pack_id, p.total, p.biggest)

@@ -72,3 +72,20 @@ def test_zorder_write_tightens_all_dimensions(spark, tmp_path):
     assert z_a < 0.65 and z_b < 0.65, (z_a, z_b)
     # and the data survives intact
     assert spark.read.parquet(zord).count() == n
+
+
+def test_rank_normalize_uniformizes_skewed_values(spark):
+    """Skewed/non-integer values map to [0, 2^bits) by rank, so the Morton
+    grid is evenly occupied regardless of the raw distribution."""
+    from f1_datalakehouse_pipeline_spark.functions.zorder import rank_normalize
+
+    # heavily skewed: exponential-ish spacing
+    df = spark.range(1000).select((F.exp(F.col("id") / 100.0)).alias("v"))
+    out = df.select(rank_normalize(df, "v", bits=4).alias("b")).collect()
+    buckets = [r.b for r in out]
+    assert min(buckets) == 0 and max(buckets) == 15
+    # every bucket gets a roughly even share (62-63 of 1000 per 16 buckets)
+    from collections import Counter
+
+    counts = Counter(buckets)
+    assert all(50 <= counts[b] <= 80 for b in range(16)), counts
