@@ -51,52 +51,53 @@ def _load_extensions() -> None:
 # driver-green in a prior round and untouched since (rotation documented in
 # COVERAGE.md).
 _VERIFY_FIRST = [
-    # no CORRECTNESS row in r1 (registered at positions 50-57)
-    "sim_cosine_topk",
-    "sim_embedding_neardup",
-    "sim_lsh_bucketed_topk",
-    "mm_binary_metadata",
-    "asof_purchase_to_view",
-    "range_join_ship_window",
-    "f_json_extract",
-    "a9_pivot_doc_counts",
-    # changed in r2: new deterministic oracle / EXCEPT semantics / scale shape
-    "a10_approx_distinct",
-    "u2_except_antijoin",
-    "w8_dense_rank_rounds",
-    # new in r2
-    "f_time_parse",
-    "asof_tolerance_join",
-    "a12_grouping_sets",
-    "w14_ntile_quartiles",
-    "f_url_parse",
-    "t_token_histogram",
-    "dedup_docs_pipeline",
-    "w15_range_frame",
-    "p8_percentile_cont",
-    "a13_approx_percentile",
-    "tpch_q10_returned_items",
-    "tpch_q18_large_orders",
-    "a14_salted_aggregate",
-    "t_corpus_curation",
-    "t_train_test_split",
-    "mm_magic_sniff",
-    "j9_full_outer_reconcile",
-    "w16_percent_rank_cume",
-    "f_regex_extract_all",
-    "a15_corr_decimal",
-    "f_posexplode_tokens",
-    "ts_interpolate_linear",
-    "a16_mode_per_group",
-    "f_levenshtein_pairs",
-    "j10_interval_overlap",
-    "u5_union_schema_drift",
-    "t_weighted_sample",
-    "t_pack_sequences",
-    "w17_session_window_native",
-    "f_map_ops",
-    "a17_unpivot_metrics",
-    "j11_correlated_scalar_subquery",
+    # r3 rotation swap (VERDICT r2 item 1): the 40 queries whose newest
+    # driver-green row is from r1 are promoted so every registered query's
+    # proof is at most one round old. The 43 r2-promoted queries (all green
+    # in CORRECTNESS_r02) rotate to the tail untouched. dedup_minhash_lsh /
+    # dedup_ngram_jaccard lead because their shared shingle/banding
+    # implementation changed in r2 while demoted.
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_exact",
+    "dedup_simhash",
+    "scd2_historical_build",
+    "w4_w6_w7_championship",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier",
+    "j1_j5_lookup_join",
+    "j2_left_change_detection",
+    "j3_left_backfill_fillna",
+    "j6_window_group_share",
+    "j8_semi_join",
+    "w1_gap_to_best",
+    "w2_personal_best_flag",
+    "w3_best_row_tiebreak",
+    "w5_running_avg",
+    "w9_lead_validity",
+    "w10_recent_form",
+    "w11_lag_delta",
+    "w12_teammate_compare",
+    "w13_constructor_window_agg",
+    "w_sessionize_events",
+    "o1_latest_event",
+    "o2_topk_per_group",
+    "u1_union_distinct",
+    "u3_intersect",
+    "a2_latest_attr",
+    "a8_rollup_revenue",
+    "a11_share_of_total",
+    "f_normalize_name",
+    "f_status_buckets",
+    "f_points_when_chain",
+    "f_time_format",
+    "f_datetime_ops",
+    "f_array_q_split",
+    "ts_rollup_gapfill",
+    "t_text_quality",
+    "t_lang_id",
+    "t_fingerprint",
+    # new in r3 (must be inside the 50-slot window for a first driver row)
 ]
 
 
