@@ -50,6 +50,11 @@ DEFAULT_CONFS: dict[str, str] = {
     # sources/testdata.py converts to µs timestamps (matching DuckDB's
     # truncate-to-µs read of the same files).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Naive parquet timestamps (isAdjustedToUTC=false) must read as TIMESTAMP,
+    # not TIMESTAMP_NTZ: with the session tz pinned to UTC the epoch values
+    # are identical to DuckDB's naive interpretation, and strict functions
+    # (unix_micros et al.) keep working.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
 }
 
 

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
+from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
 
 TESTDATA_TABLES = (
     "region",
@@ -38,6 +38,9 @@ def _ensure_session_confs(spark: SparkSession) -> None:
     """
     # TIMESTAMP(NANOS) parquet (events.ts) is unreadable without this.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Naive µs parquet timestamps must read as TIMESTAMP (UTC), not NTZ —
+    # keeps unix_micros/unix_timestamp valid and matches the DuckDB oracle.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     # date_format/unix_timestamp outputs must match the (tz-naive) DuckDB oracle.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     # permissive NULL-on-bad-input semantics (see session.py docstring).
@@ -51,6 +54,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # TIMESTAMP(NANOS) parquet read as ns-long (see session.py conf);
         # integer-floor-divide to µs — same truncation DuckDB applies.
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Belt-and-suspenders for sessions created before our confs applied:
+    # NTZ and TIMESTAMP have identical epochs under the UTC session tz.
+    ntz = [f.name for f in df.schema.fields if isinstance(f.dataType, TimestampNTZType)]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast(TimestampType()))
     return df
 
 
