@@ -10,11 +10,26 @@ Write-mode parity:
   write never corrupts the live table: readers see the old version until the
   single rename, and a crash mid-write leaves only an orphan staging dir.
 - overwrite_partitions ≙ writeTo().overwritePartitions() (common.py:371-387)
-  — implemented with Spark's dynamic partitionOverwriteMode, which replaces
-  exactly the partitions present in the incoming DataFrame: the incremental
-  one-GP rerun is therefore idempotent by construction (SURVEY §7.4.6).
-  Atomicity here is per-partition-directory (Hive semantics), not
-  whole-commit.
+  — transactional whole-commit (matching Iceberg's overwritePartitions,
+  iceberg_manager.py:531-567): the incoming partitions are staged into a
+  fresh version dir, every untouched partition of the live version is
+  HARDLINKED in (metadata-only, no data copy — the plain-parquet analogue of
+  an Iceberg manifest that re-points unchanged data files), and the whole
+  new version is published with the same atomic symlink swap. A crash at any
+  point leaves the live table fully readable at its old version; the
+  incremental one-GP rerun stays idempotent by construction (SURVEY §7.4.6).
+
+Commit protocol (per table):
+- every committed version dir carries a ``.committed`` sentinel written
+  immediately before the publish swap; directories without the sentinel are
+  in-flight or crashed writes, are never listed by ``versions()`` / served by
+  ``read_version()``, and are garbage-collected once older than
+  ``orphan_ttl_s``.
+- publishes run under an exclusive lock file plus a CAS check: the live
+  symlink must still point at the version the writer observed when it
+  started, otherwise ``ConcurrentWriteError`` — two simultaneous overwrites
+  can never silently last-swap-wins (Iceberg's optimistic-concurrency commit,
+  iceberg_manager.py commit path).
 
 Because a full overwrite lands in a NEW version directory, read-then-
 overwrite-same-table plans (the SCD2 incremental merge) are safe without any
@@ -22,16 +37,19 @@ driver-side materialization: the scan keeps reading the old version while the
 write builds the new one.
 
 Scale notes: partition columns are the physical layout (year / grand_prix_name
-≙ date / tenant at 100 TB); Catalyst prunes reads from filters on them, and a
-dynamic overwrite only rewrites the affected leaf directories. The version
-swap is a constant-time metadata operation regardless of table size.
+≙ date / tenant at 100 TB); Catalyst prunes reads from filters on them. The
+version swap is a constant-time metadata operation regardless of table size,
+and the untouched-partition graft is O(#files) hardlinks — no data movement —
+exactly the cost profile of a metadata-only Iceberg/Delta commit.
 """
 
 from __future__ import annotations
 
 import os
 import shutil
+import time
 import uuid
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -42,6 +60,19 @@ from f1_datalakehouse_pipeline_spark.schemas import ALL_SCHEMAS, PARTITION_SPECS
 # older version keep working for one generation; Iceberg snapshots ≙ same idea)
 _KEEP_VERSIONS = 1
 
+# a committed version dir is marked with this sentinel just before the
+# publish swap; unmarked dirs are crashed/in-flight writes (never served,
+# GC'd after orphan_ttl_s)
+_COMMIT_SENTINEL = ".committed"
+
+_UNSET = object()
+
+
+class ConcurrentWriteError(RuntimeError):
+    """Raised when a publish loses the optimistic-concurrency race: another
+    writer committed a new version after this writer captured its read
+    snapshot, or the publish lock could not be acquired."""
+
 
 class TableStore:
     """A warehouse directory holding one partitioned-parquet dir per table.
@@ -51,9 +82,22 @@ class TableStore:
     after the first transactional overwrite.
     """
 
+    #: unmarked (crash-orphaned) version dirs younger than this are left
+    #: alone by GC — they may be a concurrent writer's in-flight stage.
+    orphan_ttl_s: float = 3600.0
+    #: how long a publisher waits for the per-table publish lock.
+    lock_timeout_s: float = 10.0
+    #: a publish lock older than this is presumed crashed and stolen
+    #: (publishes are metadata-only: milliseconds, not minutes).
+    lock_stale_s: float = 60.0
+
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
-        self.root = root
+        # Absolutize: _publish creates symlinks whose target embeds the root;
+        # a relative root would make the target resolve relative to the
+        # symlink's own directory, breaking every read after the first
+        # overwrite when the store is built from a relative CLI --warehouse.
+        self.root = os.path.abspath(root)
 
     def path(self, table: str) -> str:
         return os.path.join(self.root, table)
@@ -64,55 +108,139 @@ class TableStore:
     def _version_root(self, table: str) -> str:
         return os.path.join(self.root, ".versions", table)
 
-    def _publish(self, table: str, version_dir: str) -> None:
+    def _current_target(self, table: str) -> str | None:
+        """Real path of the live version (None if the table doesn't exist)."""
+        live = self.path(table)
+        return os.path.realpath(live) if os.path.exists(live) else None
+
+    @contextmanager
+    def _publish_lock(self, table: str):
+        """Exclusive per-table publish lock (O_CREAT|O_EXCL lock file).
+
+        Publishes are millisecond metadata operations, so contention is
+        resolved by a short poll; a lock older than ``lock_stale_s`` is
+        presumed left by a crashed publisher and stolen.
+        """
+        lock_dir = os.path.join(self.root, ".locks")
+        os.makedirs(lock_dir, exist_ok=True)
+        lock = os.path.join(lock_dir, f"{table}.lock")
+        deadline = time.monotonic() + self.lock_timeout_s
+        while True:
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, str(os.getpid()).encode())
+                os.close(fd)
+                break
+            except FileExistsError:
+                try:
+                    if time.time() - os.path.getmtime(lock) > self.lock_stale_s:
+                        os.unlink(lock)
+                        continue
+                except OSError:
+                    continue  # holder released between exists-check and stat
+                if time.monotonic() > deadline:
+                    raise ConcurrentWriteError(
+                        f"{table}: publish lock held by another writer"
+                    )
+                time.sleep(0.05)
+        try:
+            yield
+        finally:
+            try:
+                os.unlink(lock)
+            except OSError:
+                pass
+
+    def _publish(self, table: str, version_dir: str, expected=_UNSET) -> None:
         """Atomically point ``<root>/<table>`` at ``version_dir``.
 
         POSIX ``rename(2)`` over an existing symlink is atomic: any
         concurrent reader resolves either the old or the new target, never a
-        partial state. The only non-atomic case is the one-time migration of
-        a legacy real directory, which is moved aside first.
+        partial state. ``expected`` (the live target captured when the write
+        started) makes the publish a compare-and-swap: if another writer
+        committed in between, raise instead of silently overwriting their
+        commit. The only non-atomic case is the one-time migration of a
+        legacy real directory, which is moved aside first.
         """
-        live = self.path(table)
-        if os.path.isdir(live) and not os.path.islink(live):
-            # one-time migration: preserve the old contents as a version
-            legacy = os.path.join(self._version_root(table), f"legacy-{uuid.uuid4().hex[:8]}")
-            os.makedirs(os.path.dirname(legacy), exist_ok=True)
-            os.rename(live, legacy)
-        tmp_link = os.path.join(self.root, f".{table}.link.{uuid.uuid4().hex[:8]}")
-        os.symlink(version_dir, tmp_link)
-        os.replace(tmp_link, live)  # the commit point
-        self._gc_versions(table, keep_target=os.path.realpath(version_dir))
+        version_dir = os.path.abspath(version_dir)
+        with self._publish_lock(table):
+            if expected is not _UNSET:
+                current = self._current_target(table)
+                if current != expected:
+                    raise ConcurrentWriteError(
+                        f"{table}: live version changed since write start "
+                        f"(expected {expected}, found {current}); retry on "
+                        "fresh data"
+                    )
+            # commit mark BEFORE the swap: GC/versions() only ever trust
+            # marked dirs, so a crash after this line but before the swap
+            # leaves a committed-but-never-live dir (harmless), while a
+            # crash before it leaves an unmarked orphan that is never served.
+            open(os.path.join(version_dir, _COMMIT_SENTINEL), "w").close()
+            live = self.path(table)
+            if os.path.isdir(live) and not os.path.islink(live):
+                # one-time migration: preserve the old contents as a version
+                legacy = os.path.join(
+                    self._version_root(table), f"legacy-{uuid.uuid4().hex[:8]}"
+                )
+                os.makedirs(os.path.dirname(legacy), exist_ok=True)
+                os.rename(live, legacy)
+                open(os.path.join(legacy, _COMMIT_SENTINEL), "w").close()
+            tmp_link = os.path.join(self.root, f".{table}.link.{uuid.uuid4().hex[:8]}")
+            os.symlink(version_dir, tmp_link)
+            os.replace(tmp_link, live)  # the commit point
+            self._gc_versions(table, keep_target=os.path.realpath(version_dir))
+
+    def _is_committed(self, version_dir: str) -> bool:
+        return os.path.exists(os.path.join(version_dir, _COMMIT_SENTINEL))
 
     def _gc_versions(self, table: str, keep_target: str) -> None:
-        """Best-effort prune of superseded version dirs (keep current +
-        ``_KEEP_VERSIONS`` most recent others, by mtime)."""
+        """Best-effort prune of superseded version dirs.
+
+        Committed dirs: keep the current one plus ``_KEEP_VERSIONS`` most
+        recent others (by mtime). Unmarked dirs are crashed/abandoned writes:
+        they are deleted once older than ``orphan_ttl_s`` (the grace period
+        protects a concurrent writer's still-in-flight stage) and NEVER count
+        against the keep quota — an orphan can't shadow a good predecessor.
+        """
         vroot = self._version_root(table)
         if not os.path.isdir(vroot):
             return
         try:
-            others = [
-                os.path.join(vroot, d)
-                for d in os.listdir(vroot)
-                if os.path.realpath(os.path.join(vroot, d)) != keep_target
+            committed, orphans = [], []
+            for d in os.listdir(vroot):
+                p = os.path.join(vroot, d)
+                if os.path.realpath(p) == keep_target:
+                    continue
+                (committed if self._is_committed(p) else orphans).append(p)
+            committed.sort(key=os.path.getmtime, reverse=True)
+            now = time.time()
+            stale_orphans = [
+                p for p in orphans if now - os.path.getmtime(p) > self.orphan_ttl_s
             ]
-            others.sort(key=os.path.getmtime, reverse=True)
         except OSError:
             return
-        for stale in others[_KEEP_VERSIONS:]:
+        for stale in committed[_KEEP_VERSIONS:] + stale_orphans:
             shutil.rmtree(stale, ignore_errors=True)
 
     def versions(self, table: str) -> list[str]:
-        """Version directories for ``table``, newest first (current included).
-        Plain-parquet time travel: the transactional overwrite keeps the
-        current version plus ``_KEEP_VERSIONS`` predecessors (≙ Iceberg
-        snapshots, iceberg_manager.py history; bounded retention instead of
-        unbounded snapshot log)."""
+        """Committed version directories for ``table``, newest first (current
+        included). Plain-parquet time travel: the transactional overwrite
+        keeps the current version plus ``_KEEP_VERSIONS`` predecessors
+        (≙ Iceberg snapshots, iceberg_manager.py history; bounded retention
+        instead of unbounded snapshot log). In-flight or crashed (unmarked)
+        dirs are never listed."""
         live = self.path(table)
         vroot = self._version_root(table)
         if not os.path.isdir(vroot):
             return [live] if os.path.isdir(live) else []
         current = os.path.realpath(live)
-        dirs = [os.path.join(vroot, d) for d in os.listdir(vroot)]
+        dirs = [
+            os.path.join(vroot, d)
+            for d in os.listdir(vroot)
+            if self._is_committed(os.path.join(vroot, d))
+            or os.path.realpath(os.path.join(vroot, d)) == current
+        ]
         dirs.sort(key=lambda p: (os.path.realpath(p) != current, -os.path.getmtime(p)))
         return dirs
 
@@ -169,8 +297,8 @@ class TableStore:
     ) -> None:
         """Transactional full overwrite: write → (implicit) validate → atomic
         swap. If the write job fails, no swap happens and the live table is
-        untouched; the half-written staging dir is orphaned under .versions
-        and reaped by the next successful overwrite's GC.
+        untouched; the unmarked half-written staging dir is never listed as a
+        version and is reaped by a later GC once past ``orphan_ttl_s``.
 
         ``cluster_by``: Z-order the write on these (integer-valued) columns —
         range-partition + sort on the Morton interleave key so EVERY listed
@@ -190,6 +318,7 @@ class TableStore:
                 .sortWithinPartitions("__z")
                 .drop("__z")
             )
+        expected = self._current_target(table)
         version_dir = os.path.join(
             self._version_root(table), f"v-{uuid.uuid4().hex[:12]}"
         )
@@ -200,47 +329,142 @@ class TableStore:
         self._writer(df, table, sort_by).option("partitionOverwriteMode", "static").mode(
             "overwrite"
         ).save(version_dir)
-        self._publish(table, version_dir)
+        self._publish(table, version_dir, expected=expected)
 
     def merge_upsert(self, updates: DataFrame, table: str, keys: list[str]) -> None:
         """MERGE INTO semantics on plain parquet: rows matching on ``keys``
         are replaced by the update row, unmatched updates insert, unmatched
         existing rows persist — committed via the transactional overwrite
-        (write-new-version + atomic swap), so the merge is all-or-nothing
-        like Iceberg's MERGE (iceberg_manager.py commit path). ``updates``
-        must be unique per key. The anti-join + union runs distributed; the
-        read-then-overwrite cycle is safe because the write lands in a fresh
-        version dir while the scan reads the live one.
+        (write-new-version + atomic swap + CAS), so the merge is
+        all-or-nothing like Iceberg's MERGE (iceberg_manager.py commit path)
+        and a concurrent commit in between fails loudly instead of being
+        silently overwritten. ``updates`` must be unique per key. The
+        anti-join + union runs distributed; the read-then-overwrite cycle is
+        safe because the write lands in a fresh version dir while the scan
+        reads the live one.
         """
         current = self.read(table)
         kept = current.join(updates.select(*keys), keys, "left_anti")
         merged = kept.unionByName(updates.select(*current.columns))
         self.overwrite(merged, table)
 
+    @staticmethod
+    def _leaf_partitions(root: str, depth: int) -> set[tuple[str, ...]]:
+        """Relative partition-dir tuples (exactly ``depth`` components) that
+        contain at least one data file."""
+        out: set[tuple[str, ...]] = set()
+        for dirpath, dirnames, filenames in os.walk(root):
+            rel = os.path.relpath(dirpath, root)
+            comps = tuple() if rel == "." else tuple(rel.split(os.sep))
+            if len(comps) == depth:
+                if any(not f.startswith(("_", ".")) for f in filenames):
+                    out.add(comps)
+                dirnames[:] = []  # parquet data lives at leaf depth
+        return out
+
+    @staticmethod
+    def _graft_partitions(
+        src: str, dst: str, depth: int, skip: set[tuple[str, ...]]
+    ) -> None:
+        """Hardlink every data file of ``src`` into ``dst`` except files under
+        the partition dirs in ``skip``. Metadata-only (no data copy): the new
+        version shares the physical parquet files of the old one, and GC of
+        either version just drops link counts — the plain-parquet analogue of
+        two Iceberg snapshots referencing the same data files."""
+        for dirpath, dirnames, filenames in os.walk(src):
+            rel = os.path.relpath(dirpath, src)
+            comps = tuple() if rel == "." else tuple(rel.split(os.sep))
+            if len(comps) >= depth and comps[:depth] in skip:
+                dirnames[:] = []
+                continue
+            for fn in filenames:
+                if len(comps) < depth:
+                    # version-root markers (_SUCCESS, .committed): the new
+                    # version writes its own
+                    continue
+                os.makedirs(os.path.join(dst, rel), exist_ok=True)
+                os.link(
+                    os.path.join(dirpath, fn), os.path.join(dst, rel, fn)
+                )
+
     def overwrite_partitions(
         self, df: DataFrame, table: str, sort_by: list[str] | None = None
     ) -> None:
-        """Replace only the partitions present in ``df`` (dynamic mode)."""
+        """Replace only the partitions present in ``df`` — transactionally.
+
+        The incoming partitions are written (static mode) into a fresh
+        version dir; every live partition NOT being replaced is hardlinked in
+        (no data movement); the composed version is then published with the
+        same atomic-swap + CAS protocol as ``overwrite``. Matches Iceberg's
+        ``overwritePartitions`` whole-commit guarantee
+        (iceberg_manager.py:531-567): a crash at any point leaves every live
+        partition readable at its old version, and re-running the same batch
+        is idempotent.
+        """
         if not PARTITION_SPECS.get(table):
             # unpartitioned table: partition-overwrite degenerates to overwrite
             self.overwrite(df, table)
             return
+        expected = self._current_target(table)
+        if expected is None:
+            self.overwrite(df, table, sort_by)
+            return
+        depth = len(PARTITION_SPECS[table])
+        version_dir = os.path.join(
+            self._version_root(table), f"v-{uuid.uuid4().hex[:12]}"
+        )
+        os.makedirs(os.path.dirname(version_dir), exist_ok=True)
         self._writer(df, table, sort_by).option(
-            "partitionOverwriteMode", "dynamic"
-        ).mode("overwrite").save(self.path(table))
+            "partitionOverwriteMode", "static"
+        ).mode("overwrite").save(version_dir)
+        replaced = self._leaf_partitions(version_dir, depth)
+        self._graft_partitions(expected, version_dir, depth, skip=replaced)
+        self._publish(table, version_dir, expected=expected)
 
 
-def compact(store: TableStore, table: str, target_partitions: int = 1) -> None:
+def compact(
+    store: TableStore,
+    table: str,
+    target_partitions: int = 1,
+    predicate=None,
+) -> None:
     """OPTIMIZE analogue: rewrite a table's files into ``target_partitions``
     files per partition directory (reference tunes Iceberg target file sizes,
     iceberg_manager.py:65-77; on plain parquet, compaction is a rewrite).
 
-    The transactional overwrite writes the coalesced copy into a fresh
-    version dir while the scan keeps reading the live version, then publishes
-    with one atomic rename — no intermediate staging copy needed. At 100 TB
-    this runs per-partition (a dynamic overwrite only rewrites partitions
-    present in the batch), so compaction of one day/GP never touches the rest
-    of the table.
+    Partitioned tables compact PER PARTITION through the transactional
+    ``overwrite_partitions``: only partitions selected by ``predicate``
+    (default: all) are rewritten — every other partition's files are carried
+    into the new version as hardlinks, untouched. ``predicate`` should filter
+    on partition columns (e.g. ``F.col("year") == 2024``) so at 100 TB a
+    single day/GP compacts without reading, rewriting, or even re-linking
+    beyond O(#files) of the rest of the table.
+
+    Within each rewritten partition the rows are hash-distributed into
+    ``target_partitions`` writer tasks, yielding that many output files per
+    partition dir. Unpartitioned tables degenerate to a full transactional
+    overwrite coalesced to ``target_partitions`` files.
     """
+    from pyspark.sql import functions as F
+
+    parts = PARTITION_SPECS.get(table, [])
     df = store.read(table)
-    store.overwrite(df.coalesce(max(1, target_partitions)), table)
+    if predicate is not None:
+        df = df.filter(predicate)
+    n = max(1, target_partitions)
+    if not parts:
+        store.overwrite(df.coalesce(n), table)
+        return
+    if n == 1:
+        # one shuffle keyed on the partition columns → one task (= one file)
+        # per partition dir
+        compacted = df.repartition(*[F.col(c) for c in parts])
+    else:
+        # deterministic salt spreads each partition over exactly n tasks
+        salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n))
+        compacted = (
+            df.withColumn("__compact_bucket", salt)
+            .repartition(*([F.col(c) for c in parts] + [F.col("__compact_bucket")]))
+            .drop("__compact_bucket")
+        )
+    store.overwrite_partitions(compacted, table)

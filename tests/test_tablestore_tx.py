@@ -161,3 +161,194 @@ def test_merge_upsert_update_insert_persist(spark, tmp_path):
     assert gp[99] == "miami"                            # inserted
     # previous version still time-travelable
     assert store.read_version("sessions_silver", 1).count() == 5
+
+
+def test_relative_warehouse_root_survives_overwrite(spark, tmp_path, monkeypatch):
+    """A store built from a RELATIVE root (plain CLI --warehouse usage) must
+    keep working after the first transactional overwrite: symlink targets are
+    absolutized, so resolution never depends on the CWD."""
+    monkeypatch.chdir(tmp_path)
+    store = TableStore(spark, "wh_rel")
+    store.overwrite(_sessions(spark, 9), "sessions_silver")
+    assert store.read("sessions_silver").count() == 9
+    # reads still resolve after the process CWD moves elsewhere
+    monkeypatch.chdir(tmp_path.parent)
+    assert store.read("sessions_silver").count() == 9
+    target = os.readlink(os.path.join(str(tmp_path), "wh_rel", "sessions_silver"))
+    assert os.path.isabs(target)
+
+
+def test_orphaned_failed_write_never_shadows_committed_version(spark, tmp_path):
+    """A crashed overwrite's staging dir carries no commit sentinel: it is
+    never listed by versions()/read_version, never counted against the keep
+    quota (so it cannot evict a good committed predecessor), and is reaped by
+    GC once past orphan_ttl_s."""
+    store = TableStore(spark, str(tmp_path / "wh"))
+    store.orphan_ttl_s = 0.0
+    store.overwrite(_sessions(spark, 10, gp="monaco"), "sessions_silver")
+
+    @F.udf("string")
+    def boom(x):
+        raise ValueError("mid-write failure")
+
+    bad = _sessions(spark, 5, gp="miami").withColumn("meeting_name", boom("meeting_name"))
+    with pytest.raises(Exception, match="mid-write failure"):
+        store.overwrite(bad, "sessions_silver")
+
+    # the orphan is invisible to time travel even before GC runs
+    assert all("legacy" in v or store._is_committed(v) for v in store.versions("sessions_silver"))
+
+    store.overwrite(_sessions(spark, 20, gp="miami"), "sessions_silver")
+    vs = store.versions("sessions_silver")
+    assert len(vs) == 2  # current + the GOOD predecessor; orphan GC'd
+    prev = store.read_version("sessions_silver", 1)
+    assert prev.count() == 10
+    assert prev.select("grand_prix_name").distinct().collect()[0][0] == "monaco"
+    vroot = os.path.join(store.root, ".versions", "sessions_silver")
+    assert len(os.listdir(vroot)) == 2  # stale orphan physically removed
+
+
+def test_concurrent_overwrite_cas_raises_for_second_writer(spark, tmp_path):
+    """Two interleaved overwrites: the slower writer's publish fails its
+    compare-and-swap loudly; the table stays consistent at the winner's
+    version (no silent last-swap-wins)."""
+    from f1_datalakehouse_pipeline_spark.sources.tables import ConcurrentWriteError
+
+    root = str(tmp_path / "wh")
+    store_a = TableStore(spark, root)
+    store_b = TableStore(spark, root)
+    store_a.overwrite(_sessions(spark, 10, gp="monaco"), "sessions_silver")
+
+    # writer A starts: captures its read snapshot, finishes its Spark write
+    expected_a = store_a._current_target("sessions_silver")
+    vdir_a = os.path.join(store_a._version_root("sessions_silver"), "v-interleaved")
+    store_a._writer(_sessions(spark, 5, gp="miami"), "sessions_silver").option(
+        "partitionOverwriteMode", "static"
+    ).mode("overwrite").save(vdir_a)
+
+    # writer B commits in between
+    store_b.overwrite(_sessions(spark, 20, gp="spa"), "sessions_silver")
+
+    # writer A's publish must lose the CAS
+    with pytest.raises(ConcurrentWriteError, match="live version changed"):
+        store_a._publish("sessions_silver", vdir_a, expected=expected_a)
+
+    out = store_a.read("sessions_silver")
+    assert out.count() == 20
+    assert out.select("grand_prix_name").distinct().collect()[0][0] == "spa"
+
+
+def test_overwrite_partitions_is_whole_commit_transactional(spark, tmp_path):
+    """A crash mid partition-overwrite leaves EVERY live partition readable
+    at its old version (whole-commit atomicity, not per-partition-dir)."""
+    store = TableStore(spark, str(tmp_path / "wh"))
+    base = _sessions(spark, 10, gp="monaco").unionByName(
+        _sessions(spark, 6, gp="miami").withColumn("session_key", F.col("session_key") + 100)
+    )
+    store.overwrite(base, "sessions_silver")
+
+    @F.udf("string")
+    def boom(x):
+        raise ValueError("mid-write failure")
+
+    bad = _sessions(spark, 3, gp="miami").withColumn("meeting_name", boom("meeting_name"))
+    with pytest.raises(Exception, match="mid-write failure"):
+        store.overwrite_partitions(bad, "sessions_silver")
+
+    out = store.read("sessions_silver")
+    assert out.count() == 16
+    assert set(r.grand_prix_name for r in out.select("grand_prix_name").distinct().collect()) == {
+        "monaco",
+        "miami",
+    }
+
+    # and a good partition overwrite replaces exactly the miami partition
+    store.overwrite_partitions(
+        _sessions(spark, 3, gp="miami").withColumn("session_key", F.col("session_key") + 200),
+        "sessions_silver",
+    )
+    out = store.read("sessions_silver")
+    assert out.filter(F.col("grand_prix_name") == "monaco").count() == 10
+    assert out.filter(F.col("grand_prix_name") == "miami").count() == 3
+
+
+def test_overwrite_partitions_grafts_untouched_partitions_as_hardlinks(spark, tmp_path):
+    """Untouched partitions are carried into the new version with zero data
+    movement: the new version's files share inodes with the old version's."""
+    import glob
+
+    store = TableStore(spark, str(tmp_path / "wh"))
+    base = _sessions(spark, 10, gp="monaco").unionByName(
+        _sessions(spark, 6, gp="miami").withColumn("session_key", F.col("session_key") + 100)
+    )
+    store.overwrite(base, "sessions_silver")
+    old_live = os.path.realpath(store.path("sessions_silver"))
+    old_inodes = {
+        os.path.relpath(f, old_live): os.stat(f).st_ino
+        for f in glob.glob(f"{old_live}/**/*.parquet", recursive=True)
+        if "grand_prix_name=monaco" in f
+    }
+    assert old_inodes
+
+    store.overwrite_partitions(
+        _sessions(spark, 2, gp="miami").withColumn("session_key", F.col("session_key") + 500),
+        "sessions_silver",
+    )
+    new_live = os.path.realpath(store.path("sessions_silver"))
+    assert new_live != old_live
+    new_inodes = {
+        os.path.relpath(f, new_live): os.stat(f).st_ino
+        for f in glob.glob(f"{new_live}/**/*.parquet", recursive=True)
+        if "grand_prix_name=monaco" in f
+    }
+    assert new_inodes == old_inodes  # same files, same inodes: hardlinked
+
+
+def test_compact_one_partition_leaves_other_partition_files_untouched(spark, tmp_path):
+    """compact(predicate=...) rewrites only the selected partition's files;
+    every other partition dir carries over byte-identical (same inodes)."""
+    import glob
+
+    from f1_datalakehouse_pipeline_spark.sources.tables import compact
+
+    store = TableStore(spark, str(tmp_path / "wh"))
+    # two appends -> at least 2 files per partition dir
+    for bump in (0, 1000):
+        batch = _sessions(spark, 10, gp="monaco").unionByName(
+            _sessions(spark, 6, gp="miami").withColumn(
+                "session_key", F.col("session_key") + 100
+            )
+        ).withColumn("session_key", F.col("session_key") + bump)
+        store.append(batch, "sessions_silver")
+
+    live0 = os.path.realpath(store.path("sessions_silver"))
+    monaco_files = [
+        f
+        for f in glob.glob(f"{live0}/**/*.parquet", recursive=True)
+        if "grand_prix_name=monaco" in f
+    ]
+    miami_before = {
+        os.path.basename(f): os.stat(f).st_ino
+        for f in glob.glob(f"{live0}/**/*.parquet", recursive=True)
+        if "grand_prix_name=miami" in f
+    }
+    assert len(monaco_files) >= 2 and len(miami_before) >= 2
+
+    compact(store, "sessions_silver", predicate=F.col("grand_prix_name") == "monaco")
+
+    live1 = os.path.realpath(store.path("sessions_silver"))
+    monaco_after = [
+        f
+        for f in glob.glob(f"{live1}/**/*.parquet", recursive=True)
+        if "grand_prix_name=monaco" in f
+    ]
+    miami_after = {
+        os.path.basename(f): os.stat(f).st_ino
+        for f in glob.glob(f"{live1}/**/*.parquet", recursive=True)
+        if "grand_prix_name=miami" in f
+    }
+    assert len(monaco_after) == 1  # compacted to a single file
+    assert miami_after == miami_before  # untouched, not rewritten
+    out = store.read("sessions_silver")
+    assert out.count() == 32
+    assert out.filter(F.col("grand_prix_name") == "monaco").count() == 20
