@@ -73,12 +73,18 @@ def scd2_from_observations(
     )
 
 
+class LateUpdateError(ValueError):
+    """Raised by ``scd2_merge_incremental(on_late="reject")`` when a batch
+    carries a backdated update for an already-open dimension row."""
+
+
 def scd2_merge_incremental(
     current_dim: DataFrame,
     updates: DataFrame,
     entity_col: str,
     attr_cols: Sequence[str],
     effective_col: str | Column,
+    on_late: str = "clamp",
 ) -> DataFrame:
     """Idempotent SCD2 merge of a batch of latest-state updates into a dimension.
 
@@ -95,15 +101,21 @@ def scd2_merge_incremental(
       because "changed" is computed by comparing attribute values, not by
       the presence of an update row;
     - a late-arriving (backdated) update whose effective timestamp precedes
-      the open row's ``valid_from`` is clamped to ``valid_from`` —
+      the open row's ``valid_from`` is handled per ``on_late``:
+      ``"clamp"`` (default) clamps it to ``valid_from`` —
       ``greatest(valid_from, effective)`` — so the close/open boundary never
-      violates the ``valid_to >= valid_from`` contiguity invariant. True
-      bitemporal history-rewrite is out of scope (matches the reference,
-      which also applies updates only forward).
+      violates the ``valid_to >= valid_from`` contiguity invariant;
+      ``"reject"`` raises :class:`LateUpdateError` listing the offending
+      entities (one bounded eager probe), for pipelines that must route
+      backdated batches to a manual history-splice instead of absorbing
+      them. True bitemporal history-rewrite is out of scope (matches the
+      reference, which also applies updates only forward).
 
     Expects ``current_dim`` columns: entity, attrs..., valid_from, valid_to,
     is_current. Returns the same shape.
     """
+    if on_late not in ("clamp", "reject"):
+        raise ValueError(f"on_late must be 'clamp' or 'reject', got {on_late!r}")
     eff = F.col(effective_col) if isinstance(effective_col, str) else effective_col
     u = updates.select(
         F.col(entity_col),
@@ -122,6 +134,28 @@ def scd2_merge_incremental(
     is_new = F.col("valid_from").isNull()
     has_update = F.col("__eff").isNotNull()
     changed = has_update & ~is_new & any_diff
+
+    if on_late == "reject":
+        # bounded probe (limit keeps it driver-safe on a degenerate batch):
+        # any changed entity whose effective time precedes the open row's
+        # valid_from is a backdated update the caller asked to fail on.
+        late = (
+            joined.filter(changed & (F.col("__eff") < F.col("valid_from")))
+            .select(entity_col, "valid_from", "__eff")
+            .limit(21)
+            .collect()
+        )
+        if late:
+            shown = ", ".join(
+                f"{r[entity_col]} (open valid_from={r['valid_from']}, "
+                f"update effective={r['__eff']})"
+                for r in late[:20]
+            )
+            more = " …" if len(late) > 20 else ""
+            raise LateUpdateError(
+                f"backdated update(s) for open SCD2 rows: {shown}{more}; "
+                "re-run with on_late='clamp' or splice history manually"
+            )
 
     dim_cols = [c for c in current_dim.columns]
 

@@ -230,8 +230,12 @@ def _incremental_drivers_merge(
     # overwrite writes the merged dimension into a FRESH version dir while the
     # scan keeps reading the live one, then atomically swaps — fully
     # distributed, no driver-side materialization, any dimension size.
+    # Row count comes from the write itself via observe() — no second action
+    # re-scanning the just-written dimension.
+    obs_rows = Observation("rows_drivers_silver_merge")
+    merged = merged.observe(obs_rows, F.count(F.lit(1)).alias("rows"))
     store.overwrite(merged, "drivers_silver")
-    report.row_counts["drivers_silver"] = store.read("drivers_silver").count()
+    report.row_counts["drivers_silver"] = obs_rows.get["rows"]
 
 
 def validate_silver(store: TableStore) -> list:

@@ -123,3 +123,78 @@ def test_scd2_merge_backdated_update_clamps_to_valid_from(spark):
     # invariant: no row anywhere with valid_to < valid_from
     bad = merged.filter(F.col("valid_to") < F.col("valid_from")).count()
     assert bad == 0
+
+
+def test_scd2_merge_on_late_reject_raises_listing_entities(spark):
+    """on_late='reject' fails loudly on a backdated batch, naming the
+    offending entities; a forward-dated batch still merges normally."""
+    import pytest
+
+    from f1_datalakehouse_pipeline_spark.operators.scd2 import LateUpdateError
+
+    dim = scd2_from_observations(
+        _obs(spark), entity_col="driver", attr_col="team",
+        order_cols=["obs_date", "seq"], time_col="obs_date",
+    ).select("driver", F.col("attr").alias("team"), "valid_from", "valid_to", "is_current")
+
+    backdated = spark.createDataFrame([(2, "Z", "2024-06-15")], ["driver", "team", "eff"])
+    with pytest.raises(LateUpdateError, match="2"):
+        scd2_merge_incremental(
+            dim, backdated, entity_col="driver", attr_cols=["team"],
+            effective_col="eff", on_late="reject",
+        )
+
+    # forward-dated updates and brand-new entities pass under reject mode
+    ok = spark.createDataFrame(
+        [(2, "Z", "2025-06-15"), (9, "E", "2024-01-01")], ["driver", "team", "eff"]
+    )
+    merged = scd2_merge_incremental(
+        dim, ok, entity_col="driver", attr_cols=["team"],
+        effective_col="eff", on_late="reject",
+    )
+    assert merged.filter("driver = 9").count() == 1
+    assert merged.filter("driver = 2 AND is_current").collect()[0].team == "Z"
+
+    with pytest.raises(ValueError, match="on_late"):
+        scd2_merge_incremental(
+            dim, ok, entity_col="driver", attr_cols=["team"],
+            effective_col="eff", on_late="splice",
+        )
+
+
+def test_scd2_merge_clamp_preserves_contiguity_property(spark):
+    """Property check: for randomized update batches (forward, exact-boundary
+    and backdated effective times), clamp mode never yields valid_to <
+    valid_from, keeps exactly one open row per entity, and keeps each
+    entity's history contiguous (valid_to == next valid_from)."""
+    import random
+
+    rnd = random.Random(7)
+    dim = scd2_from_observations(
+        _obs(spark), entity_col="driver", attr_col="team",
+        order_cols=["obs_date", "seq"], time_col="obs_date",
+    ).select("driver", F.col("attr").alias("team"), "valid_from", "valid_to", "is_current")
+
+    dates = ["2024-01-01", "2024-06-15", "2025-01-01", "2025-03-01", "2025-09-09"]
+    for trial in range(4):
+        batch = [
+            (d, rnd.choice(["A", "B", "C", "D", "Z"]), rnd.choice(dates))
+            for d in rnd.sample([1, 2, 3, 7, 8, 9], k=4)
+        ]
+        updates = spark.createDataFrame(batch, ["driver", "team", "eff"])
+        dim = scd2_merge_incremental(
+            dim, updates, entity_col="driver", attr_cols=["team"], effective_col="eff"
+        ).cache()
+        rows = dim.collect()
+        # invariant 1: no inverted validity window
+        assert all(r.valid_to is None or r.valid_to >= r.valid_from for r in rows), trial
+        # invariant 2: exactly one open row per entity
+        by_entity = {}
+        for r in rows:
+            by_entity.setdefault(r.driver, []).append(r)
+        for d, rs in by_entity.items():
+            assert sum(1 for r in rs if r.is_current) == 1, (trial, d)
+            # invariant 3: contiguous history (closed rows chain to the next)
+            chain = sorted(rs, key=lambda r: (r.valid_from, r.is_current))
+            for a, b in zip(chain, chain[1:]):
+                assert a.valid_to == b.valid_from, (trial, d)
