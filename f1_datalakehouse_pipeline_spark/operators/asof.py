@@ -103,10 +103,15 @@ def interval_overlap_join_binned(
     """Interval × interval overlap join (a.s <= b.e AND b.s <= a.e) with no
     equality key, made shuffle-joinable the same way as range_join_binned:
     both sides explode their bucket spans, the equi-join on bucket prunes to
-    same-bucket candidates, an exact predicate filters, and a distinct
-    removes multi-bucket duplicates (a pair overlapping across k buckets
-    matches k times). Choose ``bucket_width`` ≈ typical span so the explode
-    factor stays ~2 per side. Never a cartesian product.
+    same-bucket candidates, and an exact predicate filters. A pair whose
+    bucket ranges intersect in k buckets would match k times; instead of a
+    whole-row ``distinct()`` (which would collapse genuinely duplicate input
+    rows and fail on map-typed columns), each pair is kept only in its
+    CANONICAL bucket — the bucket containing the overlap start,
+    ``greatest(a.s, b.s)``, which both sides' ranges provably contain — so
+    every matching pair emits exactly once with no dedup shuffle at all.
+    Choose ``bucket_width`` ≈ typical span so the explode factor stays ~2
+    per side. Never a cartesian product.
     """
 
     def _binned(df: DataFrame, s, e, prefix: str) -> DataFrame:
@@ -128,13 +133,18 @@ def interval_overlap_join_binned(
 
     l_b = _binned(left, left_start, left_end, "l")
     r_b = _binned(right, right_start, right_end, "r")
+    # canonical bucket = bucket of the overlap start; the same truncation
+    # expression the explode used, so monotonicity guarantees membership in
+    # both sides' bucket ranges
+    canonical = (F.greatest(F.col("__ls"), F.col("__rs")) / bucket_width).cast("long")
     return (
         l_b.join(r_b, "__bucket")
         .filter(
-            (F.col("__ls") <= F.col("__re")) & (F.col("__rs") <= F.col("__le"))
+            (F.col("__ls") <= F.col("__re"))
+            & (F.col("__rs") <= F.col("__le"))
+            & (F.col("__bucket") == canonical)
         )
         .drop("__bucket", "__ls", "__le", "__rs", "__re")
-        .distinct()
     )
 
 

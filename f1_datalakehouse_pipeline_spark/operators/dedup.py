@@ -369,8 +369,10 @@ def connected_keepers(pairs: DataFrame, max_iterations: int = 10) -> DataFrame:
 
 def apply_dedup(df: DataFrame, id_col: str, pairs: DataFrame) -> DataFrame:
     """Drop every non-keeper member of each near-dup cluster (keeps rows that
-    belong to no cluster untouched). The drop set is ∝ duplicate count — tiny
-    relative to the corpus — so it broadcasts and the anti-join never
-    shuffles the full table."""
+    belong to no cluster untouched). The drop set scales with the duplicate
+    count, which on a duplicate-heavy corpus (exactly what dedup targets) can
+    exceed driver/broadcast limits — so no forced broadcast hint: AQE
+    converts the anti-join to a broadcast join at runtime when the drop set
+    is actually small, and falls back to a shuffle join when it isn't."""
     drop = connected_keepers(pairs).filter(F.col("doc") != F.col("keeper"))
-    return df.join(F.broadcast(drop), df[id_col] == drop.doc, "left_anti")
+    return df.join(drop, df[id_col] == drop.doc, "left_anti")

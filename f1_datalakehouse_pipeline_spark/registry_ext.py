@@ -975,9 +975,10 @@ def mm_magic_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
 def j10_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Interval × interval overlap with NO equality key
     # (operators/asof.interval_overlap_join_binned): both interval sets
-    # explode to bucket spans, equi-join on bucket, exact predicate, distinct
-    # — candidate cost ∝ same-bucket pairs, never the cartesian product the
-    # oracle's inequality join implies.
+    # explode to bucket spans, equi-join on bucket, exact predicate, and a
+    # canonical-bucket filter (each pair emits only in the bucket of its
+    # overlap start, so no dedup pass at all) — candidate cost ∝ same-bucket
+    # pairs, never the cartesian product the oracle's inequality join implies.
     from f1_datalakehouse_pipeline_spark.operators.asof import interval_overlap_join_binned
 
     o = load_table(spark, sf_dir, "orders")

@@ -11,13 +11,18 @@ extensions the engine offers on top of Structured Streaming's built-ins:
   emitted per batch — the template for custom sessionization/feature
   accumulation that ``groupBy().agg()`` update-mode can't express.
 - session_windows: gap-based sessionization carried across micro-batches —
-  a session CLOSES (and emits) only when a later event proves the gap
-  elapsed, so results are identical no matter how the stream is chopped
-  into batches (the batch sessionizer w_sessionize_events is the oracle
-  shape; the trailing open session per key stays in state by design).
+  a session CLOSES (and emits) when a later event proves the gap elapsed,
+  or when the key's idle timeout fires (the open session can no longer be
+  extended), so results are identical no matter how the stream is chopped
+  into batches.
 
-State is per-key and bounded (GroupStateTimeout.ProcessingTimeTimeout
-evicts idle keys), so executor memory stays O(active keys) at 100 TB.
+State is per-key and bounded: with ``idle_timeout_ms`` set, a
+GroupStateTimeout.ProcessingTimeTimeout fires for idle keys and the
+handlers EVICT them (``state.remove()``) — session_windows additionally
+emits the trailing open session on eviction. Executor memory therefore
+stays O(active keys) at 100 TB. The per-key handlers are module-level
+(``_dedup_step`` / ``_session_step`` / ``_aggregate_step``) so the timeout
+paths are unit-testable without a running stream.
 """
 
 from __future__ import annotations
@@ -47,6 +52,40 @@ _SESSION_STATE = StructType(
 )
 
 
+def _timeout_conf(idle_timeout_ms: int | None) -> str:
+    return (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if idle_timeout_ms
+        else GroupStateTimeout.NoTimeout
+    )
+
+
+def _dedup_step(
+    key: tuple,
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+    ts_col_unused: None,
+    idle_timeout_ms: int | None,
+) -> Iterator[pd.DataFrame]:
+    if state.hasTimedOut:
+        # idle eviction: drop the seen-marker. If the key reappears later it
+        # re-emits — the documented trade of bounding state by idleness.
+        state.remove()
+        return iter(())
+    first_batch = None
+    for pdf in pdfs:
+        if first_batch is None and len(pdf):
+            first_batch = pdf.iloc[:1]
+    if state.exists:
+        if idle_timeout_ms:
+            state.setTimeoutDuration(idle_timeout_ms)
+        return iter(())
+    state.update((1,))
+    if idle_timeout_ms:
+        state.setTimeoutDuration(idle_timeout_ms)
+    return iter(()) if first_batch is None else iter((first_batch,))
+
+
 def running_dedup(
     stream: DataFrame,
     key_col: str,
@@ -56,37 +95,73 @@ def running_dedup(
     """Emit only the first-seen row per key across the whole stream.
 
     ``idle_timeout_ms`` evicts idle keys in continuous deployments (bounded
-    state); leave None for finite drains — a ProcessingTimeTimeout keeps an
-    availableNow query scheduling timeout batches and it never terminates.
+    state; an evicted key that reappears re-emits — dedup-within-idle-window
+    semantics); leave None for finite drains — a ProcessingTimeTimeout keeps
+    an availableNow query scheduling timeout batches and it never terminates.
     """
 
-    def fn(
-        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
-    ) -> Iterator[pd.DataFrame]:
-        first_batch = None
-        for pdf in pdfs:
-            if first_batch is None and len(pdf):
-                first_batch = pdf.iloc[:1]
-        if state.exists:
-            if idle_timeout_ms:
-                state.setTimeoutDuration(idle_timeout_ms)
-            return iter(())
-        state.update((1,))
-        if idle_timeout_ms:
-            state.setTimeoutDuration(idle_timeout_ms)
-        return iter(()) if first_batch is None else iter((first_batch,))
+    def fn(key, pdfs, state):
+        return _dedup_step(key, pdfs, state, None, idle_timeout_ms)
 
     return stream.groupBy(key_col).applyInPandasWithState(
         fn,
         outputStructType=out_schema,
         stateStructType=_DEDUP_STATE,
         outputMode="append",
-        timeoutConf=(
-            GroupStateTimeout.ProcessingTimeTimeout
-            if idle_timeout_ms
-            else GroupStateTimeout.NoTimeout
-        ),
+        timeoutConf=_timeout_conf(idle_timeout_ms),
     )
+
+
+def _session_step(
+    key: tuple,
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+    ts_col: str,
+    gap_s: int,
+    idle_timeout_ms: int | None,
+) -> Iterator[pd.DataFrame]:
+    def emit(rows: list[tuple[int, int, int]]) -> Iterator[pd.DataFrame]:
+        return iter(
+            (
+                pd.DataFrame(
+                    {
+                        "key": [key[0]] * len(rows),
+                        "session_start": [r[0] for r in rows],
+                        "session_end": [r[1] for r in rows],
+                        "n_events": [r[2] for r in rows],
+                    }
+                ),
+            )
+        )
+
+    if state.hasTimedOut:
+        # idle eviction: no event arrived within the idle window, so the open
+        # session can never be extended — close and EMIT it, then drop the
+        # state (never re-arm: re-arming here is what made idle keys
+        # immortal). The timeout batch carries no input rows.
+        open_session = state.get if state.exists else None
+        state.remove()
+        return emit([open_session]) if open_session else iter(())
+
+    start, last, n = state.get if state.exists else (None, None, 0)
+    closed: list[tuple[int, int, int]] = []
+    ts_all: list[int] = []
+    for pdf in pdfs:
+        if len(pdf):
+            ts_all.extend(int(t) for t in pdf[ts_col])
+    for t in sorted(ts_all):
+        if start is None:
+            start, last, n = t, t, 1
+        elif t - last > gap_s:
+            closed.append((start, last, n))
+            start, last, n = t, t, 1
+        else:
+            last, n = t, n + 1
+    if start is not None:
+        state.update((start, last, n))
+        if idle_timeout_ms:
+            state.setTimeoutDuration(idle_timeout_ms)
+    return emit(closed) if closed else iter(())
 
 
 def session_windows(
@@ -106,57 +181,52 @@ def session_windows(
     batches arrive in event-time order per key (within a batch order doesn't
     matter — events are sorted; across batches a late event older than the
     open session would mis-split, the same contract as any non-watermarked
-    stateful op). The final open session per key remains in state
-    (emit-on-close semantics); continuous deployments bound state with
-    ``idle_timeout_ms``.
+    stateful op). With ``idle_timeout_ms`` set, an idle key's trailing open
+    session is emitted when the timeout fires and its state is removed —
+    continuous deployments get bounded state AND complete output; without a
+    timeout (finite drains) the final open session per key stays in state by
+    design.
     """
 
-    def fn(
-        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
-    ) -> Iterator[pd.DataFrame]:
-        start, last, n = state.get if state.exists else (None, None, 0)
-        closed: list[tuple[int, int, int]] = []
-        ts_all: list[int] = []
-        for pdf in pdfs:
-            if len(pdf):
-                ts_all.extend(int(t) for t in pdf[ts_col])
-        for t in sorted(ts_all):
-            if start is None:
-                start, last, n = t, t, 1
-            elif t - last > gap_s:
-                closed.append((start, last, n))
-                start, last, n = t, t, 1
-            else:
-                last, n = t, n + 1
-        if start is not None:
-            state.update((start, last, n))
-        if idle_timeout_ms:
-            state.setTimeoutDuration(idle_timeout_ms)
-        if not closed:
-            return iter(())
-        return iter(
-            (
-                pd.DataFrame(
-                    {
-                        "key": [key[0]] * len(closed),
-                        "session_start": [c[0] for c in closed],
-                        "session_end": [c[1] for c in closed],
-                        "n_events": [c[2] for c in closed],
-                    }
-                ),
-            )
-        )
+    def fn(key, pdfs, state):
+        return _session_step(key, pdfs, state, ts_col, gap_s, idle_timeout_ms)
 
     return stream.groupBy(key_col).applyInPandasWithState(
         fn,
         outputStructType="key long, session_start long, session_end long, n_events long",
         stateStructType=_SESSION_STATE,
         outputMode="append",
-        timeoutConf=(
-            GroupStateTimeout.ProcessingTimeTimeout
-            if idle_timeout_ms
-            else GroupStateTimeout.NoTimeout
-        ),
+        timeoutConf=_timeout_conf(idle_timeout_ms),
+    )
+
+
+def _aggregate_step(
+    key: tuple,
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+    value_col: str,
+    idle_timeout_ms: int | None,
+) -> Iterator[pd.DataFrame]:
+    if state.hasTimedOut:
+        # idle eviction: drop the running totals (they restart if the key
+        # returns). Totals-so-far were already emitted every batch the key
+        # was active, so nothing is lost at eviction time.
+        state.remove()
+        return iter(())
+    n, total = state.get if state.exists else (0, 0)
+    saw = False
+    for pdf in pdfs:
+        if len(pdf):
+            saw = True
+            n += len(pdf)
+            total += int(pdf[value_col].sum())
+    state.update((n, total))
+    if idle_timeout_ms:
+        state.setTimeoutDuration(idle_timeout_ms)
+    if not saw:
+        return iter(())
+    return iter(
+        (pd.DataFrame({"key": [key[0]], "running_n": [n], "running_total": [total]}),)
     )
 
 
@@ -167,35 +237,16 @@ def running_aggregate(
     idle_timeout_ms: int | None = None,
 ) -> DataFrame:
     """Per-key running (count, sum) carried in state; one output row per key
-    per micro-batch reflecting totals-so-far."""
+    per micro-batch reflecting totals-so-far. Idle keys are evicted once
+    ``idle_timeout_ms`` elapses (totals restart if the key returns)."""
 
-    def fn(
-        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
-    ) -> Iterator[pd.DataFrame]:
-        n, total = state.get if state.exists else (0, 0)
-        saw = False
-        for pdf in pdfs:
-            if len(pdf):
-                saw = True
-                n += len(pdf)
-                total += int(pdf[value_col].sum())
-        state.update((n, total))
-        if idle_timeout_ms:
-            state.setTimeoutDuration(idle_timeout_ms)
-        if not saw:
-            return iter(())
-        return iter(
-            (pd.DataFrame({"key": [key[0]], "running_n": [n], "running_total": [total]}),)
-        )
+    def fn(key, pdfs, state):
+        return _aggregate_step(key, pdfs, state, value_col, idle_timeout_ms)
 
     return stream.groupBy(key_col).applyInPandasWithState(
         fn,
         outputStructType="key long, running_n long, running_total long",
         stateStructType=_AGG_STATE,
         outputMode="append",
-        timeoutConf=(
-            GroupStateTimeout.ProcessingTimeTimeout
-            if idle_timeout_ms
-            else GroupStateTimeout.NoTimeout
-        ),
+        timeoutConf=_timeout_conf(idle_timeout_ms),
     )

@@ -79,3 +79,48 @@ def test_interval_overlap_binned_matches_naive(spark):
         if s1 <= e2 and s2 <= e1
     )
     assert got == naive
+
+
+def test_interval_overlap_preserves_duplicate_rows_and_map_columns(spark):
+    """The canonical-bucket dedup must keep genuinely duplicate input rows
+    (cardinality = join semantics, not set semantics) and must not choke on
+    map-typed payload columns (whole-row distinct did both)."""
+    from f1_datalakehouse_pipeline_spark.operators.asof import interval_overlap_join_binned
+
+    left = spark.createDataFrame(
+        # two IDENTICAL rows spanning several buckets + map payload
+        [(1, 0, 250, {"k": "v"}), (1, 0, 250, {"k": "v"})],
+        "id int, s long, e long, tags map<string,string>",
+    )
+    right = spark.createDataFrame(
+        [(10, 100, 120), (20, 400, 500)],
+        "rid int, rs long, re long",
+    )
+    out = interval_overlap_join_binned(
+        left, right, "s", "e", "rs", "re", bucket_width=50
+    )
+    rows = out.select("id", "rid").collect()
+    # each duplicate left row matches rid=10 exactly once -> 2 rows, not 1
+    assert sorted((r.id, r.rid) for r in rows) == [(1, 10), (1, 10)]
+
+
+def test_interval_overlap_each_pair_emitted_once_across_buckets(spark):
+    """A pair overlapping across many buckets must emit exactly once."""
+    import itertools
+
+    from f1_datalakehouse_pipeline_spark.operators.asof import interval_overlap_join_binned
+
+    left = spark.createDataFrame(
+        [(i, i * 10, i * 10 + 300) for i in range(30)], "id long, s long, e long"
+    )
+    right = spark.createDataFrame(
+        [(j, j * 7, j * 7 + 150) for j in range(40)], "rid long, rs long, re long"
+    )
+    out = interval_overlap_join_binned(left, right, "s", "e", "rs", "re", bucket_width=40)
+    got = sorted((r.id, r.rid) for r in out.select("id", "rid").collect())
+    want = sorted(
+        (i, j)
+        for i, j in itertools.product(range(30), range(40))
+        if i * 10 <= j * 7 + 150 and j * 7 <= i * 10 + 300
+    )
+    assert got == want

@@ -537,3 +537,85 @@ def test_stream_stream_join_within_window(spark, tmp_path):
     q.awaitTermination(120)
     rows = {(r.user, r.purchase_id, r.r_view_id) for r in spark.sql("select * from ssj").collect()}
     assert rows == {(1, 1000, 100), (3, 3000, 300)}
+
+
+class _FakeGroupState:
+    """Minimal GroupState double for exercising per-key handler logic
+    (including the hasTimedOut eviction path, which a real availableNow
+    drain cannot reach deterministically)."""
+
+    def __init__(self, value=None, has_timed_out=False):
+        self._value = value
+        self.hasTimedOut = has_timed_out
+        self.removed = False
+        self.timeout_set = None
+
+    @property
+    def exists(self):
+        return self._value is not None
+
+    @property
+    def get(self):
+        if self._value is None:
+            raise ValueError("state does not exist")
+        return self._value
+
+    def update(self, v):
+        self._value = tuple(v)
+        self.removed = False
+
+    def remove(self):
+        self._value = None
+        self.removed = True
+
+    def setTimeoutDuration(self, ms):
+        self.timeout_set = ms
+
+
+def test_session_step_timeout_emits_open_session_and_evicts():
+    """ProcessingTimeTimeout firing for an idle key must EMIT the trailing
+    open session and REMOVE the state — not re-arm it (which made idle keys
+    immortal and swallowed the last session)."""
+    from f1_datalakehouse_pipeline_spark.streaming.stateful import _session_step
+
+    state = _FakeGroupState(value=(100, 160, 3), has_timed_out=True)
+    out = list(_session_step((7,), [], state, "ts", 50, idle_timeout_ms=1000))
+    assert state.removed and state.timeout_set is None  # evicted, NOT re-armed
+    assert len(out) == 1
+    row = out[0].iloc[0]
+    assert (row["key"], row["session_start"], row["session_end"], row["n_events"]) == (
+        7, 100, 160, 3,
+    )
+
+    # timeout with (pathologically) no surviving state: no emission, no crash
+    state2 = _FakeGroupState(value=None, has_timed_out=True)
+    assert list(_session_step((7,), [], state2, "ts", 50, 1000)) == []
+    assert state2.removed
+
+
+def test_session_step_normal_batch_rearms_timeout():
+    import pandas as pd
+
+    from f1_datalakehouse_pipeline_spark.streaming.stateful import _session_step
+
+    state = _FakeGroupState()
+    pdf = pd.DataFrame({"ts": [10, 20, 200]})
+    out = list(_session_step((1,), [pdf], state, "ts", 50, idle_timeout_ms=500))
+    assert len(out) == 1  # [10,20] closed by the 200 event
+    assert state.get == (200, 200, 1)  # open session survives in state
+    assert state.timeout_set == 500  # re-armed while the key is active
+
+
+def test_dedup_and_aggregate_step_timeout_evict():
+    from f1_datalakehouse_pipeline_spark.streaming.stateful import (
+        _aggregate_step,
+        _dedup_step,
+    )
+
+    s1 = _FakeGroupState(value=(1,), has_timed_out=True)
+    assert list(_dedup_step((1,), [], s1, None, 1000)) == []
+    assert s1.removed and s1.timeout_set is None
+
+    s2 = _FakeGroupState(value=(5, 42), has_timed_out=True)
+    assert list(_aggregate_step((1,), [], s2, "v", 1000)) == []
+    assert s2.removed and s2.timeout_set is None
