@@ -7,15 +7,17 @@ The 100 TB pattern for image/audio/video in a lakehouse:
   and cheap to shuffle-avoid (metadata-only queries never touch bytes);
 - decode / feature-extraction runs in Arrow-batched ``mapInPandas`` so the
   Python boundary is paid per-batch, not per-row;
-- real codec work (PIL/librosa/ffmpeg) is STUBBED here — the container has no
-  media libraries — behind ``decoder=`` injection: the Spark-side plumbing
-  (schema, batch shape, partitioning) is real and tested, the codec is a
-  deterministic fake (or raises NotImplementedError for the real one).
+- the DEFAULT decoder (``header_decoder``) is a real pure-Python container
+  header parser — PNG IHDR, GIF logical screen, JPEG SOFn, WAV fmt/data
+  chunks — returning true dimensions / sample counts with no media
+  libraries needed; full pixel/sample decoding (PIL/librosa/ffmpeg) slots
+  in via the same ``decoder=`` injection point where those libs exist.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Callable, Iterator
 
 import pandas as pd
@@ -103,16 +105,103 @@ def fake_decoder(payload: bytes, modality: str) -> dict:
     }
 
 
-def real_decoder(payload: bytes, modality: str) -> dict:  # pragma: no cover
-    raise NotImplementedError(
-        "media codecs are not available in this environment; inject a decoder "
-        "built on PIL/librosa/ffmpeg where installed"
-    )
+def _png_dims(b: bytes) -> tuple[int, int] | None:
+    # \x89PNG\r\n\x1a\n + IHDR: length(4) 'IHDR'(4) width(4 BE) height(4 BE)
+    if len(b) >= 24 and b[:8] == b"\x89PNG\r\n\x1a\n" and b[12:16] == b"IHDR":
+        w, h = struct.unpack(">II", b[16:24])
+        return w, h
+    return None
+
+
+def _gif_dims(b: bytes) -> tuple[int, int] | None:
+    # GIF87a/GIF89a + logical screen width/height (2B LE each)
+    if len(b) >= 10 and b[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", b[6:10])
+        return w, h
+    return None
+
+
+def _jpeg_dims(b: bytes) -> tuple[int, int] | None:
+    # scan marker segments for SOFn (C0-CF except C4/C8/CC):
+    # marker(2) length(2 BE) precision(1) height(2 BE) width(2 BE)
+    if len(b) < 4 or b[:2] != b"\xff\xd8":
+        return None
+    i = 2
+    while i + 4 <= len(b):
+        if b[i] != 0xFF:
+            i += 1
+            continue
+        marker = b[i + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        if i + 4 > len(b):
+            return None
+        seg_len = struct.unpack(">H", b[i + 2 : i + 4])[0]
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            if i + 9 <= len(b):
+                h, w = struct.unpack(">HH", b[i + 5 : i + 9])
+                return w, h
+            return None
+        i += 2 + seg_len
+    return None
+
+
+def _wav_frames(b: bytes) -> int | None:
+    # RIFF size WAVE, then chunks: id(4) size(4 LE) payload; frames =
+    # data-chunk size / block_align from the fmt chunk
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    block_align = data_size = None
+    i = 12
+    while i + 8 <= len(b):
+        cid = b[i : i + 4]
+        size = struct.unpack("<I", b[i + 4 : i + 8])[0]
+        if cid == b"fmt " and i + 22 <= len(b):
+            block_align = struct.unpack("<H", b[i + 20 : i + 22])[0]
+        elif cid == b"data":
+            data_size = size
+        i += 8 + size + (size & 1)  # chunks are word-aligned
+    if block_align and data_size is not None:
+        return data_size // block_align
+    return None
+
+
+def header_decoder(payload: bytes, modality: str) -> dict:
+    """Real (no-media-libs) decoder: parses container headers in pure Python
+    to produce true dimensions / sample counts.
+
+    - image: PNG IHDR, GIF logical screen, JPEG SOFn → (width, height),
+      n_frames = 1
+    - audio: WAV fmt/data chunks → n_frames = sample-frame count
+    - video / unrecognized containers: metadata stays NULL (an ffmpeg-backed
+      decoder injects here where installed)
+
+    ``feature_hash`` is always the payload md5 (content fingerprint).
+    """
+    if payload is None:
+        return {"width": None, "height": None, "n_frames": None, "feature_hash": None}
+    b = bytes(payload)
+    width = height = n_frames = None
+    dims = _png_dims(b) or _gif_dims(b) or _jpeg_dims(b)
+    if dims:
+        width, height = dims
+        n_frames = 1
+    else:
+        frames = _wav_frames(b)
+        if frames is not None:
+            n_frames = frames
+    return {
+        "width": width,
+        "height": height,
+        "n_frames": n_frames,
+        "feature_hash": hashlib.md5(b).hexdigest(),
+    }
 
 
 def extract_features(
     media: DataFrame,
-    decoder: Callable[[bytes, str], dict] = fake_decoder,
+    decoder: Callable[[bytes, str], dict] = header_decoder,
     batch_size_hint: int | None = None,
 ) -> DataFrame:
     """Decode payloads to typed features via Arrow-batched mapInPandas.

@@ -108,19 +108,95 @@ def test_multimodal_plumbing(spark):
 
     media = multimodal.attach_metadata(raw, "id", "payload", "image")
     assert shape(media.schema) == shape(multimodal.MEDIA_SCHEMA)
-    feats = multimodal.extract_features(media)
+    feats = multimodal.extract_features(media, decoder=multimodal.fake_decoder)
     assert shape(feats.schema) == shape(multimodal.FEATURE_SCHEMA)
     got = {r.media_id: r for r in feats.collect()}
     assert len(got) == 5
     assert all(r.width is not None and r.feature_hash for r in got.values())
     # deterministic: same payload → same features
-    again = {r.media_id: r for r in multimodal.extract_features(media).collect()}
+    again = {
+        r.media_id: r
+        for r in multimodal.extract_features(
+            media, decoder=multimodal.fake_decoder
+        ).collect()
+    }
     assert {k: (v.width, v.height, v.feature_hash) for k, v in got.items()} == {
         k: (v.width, v.height, v.feature_hash) for k, v in again.items()
     }
-    # real decoder is an explicit stub
-    with pytest.raises(Exception, match="NotImplementedError|media codecs"):
-        multimodal.extract_features(media, decoder=multimodal.real_decoder).collect()
+    # default decoder on unparseable payloads: NULL dims, real content hash
+    hdr = {r.media_id: r for r in multimodal.extract_features(media).collect()}
+    assert all(r.width is None and r.feature_hash for r in hdr.values())
+
+
+def _fixture_png(w, h):
+    import struct as _s
+
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _s.pack(">I", 13)
+        + b"IHDR"
+        + _s.pack(">IIBBBBB", w, h, 8, 6, 0, 0, 0)
+        + b"\x00" * 8
+    )
+
+
+def _fixture_wav(n_samples, channels=2, bits=16, rate=8000):
+    import struct as _s
+
+    block_align = channels * bits // 8
+    data = b"\x00" * (n_samples * block_align)
+    fmt = _s.pack(
+        "<HHIIHH", 1, channels, rate, rate * block_align, block_align, bits
+    )
+    body = b"WAVE" + b"fmt " + _s.pack("<I", len(fmt)) + fmt
+    body += b"data" + _s.pack("<I", len(data)) + data
+    return b"RIFF" + _s.pack("<I", len(body)) + body
+
+
+def _fixture_gif(w, h):
+    import struct as _s
+
+    return b"GIF89a" + _s.pack("<HH", w, h) + b"\x00" * 4
+
+
+def _fixture_jpeg(w, h):
+    import struct as _s
+
+    # SOI + APP0 stub + SOF0 with real dims
+    app0 = b"\xff\xe0" + _s.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    sof0 = b"\xff\xc0" + _s.pack(">H", 11) + b"\x08" + _s.pack(">HH", h, w) + b"\x01\x11\x00"
+    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+
+def test_header_decoder_returns_real_dimensions(spark):
+    """The default decoder parses REAL container headers (no media libs):
+    PNG IHDR / GIF screen / JPEG SOF0 dimensions, WAV sample-frame count."""
+    rows = [
+        (1, _fixture_png(640, 480), "image"),
+        (2, _fixture_gif(320, 200), "image"),
+        (3, _fixture_jpeg(1920, 1080), "image"),
+        (4, _fixture_wav(8000), "audio"),
+        (5, b"\x00\x01\x02 not a container", "image"),
+    ]
+    raw = spark.createDataFrame(rows, "id long, payload binary, mod string")
+    media = raw.select(
+        F.col("id").alias("media_id"),
+        F.col("mod").alias("modality"),
+        F.col("payload"),
+        F.octet_length("payload").cast("long").alias("n_bytes"),
+        F.md5("payload").alias("content_md5"),
+    )
+    got = {r.media_id: r for r in multimodal.extract_features(media).collect()}
+    assert (got[1].width, got[1].height, got[1].n_frames) == (640, 480, 1)
+    assert (got[2].width, got[2].height) == (320, 200)
+    assert (got[3].width, got[3].height) == (1920, 1080)
+    assert got[4].n_frames == 8000 and got[4].width is None
+    assert got[5].width is None and got[5].n_frames is None
+    assert all(r.feature_hash for r in got.values())
+    # plain-python parity (no Spark): same answers straight from the decoder
+    d = multimodal.header_decoder(_fixture_png(33, 7), "image")
+    assert (d["width"], d["height"], d["n_frames"]) == (33, 7, 1)
+    assert multimodal.header_decoder(_fixture_wav(123), "audio")["n_frames"] == 123
 
 
 def test_streaming_incremental_upsert(spark, tmp_path):
