@@ -3,9 +3,14 @@
 Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec, ...}, "sf": <float>}.
 
-Each query is executed once for warm-up-free wall time measured around a full
-materialization (count of the result), which is what the reference jobs do per
-transform (minus their duplicate count-then-write anti-pattern, SURVEY §4.3.1).
+Headline queries are timed as the MEDIAN of 3 materializations each
+(write to the noop sink = full execution, what the reference jobs do per
+transform minus their duplicate count-then-write anti-pattern, SURVEY
+§4.3.1). The median tames the documented 16.6-21.0 s host swing
+(PERF_NOTES, interleaved A/B runs of identical code); per-query min/max
+spread is reported alongside so round-over-round deltas can be judged
+against observed variance instead of guessed noise floors. The extra /
+scale sections stay single-run to bound total bench time.
 """
 
 from __future__ import annotations
@@ -13,8 +18,11 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
+
+RUNS = 3
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -63,13 +71,18 @@ def main() -> None:
             qs[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     for name in HEADLINE:
         if name not in qs:
             continue
-        t0 = time.time()
-        df = qs[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        samples = []
+        for _ in range(RUNS):
+            t0 = time.time()
+            df = qs[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            samples.append(time.time() - t0)
+        timings[name] = round(statistics.median(samples), 3)
+        spread[name] = [round(min(samples), 3), round(max(samples), 3)]
 
     # Round-2+ queries timed SEPARATELY so the headline total stays
     # apples-to-apples with earlier rounds (bench-hygiene rule from r1).
@@ -101,6 +114,9 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "runs_per_query": RUNS,
+        "aggregation": "median",
+        "queries_spread_min_max": spread,
         "queries_extra": extra_timings,
     }
 
