@@ -69,6 +69,7 @@ def main() -> None:
     for name in HEADLINE:
         if name in qs:
             qs[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
+    spark.catalog.clearCache()
 
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
@@ -81,6 +82,12 @@ def main() -> None:
             df = qs[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             samples.append(time.time() - t0)
+            # Each invocation that caches (e.g. the dedup shingle table)
+            # creates a NEW cache entry; without draining, repeated runs
+            # accumulate dead cached partitions until storage memory thrashes
+            # (measured: the 50K-doc scale rung ran 43 s polluted vs 11 s
+            # clean). Per-query drain models a real per-job lifecycle.
+            spark.catalog.clearCache()
         timings[name] = round(statistics.median(samples), 3)
         spread[name] = [round(min(samples), 3), round(max(samples), 3)]
 
@@ -103,9 +110,11 @@ def main() -> None:
         if name not in qs:
             continue
         qs[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
+        spark.catalog.clearCache()
         t0 = time.time()
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         extra_timings[name] = round(time.time() - t0, 3)
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     out = {

@@ -42,18 +42,24 @@ def read_bronze(
     session_type: str | None = None,
     tolerate_corrupt: bool = False,
 ) -> DataFrame:
-    """Schema-merging scan with partition-filter pushdown (S3+S4).
+    """Schema-merging scan with partition pruning pushed to the PATH level.
 
     ``mergeSchema`` mirrors bronze_readers.py:43,75,105,142 — bronze files are
-    schema-inferred and may drift per landing batch.
+    schema-inferred and may drift per landing batch. But mergeSchema reads
+    EVERY matched file's footer at plan time, so any known partition value
+    (year / grand_prix / session_type) is baked into the path glob instead of
+    a post-filter: schema-inference cost then scales with the BATCH, not the
+    table (measured: a one-GP incremental over a 100-GP bronze spent more
+    time footer-scanning 99 untouched partitions than transforming). With
+    ``basePath`` set, Spark still surfaces the partition columns. Unspecified
+    dimensions keep Catalyst partition pruning via the residual filters.
 
-    ``session_type`` prunes at the PATH level (glob + basePath) rather than
-    with a post-filter: session_result's ``duration`` column is array-typed in
-    qualifying partitions but scalar in race partitions (FIXTURES.md §1), so a
-    whole-root mergeSchema scan would fail on the type conflict. This is the
-    Spark-idiomatic version of the reference's manual partition-path
-    construction (qualifying_transform.py:101-112), kept ONLY where the
-    heterogeneous schema forces it.
+    ``session_type`` pruning is additionally REQUIRED for correctness on
+    session_result: ``duration`` is array-typed in qualifying partitions but
+    scalar in race partitions (FIXTURES.md §1), so a whole-root mergeSchema
+    scan would fail on the type conflict. This is the Spark-idiomatic version
+    of the reference's manual partition-path construction
+    (qualifying_transform.py:101-112).
 
     ``tolerate_corrupt`` skips unreadable files instead of failing the scan —
     the landing zone is written by external producers (reference: pandas
@@ -65,10 +71,28 @@ def read_bronze(
     reader = spark.read.option("mergeSchema", "true").option("basePath", base)
     if tolerate_corrupt:
         reader = reader.option("ignoreCorruptFiles", "true")
-    if session_type is not None:
-        df = reader.parquet(f"{base}/year=*/grand_prix=*/session_type={session_type}")
+    if year is not None or grand_prix is not None or session_type is not None:
+        pattern = (
+            f"{base}/year={year if year is not None else '*'}"
+            f"/grand_prix={grand_prix if grand_prix is not None else '*'}"
+            f"/session_type={session_type if session_type is not None else '*'}"
+        )
+        import glob as _glob
+
+        if "://" not in base and not _glob.glob(pattern):
+            # loud scope failure with the engine's vocabulary instead of a
+            # raw PATH_NOT_FOUND from the reader (ADVICE r1: a bad GP slug
+            # must never silently no-op — and should not be cryptic either)
+            raise ValueError(
+                f"bronze scope matched no partitions: endpoint={endpoint} "
+                f"year={year} grand_prix={grand_prix!r} "
+                f"session_type={session_type!r} — check the GP slug"
+            )
+        df = reader.parquet(pattern)
     else:
         df = reader.parquet(base)
+    # residual filters: redundant where the path already pinned the value
+    # (Catalyst folds them), load-bearing for the globbed dimensions
     if year is not None:
         df = df.filter(F.col("year") == year)
     if grand_prix is not None:

@@ -424,7 +424,10 @@ def test_incremental_empty_scope_aborts_loudly(lakehouse, spark, tmp_path):
     from f1_datalakehouse_pipeline_spark.plans.pipeline import run_bronze_to_silver
     from f1_datalakehouse_pipeline_spark.sources.tables import TableStore
 
-    with _pytest.raises(ValueError, match="matched no silver sessions"):
+    # aborts at the bronze path-pruned scan (glob matches no partition) or,
+    # if bronze partitions existed but silver scope is empty, at the probe —
+    # either way a loud ValueError naming the slug problem
+    with _pytest.raises(ValueError, match="matched no .*(partitions|sessions)"):
         run_bronze_to_silver(
             spark, lakehouse["bronze"], lakehouse["store"], mode="INCREMENTAL",
             year=2025, grand_prix="nonexistent_gp",

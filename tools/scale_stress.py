@@ -189,6 +189,243 @@ def run_ann_scale(spark: SparkSession, sf_dir: str, factor: int) -> dict:
     return r
 
 
+def generate_bronze_scaled(
+    spark: SparkSession,
+    root: str,
+    n_gp: int = 100,
+    n_drivers: int = 20,
+    n_laps: int = 1250,
+    year: int = 2025,
+) -> None:
+    """Distributed F1-shaped bronze generator (pure Spark, no driver loops).
+
+    Same shape as tests/fixtures_f1.generate_bronze — Hive-partitioned
+    parquet per endpoint under year=/grand_prix=/session_type= — but built
+    entirely with native expressions and written with partitionBy, so the
+    2.5M-lap rung generates in parallel (the pandas fixture is driver-side
+    and tops out around thousands of rows). Data is reconciliation-clean:
+    points always match the position-derived table, so the quality gate must
+    report zero violations.
+    """
+    if os.path.isdir(os.path.join(root, "pit")):
+        return  # complete (pit is written last)
+    if os.path.isdir(root):
+        import shutil as _shutil
+
+        _shutil.rmtree(root)  # crashed partial generate: start clean
+    from f1_datalakehouse_pipeline_spark.functions.f1 import POINTS_BY_POSITION
+
+    gp = spark.range(n_gp).select(F.col("id").alias("gp"))
+    drv = spark.range(1, n_drivers + 1).select(F.col("id").alias("drv"))
+    sides = spark.range(2).select(F.col("id").alias("is_race"))
+
+    slug = F.concat(F.lit("gp"), F.lpad(F.col("gp").cast("string"), 3, "0"))
+    meeting_name = F.concat(F.initcap(slug), F.lit(" Grand Prix"))
+    session_key = (F.lit(9000) + F.col("gp") * 2 + F.col("is_race")).cast("long")
+    base_ts = F.lit(f"{year}-03-01 14:00:00").cast("timestamp")
+    date_start = F.timestamp_seconds(
+        F.unix_timestamp(base_ts) + (F.col("gp") * 2 + F.col("is_race")) * 86400
+    )
+    # deterministic position permutation per session: 7 is coprime with any
+    # n_drivers not divisible by 7, giving a bijection driver -> position
+    pos = ((F.col("drv") * 7 + F.col("gp") + F.col("is_race") * 3) % n_drivers + 1).cast("int")
+
+    core = (
+        gp.crossJoin(sides)
+        .crossJoin(drv)
+        .select(
+            "gp",
+            "is_race",
+            "drv",
+            session_key.alias("session_key"),
+            (F.lit(1000) + F.col("gp")).cast("long").alias("meeting_key"),
+            meeting_name.alias("meeting_name"),
+            date_start.alias("date_start"),
+            (date_start + F.expr("INTERVAL 2 HOURS")).alias("date_end"),
+            pos.alias("pos"),
+            slug.alias("grand_prix"),
+            F.lit(year).alias("year"),
+            F.when(F.col("is_race") == 1, "race").otherwise("qualifying").alias("session_type"),
+        )
+    )
+
+    points_arr = F.array(*[F.lit(p) for p in POINTS_BY_POSITION])
+    common = [
+        "session_key",
+        "meeting_key",
+        "meeting_name",
+        "date_start",
+        "date_end",
+        F.col("drv").cast("int").alias("driver_number"),
+        F.col("pos").alias("position"),
+        F.lit(False).alias("dnf"),
+        F.lit(False).alias("dns"),
+        F.lit(False).alias("dsq"),
+        "year",
+        "grand_prix",
+        "session_type",
+    ]
+    race_sr = core.filter(F.col("is_race") == 1).select(
+        *common,
+        (F.lit(5400.0) + F.col("pos") * 9.5).alias("duration"),
+        F.when(F.col("pos") > 1, F.col("pos") * 9.5).alias("gap_to_leader"),
+        F.when(F.col("pos") <= 10, F.element_at(points_arr, F.col("pos")))
+        .otherwise(0)
+        .cast("int")
+        .alias("points"),
+    )
+    q1 = F.round(F.lit(78.0) + F.col("pos") * 0.35, 3)
+    quali_sr = core.filter(F.col("is_race") == 0).select(
+        *common,
+        F.filter(
+            F.array(
+                q1,
+                F.when(F.col("pos") <= 15, q1 - 0.4),
+                F.when(F.col("pos") <= 10, q1 - 0.8),
+            ),
+            lambda x: x.isNotNull(),
+        ).alias("duration"),
+        F.lit(None).cast("double").alias("gap_to_leader"),
+        F.lit(0).alias("points"),
+    )
+    for df in (race_sr, quali_sr):
+        df.write.mode("append").partitionBy("year", "grand_prix", "session_type").parquet(
+            os.path.join(root, "session_result")
+        )
+
+    teams = [
+        "Oracle Red Bull Racing", "Mercedes AMG Petronas", "Scuderia Ferrari",
+        "McLaren", "Aston Martin", "Alpine", "Williams", "Visa Cash App RB",
+        "Kick Sauber", "MoneyGram Haas F1 Team",
+    ]
+    team_arr = F.array(*[F.lit(t) for t in teams])
+    # driver 7 changes teams mid-season: two SCD2 stints at any scale
+    team_idx = F.when(
+        (F.col("drv") == 7) & (F.col("gp") >= n_gp // 2),
+        ((F.col("drv") - 1) / 2).cast("int") + 2,
+    ).otherwise(((F.col("drv") - 1) / 2).cast("int") + 1)
+    core.select(
+        "session_key",
+        F.col("drv").cast("int").alias("driver_number"),
+        F.concat(F.lit("D DRIVER"), F.col("drv")).alias("broadcast_name"),
+        F.concat(F.lit("Driver Number"), F.col("drv")).alias("full_name"),
+        F.element_at(team_arr, ((team_idx - 1) % len(teams)) + 1).alias("team_name"),
+        F.when(F.col("drv") % 2 == 1, "NED").otherwise("GBR").alias("country_code"),
+        F.lpad(F.hex(F.col("drv")), 6, "0").alias("team_colour"),
+        F.concat(F.lit("D"), F.lpad(F.col("drv").cast("string"), 2, "0")).alias("name_acronym"),
+        "year",
+        "grand_prix",
+        "session_type",
+    ).write.mode("overwrite").partitionBy("year", "grand_prix", "session_type").parquet(
+        os.path.join(root, "drivers")
+    )
+
+    laps = spark.range(1, n_laps + 1).select(F.col("id").alias("lap"))
+    lap_t = (
+        F.lit(80.0)
+        + F.col("pos") * 0.3
+        + ((F.col("lap") * 7 + F.col("drv") * 13) % 50) / 25.0
+    )
+    core.filter(F.col("is_race") == 1).crossJoin(laps).select(
+        "session_key",
+        F.col("drv").cast("int").alias("driver_number"),
+        F.col("lap").cast("int").alias("lap_number"),
+        # ~2% NULL lap_duration exercises the sector-sum fallback at scale
+        F.when((F.col("lap") + F.col("drv")) % 53 != 0, F.round(lap_t, 3)).alias("lap_duration"),
+        F.round(lap_t * 0.3, 3).alias("duration_sector_1"),
+        F.round(lap_t * 0.33, 3).alias("duration_sector_2"),
+        F.round(lap_t * 0.37, 3).alias("duration_sector_3"),
+        F.array(F.lit(2048), F.lit(2049)).alias("segments_sector_1"),
+        F.array(F.lit(2051)).alias("segments_sector_2"),
+        F.array(F.lit(2064), F.lit(2068)).alias("segments_sector_3"),
+        "year",
+        "grand_prix",
+        "session_type",
+    ).write.mode("overwrite").partitionBy("year", "grand_prix", "session_type").parquet(
+        os.path.join(root, "laps")
+    )
+
+    stops = spark.range(2).select(F.col("id").alias("stop"))
+    core.filter(F.col("is_race") == 1).crossJoin(stops).select(
+        "session_key",
+        F.col("drv").cast("int").alias("driver_number"),
+        (F.lit(10) + F.col("stop") * 12 + F.col("drv") % 5).cast("int").alias("lap_number"),
+        (F.lit(21000.0) + (F.col("drv") * 997 + F.col("stop") * 4001) % 14000).alias("pit_duration"),
+        "year",
+        "grand_prix",
+        "session_type",
+    ).write.mode("overwrite").partitionBy("year", "grand_prix", "session_type").parquet(
+        os.path.join(root, "pit")
+    )
+
+
+def run_pipeline_scale(
+    spark: SparkSession, n_gp: int = 100, n_drivers: int = 20, n_laps: int = 1250
+) -> dict:
+    """End-to-end F1 pipeline at ~100x the test fixture (VERDICT r2 item 6).
+
+    The registry queries are scale-proven individually; this rung proves the
+    PIPELINE COMPOSITION: bronze scan -> 6 silver transforms (SCD2 included)
+    -> 4 gold transforms over ``n_gp * n_drivers * n_laps`` lap rows (default
+    2.5M, ~670x the unit fixture's 3.7K), then the collected quality gate,
+    then an INCREMENTAL one-GP rerun on the 100-partition table (exercising
+    the transactional partition graft) asserted idempotent.
+    """
+    import shutil as _shutil
+
+    from f1_datalakehouse_pipeline_spark.plans import pipeline as pl
+    from f1_datalakehouse_pipeline_spark.sources.tables import TableStore
+
+    root = os.path.join(CACHE, f"bronze_pipeline_{n_gp}x{n_drivers}x{n_laps}")
+    t0 = time.perf_counter()
+    generate_bronze_scaled(spark, root, n_gp=n_gp, n_drivers=n_drivers, n_laps=n_laps)
+    r: dict = {"generate_sec": round(time.perf_counter() - t0, 1)}
+
+    wh = os.path.join(CACHE, "wh_pipeline")
+    _shutil.rmtree(wh, ignore_errors=True)
+    store = TableStore(spark, wh)
+
+    r["bronze_to_silver_sec"], _ = timed(
+        "bronze->silver (6 transforms, HISTORICAL)",
+        lambda: sum(
+            pl.run_bronze_to_silver(spark, root, store, mode=pl.HISTORICAL).row_counts.values()
+        ),
+    )
+    r["silver_to_gold_sec"], _ = timed(
+        "silver->gold (4 transforms, HISTORICAL)",
+        lambda: sum(pl.run_silver_to_gold(spark, store, mode=pl.HISTORICAL).row_counts.values()),
+    )
+    t0 = time.perf_counter()
+    violations = {c.name: c.violations for c in pl.validate_silver(store)}
+    r["quality_gate_sec"] = round(time.perf_counter() - t0, 1)
+    r["quality_violations"] = violations
+    assert all(n == 0 for n in violations.values()), violations
+
+    expected_laps = n_gp * n_drivers * n_laps
+    got_laps = store.read("laps_silver").count()
+    assert got_laps == expected_laps, (got_laps, expected_laps)
+    champ = store.read("championship_tracker").count()
+    assert champ == n_gp * n_drivers, champ
+    dim = store.read("drivers_silver")
+    assert dim.filter("is_current").count() == n_drivers
+    assert dim.count() == n_drivers + 1  # driver 7's team change = extra stint
+    r["laps_silver_rows"] = got_laps
+    r["championship_rows"] = champ
+
+    before = got_laps
+    r["incremental_one_gp_sec"], _ = timed(
+        "incremental rerun (1 of n_gp partitions)",
+        lambda: sum(
+            pl.run_bronze_to_silver(
+                spark, root, store, mode=pl.INCREMENTAL,
+                grand_prix=f"gp{min(7, n_gp - 1):03d}",
+            ).row_counts.values()
+        ),
+    )
+    assert store.read("laps_silver").count() == before  # idempotent rerun
+    return r
+
+
 def timed(label: str, thunk) -> tuple[float, int]:
     t0 = time.perf_counter()
     n = thunk()
@@ -204,6 +441,7 @@ def main() -> None:
     ap.add_argument("--boilerplate", action="store_true")
     ap.add_argument("--facts", action="store_true", help="scale the lineitem fact side instead of documents")
     ap.add_argument("--ann", action="store_true", help="scale the embeddings table and measure ANN variants")
+    ap.add_argument("--pipeline", action="store_true", help="run the full F1 pipeline at ~2.5M lap rows")
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     args = ap.parse_args()
     factors = [int(f) for f in args.factors.split(",")]
@@ -213,6 +451,12 @@ def main() -> None:
     spark = get_spark("scale-stress")
     spark.sparkContext.setLogLevel("ERROR")
     results: dict[str, dict] = {}
+
+    if args.pipeline:
+        print("pipeline rung (2.5M laps):", flush=True)
+        results["pipeline"] = run_pipeline_scale(spark)
+        print(json.dumps(results, indent=2))
+        return
 
     if args.facts:
         for factor in factors:
