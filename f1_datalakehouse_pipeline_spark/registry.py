@@ -97,7 +97,18 @@ _VERIFY_FIRST = [
     "t_text_quality",
     "t_lang_id",
     "t_fingerprint",
-    # new in r3 (must be inside the 50-slot window for a first driver row)
+    # new in r3 (must be inside the 50-slot window for a first driver row):
+    # 40 promoted + 10 new = exactly the 50-slot gate
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "w18_first_last_value",
+    "a18_bool_aggs",
+    "a19_histogram_fixed_width",
+    "a20_multi_distinct",
+    "j12_not_exists_anti",
+    "ts_resample_ohlc",
+    "t_token_doc_frequency",
+    "f_string_battery",
 ]
 
 

@@ -1259,6 +1259,378 @@ def t_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Round-3 additions: deeper TPC-H star joins, window/agg variants, string and
+# time-series batteries. Same exactness discipline: decimal arithmetic before
+# any SUM, explicit INT/BIGINT casts where engine default widths differ.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tpch_q7_volume_shipping",
+    """
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS INTEGER) AS yr,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation n1 ON n1.n_nationkey = s_nationkey
+    JOIN nation n2 ON n2.n_nationkey = c_nationkey
+    WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    GROUP BY supp_nation, cust_nation, yr
+    """,
+)
+def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q7 shape: fact x 4 broadcast dims, two roles for the same nation
+    # dim (supplier side / customer side). The nation-pair predicate prunes
+    # AFTER the dim joins but both nation dims broadcast, so the fact table
+    # is touched once with zero shuffles on the build sides.
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    n1 = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        1 - F.col("l_discount").cast("decimal(4,2)")
+    )
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("int").alias("yr"))
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+@query(
+    "tpch_q8_market_share",
+    """
+    WITH base AS (
+      SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+             n1.n_name AS supp_nation,
+             CAST(l_extendedprice AS DECIMAL(12,2))
+               * (1 - CAST(l_discount AS DECIMAL(4,2))) AS rev
+      FROM lineitem
+      JOIN part     ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON n1.n_nationkey = s_nationkey
+      JOIN nation n2 ON n2.n_nationkey = c_nationkey
+      JOIN region   ON r_regionkey = n2.n_regionkey
+      WHERE r_name = 'EUROPE' AND p_type = 'PROMO'
+    )
+    SELECT yr,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN rev
+                         ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+             / CAST(SUM(rev) AS DOUBLE) AS mkt_share
+    FROM base GROUP BY yr
+    """,
+)
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q8 shape: 6-dim star join (part/supplier/orders/customer/nation
+    # x2/region), market = customer's region, share = one supplier nation's
+    # slice. Both sums are exact decimals; the share divides two
+    # deterministic doubles, so the ratio is bit-stable cross-engine.
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    p = load_table(spark, sf_dir, "part")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    n1 = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk"))
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        1 - F.col("l_discount").cast("decimal(4,2)")
+    )
+    base = (
+        li.join(F.broadcast(p.filter(F.col("p_type") == "PROMO")), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(r.filter(F.col("r_name") == "EUROPE")), F.col("c_rk") == F.col("r_regionkey"))
+        .select(
+            F.year("o_orderdate").cast("int").alias("yr"),
+            F.col("supp_nation"),
+            rev.alias("rev"),
+        )
+    )
+    nation_rev = F.sum(
+        F.when(F.col("supp_nation") == "NATION_3", F.col("rev")).otherwise(
+            F.lit(0).cast("decimal(12,2)")
+        )
+    )
+    return base.groupBy("yr").agg(
+        (nation_rev.cast("double") / F.sum("rev").cast("double")).alias("mkt_share")
+    )
+
+
+@query(
+    "w18_first_last_value",
+    """
+    SELECT event_id, user_id, CAST(value AS DOUBLE) AS value,
+           CAST(first_value(value) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS first_v,
+           CAST(last_value(value) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS DOUBLE) AS last_v
+    FROM events
+    """,
+)
+def w18_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # first_value / last_value with explicit asymmetric frames sharing ONE
+    # partitioning (user_id) — Catalyst plans a single exchange + sort for
+    # both window specs. event_id tie-breaks equal timestamps so the answer
+    # is deterministic.
+    ev = load_table(spark, sf_dir, "events")
+    w_head = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tail = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.col("value").cast("double").alias("value"),
+        F.first("value").over(w_head).cast("double").alias("first_v"),
+        F.last("value").over(w_tail).cast("double").alias("last_v"),
+    )
+
+
+@query(
+    "a18_bool_aggs",
+    """
+    SELECT o_orderpriority,
+           bool_and(o_totalprice > 1000)  AS all_above_1k,
+           bool_or(o_orderstatus = 'F')   AS any_finished,
+           COUNT(*) AS n
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def a18_bool_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Boolean aggregates (every/any): partial-aggregatable like any
+    # min/max, so the shuffle carries one boolean per group per mapper.
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.bool_and(F.col("o_totalprice") > 1000).alias("all_above_1k"),
+        F.bool_or(F.col("o_orderstatus") == "F").alias("any_finished"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "a19_histogram_fixed_width",
+    """
+    WITH b AS (
+      SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) // 5000000 AS bucket,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      FROM orders
+    )
+    SELECT bucket, COUNT(*) AS n,
+           CAST(SUM(price) AS DOUBLE) / COUNT(*) AS avg_price
+    FROM b GROUP BY bucket
+    """,
+)
+def a19_histogram_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Fixed-width histogram ($50K buckets) with EXACT bucket math: prices go
+    # through decimal cents and integer division, so no float boundary can
+    # land a row in different buckets across engines. The avg divides an
+    # exact decimal sum by the count at the very end.
+    o = load_table(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    bucket = F.expr(
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) div 5000000"
+    )
+    return (
+        o.select(bucket.alias("bucket"), price.alias("price"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum("price").cast("double") / F.count(F.lit(1))).alias("avg_price"),
+        )
+    )
+
+
+@query(
+    "a20_multi_distinct",
+    """
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_supps,
+           COUNT(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def a20_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Multiple COUNT(DISTINCT ...) over different columns in one aggregate:
+    # Catalyst plans this with an Expand (one row replica per distinct
+    # column) + two-phase aggregation — the scalable form of multi-distinct
+    # (never a driver-side pass per column).
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@query(
+    "j12_not_exists_anti",
+    """
+    SELECT c_custkey, c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+    )
+    """,
+)
+def j12_not_exists_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NOT EXISTS ≙ left ANTI join: the probe side streams, the build side
+    # carries only the key column (pruned before the shuffle/broadcast).
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    finished = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return (
+        c.join(finished, c.c_custkey == finished.o_custkey, "left_anti")
+        .select("c_custkey", "c_mktsegment")
+    )
+
+
+@query(
+    "ts_resample_ohlc",
+    """
+    SELECT user_id,
+           CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_s,
+           CAST(arg_min(value, event_id) AS DOUBLE) AS open,
+           CAST(MAX(value) AS DOUBLE) AS high,
+           CAST(MIN(value) AS DOUBLE) AS low,
+           CAST(arg_max(value, event_id) AS DOUBLE) AS close,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY user_id, hour_s
+    """,
+)
+def ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # OHLC resampling to hourly bars: one hash aggregate keyed
+    # (user, hour) — open/close via min_by/max_by on the unique event id
+    # (deterministic under timestamp ties), high/low plain min/max. No
+    # window, no sort: the cheapest possible downsample shape at 100 TB.
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "user_id",
+            F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hour_s"),
+        )
+        .agg(
+            F.min_by("value", "event_id").cast("double").alias("open"),
+            F.max("value").cast("double").alias("high"),
+            F.min("value").cast("double").alias("low"),
+            F.max_by("value", "event_id").cast("double").alias("close"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select("user_id", "hour_s", "open", "high", "low", "close", "n")
+    )
+
+
+@query(
+    "t_token_doc_frequency",
+    f"""
+    WITH tokd AS (
+      SELECT doc_id,
+             list_distinct(list_transform({_DUCK_TOKS.format(x='text')},
+                                          t -> lower(t))) AS toks
+      FROM documents
+    ),
+    ex AS (SELECT doc_id, unnest(toks) AS token FROM tokd),
+    dfreq AS (SELECT token, COUNT(*) AS df FROM ex GROUP BY token),
+    nd AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT token, df, CAST(df AS DOUBLE) / n_docs AS doc_ratio
+    FROM dfreq, nd
+    WHERE length(token) >= 3 AND df >= 5
+    """,
+)
+def t_token_doc_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Corpus document-frequency table (the IDF denominator of TF-IDF):
+    # per-doc DISTINCT lowered tokens explode -> one count per token. The
+    # ratio divides two exact integers, so no transcendental (ln) leaks
+    # engine-libm differences into the hash compare. At 100 TB this is the
+    # canonical vocabulary-build shuffle: combiner-friendly counts, token
+    # key, df floor pruning rare typo-tokens before output.
+    from f1_datalakehouse_pipeline_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.transform(tokens(F.col("text")), lambda t: F.lower(t)))
+        ).alias("token"),
+    )
+    dfreq = per_doc.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        dfreq.crossJoin(F.broadcast(n_docs))
+        .filter((F.length("token") >= 3) & (F.col("df") >= 5))
+        .select(
+            "token",
+            "df",
+            (F.col("df").cast("double") / F.col("n_docs")).alias("doc_ratio"),
+        )
+    )
+
+
+@query(
+    "f_string_battery",
+    """
+    SELECT c_custkey,
+           upper(substr(c_name, 1, 8)) AS head_u,
+           lpad(CAST(c_custkey AS VARCHAR), 12, '0') AS padded,
+           reverse(c_name) AS rev_name,
+           replace(c_name, 'Customer#', 'C-') AS renamed,
+           split_part(c_name, '#', 2) AS cust_num,
+           CAST(strpos(c_name, '#') AS INTEGER) AS hash_pos,
+           concat_ws('-', c_mktsegment, CAST(c_nationkey AS VARCHAR)) AS seg_key
+    FROM customer
+    """,
+)
+def f_string_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # String-function battery over the functions with verified cross-engine
+    # parity (substr/lpad/reverse/replace/split_part/instr/concat_ws) — all
+    # JVM-side codegen projections, no UDFs.
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper(F.substring("c_name", 1, 8)).alias("head_u"),
+        F.lpad(F.col("c_custkey").cast("string"), 12, "0").alias("padded"),
+        F.reverse("c_name").alias("rev_name"),
+        F.replace(F.col("c_name"), F.lit("Customer#"), F.lit("C-")).alias("renamed"),
+        F.split_part(F.col("c_name"), F.lit("#"), F.lit(2)).alias("cust_num"),
+        F.instr(F.col("c_name"), "#").cast("int").alias("hash_pos"),
+        F.concat_ws("-", F.col("c_mktsegment"), F.col("c_nationkey").cast("string")).alias("seg_key"),
+    )
+
+
 # attach the LSH oracle (deterministic planes make it SQL-expressible)
 from f1_datalakehouse_pipeline_spark import registry as _registry  # noqa: E402
 
