@@ -78,6 +78,129 @@ class LateUpdateError(ValueError):
     carries a backdated update for an already-open dimension row."""
 
 
+def scd2_coalesce_stints(
+    dim: DataFrame, entity_col: str, attr_cols: Sequence[str]
+) -> DataFrame:
+    """Merge adjacent stints with identical attributes into one row
+    (canonical SCD2 form: consecutive rows always differ in some attribute).
+
+    Contiguity is respected: only neighbors with ``prev.valid_to ==
+    next.valid_from`` merge. One window partitioning (entity) + one groupBy
+    — the islands pattern, no self-join.
+    """
+    w = Window.partitionBy(entity_col).orderBy("valid_from")
+    same_attrs = F.lit(True)
+    for c in attr_cols:
+        same_attrs = same_attrs & F.col(c).eqNullSafe(F.lag(c).over(w))
+    contiguous = F.lag("valid_to").over(w).eqNullSafe(F.col("valid_from"))
+    new_island = F.when(same_attrs & contiguous, 0).otherwise(1)
+    run = Window.partitionBy(entity_col).orderBy("valid_from").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    grouped = (
+        dim.withColumn("__island", F.sum(new_island).over(run))
+        .groupBy(entity_col, "__island", *attr_cols)
+        .agg(
+            F.min("valid_from").alias("valid_from"),
+            # the island's end = the LAST member's valid_to (may be NULL =
+            # open); max_by orders members by valid_from
+            F.max_by("valid_to", "valid_from").alias("valid_to"),
+        )
+    )
+    return grouped.select(
+        entity_col,
+        *attr_cols,
+        "valid_from",
+        "valid_to",
+        F.col("valid_to").isNull().alias("is_current"),
+    )
+
+
+def scd2_splice_history(
+    current_dim: DataFrame,
+    updates: DataFrame,
+    entity_col: str,
+    attr_cols: Sequence[str],
+    effective_col: str | Column,
+) -> DataFrame:
+    """Splice a backdated update INTO closed history (true history rewrite —
+    beyond the reference, whose incremental path only applies updates
+    forward; scd.py:100-137).
+
+    For each update ``(entity, attrs, eff)``:
+
+    - the stint containing ``eff`` (``valid_from <= eff < valid_to``, open
+      stint = infinite end) is truncated at ``eff`` (dropped entirely when
+      ``eff`` equals its start — the update supersedes it);
+    - a new stint ``[eff, old_end)`` with the update's attributes is
+      inserted, inheriting the truncated stint's open/closed status;
+    - an ``eff`` before ALL recorded history inserts ``[eff,
+      first_valid_from)``; an update for an unseen entity opens a fresh
+      current row;
+    - adjacent stints left equal by a no-op splice are re-merged
+      (:func:`scd2_coalesce_stints`), so splicing is IDEMPOTENT and a
+      same-attribute splice leaves the canonical history unchanged.
+
+    ``updates`` must hold one row per entity. Everything runs on one
+    entity-partitioned shuffle + one groupBy: no driver-side state, any
+    dimension size. Returns columns ``entity, attrs..., valid_from,
+    valid_to, is_current`` with ``is_current == valid_to IS NULL``.
+    """
+    eff = F.col(effective_col) if isinstance(effective_col, str) else effective_col
+    u = updates.select(
+        F.col(entity_col),
+        *[F.col(c).alias(f"__u_{c}") for c in attr_cols],
+        eff.alias("__eff"),
+    )
+    dim_cols = [entity_col, *attr_cols, "valid_from", "valid_to", "is_current"]
+    d = current_dim.select(*dim_cols).join(u, entity_col, "full_outer")
+
+    has_row = F.col("valid_from").isNotNull()
+    has_u = F.col("__eff").isNotNull()
+    contains = (
+        has_row
+        & has_u
+        & (F.col("valid_from") <= F.col("__eff"))
+        & (F.col("valid_to").isNull() | (F.col("__eff") < F.col("valid_to")))
+    )
+
+    # 1. rows not containing eff (or whose entity has no update): unchanged
+    untouched = d.filter(has_row & ~contains).select(*dim_cols)
+    # 2. containing stint truncated at eff; empty truncations drop
+    truncated = (
+        d.filter(contains & (F.col("valid_from") < F.col("__eff")))
+        .withColumn("valid_to", F.col("__eff"))
+        .withColumn("is_current", F.lit(False))
+        .select(*dim_cols)
+    )
+    # 3. the spliced stint [eff, old_end) with the update's attributes
+    spliced = d.filter(contains).select(
+        F.col(entity_col),
+        *[F.col(f"__u_{c}").alias(c) for c in attr_cols],
+        F.col("__eff").alias("valid_from"),
+        F.col("valid_to"),
+        F.col("valid_to").isNull().alias("is_current"),
+    )
+    # 4. eff before all history / brand-new entity: one aggregate gives each
+    # entity's first recorded start; NULL start = unseen entity (open row)
+    firsts = current_dim.groupBy(entity_col).agg(
+        F.min("valid_from").alias("__first_vf")
+    )
+    pre = (
+        u.join(firsts, entity_col, "left")
+        .filter(F.col("__first_vf").isNull() | (F.col("__eff") < F.col("__first_vf")))
+        .select(
+            F.col(entity_col),
+            *[F.col(f"__u_{c}").alias(c) for c in attr_cols],
+            F.col("__eff").alias("valid_from"),
+            F.col("__first_vf").alias("valid_to"),
+            F.col("__first_vf").isNull().alias("is_current"),
+        )
+    )
+    out = untouched.unionByName(truncated).unionByName(spliced).unionByName(pre)
+    return scd2_coalesce_stints(out, entity_col, attr_cols)
+
+
 def scd2_merge_incremental(
     current_dim: DataFrame,
     updates: DataFrame,
@@ -106,16 +229,26 @@ def scd2_merge_incremental(
       ``greatest(valid_from, effective)`` — so the close/open boundary never
       violates the ``valid_to >= valid_from`` contiguity invariant;
       ``"reject"`` raises :class:`LateUpdateError` listing the offending
-      entities (one bounded eager probe), for pipelines that must route
-      backdated batches to a manual history-splice instead of absorbing
-      them. True bitemporal history-rewrite is out of scope (matches the
-      reference, which also applies updates only forward).
+      entities (one bounded eager probe), for pipelines that must not absorb
+      backdated batches silently; ``"splice"`` rewrites closed history via
+      :func:`scd2_splice_history` (truncate the containing stint at the
+      effective time, insert the update's stint up to the old boundary) —
+      beyond the reference, which only applies updates forward.
 
     Expects ``current_dim`` columns: entity, attrs..., valid_from, valid_to,
     is_current. Returns the same shape.
     """
-    if on_late not in ("clamp", "reject"):
-        raise ValueError(f"on_late must be 'clamp' or 'reject', got {on_late!r}")
+    if on_late not in ("clamp", "reject", "splice"):
+        raise ValueError(
+            f"on_late must be 'clamp', 'reject' or 'splice', got {on_late!r}"
+        )
+    if on_late == "splice":
+        # splice handles forward-dated, backdated, no-op and brand-new
+        # entities uniformly (a forward update truncates the OPEN stint),
+        # so the whole batch routes through it
+        return scd2_splice_history(
+            current_dim, updates, entity_col, attr_cols, effective_col
+        ).select(*current_dim.columns)
     eff = F.col(effective_col) if isinstance(effective_col, str) else effective_col
     u = updates.select(
         F.col(entity_col),

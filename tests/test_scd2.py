@@ -158,7 +158,7 @@ def test_scd2_merge_on_late_reject_raises_listing_entities(spark):
     with pytest.raises(ValueError, match="on_late"):
         scd2_merge_incremental(
             dim, ok, entity_col="driver", attr_cols=["team"],
-            effective_col="eff", on_late="splice",
+            effective_col="eff", on_late="ignore",
         )
 
 
@@ -198,3 +198,126 @@ def test_scd2_merge_clamp_preserves_contiguity_property(spark):
             chain = sorted(rs, key=lambda r: (r.valid_from, r.is_current))
             for a, b in zip(chain, chain[1:]):
                 assert a.valid_to == b.valid_from, (trial, d)
+
+
+def _hist(spark, rows):
+    """rows: (driver, team, valid_from, valid_to) — is_current derived."""
+    return spark.createDataFrame(
+        [(d, t, vf, vt, vt is None) for d, t, vf, vt in rows],
+        ["driver", "team", "valid_from", "valid_to", "is_current"],
+    )
+
+
+def test_scd2_splice_into_closed_history(spark):
+    """A backdated update lands INSIDE a closed stint: the stint truncates at
+    eff, the spliced stint carries the new attrs up to the old boundary, and
+    everything downstream is untouched."""
+    from f1_datalakehouse_pipeline_spark.operators.scd2 import scd2_splice_history
+
+    dim = _hist(spark, [
+        (1, "A", "2024-01-01", "2024-06-01"),
+        (1, "B", "2024-06-01", "2025-01-01"),
+        (1, "C", "2025-01-01", None),
+    ])
+    upd = spark.createDataFrame([(1, "Z", "2024-03-15")], ["driver", "team", "eff"])
+    out = scd2_splice_history(dim, upd, "driver", ["team"], "eff")
+    rows = sorted(out.collect(), key=lambda r: r.valid_from)
+    assert [(r.team, r.valid_from, r.valid_to, r.is_current) for r in rows] == [
+        ("A", "2024-01-01", "2024-03-15", False),
+        ("Z", "2024-03-15", "2024-06-01", False),
+        ("B", "2024-06-01", "2025-01-01", False),
+        ("C", "2025-01-01", None, True),
+    ]
+
+    # idempotent: splicing the same update again is a no-op
+    again = scd2_splice_history(out, upd, "driver", ["team"], "eff")
+    assert sorted(map(tuple, again.collect())) == sorted(map(tuple, out.collect()))
+
+
+def test_scd2_splice_edge_positions(spark):
+    """eff at a stint boundary replaces that stint; eff before all history
+    prepends a closed stint; an unseen entity opens a current row; a forward
+    eff truncates the open stint (splice subsumes the merge direction)."""
+    from f1_datalakehouse_pipeline_spark.operators.scd2 import scd2_splice_history
+
+    dim = _hist(spark, [
+        (1, "A", "2024-01-01", "2024-06-01"),
+        (1, "B", "2024-06-01", None),
+        (2, "X", "2024-02-01", None),
+    ])
+    upd = spark.createDataFrame(
+        [
+            (1, "R", "2024-06-01"),   # boundary: replaces stint B's attrs
+            (2, "P", "2023-01-01"),   # before all history: prepend closed
+            (9, "N", "2024-04-01"),   # unseen entity: open row
+        ],
+        ["driver", "team", "eff"],
+    )
+    out = scd2_splice_history(dim, upd, "driver", ["team"], "eff")
+    got = {
+        d: sorted(
+            [(r.team, r.valid_from, r.valid_to, r.is_current) for r in out.collect() if r.driver == d]
+        )
+        for d in (1, 2, 9)
+    }
+    assert got[1] == [
+        ("A", "2024-01-01", "2024-06-01", False),
+        ("R", "2024-06-01", None, True),
+    ]
+    assert got[2] == [
+        ("P", "2023-01-01", "2024-02-01", False),
+        ("X", "2024-02-01", None, True),
+    ]
+    assert got[9] == [("N", "2024-04-01", None, True)]
+
+
+def test_scd2_splice_noop_update_keeps_canonical_history(spark):
+    """Splicing attrs identical to the containing stint must not split it:
+    adjacent equal stints re-coalesce."""
+    from f1_datalakehouse_pipeline_spark.operators.scd2 import scd2_splice_history
+
+    dim = _hist(spark, [
+        (1, "A", "2024-01-01", "2024-06-01"),
+        (1, "B", "2024-06-01", None),
+    ])
+    upd = spark.createDataFrame([(1, "A", "2024-03-01")], ["driver", "team", "eff"])
+    out = scd2_splice_history(dim, upd, "driver", ["team"], "eff")
+    rows = sorted(out.collect(), key=lambda r: r.valid_from)
+    assert [(r.team, r.valid_from, r.valid_to) for r in rows] == [
+        ("A", "2024-01-01", "2024-06-01"),
+        ("B", "2024-06-01", None),
+    ]
+
+
+def test_scd2_merge_on_late_splice_end_to_end(spark):
+    """on_late='splice' routes a mixed batch (forward change + backdated
+    change) through the history splice; invariants hold."""
+    dim = scd2_from_observations(
+        _obs(spark), entity_col="driver", attr_col="team",
+        order_cols=["obs_date", "seq"], time_col="obs_date",
+    ).select("driver", F.col("attr").alias("team"), "valid_from", "valid_to", "is_current")
+
+    updates = spark.createDataFrame(
+        [(1, "Q", "2025-06-01"), (2, "Z", "2024-06-15")],
+        ["driver", "team", "eff"],
+    )
+    out = scd2_merge_incremental(
+        dim, updates, entity_col="driver", attr_cols=["team"],
+        effective_col="eff", on_late="splice",
+    ).cache()
+    rows = out.collect()
+    # structural invariants
+    assert all(r.valid_to is None or r.valid_to > r.valid_from for r in rows)
+    by = {}
+    for r in rows:
+        by.setdefault(r.driver, []).append(r)
+    for d, rs in by.items():
+        assert sum(1 for r in rs if r.is_current) == 1, d
+        chain = sorted(rs, key=lambda r: r.valid_from)
+        for a, b in zip(chain, chain[1:]):
+            assert a.valid_to == b.valid_from, d
+    # the forward update opened a new current stint for driver 1
+    d1 = max(by[1], key=lambda r: r.valid_from)
+    assert d1.team == "Q" and d1.is_current and d1.valid_from == "2025-06-01"
+    # the backdated update spliced into driver 2's history, not clamped
+    assert any(r.team == "Z" and r.valid_from == "2024-06-15" for r in by[2])
