@@ -104,6 +104,13 @@ def main() -> None:
         "ts_interpolate_linear",
         "j10_interval_overlap",
         "t_pack_sequences",
+        # r3 additions
+        "tpch_q7_volume_shipping",
+        "tpch_q8_market_share",
+        "w18_first_last_value",
+        "a20_multi_distinct",
+        "ts_resample_ohlc",
+        "t_token_doc_frequency",
     ]
     extra_timings: dict[str, float] = {}
     for name in EXTRA:

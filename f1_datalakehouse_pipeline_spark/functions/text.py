@@ -94,9 +94,12 @@ def minhash_term(shingle_hash: Column, i: int) -> Column:
 
 
 # Combining multipliers for arithmetic k-gram hashes (shingle hash from token
-# hashes without materializing shingle strings). Small odd constants keep
-# c*h < 2^63 for 48-bit token hashes.
-SHINGLE_C = (12289, 23) 
+# hashes without materializing shingle strings). Small odd constants whose
+# TOTAL (plus the implicit trailing weight 1) stays < 2^15, so the whole
+# weighted sum of 48-bit token hashes stays < 2^63 for any supported k.
+# The first two are frozen: changing them would change every k=3 shingle
+# hash the dedup oracles are locked to.
+SHINGLE_C = (12289, 23, 4093, 2039, 1021, 509, 251)
 
 
 def shingle_hashes_from_tokens(col_name: str, k: int = 3) -> Column:
@@ -105,8 +108,15 @@ def shingle_hashes_from_tokens(col_name: str, k: int = 3) -> Column:
 
     One md5 per TOKEN (not per shingle) and zero string concatenation — the
     hot-path form of word_shingles+portable_hash48 (measured ~35% faster at
-    sf0.1). Exactly reproducible in SQL with the same constants.
+    sf0.1). Exactly reproducible in SQL with the same constants. Supports
+    k up to ``len(SHINGLE_C) + 1`` (k=8 covers the contamination-check
+    window).
     """
+    if k - 1 > len(SHINGLE_C):
+        raise ValueError(
+            f"shingle k={k} needs {k - 1} combining constants; "
+            f"SHINGLE_C has {len(SHINGLE_C)}"
+        )
     toks = f"filter(split(trim({col_name}), '\\\\s+'), tk0 -> tk0 != '')"
     th = f"transform({toks}, tk1 -> cast(conv(substring(md5(tk1), 1, 12), 16, 10) as bigint))"
     weights = " + ".join(

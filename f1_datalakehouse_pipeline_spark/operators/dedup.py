@@ -367,6 +367,72 @@ def connected_keepers(pairs: DataFrame, max_iterations: int = 10) -> DataFrame:
     return labels
 
 
+def contamination_pairs(
+    train: DataFrame,
+    test: DataFrame,
+    id_col: str,
+    content_col: str,
+    k: int = 8,
+    min_containment: float = 0.5,
+    max_doc_frequency: int | None = None,
+) -> DataFrame:
+    """Benchmark-contamination check: which held-out ``test`` documents leak
+    into the ``train`` corpus (the pre-training hygiene pass every LLM data
+    pipeline needs before trusting an eval).
+
+    Bipartite version of the n-gram inverted-index join: distinct k-gram
+    hashes per doc on BOTH sides, equi-join on the hash (never all-pairs),
+    then per (test, train) pair the CONTAINMENT ``|test ∩ train| / |test|``
+    — the right metric for contamination, where a short benchmark item
+    embedded in a long training doc must still score ~1.0 (symmetric Jaccard
+    would dilute it). ``k=8`` word-grams is the usual leak-detection window:
+    long enough that natural re-use is rare, short enough to survive light
+    paraphrase. ``max_doc_frequency`` drops boilerplate grams from the TRAIN
+    index before the join (same O(d²)-candidate cap as ngram_jaccard_pairs).
+
+    Output: (test_id, train_id, n_shared, test_ngrams, containment ≥
+    ``min_containment``). Scales like the dedup joins: cost ∝ co-occurring
+    grams, one shuffle per side + one pair groupBy.
+    """
+    test_sh = _shingle_table(test, id_col, content_col, k).select(
+        F.col("doc").alias("test_id"), "h"
+    )
+    train_sh = _shingle_table(train, id_col, content_col, k).select(
+        F.col("doc").alias("train_id"), "h"
+    )
+    if max_doc_frequency is not None:
+        doc_freq = train_sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+        hot = doc_freq.filter(F.col("df") > max_doc_frequency).select("h")
+        train_sh = train_sh.join(hot, "h", "left_anti")
+    test_sizes = test_sh.groupBy("test_id").agg(F.count(F.lit(1)).alias("test_ngrams"))
+    shared = (
+        test_sh.join(train_sh, "h")
+        .groupBy("test_id", "train_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        shared.join(test_sizes, "test_id")
+        .withColumn(
+            "containment",
+            F.col("n_shared").cast("double") / F.col("test_ngrams").cast("double"),
+        )
+        .filter(F.col("containment") >= min_containment)
+    )
+
+
+def contamination_report(pairs: DataFrame) -> DataFrame:
+    """Per-test-document verdict from :func:`contamination_pairs` output:
+    the worst (highest-containment) train match, ties broken by lowest
+    train_id for determinism."""
+    return pairs.groupBy("test_id").agg(
+        F.max("containment").alias("max_containment"),
+        F.min_by("train_id", F.struct(-F.col("containment"), F.col("train_id"))).alias(
+            "worst_train_id"
+        ),
+        F.count(F.lit(1)).alias("n_matches"),
+    )
+
+
 def apply_dedup(df: DataFrame, id_col: str, pairs: DataFrame) -> DataFrame:
     """Drop every non-keeper member of each near-dup cluster (keeps rows that
     belong to no cluster untouched). The drop set scales with the duplicate

@@ -695,3 +695,46 @@ def test_dedup_and_aggregate_step_timeout_evict():
     s2 = _FakeGroupState(value=(5, 42), has_timed_out=True)
     assert list(_aggregate_step((1,), [], s2, "v", 1000)) == []
     assert s2.removed and s2.timeout_set is None
+
+
+def test_contamination_check_containment(spark):
+    """Benchmark-leak detection: an exact copy scores containment 1.0, a
+    partial overlap scores |shared|/|test grams|, disjoint docs never pair;
+    the report picks the worst train match deterministically."""
+    base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"
+    train = spark.createDataFrame(
+        [(100, base), (101, "q1 q2 q3 q4 q5 q6 q7 q8 q9 q10")],
+        ["doc_id", "text"],
+    )
+    test = spark.createDataFrame(
+        [
+            (1, base),                                        # exact leak
+            (2, "w1 w2 w3 w4 w5 w6 w7 w8 z1 z2 z3 z4"),       # 1 of 5 grams shared
+            (3, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10 u11 u12"),    # disjoint
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = dedup.contamination_pairs(
+        train, test, "doc_id", "text", k=8, min_containment=0.1
+    )
+    got = {(r.test_id, r.train_id): r for r in pairs.collect()}
+    assert set(got) == {(1, 100), (2, 100)}
+    assert got[(1, 100)].containment == 1.0 and got[(1, 100)].test_ngrams == 5
+    assert got[(2, 100)].containment == 0.2 and got[(2, 100)].n_shared == 1
+
+    report = {r.test_id: r for r in dedup.contamination_report(pairs).collect()}
+    assert report[1].max_containment == 1.0 and report[1].worst_train_id == 100
+    assert 3 not in report
+
+    # the default threshold hides the weak partial match
+    strict = dedup.contamination_pairs(train, test, "doc_id", "text", k=8)
+    assert {r.test_id for r in strict.collect()} == {1}
+
+    # boilerplate cap drops a gram shared by >N train docs before the join
+    many = spark.createDataFrame(
+        [(200 + i, base) for i in range(5)], ["doc_id", "text"]
+    )
+    capped = dedup.contamination_pairs(
+        many, test, "doc_id", "text", k=8, max_doc_frequency=3
+    )
+    assert capped.count() == 0  # every gram of `base` is train-hot
