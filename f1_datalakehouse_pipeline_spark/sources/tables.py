@@ -422,6 +422,63 @@ class TableStore:
         self._publish(table, version_dir, expected=expected)
 
 
+    def history(self, table: str) -> list[dict]:
+        """Commit metadata per retained version, newest first (≙ Delta
+        ``DESCRIBE HISTORY`` / Iceberg snapshot listing, bounded by the
+        retention policy): path, commit mtime, file count, total bytes.
+        Driver-side directory walk over the retained versions only — never
+        reads data files."""
+        out = []
+        for v in self.versions(table):
+            n_files = total = 0
+            for dirpath, _dirs, files in os.walk(v):
+                for f in files:
+                    if f.startswith(("_", ".")):
+                        continue
+                    n_files += 1
+                    try:
+                        total += os.path.getsize(os.path.join(dirpath, f))
+                    except OSError:
+                        pass
+            out.append(
+                {
+                    "path": v,
+                    "committed_at": os.path.getmtime(v),
+                    "n_files": n_files,
+                    "n_bytes": total,
+                    "is_current": os.path.realpath(v)
+                    == os.path.realpath(self.path(table)),
+                }
+            )
+        return out
+
+    def vacuum(self, table: str, keep: int = 0) -> int:
+        """Explicitly prune non-current versions beyond ``keep`` plus any
+        stale orphans (≙ Delta VACUUM with retention 0). Returns the number
+        of directories removed. The CURRENT version is never touched; time
+        travel past ``keep`` versions stops working — that is the point."""
+        live = self._current_target(table)
+        removed = 0
+        others = [v for v in self.versions(table) if os.path.realpath(v) != live]
+        for stale in others[keep:]:
+            shutil.rmtree(stale, ignore_errors=True)
+            removed += 1
+        # stale orphans (crashed writes) go too, respecting the TTL grace
+        vroot = self._version_root(table)
+        if os.path.isdir(vroot):
+            now = time.time()
+            for d in os.listdir(vroot):
+                p = os.path.join(vroot, d)
+                if (
+                    os.path.realpath(p) != live
+                    and not self._is_committed(p)
+                    and now - os.path.getmtime(p) > self.orphan_ttl_s
+                ):
+                    shutil.rmtree(p, ignore_errors=True)
+                    removed += 1
+        return removed
+
+
 def compact(
     store: TableStore,
     table: str,

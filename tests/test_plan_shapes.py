@@ -226,3 +226,63 @@ def test_tpch_q18_single_exchange(spark, sf_dir):
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
     n_ex = len(_re.findall(r"\(\d+\) Exchange", plan))
     assert n_ex <= 1, f"expected the single groupBy exchange, got {n_ex}"
+
+
+def test_r3_star_queries_broadcast_only(spark, sf_dir):
+    """q7 (dual-role nation dim) and q8 (6-dim star) must plan every dim
+    edge as a broadcast join — zero SortMergeJoin, one shuffle (the final
+    aggregate)."""
+    import re
+
+    for name in ("tpch_q7_volume_shipping", "tpch_q8_market_share"):
+        plan = plan_of(registry.queries()[name](spark, sf_dir))
+        assert "SortMergeJoin" not in plan, name
+        assert "BroadcastHashJoin" in plan, name
+        n_ex = len(re.findall(r"\(\d+\) Exchange", plan))
+        assert n_ex <= 1, (name, n_ex)
+
+
+def test_w18_both_frames_share_one_exchange(spark, sf_dir):
+    """first_value (head frame) and last_value (tail frame) partition on the
+    same key: Catalyst must plan exactly one shuffle."""
+    import re
+
+    plan = plan_of(registry.queries()["w18_first_last_value"](spark, sf_dir))
+    n_ex = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_ex == 1, n_ex
+
+
+def test_j12_anti_join_zero_exchanges(spark, sf_dir):
+    """NOT EXISTS ≙ broadcast anti join: status filter pushed to the scan,
+    no shuffle anywhere."""
+    import re
+
+    plan = plan_of(registry.queries()["j12_not_exists_anti"](spark, sf_dir))
+    assert "EqualTo(o_orderstatus,F)" in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 0
+
+
+def test_ohlc_single_hash_aggregate_exchange(spark, sf_dir):
+    """Hourly OHLC is one hash aggregate: a single exchange on the group
+    keys, no window/sort operators at all."""
+    import re
+
+    plan = plan_of(registry.queries()["ts_resample_ohlc"](spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "Window" not in plan
+
+
+def test_contamination_join_not_cartesian(spark, sf_dir):
+    """The contamination join must be an equi-join on the gram hash —
+    never a nested-loop/cartesian plan."""
+    from f1_datalakehouse_pipeline_spark.operators import dedup
+    from f1_datalakehouse_pipeline_spark.sources.testdata import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    test = docs.filter(F.col("doc_id") % 2 == 1)
+    plan = plan_of(
+        dedup.contamination_pairs(train, test, "doc_id", "text", k=8)
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

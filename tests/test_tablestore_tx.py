@@ -352,3 +352,48 @@ def test_compact_one_partition_leaves_other_partition_files_untouched(spark, tmp
     out = store.read("sessions_silver")
     assert out.count() == 32
     assert out.filter(F.col("grand_prix_name") == "monaco").count() == 20
+
+
+def test_append_then_partition_overwrite_keeps_appended_data(spark, tmp_path):
+    """Appends land inside the current version (through the symlink); a
+    later transactional partition overwrite must carry them into the new
+    version for every partition it does not replace."""
+    store = TableStore(spark, str(tmp_path / "wh"))
+    store.overwrite(_sessions(spark, 5, gp="monaco"), "sessions_silver")
+    # append a second partition through the symlink
+    store.append(
+        _sessions(spark, 4, gp="miami").withColumn(
+            "session_key", F.col("session_key") + 100
+        ),
+        "sessions_silver",
+    )
+    assert store.read("sessions_silver").count() == 9
+
+    store.overwrite_partitions(
+        _sessions(spark, 2, gp="monaco").withColumn(
+            "session_key", F.col("session_key") + 500
+        ),
+        "sessions_silver",
+    )
+    out = store.read("sessions_silver")
+    assert out.filter(F.col("grand_prix_name") == "monaco").count() == 2
+    assert out.filter(F.col("grand_prix_name") == "miami").count() == 4  # survived
+
+
+def test_history_and_vacuum(spark, tmp_path):
+    store = TableStore(spark, str(tmp_path / "wh"))
+    for n in (5, 10, 15):
+        store.overwrite(_sessions(spark, n), "sessions_silver")
+    hist = store.history("sessions_silver")
+    assert len(hist) == 2  # current + 1 retained
+    assert hist[0]["is_current"] and not hist[1]["is_current"]
+    assert all(h["n_files"] > 0 and h["n_bytes"] > 0 for h in hist)
+
+    removed = store.vacuum("sessions_silver", keep=0)
+    assert removed == 1
+    assert len(store.versions("sessions_silver")) == 1
+    assert store.read("sessions_silver").count() == 15  # current untouched
+    import pytest as _pytest
+
+    with _pytest.raises(IndexError):
+        store.read_version("sessions_silver", 1)  # time travel pruned, loudly
