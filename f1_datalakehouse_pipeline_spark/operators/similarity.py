@@ -168,6 +168,52 @@ def brute_force_topk_vectorized(
     )
 
 
+def kmeans_distributed(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    iters: int = 5,
+) -> list[list[float]]:
+    """Spherical k-means trained FULLY DISTRIBUTED (Lloyd's iterations as
+    DataFrame aggregations) — the 100 TB trainer for the IVF quantizer.
+
+    Per iteration: centroids broadcast as literal arrays; every vector is
+    assigned to its argmax-cosine centroid map-side; the centroid update is
+    one ``posexplode → groupBy(list, dim) → avg`` shuffle whose output is
+    exactly ``n_lists × dim`` rows — only that tiny aggregate ever reaches
+    the driver (re-normalization), regardless of table size. Deterministic:
+    initialization picks the ``n_lists`` vectors with the smallest
+    ``xxhash64(id)`` (seedless but stable), assignment ties break to the
+    first list. Empty clusters keep their previous centroid.
+    """
+    v = embeddings.select(
+        F.col(id_col).alias("__id"), _as_double(F.col(vec_col)).alias("__v")
+    )
+    nrm = F.greatest(norm(F.col("__v")), F.lit(1e-12))
+    v = v.select("__id", F.transform(F.col("__v"), lambda x: x / nrm).alias("__nv"))
+    init = v.orderBy(F.xxhash64(F.col("__id")), F.col("__id")).limit(n_lists).collect()
+    cent: list[list[float]] = [list(r["__nv"]) for r in init]
+    dim = len(cent[0])
+    for _ in range(iters):
+        cent_cols = [F.array(*[F.lit(float(x)) for x in c]) for c in cent]
+        scores = F.array(*[dot(F.col("__nv"), cc) for cc in cent_cols])
+        assign = (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
+        sums = (
+            v.select(assign.alias("__list"), F.posexplode("__nv").alias("__pos", "__x"))
+            .groupBy("__list", "__pos")
+            .agg(F.avg("__x").alias("__m"))
+            .collect()
+        )
+        by_list: dict[int, list[float]] = {}
+        for r in sums:
+            by_list.setdefault(r["__list"], [0.0] * dim)[r["__pos"]] = r["__m"]
+        for j, mean in by_list.items():
+            n2 = max(sum(x * x for x in mean) ** 0.5, 1e-12)
+            cent[j] = [x / n2 for x in mean]
+    return cent
+
+
 def ivf_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -179,34 +225,49 @@ def ivf_topk(
     train_sample: int = 2048,
     seed: int = 13,
     kmeans_iters: int = 5,
+    train: str = "sample",
 ) -> DataFrame:
     """IVF-style approximate top-k: k-means coarse quantizer + probe lists.
 
-    Training runs driver-side on a bounded sample (numpy k-means on ≤
-    ``train_sample`` vectors — O(sample·dim·lists), independent of table
-    size); assignment and probing are distributed: centroids broadcast as
-    literal arrays, every vector scored against n_lists centroids map-side,
+    ``train="sample"`` (default) trains driver-side on a bounded sample
+    (numpy k-means on ≤ ``train_sample`` vectors — O(sample·dim·lists),
+    independent of table size). ``train="distributed"`` trains with
+    :func:`kmeans_distributed` — Lloyd's iterations as DataFrame
+    aggregations, so the quantizer sees the WHOLE corpus and only k×dim
+    centroid rows touch the driver (the 100 TB path). Assignment and
+    probing are distributed either way: centroids broadcast as literal
+    arrays, every vector scored against n_lists centroids map-side,
     candidates joined on list id. Recall is tuned by ``n_probe``.
     """
     import numpy as np
 
-    sample = (
-        embeddings.select(vec_col)
-        .sample(fraction=1.0, seed=seed)
-        .limit(train_sample)
-        .collect()
-    )
-    x = np.array([r[0] for r in sample], dtype=np.float64)
-    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
-    rng = np.random.RandomState(seed)
-    cent = x[rng.choice(len(x), size=min(n_lists, len(x)), replace=False)]
-    for _ in range(kmeans_iters):
-        assign = np.argmax(x @ cent.T, axis=1)
-        for j in range(len(cent)):
-            members = x[assign == j]
-            if len(members):
-                c = members.mean(axis=0)
-                cent[j] = c / max(np.linalg.norm(c), 1e-12)
+    if train == "distributed":
+        cent = np.array(
+            kmeans_distributed(
+                embeddings, id_col, vec_col, n_lists=n_lists, iters=kmeans_iters
+            ),
+            dtype=np.float64,
+        )
+    elif train == "sample":
+        sample = (
+            embeddings.select(vec_col)
+            .sample(fraction=1.0, seed=seed)
+            .limit(train_sample)
+            .collect()
+        )
+        x = np.array([r[0] for r in sample], dtype=np.float64)
+        x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        rng = np.random.RandomState(seed)
+        cent = x[rng.choice(len(x), size=min(n_lists, len(x)), replace=False)]
+        for _ in range(kmeans_iters):
+            assign = np.argmax(x @ cent.T, axis=1)
+            for j in range(len(cent)):
+                members = x[assign == j]
+                if len(members):
+                    c = members.mean(axis=0)
+                    cent[j] = c / max(np.linalg.norm(c), 1e-12)
+    else:
+        raise ValueError(f"train must be 'sample' or 'distributed', got {train!r}")
 
     cent_cols = [
         F.array(*[F.lit(float(v)) for v in cent[j]]) for j in range(len(cent))

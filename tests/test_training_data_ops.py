@@ -738,3 +738,46 @@ def test_contamination_check_containment(spark):
         many, test, "doc_id", "text", k=8, max_doc_frequency=3
     )
     assert capped.count() == 0  # every gram of `base` is train-hot
+
+
+def test_ivf_distributed_kmeans_recall(spark, sf_dir):
+    """Distributed-trained IVF (Lloyd's as DataFrame aggregations) must
+    reach the same recall bar as the sampled trainer against brute force."""
+    from f1_datalakehouse_pipeline_spark.sources.testdata import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.brute_force_topk(emb, queries, k=5).collect()
+    }
+    approx = similarity.ivf_topk(
+        emb, queries, k=5, n_lists=8, n_probe=4,
+        kmeans_iters=3, train="distributed",
+    ).collect()
+    got = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.6, recall
+    # per-query sanity: contiguous ranks, no self matches
+    by_q = {}
+    for r in approx:
+        by_q.setdefault(r.query_id, []).append(r)
+        assert r.neighbor_id != r.query_id
+    for q, rs in by_q.items():
+        assert sorted(x.rnk for x in rs) == list(range(1, len(rs) + 1))
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="train"):
+        similarity.ivf_topk(emb, queries, train="bogus")
+
+
+def test_kmeans_distributed_centroids_unit_norm_and_deterministic(spark):
+    rows = [(i, [float((i * 7 + j * 3) % 11) for j in range(4)]) for i in range(40)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    c1 = similarity.kmeans_distributed(emb, n_lists=4, iters=2)
+    c2 = similarity.kmeans_distributed(emb, n_lists=4, iters=2)
+    assert c1 == c2  # deterministic end to end
+    for c in c1:
+        n = sum(x * x for x in c) ** 0.5
+        assert abs(n - 1.0) < 1e-9
