@@ -14,6 +14,7 @@ late-data-tolerant streaming operator shape.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -53,6 +54,42 @@ def foreach_batch_upsert(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def exactly_once_batch_writer(
+    upsert: Callable[[DataFrame, int], None], ledger_dir: str
+) -> Callable[[DataFrame, int], None]:
+    """Wrap a ``foreachBatch`` upsert with a batch-id ledger so REPLAYED
+    micro-batches (checkpoint rollback after a crash/restart) are skipped.
+
+    Spark's foreachBatch contract is at-least-once: after an unclean stop,
+    the last batch can be re-delivered with the SAME batch_id. The ledger
+    records each id with an atomic rename AFTER its upsert succeeds, so:
+
+    - a replay of a completed batch is a no-op (the common restart case);
+    - a crash INSIDE the upsert (or between upsert and mark) re-runs that
+      one batch — exactly-once overall therefore requires the upsert itself
+      to be idempotent, which every TableStore write mode here is
+      (partition overwrite replaces itself; merge/SCD are key-idempotent).
+      The wrapper turns "re-runs the whole drain" into "re-runs at most one
+      idempotent batch".
+
+    The ledger lives next to the checkpoint (one tiny file per batch); at
+    100 TB the same pattern is a txn-id column in the table commit log
+    (Delta's txnAppId/txnVersion).
+    """
+    os.makedirs(ledger_dir, exist_ok=True)
+
+    def wrapped(df: DataFrame, batch_id: int) -> None:
+        mark = os.path.join(ledger_dir, f"batch-{batch_id}.done")
+        if os.path.exists(mark):
+            return
+        upsert(df, batch_id)
+        tmp = f"{mark}.tmp-{os.getpid()}"
+        open(tmp, "w").close()
+        os.replace(tmp, mark)  # atomic: a mark either exists fully or not
+
+    return wrapped
 
 
 def dedup_within_watermark(

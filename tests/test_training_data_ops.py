@@ -781,3 +781,39 @@ def test_kmeans_distributed_centroids_unit_norm_and_deterministic(spark):
     for c in c1:
         n = sum(x * x for x in c) ** 0.5
         assert abs(n - 1.0) < 1e-9
+
+
+def test_exactly_once_batch_writer_skips_replayed_ids(spark, tmp_path):
+    """A replayed batch id (foreachBatch at-least-once redelivery) must be
+    skipped; new ids run; a FAILED upsert leaves no mark so the retry runs."""
+    from f1_datalakehouse_pipeline_spark.streaming.incremental import (
+        exactly_once_batch_writer,
+    )
+
+    calls = []
+
+    def upsert(df, batch_id):
+        if batch_id == 99:
+            raise RuntimeError("boom")
+        calls.append(batch_id)
+
+    wrapped = exactly_once_batch_writer(upsert, str(tmp_path / "ledger"))
+    df = spark.range(3)
+    wrapped(df, 0)
+    wrapped(df, 0)  # replay: skipped
+    wrapped(df, 1)
+    assert calls == [0, 1]
+
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError):
+        wrapped(df, 99)
+    calls.clear()
+
+    def upsert_ok(df, batch_id):
+        calls.append(batch_id)
+
+    retry = exactly_once_batch_writer(upsert_ok, str(tmp_path / "ledger"))
+    retry(df, 99)   # failed batch left no mark -> retry runs
+    retry(df, 1)    # completed batch still skipped across writer instances
+    assert calls == [99]
