@@ -81,6 +81,16 @@ def _shingle_table(df: DataFrame, id_col: str, content_col: str, k: int) -> Data
     )
 
 
+def _drop_hot_shingles(sh: DataFrame, max_doc_frequency: int) -> DataFrame:
+    """Remove shingles occurring in more than ``max_doc_frequency`` docs from
+    an inverted-index table — the single O(d²)-candidate cap shared by every
+    shingle-join operator (a hot shingle in d docs costs d(d-1)/2 candidate
+    rows)."""
+    doc_freq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    hot = doc_freq.filter(F.col("df") > max_doc_frequency).select("h")
+    return sh.join(hot, "h", "left_anti")
+
+
 def ngram_jaccard_pairs(
     df: DataFrame, id_col: str, content_col: str, k: int = 3, threshold: float = 0.5,
     max_doc_frequency: int | None = None,
@@ -102,9 +112,7 @@ def ngram_jaccard_pairs(
     sh = _shingle_table(df, id_col, content_col, k)
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
     if max_doc_frequency is not None:
-        doc_freq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
-        hot = doc_freq.filter(F.col("df") > max_doc_frequency).select("h")
-        sh = sh.join(hot, "h", "left_anti")
+        sh = _drop_hot_shingles(sh, max_doc_frequency)
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
         a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc") < F.col("b.doc")))
@@ -186,9 +194,7 @@ def minhash_lsh_pairs(
     # avoids recomputing the tokenize→shingle→hash chain in each branch.
     sh = _shingle_table(df, id_col, content_col, k)
     if max_doc_frequency is not None:
-        doc_freq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
-        hot = doc_freq.filter(F.col("df") > max_doc_frequency).select("h")
-        sh = sh.join(hot, "h", "left_anti")
+        sh = _drop_hot_shingles(sh, max_doc_frequency)
     sh = sh.cache()
     # Wide signature: ONE groupBy(doc) computes all n_hashes mins; band
     # signatures are then a pure projection (explode of per-band structs) —
@@ -401,9 +407,7 @@ def contamination_pairs(
         F.col("doc").alias("train_id"), "h"
     )
     if max_doc_frequency is not None:
-        doc_freq = train_sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
-        hot = doc_freq.filter(F.col("df") > max_doc_frequency).select("h")
-        train_sh = train_sh.join(hot, "h", "left_anti")
+        train_sh = _drop_hot_shingles(train_sh, max_doc_frequency)
     test_sizes = test_sh.groupBy("test_id").agg(F.count(F.lit(1)).alias("test_ngrams"))
     shared = (
         test_sh.join(train_sh, "h")

@@ -132,6 +132,9 @@ def _jpeg_dims(b: bytes) -> tuple[int, int] | None:
             i += 1
             continue
         marker = b[i + 1]
+        if marker == 0xFF:
+            i += 1  # 0xFF fill byte before a marker (allowed by the spec)
+            continue
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             i += 2
             continue

@@ -134,9 +134,12 @@ def scd2_splice_history(
       ``eff`` equals its start — the update supersedes it);
     - a new stint ``[eff, old_end)`` with the update's attributes is
       inserted, inheriting the truncated stint's open/closed status;
-    - an ``eff`` before ALL recorded history inserts ``[eff,
-      first_valid_from)``; an update for an unseen entity opens a fresh
-      current row;
+    - an ``eff`` contained by NO stint splices ``[eff, next_start)`` where
+      ``next_start`` is the first stint starting after ``eff`` (open when
+      none does): before-all-history prepends a closed stint, a gap between
+      non-contiguous stints fills exactly that gap, an ``eff`` after a fully
+      closed (retired) history re-opens the entity, and an unseen entity
+      opens a fresh current row — no update is ever silently dropped;
     - adjacent stints left equal by a no-op splice are re-merged
       (:func:`scd2_coalesce_stints`), so splicing is IDEMPOTENT and a
       same-attribute splice leaves the canonical history unchanged.
@@ -145,6 +148,13 @@ def scd2_splice_history(
     entity-partitioned shuffle + one groupBy: no driver-side state, any
     dimension size. Returns columns ``entity, attrs..., valid_from,
     valid_to, is_current`` with ``is_current == valid_to IS NULL``.
+
+    Note on contiguity: a splice into a GAP of an already-gapped history
+    (or after a retirement) keeps the hole boundaries honest — the new
+    stint covers ``[eff, next_start)`` and the pre-existing hole before
+    ``eff`` is preserved, not papered over. Histories built by this module
+    are gap-free, so the pipeline's ``scd2_contiguous`` invariant is
+    unaffected.
     """
     eff = F.col(effective_col) if isinstance(effective_col, str) else effective_col
     u = updates.select(
@@ -181,23 +191,40 @@ def scd2_splice_history(
         F.col("valid_to"),
         F.col("valid_to").isNull().alias("is_current"),
     )
-    # 4. eff before all history / brand-new entity: one aggregate gives each
-    # entity's first recorded start; NULL start = unseen entity (open row)
-    firsts = current_dim.groupBy(entity_col).agg(
-        F.min("valid_from").alias("__first_vf")
-    )
-    pre = (
-        u.join(firsts, entity_col, "left")
-        .filter(F.col("__first_vf").isNull() | (F.col("__eff") < F.col("__first_vf")))
-        .select(
-            F.col(entity_col),
-            *[F.col(f"__u_{c}").alias(c) for c in attr_cols],
-            F.col("__eff").alias("valid_from"),
-            F.col("__first_vf").alias("valid_to"),
-            F.col("__first_vf").isNull().alias("is_current"),
+    # 4. eff contained by NO stint (before all history, inside a gap between
+    # non-contiguous stints, after a fully-closed history, or an unseen
+    # entity): one aggregate per update decides containment and finds the
+    # next stint boundary; the spliced stint runs [eff, next_start) and is
+    # open iff nothing starts later. Guarantees no update silently vanishes.
+    u_grp = [entity_col, *[f"__u_{c}" for c in attr_cols], "__eff"]
+    placement = (
+        u.join(
+            current_dim.select(entity_col, "valid_from", "valid_to"),
+            entity_col,
+            "left",
+        )
+        .groupBy(*u_grp)
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("valid_from") <= F.col("__eff"))
+                    & (F.col("valid_to").isNull() | (F.col("__eff") < F.col("valid_to"))),
+                    1,
+                ).otherwise(0)
+            ).alias("__contained"),
+            F.min(
+                F.when(F.col("valid_from") > F.col("__eff"), F.col("valid_from"))
+            ).alias("__next_vf"),
         )
     )
-    out = untouched.unionByName(truncated).unionByName(spliced).unionByName(pre)
+    uncontained = placement.filter(F.col("__contained") == 0).select(
+        F.col(entity_col),
+        *[F.col(f"__u_{c}").alias(c) for c in attr_cols],
+        F.col("__eff").alias("valid_from"),
+        F.col("__next_vf").alias("valid_to"),
+        F.col("__next_vf").isNull().alias("is_current"),
+    )
+    out = untouched.unionByName(truncated).unionByName(spliced).unionByName(uncontained)
     return scd2_coalesce_stints(out, entity_col, attr_cols)
 
 

@@ -119,25 +119,38 @@ class TableStore:
 
         Publishes are millisecond metadata operations, so contention is
         resolved by a short poll; a lock older than ``lock_stale_s`` is
-        presumed left by a crashed publisher and stolen.
+        presumed left by a crashed publisher and stolen. Stealing goes
+        through an atomic ``rename`` of the stale lock to a unique grave
+        name — exactly ONE of any number of concurrent stealers wins the
+        rename (the losers' renames fail), so two waiters can never both
+        conclude they hold the lock. Release unlinks only if the lock file
+        still carries OUR token, so a (mis-judged) stealer's fresh lock is
+        never removed by the previous holder's cleanup.
         """
         lock_dir = os.path.join(self.root, ".locks")
         os.makedirs(lock_dir, exist_ok=True)
         lock = os.path.join(lock_dir, f"{table}.lock")
+        token = f"{os.getpid()}:{uuid.uuid4().hex}"
         deadline = time.monotonic() + self.lock_timeout_s
         while True:
             try:
                 fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.write(fd, str(os.getpid()).encode())
+                os.write(fd, token.encode())
                 os.close(fd)
                 break
             except FileExistsError:
                 try:
-                    if time.time() - os.path.getmtime(lock) > self.lock_stale_s:
-                        os.unlink(lock)
-                        continue
+                    stale = time.time() - os.path.getmtime(lock) > self.lock_stale_s
                 except OSError:
                     continue  # holder released between exists-check and stat
+                if stale:
+                    grave = f"{lock}.stale.{uuid.uuid4().hex[:8]}"
+                    try:
+                        os.rename(lock, grave)  # atomic: one stealer wins
+                        os.unlink(grave)
+                    except OSError:
+                        pass  # another stealer won the rename; retry create
+                    continue
                 if time.monotonic() > deadline:
                     raise ConcurrentWriteError(
                         f"{table}: publish lock held by another writer"
@@ -147,7 +160,9 @@ class TableStore:
             yield
         finally:
             try:
-                os.unlink(lock)
+                with open(lock) as fh:
+                    if fh.read() == token:
+                        os.unlink(lock)
             except OSError:
                 pass
 
@@ -164,19 +179,20 @@ class TableStore:
         """
         version_dir = os.path.abspath(version_dir)
         with self._publish_lock(table):
-            if expected is not _UNSET:
-                current = self._current_target(table)
-                if current != expected:
-                    raise ConcurrentWriteError(
-                        f"{table}: live version changed since write start "
-                        f"(expected {expected}, found {current}); retry on "
-                        "fresh data"
-                    )
-            # commit mark BEFORE the swap: GC/versions() only ever trust
-            # marked dirs, so a crash after this line but before the swap
-            # leaves a committed-but-never-live dir (harmless), while a
-            # crash before it leaves an unmarked orphan that is never served.
-            open(os.path.join(version_dir, _COMMIT_SENTINEL), "w").close()
+            current = self._current_target(table)
+            if expected is not _UNSET and current != expected:
+                raise ConcurrentWriteError(
+                    f"{table}: live version changed since write start "
+                    f"(expected {expected}, found {current}); retry on "
+                    "fresh data"
+                )
+            # Mark the OUTGOING live version as committed if it isn't yet:
+            # it provably served reads, so it is a legitimate predecessor.
+            # This self-heals a previous crash between swap and sentinel
+            # (below) and migrates pre-sentinel warehouses — their retained
+            # versions would otherwise read as orphans and be GC'd.
+            if current and os.path.isdir(current) and not self._is_committed(current):
+                open(os.path.join(current, _COMMIT_SENTINEL), "w").close()
             live = self.path(table)
             if os.path.isdir(live) and not os.path.islink(live):
                 # one-time migration: preserve the old contents as a version
@@ -189,10 +205,53 @@ class TableStore:
             tmp_link = os.path.join(self.root, f".{table}.link.{uuid.uuid4().hex[:8]}")
             os.symlink(version_dir, tmp_link)
             os.replace(tmp_link, live)  # the commit point
+            # Sentinel AFTER the swap: a dir marked committed has therefore
+            # ALWAYS been live (a crash in the swap→mark window leaves the
+            # current version unmarked, which every reader/GC path protects
+            # via the realpath==current escape, and the next publish's
+            # outgoing-mark above heals). The reverse order would allow a
+            # committed-but-never-live dir to shadow the true predecessor
+            # in read_version()/history().
+            open(os.path.join(version_dir, _COMMIT_SENTINEL), "w").close()
             self._gc_versions(table, keep_target=os.path.realpath(version_dir))
 
     def _is_committed(self, version_dir: str) -> bool:
         return os.path.exists(os.path.join(version_dir, _COMMIT_SENTINEL))
+
+    @staticmethod
+    def _orphan_age_s(p: str) -> float:
+        """Age of an unmarked version dir for GC purposes.
+
+        A staging dir's TOP-LEVEL mtime freezes at creation while Spark
+        writes under ``_temporary/`` (files surface only at job commit), so
+        a long-running legitimate write would look ancient. Probe the
+        newest mtime among the dir itself and the first few levels of its
+        ``_temporary`` commit tree (task-attempt churn keeps those fresh) —
+        bounded listings, never a full walk.
+        """
+        newest = 0.0
+        try:
+            newest = os.path.getmtime(p)
+        except OSError:
+            return float("inf")
+        probe = [p]
+        for _ in range(3):  # _temporary/<jobAttempt>/_temporary/<taskAttempt>
+            nxt: list[str] = []
+            for d in probe:
+                try:
+                    children = os.listdir(d)[:64]
+                except OSError:
+                    continue
+                for c in children:
+                    cp = os.path.join(d, c)
+                    try:
+                        newest = max(newest, os.path.getmtime(cp))
+                    except OSError:
+                        continue
+                    if c.startswith("_temporary") or os.path.isdir(cp):
+                        nxt.append(cp)
+            probe = nxt[:64]
+        return time.time() - newest
 
     def _gc_versions(self, table: str, keep_target: str) -> None:
         """Best-effort prune of superseded version dirs.
@@ -214,9 +273,8 @@ class TableStore:
                     continue
                 (committed if self._is_committed(p) else orphans).append(p)
             committed.sort(key=os.path.getmtime, reverse=True)
-            now = time.time()
             stale_orphans = [
-                p for p in orphans if now - os.path.getmtime(p) > self.orphan_ttl_s
+                p for p in orphans if self._orphan_age_s(p) > self.orphan_ttl_s
             ]
         except OSError:
             return
@@ -466,13 +524,12 @@ class TableStore:
         # stale orphans (crashed writes) go too, respecting the TTL grace
         vroot = self._version_root(table)
         if os.path.isdir(vroot):
-            now = time.time()
             for d in os.listdir(vroot):
                 p = os.path.join(vroot, d)
                 if (
                     os.path.realpath(p) != live
                     and not self._is_committed(p)
-                    and now - os.path.getmtime(p) > self.orphan_ttl_s
+                    and self._orphan_age_s(p) > self.orphan_ttl_s
                 ):
                     shutil.rmtree(p, ignore_errors=True)
                     removed += 1
@@ -492,26 +549,37 @@ def compact(
     Partitioned tables compact PER PARTITION through the transactional
     ``overwrite_partitions``: only partitions selected by ``predicate``
     (default: all) are rewritten — every other partition's files are carried
-    into the new version as hardlinks, untouched. ``predicate`` should filter
-    on partition columns (e.g. ``F.col("year") == 2024``) so at 100 TB a
-    single day/GP compacts without reading, rewriting, or even re-linking
-    beyond O(#files) of the rest of the table.
+    into the new version as hardlinks, untouched. ``predicate`` SELECTS
+    PARTITIONS, never rows: every partition containing at least one matching
+    row is rewritten IN FULL (matching + non-matching rows alike), so a
+    predicate on a non-partition column can narrow the maintenance scope but
+    can never silently delete data. Filter on partition columns (e.g.
+    ``F.col("year") == 2024``) for exact pruning — at 100 TB a single
+    day/GP then compacts without reading or rewriting the rest of the table.
 
     Within each rewritten partition the rows are hash-distributed into
     ``target_partitions`` writer tasks, yielding that many output files per
     partition dir. Unpartitioned tables degenerate to a full transactional
-    overwrite coalesced to ``target_partitions`` files.
+    overwrite coalesced to ``target_partitions`` files; a ``predicate``
+    there would be row-dropping, so it raises instead.
     """
     from pyspark.sql import functions as F
 
     parts = PARTITION_SPECS.get(table, [])
     df = store.read(table)
-    if predicate is not None:
-        df = df.filter(predicate)
     n = max(1, target_partitions)
     if not parts:
+        if predicate is not None:
+            raise ValueError(
+                f"{table} is unpartitioned: compact(predicate=...) would "
+                "rewrite the whole table minus the non-matching rows (a "
+                "silent DELETE); compact without a predicate instead"
+            )
         store.overwrite(df.coalesce(n), table)
         return
+    if predicate is not None:
+        selected = df.filter(predicate).select(*parts).distinct()
+        df = df.join(F.broadcast(selected), parts, "left_semi")
     if n == 1:
         # one shuffle keyed on the partition columns → one task (= one file)
         # per partition dir

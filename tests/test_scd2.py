@@ -321,3 +321,44 @@ def test_scd2_merge_on_late_splice_end_to_end(spark):
     assert d1.team == "Q" and d1.is_current and d1.valid_from == "2025-06-01"
     # the backdated update spliced into driver 2's history, not clamped
     assert any(r.team == "Z" and r.valid_from == "2024-06-15" for r in by[2])
+
+
+def test_scd2_splice_never_drops_uncontained_updates(spark):
+    """Updates whose effective time is contained by NO stint must still
+    land: after a fully-closed (retired) history they re-open the entity;
+    inside a gap between non-contiguous stints they fill exactly the gap."""
+    from f1_datalakehouse_pipeline_spark.operators.scd2 import scd2_splice_history
+
+    dim = _hist(spark, [
+        # entity 1: retired (no open row)
+        (1, "A", "2024-01-01", "2024-06-01"),
+        # entity 2: gapped history [Jan..Mar) ... [Sep..open)
+        (2, "X", "2024-01-01", "2024-03-01"),
+        (2, "Y", "2024-09-01", None),
+    ])
+    upd = spark.createDataFrame(
+        [(1, "B", "2024-07-01"), (2, "G", "2024-05-01")],
+        ["driver", "team", "eff"],
+    )
+    out = scd2_splice_history(dim, upd, "driver", ["team"], "eff")
+    got = {
+        d: sorted(
+            (r.team, r.valid_from, r.valid_to, r.is_current)
+            for r in out.collect() if r.driver == d
+        )
+        for d in (1, 2)
+    }
+    # retired entity re-opens at eff
+    assert got[1] == [
+        ("A", "2024-01-01", "2024-06-01", False),
+        ("B", "2024-07-01", None, True),
+    ]
+    # gap update fills [eff, next stint start), existing stints untouched
+    assert got[2] == [
+        ("G", "2024-05-01", "2024-09-01", False),
+        ("X", "2024-01-01", "2024-03-01", False),
+        ("Y", "2024-09-01", None, True),
+    ]
+    # exactly one open row per entity either way
+    for d, rows in got.items():
+        assert sum(1 for r in rows if r[3]) == 1, d

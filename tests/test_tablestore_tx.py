@@ -397,3 +397,51 @@ def test_history_and_vacuum(spark, tmp_path):
 
     with _pytest.raises(IndexError):
         store.read_version("sessions_silver", 1)  # time travel pruned, loudly
+
+
+def test_compact_non_partition_predicate_never_drops_rows(spark, tmp_path):
+    """A predicate on a NON-partition column selects partitions (any
+    partition containing a match is rewritten IN FULL) — it must never act
+    as a row filter; on an unpartitioned table it raises."""
+    from f1_datalakehouse_pipeline_spark.sources.tables import compact
+
+    store = TableStore(spark, str(tmp_path / "wh"))
+    base = _sessions(spark, 10, gp="monaco").unionByName(
+        _sessions(spark, 6, gp="miami").withColumn(
+            "session_key", F.col("session_key") + 100
+        )
+    )
+    store.overwrite(base, "sessions_silver")
+
+    # session_key == 3 exists only in the monaco partition
+    compact(store, "sessions_silver", predicate=F.col("session_key") == 3)
+    out = store.read("sessions_silver")
+    assert out.count() == 16  # nothing deleted
+    assert out.filter(F.col("grand_prix_name") == "monaco").count() == 10
+
+    # unpartitioned table (empty fallback suffices — the guard is static)
+    with pytest.raises(ValueError, match="unpartitioned"):
+        compact(store, "drivers_silver", predicate=F.col("driver_number") == 1)
+
+
+def test_pre_sentinel_warehouse_upgrade_preserves_retention(spark, tmp_path):
+    """Version dirs written before the commit-sentinel protocol carry no
+    marker; the next publish must mark the outgoing live version (it
+    provably served reads) so retention and time travel survive the
+    upgrade instead of the predecessor being GC'd as an orphan."""
+    store = TableStore(spark, str(tmp_path / "wh"))
+    store.orphan_ttl_s = 0.0
+    store.overwrite(_sessions(spark, 10, gp="monaco"), "sessions_silver")
+    # simulate a pre-r3 warehouse: strip every sentinel
+    vroot = os.path.join(store.root, ".versions", "sessions_silver")
+    for d in os.listdir(vroot):
+        mark = os.path.join(vroot, d, ".committed")
+        if os.path.exists(mark):
+            os.unlink(mark)
+
+    store.overwrite(_sessions(spark, 20, gp="miami"), "sessions_silver")
+    vs = store.versions("sessions_silver")
+    assert len(vs) == 2  # predecessor retained, not orphan-GC'd
+    prev = store.read_version("sessions_silver", 1)
+    assert prev.count() == 10
+    assert prev.select("grand_prix_name").distinct().collect()[0][0] == "monaco"

@@ -817,3 +817,15 @@ def test_exactly_once_batch_writer_skips_replayed_ids(spark, tmp_path):
     retry(df, 99)   # failed batch left no mark -> retry runs
     retry(df, 1)    # completed batch still skipped across writer instances
     assert calls == [99]
+
+
+def test_jpeg_dims_with_fill_bytes():
+    """The spec allows any number of 0xFF fill bytes before a marker; the
+    header parser must skip them instead of misreading a segment length."""
+    import struct as _s
+
+    app0 = b"\xff\xe0" + _s.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    sof0 = b"\xff\xc0" + _s.pack(">H", 11) + b"\x08" + _s.pack(">HH", 480, 640) + b"\x01\x11\x00"
+    padded = b"\xff\xd8" + b"\xff\xff\xff" + app0 + b"\xff\xff" + sof0 + b"\xff\xd9"
+    d = multimodal.header_decoder(padded, "image")
+    assert (d["width"], d["height"]) == (640, 480)
