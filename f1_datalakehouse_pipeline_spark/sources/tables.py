@@ -389,7 +389,13 @@ class TableStore:
         ).save(version_dir)
         self._publish(table, version_dir, expected=expected)
 
-    def merge_upsert(self, updates: DataFrame, table: str, keys: list[str]) -> None:
+    def merge_upsert(
+        self,
+        updates: DataFrame,
+        table: str,
+        keys: list[str],
+        delete_col: str | None = None,
+    ) -> None:
         """MERGE INTO semantics on plain parquet: rows matching on ``keys``
         are replaced by the update row, unmatched updates insert, unmatched
         existing rows persist — committed via the transactional overwrite
@@ -400,10 +406,25 @@ class TableStore:
         anti-join + union runs distributed; the read-then-overwrite cycle is
         safe because the write lands in a fresh version dir while the scan
         reads the live one.
+
+        ``delete_col``: name of a boolean column in ``updates`` marking
+        tombstones — matching rows are REMOVED instead of replaced
+        (``WHEN MATCHED AND <flag> THEN DELETE``); a tombstone for an
+        absent key is a no-op, and the column itself is stripped before
+        the upsert rows are written.
         """
+        from pyspark.sql import functions as F
+
         current = self.read(table)
+        if delete_col is not None:
+            tomb = F.coalesce(F.col(delete_col), F.lit(False))
+            upserts = updates.filter(~tomb).drop(delete_col)
+        else:
+            upserts = updates
+        # every update key (tombstone or upsert) leaves the current image…
         kept = current.join(updates.select(*keys), keys, "left_anti")
-        merged = kept.unionByName(updates.select(*current.columns))
+        # …and only the non-tombstone rows come back
+        merged = kept.unionByName(upserts.select(*current.columns))
         self.overwrite(merged, table)
 
     @staticmethod
@@ -479,6 +500,41 @@ class TableStore:
         self._graft_partitions(expected, version_dir, depth, skip=replaced)
         self._publish(table, version_dir, expected=expected)
 
+
+    def delete_where(self, df_predicate, table: str) -> None:
+        """Row-level DELETE (≙ Delta ``DELETE FROM t WHERE ...``), committed
+        transactionally and touching only the partitions that contain
+        matches: matching partitions are rewritten WITHOUT the matching
+        rows (via the transactional partition overwrite, so untouched
+        partitions carry over as hardlinks), everything else is metadata
+        work. A predicate matching nothing is a no-op; a predicate matching
+        an entire partition leaves that partition empty but present.
+
+        Unpartitioned tables rewrite in full (one transactional overwrite)
+        — the honest cost of a row delete without per-file deletion
+        vectors.
+        """
+        from pyspark.sql import functions as F
+
+        parts = PARTITION_SPECS.get(table, [])
+        current = self.read(table)
+        if not parts:
+            self.overwrite(current.filter(~F.coalesce(df_predicate, F.lit(False))), table)
+            return
+        touched = current.filter(df_predicate).select(*parts).distinct()
+        remaining = current.join(F.broadcast(touched), parts, "left_semi").filter(
+            ~F.coalesce(df_predicate, F.lit(False))
+        )
+        # an all-deleted partition must still be REPLACED (emptied), which
+        # dynamic overwrite can't express with zero rows — fall back to a
+        # full transactional overwrite for that edge
+        if remaining.select(*parts).distinct().count() < touched.count():
+            kept = current.join(F.broadcast(touched), parts, "left_anti")
+            self.overwrite(
+                kept.unionByName(remaining), table
+            )
+            return
+        self.overwrite_partitions(remaining, table)
 
     def history(self, table: str) -> list[dict]:
         """Commit metadata per retained version, newest first (≙ Delta

@@ -445,3 +445,66 @@ def test_pre_sentinel_warehouse_upgrade_preserves_retention(spark, tmp_path):
     prev = store.read_version("sessions_silver", 1)
     assert prev.count() == 10
     assert prev.select("grand_prix_name").distinct().collect()[0][0] == "monaco"
+
+
+def test_delete_where_rewrites_only_touched_partitions(spark, tmp_path):
+    """Row deletes rewrite matching partitions minus matching rows; other
+    partitions carry over as hardlinks; a no-match predicate is a no-op."""
+    import glob
+
+    store = TableStore(spark, str(tmp_path / "wh"))
+    base = _sessions(spark, 10, gp="monaco").unionByName(
+        _sessions(spark, 6, gp="miami").withColumn(
+            "session_key", F.col("session_key") + 100
+        )
+    )
+    store.overwrite(base, "sessions_silver")
+    live0 = os.path.realpath(store.path("sessions_silver"))
+    miami_inodes = {
+        os.path.basename(f): os.stat(f).st_ino
+        for f in glob.glob(f"{live0}/**/*.parquet", recursive=True)
+        if "grand_prix_name=miami" in f
+    }
+
+    # delete 3 monaco rows (session_key < 3): only monaco rewrites
+    store.delete_where(F.col("session_key") < 3, "sessions_silver")
+    out = store.read("sessions_silver")
+    assert out.count() == 13
+    assert out.filter(F.col("grand_prix_name") == "monaco").count() == 7
+    live1 = os.path.realpath(store.path("sessions_silver"))
+    miami_after = {
+        os.path.basename(f): os.stat(f).st_ino
+        for f in glob.glob(f"{live1}/**/*.parquet", recursive=True)
+        if "grand_prix_name=miami" in f
+    }
+    assert miami_after == miami_inodes  # untouched partition: hardlinked
+
+    # deleting an ENTIRE partition leaves the table consistent
+    store.delete_where(F.col("grand_prix_name") == "miami", "sessions_silver")
+    out = store.read("sessions_silver")
+    assert out.count() == 7
+    assert out.filter(F.col("grand_prix_name") == "miami").count() == 0
+
+
+def test_merge_upsert_with_tombstones(spark, tmp_path):
+    """delete_col rows remove matching keys (WHEN MATCHED AND flag THEN
+    DELETE); tombstones for absent keys no-op; upserts still apply."""
+    store = TableStore(spark, str(tmp_path / "wh"))
+    store.overwrite(_sessions(spark, 5, gp="monaco"), "sessions_silver")
+
+    updates = (
+        _sessions(spark, 1, gp="miami").withColumn("session_key", F.lit(2))
+        .withColumn("__del", F.lit(False))          # update key 2
+        .unionByName(
+            _sessions(spark, 1, gp="miami").withColumn("session_key", F.lit(4))
+            .withColumn("__del", F.lit(True))       # delete key 4
+        )
+        .unionByName(
+            _sessions(spark, 1, gp="miami").withColumn("session_key", F.lit(77))
+            .withColumn("__del", F.lit(True))       # tombstone, absent key
+        )
+    )
+    store.merge_upsert(updates, "sessions_silver", keys=["session_key"], delete_col="__del")
+    out = {r.session_key: r.grand_prix_name for r in store.read("sessions_silver").collect()}
+    assert set(out) == {0, 1, 2, 3}  # 4 deleted, 77 never existed
+    assert out[2] == "miami" and out[0] == "monaco"
