@@ -1631,6 +1631,66 @@ def f_string_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Pre-verified r4 candidate: benchmark-contamination query. NOT registered —
+# the r3 driver-gate window is full and the rotation invariant requires any
+# new query to sit inside the 50-slot window for its first driver row
+# (COVERAGE.md). The Spark/oracle pair is locked in by a unit test
+# (tests/test_registry_oracle.py::test_pending_contamination_oracle_parity)
+# so r4 registration is a one-line @query addition plus a window slot.
+# ---------------------------------------------------------------------------
+
+
+def _duck_shingles_k(k: int, side_filter: str) -> str:
+    """DuckDB k-gram arithmetic shingle hashes for a filtered documents side
+    (same constants as functions/text.shingle_hashes_from_tokens)."""
+    from f1_datalakehouse_pipeline_spark.functions.text import SHINGLE_C
+
+    weights = " + ".join(
+        [f"{SHINGLE_C[j]} * hs[i+{j}]" for j in range(k - 1)] + [f"hs[i+{k - 1}]"]
+    )
+    toks = _DUCK_TOKS.format(x="text")
+    return f"""
+      SELECT DISTINCT doc_id AS doc, h FROM (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, greatest(len(hs) - {k - 1}, 1)),
+                      i -> (({weights}) % {_SHINGLE_P}) % {1 << 48})) AS h
+        FROM (SELECT doc_id, {_DUCK_TOKEN_HASHES.format(toks='toks')} AS hs
+              FROM (SELECT doc_id, {toks} AS toks FROM documents WHERE {side_filter}))
+      ) WHERE h IS NOT NULL
+    """
+
+
+PENDING_R4_CONTAMINATION_SQL = f"""
+    WITH test_sh AS ({_duck_shingles_k(8, 'doc_id % 2 = 1')}),
+    train_sh AS ({_duck_shingles_k(8, 'doc_id % 2 = 0')}),
+    test_sizes AS (SELECT doc AS test_id, COUNT(*) AS test_ngrams FROM test_sh GROUP BY doc),
+    shared AS (
+      SELECT t.doc AS test_id, tr.doc AS train_id, COUNT(*) AS n_shared
+      FROM test_sh t JOIN train_sh tr ON t.h = tr.h
+      GROUP BY 1, 2
+    )
+    SELECT s.test_id, s.train_id, s.n_shared, z.test_ngrams,
+           CAST(s.n_shared AS DOUBLE) / CAST(z.test_ngrams AS DOUBLE) AS containment
+    FROM shared s JOIN test_sizes z ON z.test_id = s.test_id
+    WHERE CAST(s.n_shared AS DOUBLE) / CAST(z.test_ngrams AS DOUBLE) >= 0.3
+    """
+
+
+def pending_r4_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Odd doc_ids = held-out benchmark, even doc_ids = training corpus;
+    which test docs leak (8-gram containment ≥ 0.3)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.contamination_pairs(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        "doc_id",
+        "text",
+        k=8,
+        min_containment=0.3,
+    )
+
+
 # attach the LSH oracle (deterministic planes make it SQL-expressible)
 from f1_datalakehouse_pipeline_spark import registry as _registry  # noqa: E402
 
