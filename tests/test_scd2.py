@@ -362,3 +362,68 @@ def test_scd2_splice_never_drops_uncontained_updates(spark):
     # exactly one open row per entity either way
     for d, rows in got.items():
         assert sum(1 for r in rows if r[3]) == 1, d
+
+
+def test_scd2_splice_model_based_random_sequences(spark):
+    """Model-based check: a pure-Python reference implementation of the
+    splice contract (truncate containing stint, insert [eff, next_start),
+    coalesce adjacent equals) must agree with the DataFrame operator over
+    randomized splice sequences, including gaps, boundaries and repeats."""
+    import random
+
+    from f1_datalakehouse_pipeline_spark.operators.scd2 import scd2_splice_history
+
+    def model_splice(stints, team, eff):
+        """stints: sorted [(team, vf, vt)] with vt None = open."""
+        out = []
+        inserted = False
+        for t, vf, vt in stints:
+            contains = vf <= eff and (vt is None or eff < vt)
+            if contains:
+                if vf < eff:
+                    out.append((t, vf, eff))
+                out.append((team, eff, vt))
+                inserted = True
+            else:
+                out.append((t, vf, vt))
+        if not inserted:
+            later = [vf for _, vf, _ in stints if vf > eff]
+            out.append((team, eff, min(later) if later else None))
+        out.sort(key=lambda s: s[1])
+        # coalesce adjacent equal-attr contiguous stints
+        merged = []
+        for s in out:
+            if merged and merged[-1][0] == s[0] and merged[-1][2] == s[1]:
+                merged[-1] = (s[0], merged[-1][1], s[2])
+            else:
+                merged.append(list(s) and (s[0], s[1], s[2]))
+        return merged
+
+    rnd = random.Random(17)
+    dates = [f"2024-{m:02d}-01" for m in range(1, 13)]
+    teams = ["A", "B", "C", "D"]
+    model = {1: [("A", "2024-03-01", None)], 2: [("B", "2024-02-01", "2024-05-01")]}
+    dim = _hist(
+        spark,
+        [(d, t, vf, vt) for d, ss in model.items() for t, vf, vt in ss],
+    )
+    for step in range(6):
+        batch = []
+        for d in sorted(model):
+            team, eff = rnd.choice(teams), rnd.choice(dates)
+            model[d] = model_splice(model[d], team, eff)
+            batch.append((d, team, eff))
+        upd = spark.createDataFrame(batch, ["driver", "team", "eff"])
+        out_rows = scd2_splice_history(dim, upd, "driver", ["team"], "eff").collect()
+        got = {}
+        for r in out_rows:
+            got.setdefault(r.driver, []).append((r.team, r.valid_from, r.valid_to))
+        for d in got:
+            got[d].sort(key=lambda s: s[1])
+        assert got == model, f"diverged at step {step}"
+        # rebuild flat (lineage-free) for the next step; plan chaining is
+        # covered by the dedicated idempotence test
+        dim = _hist(
+            spark,
+            [(d, t, vf, vt) for d, ss in got.items() for t, vf, vt in ss],
+        )
