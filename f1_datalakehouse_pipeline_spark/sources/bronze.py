@@ -72,10 +72,29 @@ def read_bronze(
     if tolerate_corrupt:
         reader = reader.option("ignoreCorruptFiles", "true")
     if year is not None or grand_prix is not None or session_type is not None:
+
+        def seg(v) -> str:
+            # A known value must match LITERALLY (ADVICE r3): first apply the
+            # same %XX escaping Spark's partitionBy used when writing the
+            # directory (ExternalCatalogUtils.escapePathName — so a slug
+            # containing ':' or '*' finds the dir Spark actually created),
+            # then neutralize any remaining glob metacharacters so '[ ] * ?'
+            # in a slug can't over-match or spuriously "match no partitions".
+            # '*' stays only for the intentionally-unset dimensions.
+            if v is None:
+                return "*"
+            escaped = "".join(
+                f"%{ord(ch):02X}" if ch in '"#%\'*/:=?\\{[]^\x7f' or ord(ch) < 32 else ch
+                for ch in str(v)
+            )
+            import glob as _glob
+
+            return _glob.escape(escaped)
+
         pattern = (
-            f"{base}/year={year if year is not None else '*'}"
-            f"/grand_prix={grand_prix if grand_prix is not None else '*'}"
-            f"/session_type={session_type if session_type is not None else '*'}"
+            f"{base}/year={seg(year)}"
+            f"/grand_prix={seg(grand_prix)}"
+            f"/session_type={seg(session_type)}"
         )
         import glob as _glob
 

@@ -159,10 +159,24 @@ class TableStore:
         try:
             yield
         finally:
+            # Atomic release (ADVICE r3): read-verify alone leaves a window
+            # between the token read and the unlink in which a stealer could
+            # have replaced the lock — unlinking then would delete a THIRD
+            # writer's valid lock. Mirror the steal path instead: rename the
+            # (token-verified) lock to a grave, re-verify the grave actually
+            # carries our token, and only then unlink; if the rename grabbed
+            # somebody else's fresh lock (we stalled past lock_stale_s and
+            # were stolen between read and rename), put it back atomically.
+            grave = f"{lock}.release.{uuid.uuid4().hex[:8]}"
             try:
                 with open(lock) as fh:
                     if fh.read() == token:
-                        os.unlink(lock)
+                        os.rename(lock, grave)
+                        with open(grave) as fh2:
+                            if fh2.read() == token:
+                                os.unlink(grave)
+                            else:
+                                os.replace(grave, lock)
             except OSError:
                 pass
 
@@ -317,6 +331,24 @@ class TableStore:
         df = self.spark.read.option("mergeSchema", "true").parquet(vs[n_back])
         return conform(df, table, allow_missing=True) if conformed else df
 
+    def _read_pinned(self, table: str) -> tuple[DataFrame, str | None]:
+        """Read the table PINNED to the live version observed right now, and
+        return that version as the CAS snapshot for a later publish.
+
+        Read-modify-write operations (merge_upsert / delete_where) must
+        capture ``expected`` at the same moment the input is resolved — not
+        at overwrite()-time — otherwise a commit landing between the read and
+        the write passes the CAS while the merged result was computed from
+        the superseded version (ADVICE r3). Reading the version DIRECTORY
+        (immutable once published) rather than the live symlink additionally
+        pins Spark's lazy file listing: however late the job actually runs,
+        it scans exactly the snapshot the CAS will compare against, instead
+        of surfacing a concurrent swap as a confusing FileNotFound."""
+        target = self._current_target(table)
+        if target is None or not os.path.isdir(target):
+            return self.spark.createDataFrame([], ALL_SCHEMAS[table]), target
+        return self.spark.read.parquet(target), target
+
     def read(self, table: str, conformed: bool = False) -> DataFrame:
         """Read a managed table; ``conformed=True`` merges file schemas and
         projects to the current registry schema with NULL backfill for
@@ -352,6 +384,7 @@ class TableStore:
         table: str,
         sort_by: list[str] | None = None,
         cluster_by: list[str] | None = None,
+        expected=_UNSET,
     ) -> None:
         """Transactional full overwrite: write → (implicit) validate → atomic
         swap. If the write job fails, no swap happens and the live table is
@@ -376,7 +409,8 @@ class TableStore:
                 .sortWithinPartitions("__z")
                 .drop("__z")
             )
-        expected = self._current_target(table)
+        if expected is _UNSET:
+            expected = self._current_target(table)
         version_dir = os.path.join(
             self._version_root(table), f"v-{uuid.uuid4().hex[:12]}"
         )
@@ -415,7 +449,7 @@ class TableStore:
         """
         from pyspark.sql import functions as F
 
-        current = self.read(table)
+        current, expected = self._read_pinned(table)
         if delete_col is not None:
             tomb = F.coalesce(F.col(delete_col), F.lit(False))
             upserts = updates.filter(~tomb).drop(delete_col)
@@ -425,7 +459,7 @@ class TableStore:
         kept = current.join(updates.select(*keys), keys, "left_anti")
         # …and only the non-tombstone rows come back
         merged = kept.unionByName(upserts.select(*current.columns))
-        self.overwrite(merged, table)
+        self.overwrite(merged, table, expected=expected)
 
     @staticmethod
     def _leaf_partitions(root: str, depth: int) -> set[tuple[str, ...]]:
@@ -467,7 +501,11 @@ class TableStore:
                 )
 
     def overwrite_partitions(
-        self, df: DataFrame, table: str, sort_by: list[str] | None = None
+        self,
+        df: DataFrame,
+        table: str,
+        sort_by: list[str] | None = None,
+        expected=_UNSET,
     ) -> None:
         """Replace only the partitions present in ``df`` — transactionally.
 
@@ -482,11 +520,12 @@ class TableStore:
         """
         if not PARTITION_SPECS.get(table):
             # unpartitioned table: partition-overwrite degenerates to overwrite
-            self.overwrite(df, table)
+            self.overwrite(df, table, expected=expected)
             return
-        expected = self._current_target(table)
+        if expected is _UNSET:
+            expected = self._current_target(table)
         if expected is None:
-            self.overwrite(df, table, sort_by)
+            self.overwrite(df, table, sort_by, expected=None)
             return
         depth = len(PARTITION_SPECS[table])
         version_dir = os.path.join(
@@ -514,27 +553,40 @@ class TableStore:
         — the honest cost of a row delete without per-file deletion
         vectors.
         """
+        import functools
+        import operator
+
         from pyspark.sql import functions as F
 
         parts = PARTITION_SPECS.get(table, [])
-        current = self.read(table)
+        current, expected = self._read_pinned(table)
         if not parts:
-            self.overwrite(current.filter(~F.coalesce(df_predicate, F.lit(False))), table)
+            self.overwrite(
+                current.filter(~F.coalesce(df_predicate, F.lit(False))),
+                table,
+                expected=expected,
+            )
             return
         touched = current.filter(df_predicate).select(*parts).distinct()
-        remaining = current.join(F.broadcast(touched), parts, "left_semi").filter(
+        # NULL-safe equality on the partition columns (ADVICE r3): a NULL
+        # partition value (__HIVE_DEFAULT_PARTITION__) never matches under
+        # plain `=`, so such rows would always land in `kept` and survive
+        # the delete — a silent no-op for exactly the rows the predicate
+        # selected. `<=>` matches NULL to NULL.
+        null_safe = functools.reduce(
+            operator.and_, [current[c].eqNullSafe(touched[c]) for c in parts]
+        )
+        remaining = current.join(F.broadcast(touched), null_safe, "left_semi").filter(
             ~F.coalesce(df_predicate, F.lit(False))
         )
         # an all-deleted partition must still be REPLACED (emptied), which
         # dynamic overwrite can't express with zero rows — fall back to a
         # full transactional overwrite for that edge
         if remaining.select(*parts).distinct().count() < touched.count():
-            kept = current.join(F.broadcast(touched), parts, "left_anti")
-            self.overwrite(
-                kept.unionByName(remaining), table
-            )
+            kept = current.join(F.broadcast(touched), null_safe, "left_anti")
+            self.overwrite(kept.unionByName(remaining), table, expected=expected)
             return
-        self.overwrite_partitions(remaining, table)
+        self.overwrite_partitions(remaining, table, expected=expected)
 
     def history(self, table: str) -> list[dict]:
         """Commit metadata per retained version, newest first (≙ Delta

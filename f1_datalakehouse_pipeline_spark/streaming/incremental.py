@@ -74,11 +74,18 @@ def exactly_once_batch_writer(
       The wrapper turns "re-runs the whole drain" into "re-runs at most one
       idempotent batch".
 
-    The ledger lives next to the checkpoint (one tiny file per batch); at
-    100 TB the same pattern is a txn-id column in the table commit log
-    (Delta's txnAppId/txnVersion).
+    Place ``ledger_dir`` BESIDE the checkpointLocation (same filesystem):
+    the ledger is only consulted against replays driven by that checkpoint,
+    so the two must survive (or be lost) together — a driver restarted on a
+    host that sees the checkpoint but not the ledger silently degrades to
+    at-least-once (ADVICE r3). Only the last committed batch can ever be
+    re-delivered, so the ledger is PRUNED to a small trailing window of
+    marks after each commit instead of growing one file per micro-batch
+    forever; at 100 TB the same pattern is a txn-id column in the table
+    commit log (Delta's txnAppId/txnVersion).
     """
     os.makedirs(ledger_dir, exist_ok=True)
+    keep_marks = 16  # replays only ever re-deliver the LAST batch; 16 is slack
 
     def wrapped(df: DataFrame, batch_id: int) -> None:
         mark = os.path.join(ledger_dir, f"batch-{batch_id}.done")
@@ -88,6 +95,18 @@ def exactly_once_batch_writer(
         tmp = f"{mark}.tmp-{os.getpid()}"
         open(tmp, "w").close()
         os.replace(tmp, mark)  # atomic: a mark either exists fully or not
+        # prune marks far behind the committed frontier (bounded ledger)
+        for fn in os.listdir(ledger_dir):
+            if fn.startswith("batch-") and fn.endswith(".done"):
+                try:
+                    bid = int(fn[len("batch-") : -len(".done")])
+                except ValueError:
+                    continue
+                if bid < batch_id - keep_marks:
+                    try:
+                        os.unlink(os.path.join(ledger_dir, fn))
+                    except OSError:
+                        pass
 
     return wrapped
 

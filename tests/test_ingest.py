@@ -185,3 +185,33 @@ def test_ingest_year_end_to_end_through_silver(spark, tmp_path):
     assert sess.count() == 2
     assert sess.select("grand_prix_name").distinct().collect()[0][0] == "sao_paulo"
     assert store.read("race_results_silver").count() == 4
+
+
+def test_read_bronze_glob_metachar_slug_scopes_literally(spark, tmp_path):
+    """ADVICE r3: a partition value containing glob metacharacters must match
+    its own partition literally — Spark's partitionBy %XX-escapes such chars
+    in the directory name, so the path glob must apply the same escaping
+    (plus glob neutralization) instead of interpolating the raw slug."""
+    from pyspark.sql import functions as F
+
+    from f1_datalakehouse_pipeline_spark.sources.bronze import read_bronze
+
+    weird = "sao-paulo[sprint]*?"
+    df = spark.range(8).select(
+        F.col("id"),
+        F.lit(2025).cast("int").alias("year"),
+        F.when(F.col("id") % 2 == 0, weird).otherwise("monaco").alias("grand_prix"),
+        F.lit("race").alias("session_type"),
+    )
+    root = str(tmp_path / "bronze")
+    df.write.partitionBy("year", "grand_prix", "session_type").parquet(f"{root}/laps")
+
+    out = read_bronze(spark, root, "laps", year=2025, grand_prix=weird)
+    assert out.count() == 4
+    assert out.select("grand_prix").distinct().collect()[0][0] == weird
+
+    # a slug that matches nothing still fails loudly, not via a glob error
+    import pytest
+
+    with pytest.raises(ValueError, match="matched no partitions"):
+        read_bronze(spark, root, "laps", year=2025, grand_prix="no[such]gp")

@@ -508,3 +508,90 @@ def test_merge_upsert_with_tombstones(spark, tmp_path):
     out = {r.session_key: r.grand_prix_name for r in store.read("sessions_silver").collect()}
     assert set(out) == {0, 1, 2, 3}  # 4 deleted, 77 never existed
     assert out[2] == "miami" and out[0] == "monaco"
+
+
+def test_delete_where_removes_null_partition_rows(spark, tmp_path):
+    """ADVICE r3 (medium): rows whose partition-column value is NULL land in
+    __HIVE_DEFAULT_PARTITION__; a null-unsafe semi/anti join on the partition
+    columns would never match them against `touched`, so they'd silently
+    survive any delete. The eqNullSafe join must delete them like any row."""
+    store = TableStore(spark, str(tmp_path / "wh"))
+    base = _sessions(spark, 6, gp="monaco").unionByName(
+        _sessions(spark, 4, gp="ghost")
+        .withColumn("session_key", F.col("session_key") + 100)
+        .withColumn("grand_prix_name", F.lit(None).cast("string"))
+    )
+    store.overwrite(base, "sessions_silver")
+    assert store.read("sessions_silver").count() == 10
+
+    # predicate selects 2 NULL-partition rows and 2 monaco rows
+    store.delete_where(
+        (F.col("session_key").isin(100, 101)) | (F.col("session_key") < 2),
+        "sessions_silver",
+    )
+    out = store.read("sessions_silver")
+    assert out.count() == 6
+    assert out.filter(F.col("grand_prix_name").isNull()).count() == 2
+    assert out.filter(F.col("session_key").isin(100, 101)).count() == 0
+
+    # deleting ALL remaining NULL-partition rows (whole-partition edge)
+    store.delete_where(F.col("grand_prix_name").isNull(), "sessions_silver")
+    out = store.read("sessions_silver")
+    assert out.count() == 4
+    assert out.filter(F.col("grand_prix_name").isNull()).count() == 0
+
+
+def test_merge_upsert_cas_snapshot_captured_at_read_time(spark, tmp_path):
+    """ADVICE r3: the CAS `expected` must be pinned when the table is READ,
+    not when overwrite() later publishes — a rival commit landing in between
+    must surface as ConcurrentWriteError, never as a silent merge computed
+    from a superseded version."""
+    from f1_datalakehouse_pipeline_spark.sources.tables import (
+        ConcurrentWriteError,
+        _UNSET,
+    )
+
+    root = str(tmp_path / "wh")
+
+    class RacyStore(TableStore):
+        """Injects a rival commit AFTER merge_upsert's read but BEFORE its
+        publishing overwrite — exactly the window the advice describes."""
+
+        def overwrite(self, df, table, sort_by=None, cluster_by=None, expected=_UNSET):
+            TableStore(self.spark, self.root).overwrite(
+                _sessions(self.spark, 9, gp="rival"), table
+            )
+            super().overwrite(df, table, sort_by, cluster_by, expected=expected)
+
+    store = RacyStore(spark, root)
+    TableStore(spark, root).overwrite(_sessions(spark, 5, gp="monaco"), "sessions_silver")
+    updates = _sessions(spark, 1, gp="miami").withColumn("session_key", F.lit(2))
+    with pytest.raises(ConcurrentWriteError, match="live version changed"):
+        store.merge_upsert(updates, "sessions_silver", keys=["session_key"])
+    # the rival's commit is what serves
+    out = store.read("sessions_silver")
+    assert out.count() == 9
+    assert out.select("grand_prix_name").distinct().collect()[0][0] == "rival"
+
+
+def test_delete_where_cas_snapshot_captured_at_read_time(spark, tmp_path):
+    from f1_datalakehouse_pipeline_spark.sources.tables import (
+        ConcurrentWriteError,
+        _UNSET,
+    )
+
+    root = str(tmp_path / "wh")
+
+    class RacyStore(TableStore):
+        def overwrite_partitions(self, df, table, sort_by=None, expected=_UNSET):
+            TableStore(self.spark, self.root).overwrite(
+                _sessions(self.spark, 9, gp="rival"), table
+            )
+            super().overwrite_partitions(df, table, sort_by, expected=expected)
+
+    store = RacyStore(spark, root)
+    TableStore(spark, root).overwrite(_sessions(spark, 8, gp="monaco"), "sessions_silver")
+    with pytest.raises(ConcurrentWriteError, match="live version changed"):
+        store.delete_where(F.col("session_key") < 3, "sessions_silver")
+    out = store.read("sessions_silver")
+    assert out.count() == 9

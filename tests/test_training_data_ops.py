@@ -814,9 +814,32 @@ def test_exactly_once_batch_writer_skips_replayed_ids(spark, tmp_path):
         calls.append(batch_id)
 
     retry = exactly_once_batch_writer(upsert_ok, str(tmp_path / "ledger"))
-    retry(df, 99)   # failed batch left no mark -> retry runs
+    retry(df, 2)    # failed-then-retried frontier batch: no mark -> runs
     retry(df, 1)    # completed batch still skipped across writer instances
-    assert calls == [99]
+    assert calls == [2]
+
+
+def test_exactly_once_ledger_is_pruned_to_a_bounded_window(spark, tmp_path):
+    """ADVICE r3: the ledger must not grow one file per micro-batch forever.
+    Only batches near the committed frontier can ever replay, so marks far
+    behind it are pruned; the frontier's trailing window still dedups."""
+    import os
+
+    from f1_datalakehouse_pipeline_spark.streaming.incremental import (
+        exactly_once_batch_writer,
+    )
+
+    calls = []
+    ledger = str(tmp_path / "ledger")
+    wrapped = exactly_once_batch_writer(lambda df, b: calls.append(b), ledger)
+    df = spark.range(1)
+    for b in range(60):
+        wrapped(df, b)
+    marks = [f for f in os.listdir(ledger) if f.endswith(".done")]
+    assert len(marks) <= 20          # bounded, not 60
+    wrapped(df, 59)                  # frontier replay still skipped
+    wrapped(df, 50)                  # trailing-window replay still skipped
+    assert calls == list(range(60))
 
 
 def test_jpeg_dims_with_fill_bytes():
