@@ -51,64 +51,64 @@ def _load_extensions() -> None:
 # driver-green in a prior round and untouched since (rotation documented in
 # COVERAGE.md).
 _VERIFY_FIRST = [
-    # r3 rotation swap (VERDICT r2 item 1): the 40 queries whose newest
-    # driver-green row is from r1 are promoted so every registered query's
-    # proof is at most one round old. The 43 r2-promoted queries (all green
-    # in CORRECTNESS_r02) rotate to the tail untouched. dedup_minhash_lsh /
-    # dedup_ngram_jaccard lead because their shared shingle/banding
-    # implementation changed in r2 while demoted.
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_exact",
-    "dedup_simhash",
-    "scd2_historical_build",
-    "w4_w6_w7_championship",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier",
-    "j1_j5_lookup_join",
-    "j2_left_change_detection",
-    "j3_left_backfill_fillna",
-    "j6_window_group_share",
-    "j8_semi_join",
-    "w1_gap_to_best",
-    "w2_personal_best_flag",
-    "w3_best_row_tiebreak",
-    "w5_running_avg",
-    "w9_lead_validity",
-    "w10_recent_form",
-    "w11_lag_delta",
-    "w12_teammate_compare",
-    "w13_constructor_window_agg",
-    "w_sessionize_events",
-    "o1_latest_event",
-    "o2_topk_per_group",
-    "u1_union_distinct",
-    "u3_intersect",
-    "a2_latest_attr",
-    "a8_rollup_revenue",
-    "a11_share_of_total",
-    "f_normalize_name",
-    "f_status_buckets",
-    "f_points_when_chain",
-    "f_time_format",
-    "f_datetime_ops",
-    "f_array_q_split",
-    "ts_rollup_gapfill",
-    "t_text_quality",
-    "t_lang_id",
-    "t_fingerprint",
-    # new in r3 (must be inside the 50-slot window for a first driver row):
-    # 40 promoted + 10 new = exactly the 50-slot gate
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "w18_first_last_value",
-    "a18_bool_aggs",
-    "a19_histogram_fixed_width",
-    "a20_multi_distinct",
-    "j12_not_exists_anti",
-    "ts_resample_ohlc",
-    "t_token_doc_frequency",
-    "f_string_battery",
+    # r4 rotation swap (VERDICT r3 item 1): 3 brand-new queries take their
+    # first driver row, t_pack_sequences is re-proven because its packer
+    # switched to the sharded form this round, and 46 of the 50 queries whose
+    # newest driver-green row is from r2 are promoted. The 10 r3-verified
+    # queries rotate to the tail untouched. Three r2-green queries
+    # (a1_distinct, a3_count_distinct, a5_stats_agg — trivial single-agg
+    # plans, untouched since r1) must wait for r5: 101+3 registered queries
+    # no longer fit one window; they are first in line next round.
+    "contamination_pairs",
+    "scd2_splice_backdated",
+    "tablestore_delete_tombstone",
+    "t_pack_sequences",
+    "sim_cosine_topk",
+    "sim_embedding_neardup",
+    "sim_lsh_bucketed_topk",
+    "mm_binary_metadata",
+    "mm_magic_sniff",
+    "asof_purchase_to_view",
+    "asof_tolerance_join",
+    "range_join_ship_window",
+    "j9_full_outer_reconcile",
+    "j10_interval_overlap",
+    "j11_correlated_scalar_subquery",
+    "j4_star_join_revenue",
+    "p1_p5_filtered_projection",
+    "p8_percentile_cont",
+    "a4_conditional_counts",
+    "a6_pricing_summary",
+    "a9_pivot_doc_counts",
+    "a10_approx_distinct",
+    "a12_grouping_sets",
+    "a13_approx_percentile",
+    "a14_salted_aggregate",
+    "a15_corr_decimal",
+    "a16_mode_per_group",
+    "a17_unpivot_metrics",
+    "u2_except_antijoin",
+    "u5_union_schema_drift",
+    "w8_dense_rank_rounds",
+    "w14_ntile_quartiles",
+    "w15_range_frame",
+    "w16_percent_rank_cume",
+    "w17_session_window_native",
+    "f_time_parse",
+    "f_url_parse",
+    "f_json_extract",
+    "f_regex_extract_all",
+    "f_posexplode_tokens",
+    "f_levenshtein_pairs",
+    "f_map_ops",
+    "t_token_histogram",
+    "t_corpus_curation",
+    "t_train_test_split",
+    "t_weighted_sample",
+    "ts_interpolate_linear",
+    "tpch_q10_returned_items",
+    "tpch_q18_large_orders",
+    "dedup_docs_pipeline",
 ]
 
 

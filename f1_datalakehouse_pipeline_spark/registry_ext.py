@@ -1632,12 +1632,9 @@ def f_string_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Pre-verified r4 candidate: benchmark-contamination query. NOT registered —
-# the r3 driver-gate window is full and the rotation invariant requires any
-# new query to sit inside the 50-slot window for its first driver row
-# (COVERAGE.md). The Spark/oracle pair is locked in by a unit test
-# (tests/test_registry_oracle.py::test_pending_contamination_oracle_parity)
-# so r4 registration is a one-line @query addition plus a window slot.
+# Benchmark-contamination query (registered in r4 inside the rotation window
+# for its first driver row; the Spark/oracle pair was pre-verified in r3 by
+# tests/test_registry_oracle.py::test_pending_contamination_oracle_parity).
 # ---------------------------------------------------------------------------
 
 
@@ -1677,9 +1674,12 @@ PENDING_R4_CONTAMINATION_SQL = f"""
     """
 
 
+@query("contamination_pairs", PENDING_R4_CONTAMINATION_SQL)
 def pending_r4_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Odd doc_ids = held-out benchmark, even doc_ids = training corpus;
-    which test docs leak (8-gram containment ≥ 0.3)."""
+    which test docs leak (8-gram containment ≥ 0.3). Exercises
+    operators/dedup.py contamination_pairs (bipartite 8-gram containment
+    via inverted-index join — never test×train cartesian)."""
     docs = load_table(spark, sf_dir, "documents")
     return dedup.contamination_pairs(
         docs.filter(F.col("doc_id") % 2 == 0),
@@ -1688,6 +1688,250 @@ def pending_r4_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         k=8,
         min_containment=0.3,
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.1 S10 depth: backdated SCD2 splice (r4 — moves scd2_splice_history from
+# unit-only evidence onto the driver's oracle gate, VERDICT r3 item 2).
+# ---------------------------------------------------------------------------
+
+# DuckDB mirror of operators/scd2.py scd2_splice_history over the same dim
+# that scd2_historical_build constructs: (1) rebuild the stint dim, (2) apply
+# the splice algebra (truncate containing stint at eff, insert [eff, old_end),
+# place uncontained effs at [eff, next_start)), (3) re-merge adjacent
+# equal-attr contiguous stints (scd2_coalesce_stints).
+_SCD2_SPLICE_SQL = """
+    WITH raw AS (
+      SELECT o_custkey, o_orderpriority AS attr,
+             strftime(o_orderdate, '%Y-%m-%d') AS od, o_orderkey
+      FROM orders
+    ), obs AS (
+      -- one observation per (entity, day): same-day orders collapse to the
+      -- highest-orderkey attr, so stint valid_from values are STRICTLY
+      -- increasing (canonical SCD2 — no empty same-day stints whose ties
+      -- would make valid_from window ordering nondeterministic)
+      SELECT o_custkey, arg_max(attr, o_orderkey) AS attr, od
+      FROM raw GROUP BY o_custkey, od
+    ), flagged AS (
+      SELECT *,
+             CASE WHEN LAG(attr) OVER w IS NULL OR LAG(attr) OVER w <> attr
+                  THEN 1 ELSE 0 END AS changed
+      FROM obs
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY od)
+    ), stints AS (
+      SELECT *,
+             SUM(changed) OVER (PARTITION BY o_custkey ORDER BY od
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS stint_id
+      FROM flagged
+    ), dim0 AS (
+      SELECT o_custkey, stint_id, attr, MIN(od) AS valid_from
+      FROM stints GROUP BY o_custkey, stint_id, attr
+    ), dim AS (
+      SELECT o_custkey, attr, valid_from,
+             LEAD(valid_from) OVER (PARTITION BY o_custkey ORDER BY stint_id) AS valid_to
+      FROM dim0
+    ), upd AS (
+      SELECT DISTINCT o_custkey, 'X-SPLICED' AS u_attr, '1995-06-15' AS eff
+      FROM orders WHERE o_custkey % 7 = 3
+    ), j AS (
+      SELECT d.o_custkey AS d_key, d.attr, d.valid_from, d.valid_to,
+             u.o_custkey AS u_key, u.u_attr, u.eff,
+             (d.o_custkey IS NOT NULL AND u.o_custkey IS NOT NULL
+              AND d.valid_from <= u.eff
+              AND (d.valid_to IS NULL OR u.eff < d.valid_to)) AS contains
+      FROM dim d FULL OUTER JOIN upd u ON d.o_custkey = u.o_custkey
+    ), untouched AS (
+      SELECT d_key AS o_custkey, attr, valid_from, valid_to
+      FROM j WHERE d_key IS NOT NULL AND NOT contains
+    ), truncated AS (
+      SELECT d_key AS o_custkey, attr, valid_from, eff AS valid_to
+      FROM j WHERE contains AND valid_from < eff
+    ), spliced AS (
+      SELECT d_key AS o_custkey, u_attr AS attr, eff AS valid_from, valid_to
+      FROM j WHERE contains
+    ), placement AS (
+      SELECT u.o_custkey, u.u_attr, u.eff,
+             MAX(CASE WHEN d.valid_from <= u.eff
+                       AND (d.valid_to IS NULL OR u.eff < d.valid_to)
+                      THEN 1 ELSE 0 END) AS contained,
+             MIN(CASE WHEN d.valid_from > u.eff THEN d.valid_from END) AS next_vf
+      FROM upd u LEFT JOIN dim d ON d.o_custkey = u.o_custkey
+      GROUP BY 1, 2, 3
+    ), uncontained AS (
+      SELECT o_custkey, u_attr AS attr, eff AS valid_from, next_vf AS valid_to
+      FROM placement WHERE contained = 0
+    ), unioned AS (
+      SELECT * FROM untouched UNION ALL SELECT * FROM truncated
+      UNION ALL SELECT * FROM spliced UNION ALL SELECT * FROM uncontained
+    ), fl AS (
+      SELECT *,
+             CASE WHEN LAG(attr) OVER w IS NOT DISTINCT FROM attr
+                   AND LAG(valid_to) OVER w IS NOT DISTINCT FROM valid_from
+                  THEN 0 ELSE 1 END AS chg
+      FROM unioned
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY valid_from)
+    ), isl AS (
+      SELECT *,
+             SUM(chg) OVER (PARTITION BY o_custkey ORDER BY valid_from
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM fl
+    )
+    SELECT o_custkey, attr, MIN(valid_from) AS valid_from,
+           CASE WHEN COUNT(*) FILTER (WHERE valid_to IS NULL) > 0
+                THEN NULL ELSE MAX(valid_to) END AS valid_to,
+           COUNT(*) FILTER (WHERE valid_to IS NULL) > 0 AS is_current
+    FROM isl GROUP BY o_custkey, island, attr
+    """
+
+
+@query("scd2_splice_backdated", _SCD2_SPLICE_SQL)
+def scd2_splice_backdated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backdated update spliced INTO closed SCD2 history (operators/scd2.py
+    scd2_splice_history; beyond the reference, whose incremental path only
+    applies updates forward — scd.py:100-137). Every 7th customer receives a
+    backdated 'X-SPLICED' priority effective 1995-06-15: customers whose
+    history contains that date exercise truncate+insert, customers whose
+    first order is later exercise the before-all-history placement."""
+    from f1_datalakehouse_pipeline_spark.operators.scd2 import (
+        scd2_from_observations,
+        scd2_splice_history,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey"),
+        F.col("o_orderpriority").alias("attr"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("od"),
+        F.col("o_orderkey"),
+    )
+    # one observation per (entity, day) — stint starts strictly increase, so
+    # the coalesce window's valid_from ordering is tie-free (see oracle SQL)
+    per_day = o.groupBy("o_custkey", "od").agg(
+        F.max_by("attr", "o_orderkey").alias("attr")
+    )
+    dim = scd2_from_observations(
+        per_day,
+        entity_col="o_custkey",
+        attr_col="attr",
+        order_cols=["od"],
+        time_col="od",
+    ).select("o_custkey", "attr", "valid_from", "valid_to", "is_current")
+    upd = (
+        o.filter(F.col("o_custkey") % 7 == 3)
+        .select("o_custkey")
+        .distinct()
+        .select(
+            "o_custkey",
+            F.lit("X-SPLICED").alias("attr"),
+            F.lit("1995-06-15").alias("eff"),
+        )
+    )
+    return scd2_splice_history(dim, upd, "o_custkey", ["attr"], "eff")
+
+
+# ---------------------------------------------------------------------------
+# §2.1 S8/S9 + MERGE depth: DELETE + tombstone-MERGE round-trip through the
+# transactional TableStore, verified as a final-state query (r4 — moves
+# delete_where / merge_upsert(delete_col=...) onto the oracle gate,
+# VERDICT r3 item 2).
+# ---------------------------------------------------------------------------
+
+_DELETE_TOMBSTONE_SQL = """
+    WITH base AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             CAST(o_totalprice AS DOUBLE) AS o_totalprice, o_orderpriority
+      FROM orders
+    ), after_delete AS (
+      -- delete_where(o_orderkey % 10 == 7)
+      SELECT * FROM base WHERE o_orderkey % 10 <> 7
+    ), after_merge AS (
+      -- merge_upsert keyed on o_orderkey:
+      --   %10==3 -> update (status 'U', price doubled)
+      --   %10==5 -> tombstone (WHEN MATCHED AND flag THEN DELETE)
+      SELECT o_orderkey, o_custkey,
+             CASE WHEN o_orderkey % 10 = 3 THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
+             CASE WHEN o_orderkey % 10 = 3 THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice,
+             o_orderpriority
+      FROM after_delete WHERE o_orderkey % 10 <> 5
+      UNION ALL
+      -- the merge batch also INSERTS one unseen key per priority class
+      SELECT 90000000 + DENSE_RANK() OVER (ORDER BY o_orderpriority) AS o_orderkey,
+             0 AS o_custkey, 'N' AS o_orderstatus, 0.0 AS o_totalprice,
+             o_orderpriority
+      FROM (SELECT DISTINCT o_orderpriority FROM orders)
+    )
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+    FROM after_merge
+    """
+
+
+@query("tablestore_delete_tombstone", _DELETE_TOMBSTONE_SQL)
+def tablestore_delete_tombstone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final table state after a transactional DELETE + tombstone-MERGE
+    round-trip through TableStore (sources/tables.py delete_where +
+    merge_upsert(delete_col=...)): orders land in a managed partitioned
+    table, rows with o_orderkey%10==7 are deleted in place, then one MERGE
+    batch updates %10==3 (status 'U', price doubled), tombstones %10==5,
+    and inserts one fresh key per priority class. The oracle expresses the
+    same final state declaratively — if any write mode dropped, duplicated,
+    or resurrected a row, the hash compare fails."""
+    import tempfile
+
+    from f1_datalakehouse_pipeline_spark.sources.tables import TableStore
+
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        "o_orderpriority",
+    )
+    # the temp warehouse must outlive this call: the returned DataFrame is
+    # lazy over the store's files (the driver collects it later)
+    store = TableStore(spark, tempfile.mkdtemp(prefix="f1spark-tsq-"))
+    store.overwrite(base, "orders_managed")
+    store.delete_where(F.col("o_orderkey") % 10 == 7, "orders_managed")
+    upserts = (
+        store.read("orders_managed")
+        .filter(F.col("o_orderkey") % 10 == 3)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.lit("U").alias("o_orderstatus"),
+            (F.col("o_totalprice") * 2).alias("o_totalprice"),
+            "o_orderpriority",
+            F.lit(False).alias("__del"),
+        )
+    )
+    tombstones = base.filter(F.col("o_orderkey") % 10 == 5).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderpriority",
+        F.lit(True).alias("__del"),
+    )
+    w = Window.orderBy("o_orderpriority")
+    inserts = (
+        base.select("o_orderpriority")
+        .distinct()
+        .select(
+            (F.lit(90000000) + F.dense_rank().over(w)).alias("o_orderkey"),
+            F.lit(0).cast("long").alias("o_custkey"),
+            F.lit("N").alias("o_orderstatus"),
+            F.lit(0.0).alias("o_totalprice"),
+            "o_orderpriority",
+            F.lit(False).alias("__del"),
+        )
+    )
+    store.merge_upsert(
+        upserts.unionByName(tombstones).unionByName(inserts),
+        "orders_managed",
+        keys=["o_orderkey"],
+        delete_col="__del",
+    )
+    return store.read("orders_managed").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
     )
 
 

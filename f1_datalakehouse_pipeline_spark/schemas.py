@@ -16,6 +16,7 @@ from pyspark.sql.types import (
     BooleanType,
     DateType,
     DecimalType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -239,7 +240,26 @@ PARTITION_SPECS: dict[str, list[str]] = {
     "race_weekend_insights": ["year"],
 }
 
-ALL_SCHEMAS: dict[str, StructType] = {**SILVER_SCHEMAS, **GOLD_SCHEMAS}
+# Managed-table registration for the oracle-gated TableStore round-trip
+# query (registry_ext.tablestore_delete_tombstone): a TPC-H-ish orders slice
+# partitioned on its low-cardinality priority class, so DELETE / tombstone
+# MERGE exercise the partition-scoped rewrite paths.
+UTILITY_SCHEMAS: dict[str, StructType] = {
+    "orders_managed": _st(
+        ("o_orderkey", LongType(), False),
+        ("o_custkey", LongType(), True),
+        ("o_orderstatus", StringType(), True),
+        ("o_totalprice", DoubleType(), True),
+        ("o_orderpriority", StringType(), True),
+    ),
+}
+PARTITION_SPECS["orders_managed"] = ["o_orderpriority"]
+
+ALL_SCHEMAS: dict[str, StructType] = {
+    **SILVER_SCHEMAS,
+    **GOLD_SCHEMAS,
+    **UTILITY_SCHEMAS,
+}
 
 
 def conform(df, table: str, allow_missing: bool = False):

@@ -159,27 +159,12 @@ def test_pack_sequences_budget_invariant(spark, sf_dir):
         assert p.total <= 2048 + p.biggest, (p.pack_id, p.total, p.biggest)
 
 
-def test_pending_contamination_oracle_parity(spark, sf_dir):
-    """The r4-queued contamination query must already hash-match its DuckDB
-    oracle (same compare the driver gate runs), so registering it next round
-    is a zero-risk one-liner."""
-    import duckdb
-
-    from f1_datalakehouse_pipeline_spark.registry_ext import (
-        PENDING_R4_CONTAMINATION_SQL,
-        pending_r4_contamination,
-    )
-
-    got = sorted(
-        (r.test_id, r.train_id, r.n_shared, r.test_ngrams, round(r.containment, 12))
-        for r in pending_r4_contamination(spark, sf_dir).collect()
-    )
-    con = duckdb.connect()
-    con.execute(
-        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
-    )
-    want = sorted(
-        (r[0], r[1], r[2], r[3], round(r[4], 12))
-        for r in con.execute(PENDING_R4_CONTAMINATION_SQL).fetchall()
-    )
-    assert got == want and len(got) > 0
+def test_tablestore_delete_tombstone_is_rerunnable(spark, sf_dir):
+    """The TableStore round-trip query builds a fresh temp warehouse per
+    invocation, so back-to-back runs (driver retries, bench repeats) must
+    produce identical results with no cross-run state bleed."""
+    q = registry.queries()["tablestore_delete_tombstone"]
+    a = q(spark, sf_dir)
+    b = q(spark, sf_dir)
+    assert a.count() == b.count()
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
