@@ -39,17 +39,52 @@ def morton_interleave(cols: list[Column], bits: int = 16) -> Column:
     return reduce(lambda a, b: a.bitwiseOR(b), parts).alias("zorder_key")
 
 
-def rank_normalize(df: DataFrame, col: str, bits: int = 16) -> Column:
-    """Map an arbitrarily-distributed column to [0, 2^bits) by percent_rank —
-    use when raw values are skewed or non-integer so the Morton grid is
-    evenly occupied. One window over the full table; at 100 TB prefer an
-    approx-quantile bucketing (approx_percentile boundaries broadcast) to
-    avoid the global sort."""
-    from pyspark.sql import Window
+def rank_normalize(
+    df: DataFrame,
+    col: str,
+    bits: int = 16,
+    exact: bool = False,
+    n_buckets: int | None = None,
+    relative_error: float = 1e-3,
+) -> Column:
+    """Map an arbitrarily-distributed column to [0, 2^bits) by rank — use
+    when raw values are skewed or non-integer so the Morton grid is evenly
+    occupied.
 
-    pr = F.percent_rank().over(Window.orderBy(F.col(col)))
+    Default (r4, VERDICT r3 item 4): APPROX-QUANTILE bucketing — one
+    Greenwald-Khanna sketch pass computes ``n_buckets - 1`` quantile
+    boundaries (driver-side list, small by construction), which are baked
+    into the returned expression as an array literal; each row's bucket is
+    the count of boundaries <= value, rescaled onto the 2^bits grid. No
+    window, no global sort, no shuffle — the scan stays in whole-stage
+    codegen, which is the only form that survives 100 TB. ``n_buckets``
+    defaults to min(2^bits, 256): plenty of grid resolution for file-level
+    skipping while keeping the in-expression array tiny.
+
+    ``exact=True`` keeps the old global ``percent_rank`` window — a
+    single-partition funnel, acceptable only for small dimension tables
+    where exact rank ties matter.
+    """
+    if exact:
+        from pyspark.sql import Window
+
+        pr = F.percent_rank().over(Window.orderBy(F.col(col)))
+        return F.least(
+            F.floor(pr * (1 << bits)).cast("long"), F.lit((1 << bits) - 1)
+        )
+    nb = n_buckets if n_buckets is not None else min(1 << bits, 256)
+    bnds = df.stat.approxQuantile(
+        col, [i / nb for i in range(1, nb)], relative_error
+    )
+    arr = F.array(*[F.lit(float(b)) for b in bnds])
+    bucket = F.aggregate(
+        arr,
+        F.lit(0),
+        lambda acc, b: acc + F.when(F.col(col) >= b, 1).otherwise(0),
+    )
     return F.least(
-        F.floor(pr * (1 << bits)).cast("long"), F.lit((1 << bits) - 1)
+        F.floor(bucket.cast("long") * (1 << bits) / nb).cast("long"),
+        F.lit((1 << bits) - 1),
     )
 
 

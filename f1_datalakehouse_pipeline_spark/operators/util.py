@@ -26,3 +26,41 @@ def spread(df: DataFrame, *cols: str) -> DataFrame:
     if n_files >= n:
         return df
     return df.repartition(n, *cols) if cols else df.repartition(n)
+
+
+def pack_sequences(
+    df: DataFrame,
+    token_col: str,
+    order_cols: list[str],
+    budget: int = 2048,
+    partition_cols: list[str] | None = None,
+    pack_col: str = "pack_id",
+) -> DataFrame:
+    """Deterministic streaming-greedy sequence packer for training batches:
+    assign rows to ~``budget``-token packs by running-token-count division
+    (a pack may straddle the boundary by one row — exact bin packing is
+    NP-hard and order-dependent; this form is reproducible in one window
+    pass and is what training-data pipelines actually ship).
+
+    ``partition_cols`` is the SCALE form: packing runs independently WITHIN
+    each shard (one window partition per shard — parallel, no global sort),
+    which matches how corpora are physically sharded (date / source / hash
+    bucket); the returned ``pack_col`` is the pack index LOCAL to its shard,
+    so callers compose a global id from (shard, pack_id). Omitting
+    ``partition_cols`` packs the whole frame in ONE partition (Spark's
+    no-partition window funnel) — the documented single-shard special case,
+    only for small corpora: at 100 TB always pass shards.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    base = (
+        Window.partitionBy(*partition_cols) if partition_cols else Window.partitionBy()
+    )
+    w = base.orderBy(*order_cols).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return df.withColumn(
+        pack_col,
+        F.floor((F.sum(token_col).over(w) - 1) / budget).cast("long"),
+    )

@@ -168,3 +168,28 @@ def test_tablestore_delete_tombstone_is_rerunnable(spark, sf_dir):
     b = q(spark, sf_dir)
     assert a.count() == b.count()
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_pack_sequences_sharded_vs_single_shard(spark, sf_dir):
+    """The sharded packer restricted to ONE shard must equal the unsharded
+    (global-window) form — the documented single-shard special case of
+    operators/util.pack_sequences."""
+    from pyspark.sql import functions as F
+
+    from f1_datalakehouse_pipeline_spark.functions.text import token_count
+    from f1_datalakehouse_pipeline_spark.operators.util import pack_sequences
+    from f1_datalakehouse_pipeline_spark.sources.testdata import load_table
+
+    t = load_table(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    unsharded = pack_sequences(t, "n_tokens", ["doc_id"], budget=512)
+    one_shard = pack_sequences(
+        t.withColumn("shard", F.lit(0)),
+        "n_tokens",
+        ["doc_id"],
+        budget=512,
+        partition_cols=["shard"],
+    ).drop("shard")
+    assert unsharded.exceptAll(one_shard).count() == 0
+    assert one_shard.exceptAll(unsharded).count() == 0

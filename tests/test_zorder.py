@@ -89,3 +89,39 @@ def test_rank_normalize_uniformizes_skewed_values(spark):
 
     counts = Counter(buckets)
     assert all(50 <= counts[b] <= 80 for b in range(16)), counts
+
+
+def test_rank_normalize_exact_path_still_available(spark):
+    from f1_datalakehouse_pipeline_spark.functions.zorder import rank_normalize
+
+    df = spark.range(1000).select((F.exp(F.col("id") / 100.0)).alias("v"))
+    out = df.select(rank_normalize(df, "v", bits=4, exact=True).alias("b")).collect()
+    buckets = [r.b for r in out]
+    assert min(buckets) == 0 and max(buckets) == 15
+
+
+def test_zorder_with_approx_rank_normalize_has_no_window(spark, tmp_path):
+    """The default rank_normalize is sketch-bucketed: the z-order write plan
+    must contain NO window (no global sort funnel), and per-file spans stay
+    tight on BOTH normalized dimensions (the data-skipping payoff)."""
+    from f1_datalakehouse_pipeline_spark.functions.zorder import rank_normalize
+
+    n = 1 << 14
+    # skewed continuous dims: exponential v1, squared-hash v2
+    df = spark.range(n).select(
+        F.exp(F.col("id") % 256 / 32.0).alias("v1"),
+        F.pow(F.pmod(F.hash("id"), F.lit(256)).cast("double"), 2.0).alias("v2"),
+        F.col("id").alias("payload"),
+    )
+    norm = df.withColumn("na", rank_normalize(df, "v1", bits=8)).withColumn(
+        "nb", rank_normalize(df, "v2", bits=8)
+    )
+    plan = norm._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, "approx rank_normalize must not plan a window"
+
+    out = str(tmp_path / "zn")
+    zorder_write(norm, out, ["na", "nb"], bits=8, n_files=8)
+    z_a = _file_range_fraction(f"{out}/*.parquet", "na", 256)
+    z_b = _file_range_fraction(f"{out}/*.parquet", "nb", 256)
+    assert z_a < 0.65 and z_b < 0.65, (z_a, z_b)
+    assert spark.read.parquet(out).count() == n
