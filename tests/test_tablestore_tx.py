@@ -595,3 +595,140 @@ def test_delete_where_cas_snapshot_captured_at_read_time(spark, tmp_path):
         store.delete_where(F.col("session_key") < 3, "sessions_silver")
     out = store.read("sessions_silver")
     assert out.count() == 9
+
+
+def test_two_process_writer_race_overlapping_and_disjoint(spark, tmp_path):
+    """VERDICT r3 item 6: a REAL second process (own JVM) races this one on
+    the same warehouse. Disjoint partitions: both writers' last rounds must
+    land. Overlapping partition: exactly one last-writer wins per commit and
+    nothing is lost/duplicated. Every retained version must carry the commit
+    sentinel (no orphan ever served)."""
+    import subprocess
+    import sys
+    import textwrap
+    import time as _time
+
+    root = str(tmp_path / "wh")
+    store = TableStore(spark, root)
+    # seed all three partitions so overwrite_partitions grafts from round 1
+    seed = (
+        _sessions(spark, 4, gp="monaco")
+        .unionByName(_sessions(spark, 4, gp="miami"))
+        .unionByName(_sessions(spark, 4, gp="shared"))
+    )
+    store.overwrite(seed, "sessions_silver")
+
+    rounds = 3
+    child_code = textwrap.dedent(
+        """
+        import sys, time
+        root, ready, go = sys.argv[1], sys.argv[2], sys.argv[3]
+        sys.path.insert(0, "/root/repo")
+        from pyspark.sql import SparkSession
+        from pyspark.sql import functions as F
+        spark = (
+            SparkSession.builder.master("local[2]")
+            .config("spark.sql.shuffle.partitions", "2")
+            .config("spark.ui.enabled", "false")
+            .appName("race-child")
+            .getOrCreate()
+        )
+        from f1_datalakehouse_pipeline_spark.schemas import conform
+        from f1_datalakehouse_pipeline_spark.sources.tables import (
+            ConcurrentWriteError, TableStore,
+        )
+
+        def sessions(n, gp, tag):
+            return conform(
+                spark.range(n).select(
+                    F.col("id").alias("session_key"),
+                    F.lit(2025).alias("year"),
+                    F.lit(gp).alias("grand_prix_name"),
+                    F.lit("race").alias("session_type"),
+                    F.lit(tag).alias("meeting_name"),
+                ),
+                "sessions_silver",
+                allow_missing=True,
+            )
+
+        store = TableStore(spark, root)
+        open(ready, "w").close()
+        while True:
+            try:
+                open(go).close(); break
+            except OSError:
+                time.sleep(0.02)
+        for i in range(%(rounds)d):
+            df = sessions(5, "miami", f"child-{i}").unionByName(
+                sessions(3, "shared", f"child-{i}")
+            )
+            for _ in range(60):
+                try:
+                    store.overwrite_partitions(df, "sessions_silver")
+                    break
+                except ConcurrentWriteError:
+                    time.sleep(0.05)
+            else:
+                raise SystemExit("child starved")
+        print("CHILD-DONE")
+        """
+        % {"rounds": rounds}
+    )
+    script = tmp_path / "child.py"
+    script.write_text(child_code)
+    ready, go = str(tmp_path / "ready"), str(tmp_path / "go")
+    child = subprocess.Popen(
+        [sys.executable, str(script), root, ready, go],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE,
+        text=True,
+    )
+    try:
+        deadline = _time.monotonic() + 120
+        while not os.path.exists(ready):
+            assert _time.monotonic() < deadline, "child never became ready"
+            _time.sleep(0.1)
+        open(go, "w").close()
+
+        for i in range(rounds):
+            df = _sessions(spark, 6, gp="monaco").withColumn(
+                "meeting_name", F.lit(f"parent-{i}")
+            ).unionByName(
+                _sessions(spark, 3, gp="shared").withColumn(
+                    "meeting_name", F.lit(f"parent-{i}")
+                )
+            )
+            for _ in range(60):
+                try:
+                    store.overwrite_partitions(df, "sessions_silver")
+                    break
+                except ConcurrentWriteError:
+                    _time.sleep(0.05)
+            else:
+                raise AssertionError("parent starved")
+        out, err = child.communicate(timeout=180)
+        assert "CHILD-DONE" in out, f"child failed: {err[-2000:]}"
+    finally:
+        if child.poll() is None:
+            child.kill()
+
+    final = store.read("sessions_silver")
+    by_gp = {
+        r.grand_prix_name: (r.cnt, r.tags)
+        for r in final.groupBy("grand_prix_name").agg(
+            F.count("*").alias("cnt"),
+            F.collect_set("meeting_name").alias("tags"),
+        ).collect()
+    }
+    # disjoint partitions: each writer's LAST round landed intact
+    assert by_gp["monaco"] == (6, [f"parent-{rounds-1}"])
+    assert by_gp["miami"] == (5, [f"child-{rounds-1}"])
+    # overlapping partition: exactly one whole commit serves (no mix of
+    # writers, no duplicate rows)
+    assert by_gp["shared"][0] == 3
+    assert len(by_gp["shared"][1]) == 1
+    assert by_gp["shared"][1][0] in (f"parent-{rounds-1}", f"child-{rounds-1}")
+    # every retained version carries the commit sentinel; current serves
+    for v in store.versions("sessions_silver"):
+        is_current = os.path.realpath(v) == os.path.realpath(store.path("sessions_silver"))
+        assert is_current or os.path.exists(os.path.join(v, ".committed"))
