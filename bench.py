@@ -112,16 +112,24 @@ def main() -> None:
         "ts_resample_ohlc",
         "t_token_doc_frequency",
     ]
+    # r4 (VERDICT r3 item 7): extras get the same median-of-3 + spread
+    # treatment as the headline, so regressions on dedup_docs_pipeline-class
+    # queries are judged against observed variance, not single shots.
     extra_timings: dict[str, float] = {}
+    extra_spread: dict[str, list[float]] = {}
     for name in EXTRA:
         if name not in qs:
             continue
         qs[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
         spark.catalog.clearCache()
-        t0 = time.time()
-        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        extra_timings[name] = round(time.time() - t0, 3)
-        spark.catalog.clearCache()
+        samples = []
+        for _ in range(RUNS):
+            t0 = time.time()
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            samples.append(time.time() - t0)
+            spark.catalog.clearCache()
+        extra_timings[name] = round(statistics.median(samples), 3)
+        extra_spread[name] = [round(min(samples), 3), round(max(samples), 3)]
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -134,6 +142,7 @@ def main() -> None:
         "aggregation": "median",
         "queries_spread_min_max": spread,
         "queries_extra": extra_timings,
+        "queries_extra_spread_min_max": extra_spread,
     }
 
     # Scale section (VERDICT r1 item 6): dedup at an sf1-equivalent document
