@@ -174,57 +174,80 @@ def scd2_splice_history(
         & (F.col("valid_to").isNull() | (F.col("__eff") < F.col("valid_to")))
     )
 
-    # 1. rows not containing eff (or whose entity has no update): unchanged
-    untouched = d.filter(has_row & ~contains).select(*dim_cols)
-    # 2. containing stint truncated at eff; empty truncations drop
-    truncated = (
-        d.filter(contains & (F.col("valid_from") < F.col("__eff")))
-        .withColumn("valid_to", F.col("__eff"))
-        .withColumn("is_current", F.lit(False))
-        .select(*dim_cols)
-    )
-    # 3. the spliced stint [eff, old_end) with the update's attributes
-    spliced = d.filter(contains).select(
-        F.col(entity_col),
-        *[F.col(f"__u_{c}").alias(c) for c in attr_cols],
-        F.col("__eff").alias("valid_from"),
-        F.col("valid_to"),
-        F.col("valid_to").isNull().alias("is_current"),
-    )
-    # 4. eff contained by NO stint (before all history, inside a gap between
-    # non-contiguous stints, after a fully-closed history, or an unseen
-    # entity): one aggregate per update decides containment and finds the
-    # next stint boundary; the spliced stint runs [eff, next_start) and is
-    # open iff nothing starts later. Guarantees no update silently vanishes.
-    u_grp = [entity_col, *[f"__u_{c}" for c in attr_cols], "__eff"]
-    placement = (
-        u.join(
-            current_dim.select(entity_col, "valid_from", "valid_to"),
-            entity_col,
-            "left",
+    # SINGLE PASS over the joined frame (r4): every output stint is emitted
+    # from ONE projection via array+explode, so the join/scan is never
+    # recomputed per branch (the previous 4-branch union planned 8 scans
+    # with zero exchange reuse — the shape that dies at 100 TB). Placement
+    # facts for uncontained updates (is eff inside ANY stint? what is the
+    # next stint start?) come from entity-partitioned windows on the SAME
+    # frame instead of a second join+groupBy; the window partitioning then
+    # flows straight into scd2_coalesce_stints' identical partitioning.
+    w_ent = Window.partitionBy(entity_col)
+    # window expressions must be plain columns BEFORE the generator (the
+    # analyzer cannot extract a window from inside explode())
+    d = (
+        d.withColumn(
+            "__contained_any",
+            F.max(F.when(contains, 1).otherwise(0)).over(w_ent) == 1,
         )
-        .groupBy(*u_grp)
-        .agg(
-            F.max(
-                F.when(
-                    (F.col("valid_from") <= F.col("__eff"))
-                    & (F.col("valid_to").isNull() | (F.col("__eff") < F.col("valid_to"))),
-                    1,
-                ).otherwise(0)
-            ).alias("__contained"),
+        .withColumn(
+            "__next_vf",
             F.min(
                 F.when(F.col("valid_from") > F.col("__eff"), F.col("valid_from"))
-            ).alias("__next_vf"),
+            ).over(w_ent),
+        )
+        .withColumn(
+            # exactly one designated emitter row per entity (uncontained stint)
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy(entity_col).orderBy(
+                    F.col("valid_from").asc_nulls_last()
+                )
+            ),
         )
     )
-    uncontained = placement.filter(F.col("__contained") == 0).select(
-        F.col(entity_col),
-        *[F.col(f"__u_{c}").alias(c) for c in attr_cols],
-        F.col("__eff").alias("valid_from"),
-        F.col("__next_vf").alias("valid_to"),
-        F.col("__next_vf").isNull().alias("is_current"),
+
+    stint = F.struct(*attr_cols, "valid_from", "valid_to")
+
+    def mk(attrs_from_update: bool, vf, vt) -> Column:
+        attrs = (
+            [F.col(f"__u_{c}").alias(c) for c in attr_cols]
+            if attrs_from_update
+            else [F.col(c) for c in attr_cols]
+        )
+        return F.struct(*attrs, vf.alias("valid_from"), vt.alias("valid_to"))
+
+    emitted = F.array_compact(
+        F.array(
+            # 1. rows not containing eff (or entity without update): unchanged
+            F.when(has_row & ~contains, stint),
+            # 2. containing stint truncated at eff; empty truncations drop
+            F.when(
+                contains & (F.col("valid_from") < F.col("__eff")),
+                mk(False, F.col("valid_from"), F.col("__eff")),
+            ),
+            # 3. the spliced stint [eff, old_end) with the update's attrs
+            F.when(contains, mk(True, F.col("__eff"), F.col("valid_to"))),
+            # 4. eff contained by NO stint (before all history, inside a gap,
+            # after a fully-closed history, or an unseen entity): splice
+            # [eff, next_start), open iff nothing starts later — no update
+            # is ever silently dropped
+            F.when(
+                has_u & ~F.col("__contained_any") & (F.col("__rn") == 1),
+                mk(True, F.col("__eff"), F.col("__next_vf")),
+            ),
+        )
     )
-    out = untouched.unionByName(truncated).unionByName(spliced).unionByName(uncontained)
+    out = (
+        d.select(F.col(entity_col), F.explode(emitted).alias("__s"))
+        .select(
+            entity_col,
+            *[F.col(f"__s.{c}").alias(c) for c in attr_cols],
+            F.col("__s.valid_from").alias("valid_from"),
+            F.col("__s.valid_to").alias("valid_to"),
+            F.col("__s.valid_to").isNull().alias("is_current"),
+        )
+    )
     return scd2_coalesce_stints(out, entity_col, attr_cols)
 
 

@@ -286,3 +286,16 @@ def test_contamination_join_not_cartesian(spark, sf_dir):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_scd2_splice_is_single_pass(spark, sf_dir):
+    """The splice must emit all stint branches from ONE projection over the
+    joined frame (array+explode), not a 4-branch union that recomputes the
+    join per branch: each input is scanned exactly once and the exchange
+    count stays bounded (the r3 form planned 8 scans / 13 exchanges)."""
+    import re
+
+    plan = plan_of(registry.queries()["scd2_splice_backdated"](spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) <= 2, plan[:500]
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 5
+    assert "Generate" in plan  # the explode emitting all branches at once
