@@ -111,6 +111,9 @@ def main() -> None:
         "a20_multi_distinct",
         "ts_resample_ohlc",
         "t_token_doc_frequency",
+        # r4 additions
+        "contamination_pairs",
+        "scd2_splice_backdated",
     ]
     # r4 (VERDICT r3 item 7): extras get the same median-of-3 + spread
     # treatment as the headline, so regressions on dedup_docs_pipeline-class

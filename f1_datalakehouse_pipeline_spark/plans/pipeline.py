@@ -200,10 +200,12 @@ def _incremental_drivers_merge(
         .select("driver_number", *attr_cols, F.col("date_start").alias("eff"))
     )
     # total_races and audit cols are derived, not SCD attributes — strip them
-    # for the merge and recompute after.
-    current = store.read("drivers_silver").drop(
-        "total_races", "created_timestamp", "updated_timestamp"
-    )
+    # for the merge and recompute after. Pinned read: the CAS snapshot is
+    # captured HERE, so a rival commit between this read and the overwrite
+    # below fails loudly instead of silently merging from a superseded
+    # version (same contract as merge_upsert/delete_where).
+    pinned, expected = store.read_pinned("drivers_silver")
+    current = pinned.drop("total_races", "created_timestamp", "updated_timestamp")
     merged = scd2_merge_incremental(
         current, updates, entity_col="driver_number", attr_cols=attr_cols, effective_col="eff"
     )
@@ -234,7 +236,7 @@ def _incremental_drivers_merge(
     # re-scanning the just-written dimension.
     obs_rows = Observation("rows_drivers_silver_merge")
     merged = merged.observe(obs_rows, F.count(F.lit(1)).alias("rows"))
-    store.overwrite(merged, "drivers_silver")
+    store.overwrite(merged, "drivers_silver", expected=expected)
     report.row_counts["drivers_silver"] = obs_rows.get["rows"]
 
 

@@ -1864,7 +1864,8 @@ _DELETE_TOMBSTONE_SQL = """
       FROM after_delete WHERE o_orderkey % 10 <> 5
       UNION ALL
       -- the merge batch also INSERTS one unseen key per priority class
-      SELECT 90000000 + DENSE_RANK() OVER (ORDER BY o_orderpriority) AS o_orderkey,
+      -- (key derived from the priority's leading digit — no window needed)
+      SELECT 90000000 + CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS o_orderkey,
              0 AS o_custkey, 'N' AS o_orderstatus, 0.0 AS o_totalprice,
              o_orderpriority
       FROM (SELECT DISTINCT o_orderpriority FROM orders)
@@ -1920,12 +1921,14 @@ def tablestore_delete_tombstone(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
         F.lit(True).alias("__del"),
     )
-    w = Window.orderBy("o_orderpriority")
     inserts = (
         base.select("o_orderpriority")
         .distinct()
         .select(
-            (F.lit(90000000) + F.dense_rank().over(w)).alias("o_orderkey"),
+            (
+                F.lit(90000000)
+                + F.substring("o_orderpriority", 1, 1).cast("long")
+            ).alias("o_orderkey"),
             F.lit(0).cast("long").alias("o_custkey"),
             F.lit("N").alias("o_orderstatus"),
             F.lit(0.0).alias("o_totalprice"),

@@ -331,7 +331,7 @@ class TableStore:
         df = self.spark.read.option("mergeSchema", "true").parquet(vs[n_back])
         return conform(df, table, allow_missing=True) if conformed else df
 
-    def _read_pinned(self, table: str) -> tuple[DataFrame, str | None]:
+    def read_pinned(self, table: str) -> tuple[DataFrame, str | None]:
         """Read the table PINNED to the live version observed right now, and
         return that version as the CAS snapshot for a later publish.
 
@@ -449,7 +449,7 @@ class TableStore:
         """
         from pyspark.sql import functions as F
 
-        current, expected = self._read_pinned(table)
+        current, expected = self.read_pinned(table)
         if delete_col is not None:
             tomb = F.coalesce(F.col(delete_col), F.lit(False))
             upserts = updates.filter(~tomb).drop(delete_col)
@@ -559,7 +559,7 @@ class TableStore:
         from pyspark.sql import functions as F
 
         parts = PARTITION_SPECS.get(table, [])
-        current, expected = self._read_pinned(table)
+        current, expected = self.read_pinned(table)
         if not parts:
             self.overwrite(
                 current.filter(~F.coalesce(df_predicate, F.lit(False))),
