@@ -400,15 +400,54 @@ def contamination_pairs(
     ``min_containment``). Scales like the dedup joins: cost ∝ co-occurring
     grams, one shuffle per side + one pair groupBy.
     """
+    test_sh, test_sizes = benchmark_shingle_index(test, id_col, content_col, k)
+    return contamination_pairs_against_index(
+        train,
+        test_sh,
+        test_sizes,
+        id_col,
+        content_col,
+        k=k,
+        min_containment=min_containment,
+        max_doc_frequency=max_doc_frequency,
+    )
+
+
+def benchmark_shingle_index(
+    test: DataFrame, id_col: str, content_col: str, k: int = 8
+) -> tuple[DataFrame, DataFrame]:
+    """Precompute the held-out benchmark's shingle inverted index:
+    ``(test_sh(test_id, h), test_sizes(test_id, test_ngrams))``. The
+    benchmark side is static by definition during an ingestion window, so
+    callers that repeatedly check incoming corpus slices (the streaming
+    contamination monitor) compute — and cache — this once instead of
+    re-shingling the benchmark per micro-batch."""
     test_sh = _shingle_table(test, id_col, content_col, k).select(
         F.col("doc").alias("test_id"), "h"
     )
+    test_sizes = test_sh.groupBy("test_id").agg(F.count(F.lit(1)).alias("test_ngrams"))
+    return test_sh, test_sizes
+
+
+def contamination_pairs_against_index(
+    train: DataFrame,
+    test_sh: DataFrame,
+    test_sizes: DataFrame,
+    id_col: str,
+    content_col: str,
+    k: int = 8,
+    min_containment: float = 0.5,
+    max_doc_frequency: int | None = None,
+) -> DataFrame:
+    """:func:`contamination_pairs` core against a precomputed benchmark
+    index (see :func:`benchmark_shingle_index`): only the TRAIN side is
+    shingled here, so a micro-batch check costs O(batch grams), not
+    O(batch + benchmark)."""
     train_sh = _shingle_table(train, id_col, content_col, k).select(
         F.col("doc").alias("train_id"), "h"
     )
     if max_doc_frequency is not None:
         train_sh = _drop_hot_shingles(train_sh, max_doc_frequency)
-    test_sizes = test_sh.groupBy("test_id").agg(F.count(F.lit(1)).alias("test_ngrams"))
     shared = (
         test_sh.join(train_sh, "h")
         .groupBy("test_id", "train_id")

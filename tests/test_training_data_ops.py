@@ -919,3 +919,57 @@ def test_jpeg_dims_with_fill_bytes():
     padded = b"\xff\xd8" + b"\xff\xff\xff" + app0 + b"\xff\xff" + sof0 + b"\xff\xd9"
     d = multimodal.header_decoder(padded, "image")
     assert (d["width"], d["height"]) == (640, 480)
+
+
+def test_streaming_contamination_matches_batch(spark, sf_dir, tmp_path):
+    """The streaming contamination monitor (micro-batched foreachBatch over
+    a cached benchmark index) must produce EXACTLY the batch operator's
+    verdicts once the stream drains — regardless of how the corpus was
+    split into batches."""
+    from f1_datalakehouse_pipeline_spark.operators import dedup
+    from f1_datalakehouse_pipeline_spark.sources.testdata import load_table
+    from f1_datalakehouse_pipeline_spark.streaming.contamination import (
+        contamination_stream,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    benchmark = docs.filter(F.col("doc_id") % 2 == 1).select("doc_id", "text")
+    train = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "text")
+
+    # land the train corpus as two separate files -> two micro-batches
+    src = str(tmp_path / "landing")
+    train.filter(F.col("doc_id") % 4 == 0).coalesce(1).write.mode("append").parquet(src)
+    train.filter(F.col("doc_id") % 4 == 2).coalesce(1).write.mode("append").parquet(src)
+
+    out = str(tmp_path / "hits")
+    stream = (
+        spark.readStream.schema(train.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = contamination_stream(
+        stream,
+        benchmark,
+        "doc_id",
+        "text",
+        out_path=out,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        k=8,
+        min_containment=0.3,
+    )
+    q.awaitTermination(180)
+    spark.catalog.clearCache()
+
+    got = sorted(
+        (r.test_id, r.train_id, r.n_shared, r.test_ngrams, round(r.containment, 9))
+        for r in spark.read.parquet(out).collect()
+    )
+    want = sorted(
+        (r.test_id, r.train_id, r.n_shared, r.test_ngrams, round(r.containment, 9))
+        for r in dedup.contamination_pairs(
+            train, benchmark, "doc_id", "text", k=8, min_containment=0.3
+        ).collect()
+    )
+    assert got == want and len(got) > 0
+    # the split actually exercised >1 micro-batch
+    assert spark.read.parquet(out).select("batch_id").distinct().count() >= 2
