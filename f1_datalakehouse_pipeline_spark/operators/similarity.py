@@ -214,31 +214,24 @@ def kmeans_distributed(
     return cent
 
 
-def ivf_topk(
+def ivf_train(
     embeddings: DataFrame,
-    queries: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    k: int = 5,
     n_lists: int = 16,
-    n_probe: int = 3,
     train_sample: int = 2048,
     seed: int = 13,
     kmeans_iters: int = 5,
     train: str = "sample",
-) -> DataFrame:
-    """IVF-style approximate top-k: k-means coarse quantizer + probe lists.
+) -> list[list[float]]:
+    """Train the IVF coarse quantizer; returns ``n_lists`` unit centroids.
 
     ``train="sample"`` (default) trains driver-side on a bounded sample
     (numpy k-means on ≤ ``train_sample`` vectors — O(sample·dim·lists),
     independent of table size). ``train="distributed"`` trains with
     :func:`kmeans_distributed` — Lloyd's iterations as DataFrame
     aggregations, so the quantizer sees the WHOLE corpus and only k×dim
-    centroid rows touch the driver (the 100 TB path). Assignment and
-    probing are distributed either way: centroids broadcast as literal
-    arrays, every vector scored against n_lists centroids map-side,
-    candidates joined on list id. Recall is tuned by ``n_probe``.
-    """
+    centroid rows touch the driver (the 100 TB path)."""
     import numpy as np
 
     if train == "distributed":
@@ -268,32 +261,117 @@ def ivf_topk(
                     cent[j] = c / max(np.linalg.norm(c), 1e-12)
     else:
         raise ValueError(f"train must be 'sample' or 'distributed', got {train!r}")
+    return [[float(v) for v in row] for row in cent]
 
-    cent_cols = [
-        F.array(*[F.lit(float(v)) for v in cent[j]]) for j in range(len(cent))
-    ]
 
-    def list_scores(vec: Column) -> Column:
-        return F.array(*[dot(vec, c) for c in cent_cols])
+def _centroid_exprs(centroids: list[list[float]]) -> list[Column]:
+    return [F.array(*[F.lit(float(v)) for v in c]) for c in centroids]
 
-    def top_lists(vec: Column, n: int) -> Column:
-        scores = list_scores(vec)
-        idx = F.sequence(F.lit(0), F.lit(len(cent) - 1))
-        pairs = F.zip_with(scores, idx, lambda s, i: F.struct(s.alias("s"), i.alias("i")))
-        return F.slice(F.reverse(F.array_sort(pairs)), 1, n)
 
-    c = embeddings.select(
-        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
-    ).withColumn("list_id", top_lists(F.col("cv"), 1)[0]["i"])
+def _top_lists(vec: Column, centroids: list[list[float]], n: int) -> Column:
+    scores = F.array(*[dot(vec, c) for c in _centroid_exprs(centroids)])
+    idx = F.sequence(F.lit(0), F.lit(len(centroids) - 1))
+    pairs = F.zip_with(scores, idx, lambda s, i: F.struct(s.alias("s"), i.alias("i")))
+    return F.slice(F.reverse(F.array_sort(pairs)), 1, n)
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    method: str = "native",
+) -> DataFrame:
+    """Assign every vector to its nearest centroid's list: the IVF INDEX
+    BUILD. Returns ``(id, vector, list_id)`` — persist/write this once and
+    serve many query batches from it (:func:`ivf_query`): rebuilding the
+    assignment per query batch costs as much as one brute-force pass when
+    n_queries ≈ n_lists, which is exactly the mistake index amortization
+    exists to avoid (measured in tools/ann_stress.py).
+
+    ``method="native"``: pure codegen expressions (no Python boundary —
+    and exactly the assignment :func:`ivf_topk` has always used; ties pick
+    the higher list id). ``method="vectorized"``: Arrow-batched numpy
+    matmul against the (tiny) centroid matrix — one BLAS call per batch,
+    ~n_lists× less expression work per row; ties pick the lower list id.
+    Tie direction only matters for exactly-duplicated centroid scores."""
+    if method == "native":
+        return embeddings.select(
+            F.col(id_col).alias("neighbor_id"),
+            _as_double(F.col(vec_col)).alias("cv"),
+        ).withColumn("list_id", _top_lists(F.col("cv"), centroids, 1)[0]["i"])
+    if method != "vectorized":
+        raise ValueError(f"method must be 'native' or 'vectorized', got {method!r}")
+    import numpy as np
+    import pandas as pd
+
+    cent = np.array(centroids, dtype=np.float64)
+    out_schema = "neighbor_id long, cv array<double>, list_id int"
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            c_mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            lists = np.argmax(c_mat @ cent.T, axis=1).astype(np.int32)
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": pdf[id_col].to_numpy(dtype=np.int64),
+                    "cv": list(c_mat),
+                    "list_id": lists,
+                }
+            )
+
+    return embeddings.select(id_col, vec_col).mapInPandas(assign, schema=out_schema)
+
+
+def ivf_write_index(assigned: DataFrame, path: str) -> None:
+    """Persist an IVF index PARTITIONED BY list id — the 100 TB layout: a
+    query batch probing ``n_probe`` of ``n_lists`` lists then reads only
+    that fraction of the index from storage. The probe side arrives as a
+    broadcast join on ``list_id``, so Spark's dynamic partition pruning
+    skips the unprobed list directories at scan time (plan shows a
+    ``dynamicpruning`` subquery on the partition filter — asserted by
+    test_ivf_disk_index_prunes_lists). Compute-bound local benches can't
+    show this win (tools/ann_stress.py discloses it); at storage scale the
+    scan reduction IS the operator."""
+    assigned.write.partitionBy("list_id").mode("overwrite").parquet(path)
+
+
+def ivf_read_index(spark, path: str) -> DataFrame:
+    """Read a persisted IVF index (list_id surfaces as partition column)."""
+    return spark.read.parquet(path)
+
+
+def ivf_query(
+    assigned: DataFrame,
+    centroids: list[list[float]],
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_probe: int = 3,
+) -> DataFrame:
+    """Serve one query batch from a prebuilt IVF index (``assigned`` from
+    :func:`ivf_assign`, typically persisted): each query probes its
+    ``n_probe`` nearest lists, candidates join on list id (broadcast query
+    side — small by contract), exact cosine re-rank on candidates only.
+    Per-batch cost ∝ corpus·n_probe/n_lists, independent of how many query
+    batches the index has already served."""
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
     ).withColumn(
-        "list_id", F.explode(F.transform(top_lists(F.col("qv"), n_probe), lambda s: s["i"]))
+        "list_id",
+        F.explode(
+            F.transform(_top_lists(F.col("qv"), centroids, n_probe), lambda s: s["i"])
+        ),
     )
     scored = (
-        c.join(F.broadcast(q), "list_id")
+        assigned.join(F.broadcast(q), "list_id")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cosine"))
+        .select(
+            "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cosine")
+        )
         .distinct()
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -301,4 +379,39 @@ def ivf_topk(
     )
     return scored.withColumn("rnk", F.row_number().over(w).cast("long")).filter(
         F.col("rnk") <= k
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 3,
+    train_sample: int = 2048,
+    seed: int = 13,
+    kmeans_iters: int = 5,
+    train: str = "sample",
+) -> DataFrame:
+    """IVF-style approximate top-k: k-means coarse quantizer + probe lists —
+    the one-shot convenience form (:func:`ivf_train` → :func:`ivf_assign` →
+    :func:`ivf_query` composed). For repeated query batches, build the index
+    once with train+assign, persist it, and call :func:`ivf_query` per
+    batch: assignment is the expensive part and amortizes across batches.
+    Recall is tuned by ``n_probe``."""
+    centroids = ivf_train(
+        embeddings,
+        id_col,
+        vec_col,
+        n_lists=n_lists,
+        train_sample=train_sample,
+        seed=seed,
+        kmeans_iters=kmeans_iters,
+        train=train,
+    )
+    assigned = ivf_assign(embeddings, centroids, id_col, vec_col, method="native")
+    return ivf_query(
+        assigned, centroids, queries, id_col, vec_col, k=k, n_probe=n_probe
     )

@@ -973,3 +973,31 @@ def test_streaming_contamination_matches_batch(spark, sf_dir, tmp_path):
     assert got == want and len(got) > 0
     # the split actually exercised >1 micro-batch
     assert spark.read.parquet(out).select("batch_id").distinct().count() >= 2
+
+
+def test_ivf_prebuilt_index_matches_oneshot(spark):
+    """ivf_query over a prebuilt index (vectorized assignment) must return
+    the same neighbors as the one-shot ivf_topk (native assignment) — the
+    amortized path is a performance form, not a different algorithm."""
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(300)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    queries = emb.filter("vec_id < 8")
+
+    oneshot = {
+        (r.query_id, r.rnk): r.neighbor_id
+        for r in similarity.ivf_topk(
+            emb, queries, k=5, n_lists=8, n_probe=8
+        ).collect()
+    }
+    centroids = similarity.ivf_train(emb, n_lists=8)
+    assigned = similarity.ivf_assign(emb, centroids, method="vectorized")
+    amortized = {
+        (r.query_id, r.rnk): r.neighbor_id
+        for r in similarity.ivf_query(
+            assigned, centroids, queries, k=5, n_probe=8
+        ).collect()
+    }
+    assert oneshot == amortized and len(oneshot) == 8 * 5
