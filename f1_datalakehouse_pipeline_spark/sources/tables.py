@@ -191,43 +191,53 @@ class TableStore:
         commit. The only non-atomic case is the one-time migration of a
         legacy real directory, which is moved aside first.
         """
-        version_dir = os.path.abspath(version_dir)
         with self._publish_lock(table):
-            current = self._current_target(table)
-            if expected is not _UNSET and current != expected:
-                raise ConcurrentWriteError(
-                    f"{table}: live version changed since write start "
-                    f"(expected {expected}, found {current}); retry on "
-                    "fresh data"
-                )
-            # Mark the OUTGOING live version as committed if it isn't yet:
-            # it provably served reads, so it is a legitimate predecessor.
-            # This self-heals a previous crash between swap and sentinel
-            # (below) and migrates pre-sentinel warehouses — their retained
-            # versions would otherwise read as orphans and be GC'd.
-            if current and os.path.isdir(current) and not self._is_committed(current):
-                open(os.path.join(current, _COMMIT_SENTINEL), "w").close()
-            live = self.path(table)
-            if os.path.isdir(live) and not os.path.islink(live):
-                # one-time migration: preserve the old contents as a version
-                legacy = os.path.join(
-                    self._version_root(table), f"legacy-{uuid.uuid4().hex[:8]}"
-                )
-                os.makedirs(os.path.dirname(legacy), exist_ok=True)
-                os.rename(live, legacy)
-                open(os.path.join(legacy, _COMMIT_SENTINEL), "w").close()
-            tmp_link = os.path.join(self.root, f".{table}.link.{uuid.uuid4().hex[:8]}")
-            os.symlink(version_dir, tmp_link)
-            os.replace(tmp_link, live)  # the commit point
-            # Sentinel AFTER the swap: a dir marked committed has therefore
-            # ALWAYS been live (a crash in the swap→mark window leaves the
-            # current version unmarked, which every reader/GC path protects
-            # via the realpath==current escape, and the next publish's
-            # outgoing-mark above heals). The reverse order would allow a
-            # committed-but-never-live dir to shadow the true predecessor
-            # in read_version()/history().
-            open(os.path.join(version_dir, _COMMIT_SENTINEL), "w").close()
-            self._gc_versions(table, keep_target=os.path.realpath(version_dir))
+            self._check_cas(table, expected)
+            self._swap_locked(table, version_dir)
+
+    def _check_cas(self, table: str, expected) -> None:
+        """CAS precondition (caller holds the publish lock)."""
+        current = self._current_target(table)
+        if expected is not _UNSET and current != expected:
+            raise ConcurrentWriteError(
+                f"{table}: live version changed since write start "
+                f"(expected {expected}, found {current}); retry on "
+                "fresh data"
+            )
+
+    def _swap_locked(self, table: str, version_dir: str) -> None:
+        """Swap + sentinel + GC (caller holds the publish lock and has
+        already CAS-checked)."""
+        version_dir = os.path.abspath(version_dir)
+        current = self._current_target(table)
+        # Mark the OUTGOING live version as committed if it isn't yet:
+        # it provably served reads, so it is a legitimate predecessor.
+        # This self-heals a previous crash between swap and sentinel
+        # (below) and migrates pre-sentinel warehouses — their retained
+        # versions would otherwise read as orphans and be GC'd.
+        if current and os.path.isdir(current) and not self._is_committed(current):
+            open(os.path.join(current, _COMMIT_SENTINEL), "w").close()
+        live = self.path(table)
+        if os.path.isdir(live) and not os.path.islink(live):
+            # one-time migration: preserve the old contents as a version
+            legacy = os.path.join(
+                self._version_root(table), f"legacy-{uuid.uuid4().hex[:8]}"
+            )
+            os.makedirs(os.path.dirname(legacy), exist_ok=True)
+            os.rename(live, legacy)
+            open(os.path.join(legacy, _COMMIT_SENTINEL), "w").close()
+        tmp_link = os.path.join(self.root, f".{table}.link.{uuid.uuid4().hex[:8]}")
+        os.symlink(version_dir, tmp_link)
+        os.replace(tmp_link, live)  # the commit point
+        # Sentinel AFTER the swap: a dir marked committed has therefore
+        # ALWAYS been live (a crash in the swap→mark window leaves the
+        # current version unmarked, which every reader/GC path protects
+        # via the realpath==current escape, and the next publish's
+        # outgoing-mark above heals). The reverse order would allow a
+        # committed-but-never-live dir to shadow the true predecessor
+        # in read_version()/history().
+        open(os.path.join(version_dir, _COMMIT_SENTINEL), "w").close()
+        self._gc_versions(table, keep_target=os.path.realpath(version_dir))
 
     def _is_committed(self, version_dir: str) -> bool:
         return os.path.exists(os.path.join(version_dir, _COMMIT_SENTINEL))
@@ -422,6 +432,87 @@ class TableStore:
             "overwrite"
         ).save(version_dir)
         self._publish(table, version_dir, expected=expected)
+
+    def stage_many(
+        self, writes: list[tuple[DataFrame, str]]
+    ) -> list[tuple[str, str, str | None]]:
+        """Stage a CROSS-TABLE overwrite: run every table's (expensive)
+        Spark write into a fresh version dir — no locks held, nothing
+        published. Returns the staged set for :func:`publish_many`. Each
+        table's CAS snapshot is captured here, before its job runs."""
+        seen: set[str] = set()
+        staged: list[tuple[str, str, str | None]] = []
+        for df, table in writes:
+            if table in seen:
+                raise ValueError(f"duplicate table in stage_many: {table!r}")
+            seen.add(table)
+            expected = self._current_target(table)
+            version_dir = os.path.join(
+                self._version_root(table), f"v-{uuid.uuid4().hex[:12]}"
+            )
+            os.makedirs(os.path.dirname(version_dir), exist_ok=True)
+            self._writer(df, table).option(
+                "partitionOverwriteMode", "static"
+            ).mode("overwrite").save(version_dir)
+            staged.append((table, version_dir, expected))
+        return staged
+
+    def publish_many(self, staged: list[tuple[str, str, str | None]]) -> None:
+        """Publish a staged cross-table commit ALL-OR-NOTHING:
+
+        1. acquire every table's publish lock in sorted table order
+           (deadlock-free against any other multi-table committer);
+        2. CAS-check every table BEFORE swapping anything — a rival commit
+           to any one table fails the whole batch with nothing published
+           (the staged dirs are left as unmarked orphans for GC);
+        3. swap all symlinks (milliseconds each); a swap failure rolls the
+           already-swapped tables back to their previous targets.
+
+        Isolation note, stated honestly: the N symlink swaps are each
+        atomic but not jointly atomic — a reader racing step 3 can observe
+        table A at the new version and table B at the old one for the few
+        milliseconds the loop takes (read-committed per table, not
+        cross-table snapshot isolation; single-pointer catalogs have the
+        same window when the "catalog" is N independent pointers). Writers
+        are fully serialized by the locks + CAS.
+        """
+        from contextlib import ExitStack
+
+        order = sorted(staged, key=lambda s: s[0])
+        with ExitStack() as stack:
+            for table, _vdir, _expected in order:
+                stack.enter_context(self._publish_lock(table))
+            for table, _vdir, expected in order:
+                self._check_cas(table, expected)  # nothing swapped yet
+            swapped: list[tuple[str, str | None]] = []
+            try:
+                for table, vdir, expected in order:
+                    self._swap_locked(table, vdir)
+                    swapped.append((table, expected))
+            except BaseException:
+                # roll already-swapped tables back to their prior targets
+                for table, prior in reversed(swapped):
+                    live = self.path(table)
+                    try:
+                        if prior is None:
+                            os.unlink(live)
+                        else:
+                            tmp = os.path.join(
+                                self.root, f".{table}.link.{uuid.uuid4().hex[:8]}"
+                            )
+                            os.symlink(prior, tmp)
+                            os.replace(tmp, live)
+                    except OSError:
+                        pass
+                raise
+
+    def commit_many(self, writes: list[tuple[DataFrame, str]]) -> None:
+        """Cross-table transactional overwrite: ``stage_many`` +
+        ``publish_many``. The medallion batch shape — one pipeline run
+        refreshes several silver/gold tables; either every table advances
+        to the new batch or none does (a rival single-table commit in the
+        window fails this whole batch loudly)."""
+        self.publish_many(self.stage_many(writes))
 
     def merge_upsert(
         self,

@@ -732,3 +732,82 @@ def test_two_process_writer_race_overlapping_and_disjoint(spark, tmp_path):
     for v in store.versions("sessions_silver"):
         is_current = os.path.realpath(v) == os.path.realpath(store.path("sessions_silver"))
         assert is_current or os.path.exists(os.path.join(v, ".committed"))
+
+
+def _results(spark, n, gp="monaco"):
+    return conform(
+        spark.range(n).select(
+            F.col("id").cast("long").alias("session_key"),
+            F.lit(2025).alias("year"),
+            F.lit(gp).alias("grand_prix_name"),
+            (F.col("id") % 20 + 1).cast("int").alias("driver_number"),
+        ),
+        "race_results_silver",
+        allow_missing=True,
+    )
+
+
+def test_commit_many_publishes_all_tables(spark, tmp_path):
+    store = TableStore(spark, str(tmp_path / "wh"))
+    store.commit_many(
+        [
+            (_sessions(spark, 5, gp="monaco"), "sessions_silver"),
+            (_results(spark, 7, gp="monaco"), "race_results_silver"),
+        ]
+    )
+    assert store.read("sessions_silver").count() == 5
+    assert store.read("race_results_silver").count() == 7
+    # both live paths are committed versions
+    for t in ("sessions_silver", "race_results_silver"):
+        cur = os.path.realpath(store.path(t))
+        assert os.path.exists(os.path.join(cur, ".committed"))
+
+
+def test_publish_many_is_all_or_nothing_on_rival_commit(spark, tmp_path):
+    """A rival commit to ONE table between stage and publish must fail the
+    WHOLE batch: neither table advances, staged dirs stay unpublished."""
+    from f1_datalakehouse_pipeline_spark.sources.tables import ConcurrentWriteError
+
+    root = str(tmp_path / "wh")
+    store = TableStore(spark, root)
+    store.commit_many(
+        [
+            (_sessions(spark, 5, gp="monaco"), "sessions_silver"),
+            (_results(spark, 7, gp="monaco"), "race_results_silver"),
+        ]
+    )
+    staged = store.stage_many(
+        [
+            (_sessions(spark, 9, gp="miami"), "sessions_silver"),
+            (_results(spark, 11, gp="miami"), "race_results_silver"),
+        ]
+    )
+    # rival single-table commit lands in between
+    TableStore(spark, root).overwrite(
+        _results(spark, 3, gp="rival"), "race_results_silver"
+    )
+    with pytest.raises(ConcurrentWriteError, match="live version changed"):
+        store.publish_many(staged)
+    # nothing from the batch is visible: sessions stayed at monaco/5,
+    # results at the rival's commit
+    s = store.read("sessions_silver")
+    assert s.count() == 5
+    assert s.select("grand_prix_name").distinct().collect()[0][0] == "monaco"
+    r = store.read("race_results_silver")
+    assert r.count() == 3
+    assert r.select("grand_prix_name").distinct().collect()[0][0] == "rival"
+    # the staged dirs remain unmarked (orphans for GC), never listed
+    for table, vdir, _ in staged:
+        assert not os.path.exists(os.path.join(vdir, ".committed"))
+        assert vdir not in [os.path.realpath(v) for v in store.versions(table)]
+
+
+def test_stage_many_rejects_duplicate_tables(spark, tmp_path):
+    store = TableStore(spark, str(tmp_path / "wh"))
+    with pytest.raises(ValueError, match="duplicate table"):
+        store.stage_many(
+            [
+                (_sessions(spark, 2), "sessions_silver"),
+                (_sessions(spark, 3), "sessions_silver"),
+            ]
+        )
