@@ -163,6 +163,39 @@ def minhash_signatures(
     )
 
 
+def _band_signatures(sh: DataFrame, n_hashes: int, bands: int) -> DataFrame:
+    """(doc, band, band_sig) banded MinHash signatures from a shingle
+    inverted index ``sh(doc, h)``.
+
+    Wide signature first: ONE groupBy(doc) computes all n_hashes mins; band
+    signatures are then a pure projection (explode of per-band structs) —
+    no second shuffle (the long-form explode→groupBy(doc,band) alternative
+    re-shuffles the signatures for nothing). Each band's minhashes are
+    xxhash64-folded into ONE long (8-byte join key instead of an ~80-byte
+    concat string — less shuffle IO, cheaper hash/compare; ANSI-safe, unlike
+    manual overflow arithmetic). A 64-bit collision could admit a candidate
+    pair the exact band match wouldn't, but callers verify with exact
+    Jaccard, so the OUTPUT is unchanged; only (astronomically rare) extra
+    verify work is at stake.
+    """
+    rows_per_band = n_hashes // bands
+    terms = [F.min(minhash_term(F.col("h"), i)).alias(f"mh{i}") for i in range(n_hashes)]
+    wide = sh.groupBy("doc").agg(*terms)
+
+    def _band_sig(b: int):
+        return F.xxhash64(
+            *[F.col(f"mh{b * rows_per_band + j}") for j in range(rows_per_band)]
+        )
+
+    band_structs = [
+        F.struct(F.lit(b).alias("band"), _band_sig(b).alias("band_sig"))
+        for b in range(bands)
+    ]
+    return wide.select(
+        "doc", F.explode(F.array(*band_structs)).alias("bs")
+    ).select("doc", F.col("bs.band").alias("band"), F.col("bs.band_sig").alias("band_sig"))
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -189,38 +222,13 @@ def minhash_lsh_pairs(
     seconds). Jaccard is then similarity over non-boilerplate content —
     the semantics a real dedup pass wants anyway.
     """
-    rows_per_band = n_hashes // bands
     # One shingle scan shared by signatures and verification; caching it
     # avoids recomputing the tokenize→shingle→hash chain in each branch.
     sh = _shingle_table(df, id_col, content_col, k)
     if max_doc_frequency is not None:
         sh = _drop_hot_shingles(sh, max_doc_frequency)
     sh = sh.cache()
-    # Wide signature: ONE groupBy(doc) computes all n_hashes mins; band
-    # signatures are then a pure projection (explode of per-band structs) —
-    # no second shuffle (the long-form explode→groupBy(doc,band) alternative
-    # re-shuffles the signatures for nothing).
-    terms = [F.min(minhash_term(F.col("h"), i)).alias(f"mh{i}") for i in range(n_hashes)]
-    wide = sh.groupBy("doc").agg(*terms)
-    def _band_sig(b: int):
-        # xxhash64 the band's minhashes into ONE long (8-byte join key
-        # instead of an ~80-byte concat string — less shuffle IO, cheaper
-        # hash/compare; ANSI-safe, unlike manual overflow arithmetic). A
-        # 64-bit collision could admit a candidate pair the exact band match
-        # wouldn't, but verification filters on exact Jaccard, so the OUTPUT
-        # is unchanged; only (astronomically rare) extra verify work is at
-        # stake.
-        return F.xxhash64(
-            *[F.col(f"mh{b * rows_per_band + j}") for j in range(rows_per_band)]
-        )
-
-    band_structs = [
-        F.struct(F.lit(b).alias("band"), _band_sig(b).alias("band_sig"))
-        for b in range(bands)
-    ]
-    band_sigs = wide.select(
-        "doc", F.explode(F.array(*band_structs)).alias("bs")
-    ).select("doc", F.col("bs.band").alias("band"), F.col("bs.band_sig").alias("band_sig"))
+    band_sigs = _band_signatures(sh, n_hashes, bands)
     a, b = band_sigs.alias("a"), band_sigs.alias("b")
     candidates = (
         a.join(
@@ -485,3 +493,132 @@ def apply_dedup(df: DataFrame, id_col: str, pairs: DataFrame) -> DataFrame:
     is actually small, and falls back to a shuffle join when it isn't."""
     drop = connected_keepers(pairs).filter(F.col("doc") != F.col("keeper"))
     return df.join(drop, df[id_col] == drop.doc, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Incremental (history-vs-batch) near-duplicate detection
+# ---------------------------------------------------------------------------
+
+
+def minhash_band_index(
+    corpus: DataFrame,
+    id_col: str,
+    content_col: str,
+    k: int = 3,
+    n_hashes: int = 16,
+    bands: int = 4,
+    max_doc_frequency: int | None = None,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Build the persistable MinHash-LSH index of an already-ingested corpus:
+    ``(band_sigs(doc, band, band_sig), shingles(doc, h), sizes(doc, n))``.
+
+    The 100 TB ingestion pattern is INCREMENTAL: the historical corpus is
+    indexed ONCE (or maintained by appending each accepted batch's rows),
+    persisted as parquet — band_sigs partitioned by ``band`` so a batch probe
+    co-partitions on the join key — and every new batch is checked against it
+    with :func:`novelty_pairs` at a cost proportional to the BATCH, not the
+    corpus. Re-running the self-join :func:`minhash_lsh_pairs` over
+    history+batch would re-shingle and re-shuffle the full corpus per batch.
+
+    ``sizes`` are post-cap (identical to :func:`minhash_lsh_pairs`
+    semantics): Jaccard is similarity over non-boilerplate content.
+    """
+    sh = _shingle_table(corpus, id_col, content_col, k)
+    if max_doc_frequency is not None:
+        sh = _drop_hot_shingles(sh, max_doc_frequency)
+    band_sigs = _band_signatures(sh, n_hashes, bands)
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
+    return band_sigs, sh, sizes
+
+
+def novelty_pairs(
+    batch: DataFrame,
+    history_index: tuple[DataFrame, DataFrame, DataFrame],
+    id_col: str,
+    content_col: str,
+    k: int = 3,
+    n_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Which new-batch documents near-duplicate the HISTORICAL corpus —
+    the incremental form of :func:`minhash_lsh_pairs`.
+
+    Bipartite banded LSH: the batch's band signatures equi-join the
+    history index on ``(band, band_sig)`` (never all-pairs, never a
+    history self-join), candidates are verified with exact Jaccard between
+    the batch's shingle sets and the history index's. Output:
+    ``(doc_new, doc_hist, jaccard ≥ threshold)``.
+
+    ``k``/``n_hashes``/``bands`` MUST match the parameters the index was
+    built with — band signatures are only comparable under identical
+    permutations and banding.
+    """
+    hist_bands, hist_sh, hist_sizes = history_index
+    batch_sh = _shingle_table(batch, id_col, content_col, k).cache()
+    batch_bands = _band_signatures(batch_sh, n_hashes, bands)
+    nb, hb = batch_bands.alias("nb"), hist_bands.alias("hb")
+    candidates = (
+        nb.join(
+            hb,
+            (F.col("nb.band") == F.col("hb.band"))
+            & (F.col("nb.band_sig") == F.col("hb.band_sig")),
+        )
+        .select(F.col("nb.doc").alias("doc_new"), F.col("hb.doc").alias("doc_hist"))
+        .distinct()
+    )
+    inter = (
+        candidates.join(
+            batch_sh.select(F.col("doc").alias("doc_new"), "h"), "doc_new"
+        )
+        .join(hist_sh.select(F.col("doc").alias("doc_hist"), "h"), ["doc_hist", "h"])
+        .groupBy("doc_new", "doc_hist")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    batch_sizes = batch_sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
+    nn = batch_sizes.select(F.col("doc").alias("doc_new"), F.col("n").alias("n_new"))
+    nh = hist_sizes.select(F.col("doc").alias("doc_hist"), F.col("n").alias("n_hist"))
+    return (
+        inter.join(nn, "doc_new")
+        .join(nh, "doc_hist")
+        .select(
+            "doc_new",
+            "doc_hist",
+            (
+                F.col("inter").cast("double")
+                / (F.col("n_new") + F.col("n_hist") - F.col("inter")).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def incremental_neardup_pairs(
+    history: DataFrame,
+    batch: DataFrame,
+    id_col: str,
+    content_col: str,
+    k: int = 3,
+    n_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    max_doc_frequency: int | None = None,
+) -> DataFrame:
+    """One-shot convenience: build the history index, probe it with the
+    batch (see :func:`minhash_band_index` / :func:`novelty_pairs`).
+    Production ingestion persists the index instead of rebuilding it."""
+    idx = minhash_band_index(
+        history, id_col, content_col, k, n_hashes, bands, max_doc_frequency
+    )
+    return novelty_pairs(
+        batch, idx, id_col, content_col, k, n_hashes, bands, threshold
+    )
+
+
+def filter_novel(batch: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
+    """Keep only batch rows with NO near-duplicate in history — the rows an
+    incremental ingestion admits. ``pairs`` is :func:`novelty_pairs` output.
+    Anti-join on the id; AQE broadcasts the (usually small) duplicate set at
+    runtime, same rationale as :func:`apply_dedup`."""
+    dup_ids = pairs.select(F.col("doc_new")).distinct()
+    return batch.join(dup_ids, batch[id_col] == dup_ids.doc_new, "left_anti")

@@ -1,0 +1,91 @@
+"""Repetition-based document quality statistics (Gopher-rule family).
+
+Pre-training corpora are filtered on intra-document repetition: pages that
+are mostly one phrase repeated (boilerplate, keyword spam, scraper loops)
+poison a training mix even when their token counts and punctuation ratios
+look sane. The published heuristics (Rae et al. 2021, "Scaling Language
+Models: ... Gopher", appendix A1.1; reused by C4/RefinedWeb/Dolma) threshold
+on duplicate-line / duplicate-n-gram mass per document. This module computes
+the token-level members of that family as ONE narrow aggregation —
+complementing functions/text.py's per-row quality ratios (which are pure
+projections) with the stats that genuinely need a grouped count.
+
+Scale shape: the only shuffle keys are (doc_id, bigram) then (doc_id) —
+partition-parallel in the number of documents, never corpus-global. The
+duplicate-token fraction is a pure projection (array_distinct on the token
+array), zero shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from f1_datalakehouse_pipeline_spark.functions.text import tokens
+
+
+def repetition_stats(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
+    """Per-document repetition profile:
+
+    - ``n_tokens``: whitespace token count
+    - ``dup_token_fraction``: 1 − |distinct tokens| / |tokens| (0.0 for
+      empty docs) — the token-level analogue of Gopher's duplicate-line
+      fraction for single-line corpora
+    - ``top_bigram``: the most frequent token bigram (ties → lexicographic
+      min, deterministic)
+    - ``top_bigram_count`` / ``top_bigram_fraction``: its occurrence count
+      and share of all bigram slots — Gopher's "top 2-gram character
+      fraction" in token form; near-1.0 means the document is one phrase
+      stamped repeatedly
+
+    The bigram array is built with zip_with over two 1-off slices (pure
+    projection); counting is explode → groupBy(doc, bigram) → groupBy(doc),
+    both map-side-combinable. Docs with <2 tokens have no bigrams and report
+    count 0 / fraction 0.0 via the left join.
+    """
+    toks = tokens(F.col(content_col))
+    base = df.select(
+        F.col(id_col),
+        toks.alias("toks"),
+    ).select(
+        id_col,
+        F.size("toks").alias("n_tokens"),
+        F.when(
+            F.size("toks") > 0,
+            F.lit(1.0)
+            - F.size(F.array_distinct("toks")).cast("double")
+            / F.size("toks").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_token_fraction"),
+        F.expr(
+            "zip_with(slice(toks, 1, greatest(size(toks) - 1, 0)),"
+            "         slice(toks, 2, greatest(size(toks) - 1, 0)),"
+            "         (a, b) -> concat(a, ' ', b))"
+        ).alias("bigrams"),
+    )
+    bg = base.select(id_col, F.explode("bigrams").alias("bg"))
+    counts = bg.groupBy(id_col, "bg").agg(F.count(F.lit(1)).alias("cnt"))
+    top = counts.groupBy(id_col).agg(
+        F.min_by("bg", F.struct(-F.col("cnt"), F.col("bg"))).alias("top_bigram"),
+        F.max("cnt").alias("top_bigram_count"),
+        F.sum("cnt").alias("total_bigrams"),
+    )
+    return (
+        base.drop("bigrams")
+        .join(top, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            "dup_token_fraction",
+            "top_bigram",
+            F.coalesce("top_bigram_count", F.lit(0)).alias("top_bigram_count"),
+            F.when(
+                F.col("total_bigrams") > 0,
+                F.col("top_bigram_count").cast("double")
+                / F.col("total_bigrams").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("top_bigram_fraction"),
+        )
+    )

@@ -227,9 +227,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.2)
 
 
-def _duck_minhash_ctes(threshold: float, recursive: bool = False) -> str:
-    """The minhash-LSH pair computation as a reusable CTE block ending in a
-    ``pairs(doc_a, doc_b, jaccard)`` CTE."""
+def _duck_mh_bands() -> tuple[str, str]:
+    """DuckDB fragments for the 16-hash / 4-band MinHash signature: the
+    ``mh`` aggregate list and the banded-signature UNION (string-concat band
+    sig — equivalent to Spark's xxhash64 fold modulo the documented
+    astronomically-rare collision, which exact-Jaccard verification makes
+    output-invisible on both engines)."""
     mins = ", ".join(
         f"MIN(({MINHASH_A[i]} * h + {MINHASH_B[i]}) % {MINHASH_P}) AS mh{i}"
         for i in range(16)
@@ -240,6 +243,13 @@ def _duck_minhash_ctes(threshold: float, recursive: bool = False) -> str:
         + " AS band_sig FROM mh"
         for b in range(4)
     )
+    return mins, bands
+
+
+def _duck_minhash_ctes(threshold: float, recursive: bool = False) -> str:
+    """The minhash-LSH pair computation as a reusable CTE block ending in a
+    ``pairs(doc_a, doc_b, jaccard)`` CTE."""
+    mins, bands = _duck_mh_bands()
     return f"""
     WITH {"RECURSIVE" if recursive else ""} {_DUCK_SHINGLE_TABLE},
     mh AS (SELECT doc, {mins} FROM sh GROUP BY doc),
@@ -265,6 +275,174 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return dedup.minhash_lsh_pairs(
         docs, "doc_id", "text", k=3, n_hashes=16, bands=4, threshold=0.2
+    )
+
+
+@query(
+    "t_repetition_quality",
+    f"""
+    WITH tokd AS (SELECT doc_id, {_DUCK_TOKS.format(x='text')} AS toks FROM documents),
+    base AS (
+      SELECT doc_id,
+             CAST(len(toks) AS INTEGER) AS n_tokens,
+             CASE WHEN len(toks) > 0
+                  THEN 1.0 - CAST(len(list_distinct(toks)) AS DOUBLE)
+                             / CAST(len(toks) AS DOUBLE)
+                  ELSE 0.0 END AS dup_token_fraction,
+             list_transform(generate_series(1, greatest(len(toks) - 1, 0)),
+                            i -> toks[i] || ' ' || toks[i + 1]) AS bigrams
+      FROM tokd
+    ),
+    bg AS (SELECT doc_id, unnest(bigrams) AS bg FROM base),
+    counts AS (SELECT doc_id, bg, COUNT(*) AS cnt FROM bg GROUP BY 1, 2),
+    ranked AS (
+      SELECT doc_id, bg, cnt,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cnt DESC, bg) AS rn,
+             SUM(cnt) OVER (PARTITION BY doc_id) AS total
+      FROM counts
+    ),
+    top AS (SELECT doc_id, bg AS top_bigram, cnt AS top_cnt, total
+            FROM ranked WHERE rn = 1)
+    SELECT b.doc_id, b.n_tokens, b.dup_token_fraction,
+           t.top_bigram,
+           COALESCE(t.top_cnt, 0) AS top_bigram_count,
+           CASE WHEN t.total > 0
+                THEN CAST(t.top_cnt AS DOUBLE) / CAST(t.total AS DOUBLE)
+                ELSE 0.0 END AS top_bigram_fraction
+    FROM base b LEFT JOIN top t USING (doc_id)
+    """,
+)
+def t_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-document repetition profile over the documents
+    corpus (operators/textstats.repetition_stats)."""
+    from f1_datalakehouse_pipeline_spark.operators.textstats import repetition_stats
+    from f1_datalakehouse_pipeline_spark.operators.util import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    return repetition_stats(docs, "doc_id", "text")
+
+
+def _duck_pii_sql() -> str:
+    from f1_datalakehouse_pipeline_spark.functions.pii import (
+        EMAIL_RE,
+        IPV4_RE,
+        PHONE_RE,
+    )
+
+    phone = (
+        "CAST(10 + c_custkey % 25 AS VARCHAR) || '-' "
+        "|| CAST(100 + (c_custkey * 3) % 900 AS VARCHAR) || '-' "
+        "|| CAST(100 + (c_custkey * 11) % 900 AS VARCHAR) || '-' "
+        "|| CAST(1000 + (c_custkey * 17) % 9000 AS VARCHAR)"
+    )
+    blob = (
+        "c_name || ' <' || lower(replace(c_name, '#', '.')) || '@example.com> tel ' "
+        f"|| {phone} || ' last login from ' "
+        "|| CAST(c_custkey % 223 AS VARCHAR) || '.' "
+        "|| CAST((c_custkey * 7) % 251 AS VARCHAR) || '.' "
+        "|| CAST((c_custkey * 13) % 254 AS VARCHAR) || '.' "
+        "|| CAST((c_custkey * 29) % 255 AS VARCHAR)"
+    )
+    return f"""
+    WITH blob AS (SELECT c_custkey, c_name, {blob} AS txt FROM customer)
+    SELECT c_custkey,
+           regexp_replace(regexp_replace(regexp_replace(
+               txt, '{EMAIL_RE}', '<EMAIL>', 'g'),
+               '{PHONE_RE}', '<PHONE>', 'g'),
+               '{IPV4_RE}', '<IP>', 'g') AS scrubbed,
+           CAST(len(regexp_extract_all(txt, '{EMAIL_RE}')) AS INTEGER) AS n_emails,
+           CAST(len(regexp_extract_all(txt, '{PHONE_RE}')) AS INTEGER) AS n_phones,
+           CAST(len(regexp_extract_all(txt, '{IPV4_RE}')) AS INTEGER) AS n_ips,
+           substr(md5('corpus-v1' || c_name), 1, 12) AS name_token
+    FROM blob
+    """
+
+
+@query("t_pii_redact", _duck_pii_sql())
+def t_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub battery (functions/pii.py) over a synthetic contact blob
+    built from real customer fields: counts detected identifiers on the raw
+    text, emits the scrubbed text and a salted pseudonym for the name —
+    all native expressions, zero UDFs."""
+    from f1_datalakehouse_pipeline_spark.functions import pii
+
+    cust = load_table(spark, sf_dir, "customer")
+    txt = F.concat(
+        F.col("c_name"),
+        F.lit(" <"),
+        F.lower(F.replace(F.col("c_name"), F.lit("#"), F.lit("."))),
+        F.lit("@example.com> tel "),
+        (F.lit(10) + F.col("c_custkey") % 25).cast("string"),
+        F.lit("-"),
+        (F.lit(100) + (F.col("c_custkey") * 3) % 900).cast("string"),
+        F.lit("-"),
+        (F.lit(100) + (F.col("c_custkey") * 11) % 900).cast("string"),
+        F.lit("-"),
+        (F.lit(1000) + (F.col("c_custkey") * 17) % 9000).cast("string"),
+        F.lit(" last login from "),
+        (F.col("c_custkey") % 223).cast("string"),
+        F.lit("."),
+        ((F.col("c_custkey") * 7) % 251).cast("string"),
+        F.lit("."),
+        ((F.col("c_custkey") * 13) % 254).cast("string"),
+        F.lit("."),
+        ((F.col("c_custkey") * 29) % 255).cast("string"),
+    )
+    return cust.select(
+        "c_custkey",
+        txt.alias("txt"),
+        F.col("c_name"),
+    ).select(
+        "c_custkey",
+        pii.scrub_pii(F.col("txt")).alias("scrubbed"),
+        pii.count_matches(F.col("txt"), pii.EMAIL_RE).alias("n_emails"),
+        pii.count_matches(F.col("txt"), pii.PHONE_RE).alias("n_phones"),
+        pii.count_matches(F.col("txt"), pii.IPV4_RE).alias("n_ips"),
+        pii.pseudonymize(F.col("c_name"), "corpus-v1").alias("name_token"),
+    )
+
+
+def _duck_novelty_sql(threshold: float) -> str:
+    """Bipartite (history vs new-batch) variant of the minhash oracle: the
+    batch is doc_id % 10 >= 8, history is the rest; candidates come from the
+    cross-side band match only (no self-joins within a side). A band match
+    implies ≥1 shared 48-bit shingle hash (the permutations a·h+b mod P are
+    injective in h), so the inner join against the all-pairs ``jac`` CTE
+    never drops a candidate."""
+    mins, bands = _duck_mh_bands()
+    return f"""
+    WITH {_DUCK_SHINGLE_TABLE},
+    mh AS (SELECT doc, {mins} FROM sh GROUP BY doc),
+    bands AS ({bands}),
+    cand AS (
+      SELECT DISTINCT a.doc AS doc_new, b.doc AS doc_hist
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_sig = b.band_sig
+      WHERE a.doc % 10 >= 8 AND b.doc % 10 < 8
+    ),
+    res AS (
+      SELECT c.doc_new, c.doc_hist, j.jaccard
+      FROM cand c JOIN jac j
+        ON j.doc_a = least(c.doc_new, c.doc_hist)
+       AND j.doc_b = greatest(c.doc_new, c.doc_hist)
+      WHERE j.jaccard >= {threshold}
+    )
+    SELECT doc_new, doc_hist, jaccard FROM res
+    """
+
+
+@query("dedup_incremental_novelty", _duck_novelty_sql(0.2))
+def dedup_incremental_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion dedup: which docs in the incoming batch
+    (doc_id % 10 >= 8) near-duplicate the already-ingested history
+    (doc_id % 10 < 8). Exercises operators/dedup.minhash_band_index +
+    novelty_pairs — the persistable-index path a 100 TB pipeline runs per
+    batch instead of re-self-joining the whole corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    history = docs.filter(F.col("doc_id") % 10 < 8)
+    batch = docs.filter(F.col("doc_id") % 10 >= 8)
+    return dedup.incremental_neardup_pairs(
+        history, batch, "doc_id", "text", k=3, n_hashes=16, bands=4, threshold=0.2
     )
 
 
