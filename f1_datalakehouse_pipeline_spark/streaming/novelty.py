@@ -1,0 +1,160 @@
+"""Streaming corpus ingestion with cross-batch near-duplicate rejection
+(SURVEY §2.9 extension; the reference has no streaming at all).
+
+The incremental-dedup operator (``operators/dedup.minhash_band_index`` /
+``novelty_pairs`` — oracle-verified as ``dedup_incremental_novelty``) run as
+a CONTINUOUS admission gate: every micro-batch of incoming documents is
+
+1. deduplicated WITHIN the batch (banded-LSH self-join — two copies landing
+   together must not both be admitted),
+2. probed against the accumulated history index on disk (bipartite banded
+   LSH — a copy of anything admitted in ANY earlier batch is rejected),
+3. and the survivors are appended to the corpus sink WHILE their own
+   signature rows are appended to the index — so batch N+1 sees them.
+
+Admission is therefore order-dependent by design (first arrival wins),
+exactly the semantics an append-only training-corpus intake wants.
+
+State lives in the on-disk index (three parquet dirs: ``bands/`` partitioned
+by band, ``shingles/``, ``sizes/``), not in Spark streaming state — the
+index is the product, readable by any batch job, and survives restarts with
+the checkpoint. Per-batch cost: shingling/banding the batch itself, a bucket
+join against the bands index, and an exact-Jaccard verify that scans index
+shingles only for candidate pairs (AQE broadcasts the usually-tiny candidate
+set). At 100 TB the shingles dir would additionally be bucketed by doc so
+the verify join co-locates; the layout seam is this module's writer.
+
+Crash consistency: the data append and the index append are two writes; a
+crash between them re-delivers the batch (foreachBatch is at-least-once),
+which would double-append. Wrap the returned upsert with
+``incremental.exactly_once_batch_writer`` — as :func:`novelty_ingest_stream`
+does by default — so completed batches are skipped on replay; a crash inside
+the two-write window re-runs a batch whose rejects are recomputed
+identically (the probe is deterministic), so the only residue is duplicate
+index/data rows for that single batch, which the admission semantics
+tolerate (extra copies of the same signature change no verdict) — documented
+at-most-one-batch weakening, same contract as the TableStore ledger notes.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from f1_datalakehouse_pipeline_spark.operators import dedup
+from f1_datalakehouse_pipeline_spark.streaming.incremental import (
+    exactly_once_batch_writer,
+)
+
+
+def _read_index(
+    spark: SparkSession, index_path: str
+) -> tuple[DataFrame, DataFrame, DataFrame] | None:
+    """Load the on-disk history index, or None before the first admission."""
+    if not os.path.isdir(os.path.join(index_path, "bands")):
+        return None
+    return (
+        spark.read.parquet(os.path.join(index_path, "bands")),
+        spark.read.parquet(os.path.join(index_path, "shingles")),
+        spark.read.parquet(os.path.join(index_path, "sizes")),
+    )
+
+
+def _append_index(
+    index_path: str, index: tuple[DataFrame, DataFrame, DataFrame]
+) -> None:
+    bands, sh, sizes = index
+    bands.write.mode("append").partitionBy("band").parquet(
+        os.path.join(index_path, "bands")
+    )
+    sh.write.mode("append").parquet(os.path.join(index_path, "shingles"))
+    sizes.write.mode("append").parquet(os.path.join(index_path, "sizes"))
+
+
+def admit_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    id_col: str,
+    content_col: str,
+    index_path: str,
+    out_path: str,
+    k: int = 3,
+    n_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> None:
+    """One micro-batch through the admission gate (see module docstring)."""
+    # 1. within-batch dedup: keep one representative per near-dup cluster
+    batch_df = batch_df.cache()
+    intra = dedup.minhash_lsh_pairs(
+        batch_df, id_col, content_col, k=k, n_hashes=n_hashes, bands=bands,
+        threshold=threshold,
+    )
+    survivors = dedup.apply_dedup(batch_df, id_col, intra)
+    # 2. probe the accumulated history
+    index = _read_index(spark, index_path)
+    if index is not None:
+        hits = dedup.novelty_pairs(
+            survivors, index, id_col, content_col,
+            k=k, n_hashes=n_hashes, bands=bands, threshold=threshold,
+        )
+        survivors = dedup.filter_novel(survivors, hits, id_col)
+    # 3. admit: corpus append + index append (the order matters for readers:
+    # an index row without its corpus row only causes over-rejection, never
+    # admission of a duplicate — so the index write goes LAST)
+    survivors = survivors.cache()
+    survivors.withColumn("ingest_batch_id", F.lit(batch_id)).write.mode(
+        "append"
+    ).parquet(out_path)
+    _append_index(
+        index_path,
+        dedup.minhash_band_index(
+            survivors, id_col, content_col, k=k, n_hashes=n_hashes, bands=bands
+        ),
+    )
+    survivors.unpersist()
+    batch_df.unpersist()
+
+
+def novelty_ingest_stream(
+    stream_docs: DataFrame,
+    id_col: str,
+    content_col: str,
+    index_path: str,
+    out_path: str,
+    checkpoint_dir: str,
+    k: int = 3,
+    n_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Start the admission gate over a streaming DataFrame of documents.
+
+    Admitted (first-arrival) rows land under ``out_path`` with an
+    ``ingest_batch_id`` column; the growing LSH index lives under
+    ``index_path``. The batch-id ledger sits beside the checkpoint so
+    checkpoint and ledger survive together (ADVICE r3 contract).
+    """
+    spark = stream_docs.sparkSession
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        admit_batch(
+            spark, batch_df, batch_id, id_col, content_col,
+            index_path, out_path,
+            k=k, n_hashes=n_hashes, bands=bands, threshold=threshold,
+        )
+
+    wrapped = exactly_once_batch_writer(
+        upsert, os.path.join(checkpoint_dir, "_ingest_ledger")
+    )
+    writer = stream_docs.writeStream.foreachBatch(wrapped).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -326,3 +326,44 @@ def test_ivf_disk_index_prunes_lists(spark, tmp_path):
     # and the query still answers correctly-shaped results
     out = q.collect()
     assert out and all(r.rnk <= 3 for r in out)
+
+
+def test_novelty_probe_not_cartesian_and_no_history_self_join(spark, sf_dir):
+    """The incremental novelty probe must be equi-joins only (band bucket +
+    shingle hash) — no cartesian/nested-loop — and the history side must be
+    scanned for indexing, never self-joined."""
+    from f1_datalakehouse_pipeline_spark.operators import dedup
+    from f1_datalakehouse_pipeline_spark.sources.testdata import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    history = docs.filter(F.col("doc_id") % 10 < 8)
+    batch = docs.filter(F.col("doc_id") % 10 >= 8)
+    plan = plan_of(
+        dedup.incremental_neardup_pairs(history, batch, "doc_id", "text", threshold=0.2)
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pii_scrub_is_pure_projection(spark, sf_dir):
+    """The PII scrub query is a single scan → project: zero shuffle
+    exchanges, zero joins — the shape a 100 TB map-only pass needs."""
+    from f1_datalakehouse_pipeline_spark.registry import queries
+
+    plan = plan_of(queries()["t_pii_redact"](spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_repetition_stats_two_aggregates_no_python(spark, sf_dir):
+    """Repetition stats: the only shuffles are the (doc,bigram) and (doc)
+    aggregations plus the join back to the per-doc base — all
+    map-side-combinable HashAggregates, no Python evaluation."""
+    from f1_datalakehouse_pipeline_spark.registry import queries
+
+    plan = plan_of(queries()["t_repetition_quality"](spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    # both aggregation levels are hash aggregates (partial + final pairs)
+    assert plan.count("HashAggregate") >= 4

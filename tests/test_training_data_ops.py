@@ -1148,3 +1148,61 @@ def test_pseudonymize_stable_and_salted(spark):
     assert tok[1][0] != tok[3][0]        # different value → different token
     assert tok[1][0] != tok[1][1]        # salt rotation breaks linkage
     assert len(tok[1][0]) == 12
+
+
+def test_novelty_ingest_stream_cross_batch_admission(spark, tmp_path):
+    """E2E: the streaming admission gate rejects within-batch AND
+    cross-batch near-duplicates, admits first arrivals, and a later drain
+    keeps building on the same on-disk index."""
+    from f1_datalakehouse_pipeline_spark.streaming.novelty import (
+        novelty_ingest_stream,
+    )
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    a = "the quick brown fox jumps over the lazy dog again and again"
+    b = "completely different prose describing shuffle partitions in spark"
+    c = "a third unrelated text about parquet footers and column statistics"
+    d = "yet another novel document mentioning broadcast joins and skew"
+
+    def land_file(name, rows):
+        spark.createDataFrame(rows, ["doc_id", "text"]).coalesce(1).write.parquet(
+            str(land / name)
+        )
+
+    land_file("f1", [(1, a), (2, a), (3, b)])      # 2 is a within-batch dup
+    land_file("f2", [(4, a), (5, c)])              # 4 duplicates batch-1's 1
+
+    schema = "doc_id BIGINT, text STRING"
+    from pyspark.sql.types import StructType
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(str(land / "*"))
+    )
+    idx, out, ckpt = str(tmp_path / "idx"), str(tmp_path / "out"), str(tmp_path / "ck")
+    q = novelty_ingest_stream(
+        stream, "doc_id", "text", idx, out, ckpt, threshold=0.5
+    )
+    q.awaitTermination(120)
+    admitted = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert admitted == {1, 3, 5}
+
+    # second drain: another copy of a (reject) + novel doc (admit)
+    land_file("f3", [(6, a), (7, d)])
+    q2 = novelty_ingest_stream(
+        stream, "doc_id", "text", idx, out, ckpt, threshold=0.5
+    )
+    q2.awaitTermination(120)
+    admitted2 = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert admitted2 == {1, 3, 5, 7}
+
+    # replay drain with nothing new: no duplicate appends
+    q3 = novelty_ingest_stream(
+        stream, "doc_id", "text", idx, out, ckpt, threshold=0.5
+    )
+    q3.awaitTermination(120)
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 4 and {r.doc_id for r in rows} == {1, 3, 5, 7}
