@@ -114,6 +114,9 @@ def main() -> None:
         # r4 additions
         "contamination_pairs",
         "scd2_splice_backdated",
+        "dedup_incremental_novelty",
+        "t_repetition_quality",
+        "t_pii_redact",
     ]
     # r4 (VERDICT r3 item 7): extras get the same median-of-3 + spread
     # treatment as the headline, so regressions on dedup_docs_pipeline-class

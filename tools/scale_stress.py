@@ -189,6 +189,55 @@ def run_ann_scale(spark: SparkSession, sf_dir: str, factor: int) -> dict:
     return r
 
 
+def run_novelty_scale(spark: SparkSession, sf_dir: str, factor: int) -> dict:
+    """Quantify the incremental-dedup amortization claim: per-batch cost of
+    probing a PREBUILT on-disk index vs re-running the full-corpus self-join
+    (what a pipeline without the index pays every batch).
+
+    Split: 90% of the scaled corpus is 'history', 10% is the incoming batch.
+    Three timings: the naive self-join over history+batch, the ONE-TIME index
+    build+persist, and the recurring probe against the reloaded index.
+    """
+    import shutil
+
+    docs = scaled_docs(spark, sf_dir, factor)
+    history = docs.filter(F.col("doc_id") % 10 < 9)
+    batch = docs.filter(F.col("doc_id") % 10 >= 9)
+    r: dict = {"history_docs": history.count(), "batch_docs": batch.count()}
+
+    r["selfjoin_sec"], r["selfjoin_pairs"] = timed(
+        "full self-join (naive per-batch cost)",
+        lambda: dedup.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5).count(),
+    )
+
+    idx_path = os.path.join(CACHE, f"novelty_idx_x{factor}")
+    shutil.rmtree(idx_path, ignore_errors=True)
+
+    def build():
+        bands, sh, sizes = dedup.minhash_band_index(history, "doc_id", "text")
+        bands.write.partitionBy("band").parquet(idx_path + "/bands")
+        sh.write.parquet(idx_path + "/shingles")
+        sizes.write.parquet(idx_path + "/sizes")
+        return 0
+
+    r["index_build_sec"], _ = timed("index build+persist (one-time)", build)
+
+    index = (
+        spark.read.parquet(idx_path + "/bands"),
+        spark.read.parquet(idx_path + "/shingles"),
+        spark.read.parquet(idx_path + "/sizes"),
+    )
+    r["probe_sec"], r["probe_pairs"] = timed(
+        "batch probe vs prebuilt index (recurring cost)",
+        lambda: dedup.novelty_pairs(
+            batch, index, "doc_id", "text", threshold=0.5
+        ).count(),
+    )
+    r["amortized_speedup"] = round(r["selfjoin_sec"] / max(r["probe_sec"], 1e-9), 2)
+    print(f"  {r}", flush=True)
+    return r
+
+
 def generate_bronze_scaled(
     spark: SparkSession,
     root: str,
@@ -442,6 +491,7 @@ def main() -> None:
     ap.add_argument("--facts", action="store_true", help="scale the lineitem fact side instead of documents")
     ap.add_argument("--ann", action="store_true", help="scale the embeddings table and measure ANN variants")
     ap.add_argument("--pipeline", action="store_true", help="run the full F1 pipeline at ~2.5M lap rows")
+    ap.add_argument("--novelty", action="store_true", help="measure incremental-probe amortization vs full self-join")
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     args = ap.parse_args()
     factors = [int(f) for f in args.factors.split(",")]
@@ -469,6 +519,13 @@ def main() -> None:
         for factor in factors:
             print(f"ann factor {factor}:", flush=True)
             results[str(factor)] = run_ann_scale(spark, args.sf_dir, factor)
+        print(json.dumps(results, indent=2))
+        return
+
+    if args.novelty:
+        for factor in factors:
+            print(f"novelty factor {factor}:", flush=True)
+            results[str(factor)] = run_novelty_scale(spark, args.sf_dir, factor)
         print(json.dumps(results, indent=2))
         return
 
