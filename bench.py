@@ -117,6 +117,9 @@ def main() -> None:
         "dedup_incremental_novelty",
         "t_repetition_quality",
         "t_pii_redact",
+        "t_chunk_documents",
+        "tpch_q14_promo_revenue",
+        "tpch_q19_disjunctive_revenue",
     ]
     # r4 (VERDICT r3 item 7): extras get the same median-of-3 + spread
     # treatment as the headline, so regressions on dedup_docs_pipeline-class

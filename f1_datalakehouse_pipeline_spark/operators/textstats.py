@@ -89,3 +89,52 @@ def repetition_stats(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
             .alias("top_bigram_fraction"),
         )
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    content_col: str,
+    chunk_tokens: int = 128,
+    overlap_tokens: int = 32,
+) -> DataFrame:
+    """Split each document into overlapping token windows — the context-prep
+    step before packing/tokenization when documents exceed the model's
+    sequence budget (the companion of ``operators/util.pack_sequences``,
+    which handles the too-SHORT side).
+
+    Stride = chunk_tokens − overlap_tokens (must be positive). Chunk *i*
+    covers tokens ``[i·stride + 1, i·stride + chunk_tokens]`` (1-based,
+    clamped at the document end); every document emits at least one chunk
+    (an empty doc yields one empty chunk, so no rows silently vanish from a
+    corpus accounting). Output: (id, chunk_idx, chunk_text, n_chunk_tokens).
+
+    Scale shape: tokenize → per-row index sequence → one explode. A pure
+    projection pipeline — ZERO shuffles, no window, no join; 100 TB of
+    documents chunk as an embarrassingly parallel map stage.
+    """
+    if chunk_tokens <= overlap_tokens:
+        raise ValueError("chunk_tokens must exceed overlap_tokens")
+    stride = chunk_tokens - overlap_tokens
+    toks = tokens(F.col(content_col))
+    base = df.select(F.col(id_col), toks.alias("toks")).withColumn(
+        "n_chunks",
+        F.expr(
+            f"1 + div(greatest(size(toks) - {chunk_tokens}, 0) + {stride - 1}, {stride})"
+        ).cast("int"),
+    )
+    chunk = F.explode(
+        F.transform(
+            F.sequence(F.lit(0), F.col("n_chunks") - 1),
+            lambda i: F.struct(
+                i.cast("int").alias("chunk_idx"),
+                F.slice(F.col("toks"), i * stride + 1, chunk_tokens).alias("ctoks"),
+            ),
+        )
+    )
+    return base.select(id_col, chunk.alias("c")).select(
+        id_col,
+        F.col("c.chunk_idx").alias("chunk_idx"),
+        F.concat_ws(" ", F.col("c.ctoks")).alias("chunk_text"),
+        F.size("c.ctoks").alias("n_chunk_tokens"),
+    )

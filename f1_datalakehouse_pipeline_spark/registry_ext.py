@@ -1568,6 +1568,140 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "t_chunk_documents",
+    f"""
+    WITH tokd AS (SELECT doc_id, {_DUCK_TOKS.format(x='text')} AS toks FROM documents),
+    base AS (
+      SELECT doc_id, toks,
+             CAST(1 + (greatest(len(toks) - 32, 0) + 23) // 24 AS INTEGER) AS n_chunks
+      FROM tokd
+    ),
+    idx AS (
+      SELECT doc_id, toks,
+             CAST(unnest(generate_series(0, n_chunks - 1)) AS INTEGER) AS chunk_idx
+      FROM base
+    )
+    SELECT doc_id, chunk_idx,
+           array_to_string(list_slice(toks, chunk_idx * 24 + 1, chunk_idx * 24 + 32), ' ') AS chunk_text,
+           CAST(len(list_slice(toks, chunk_idx * 24 + 1, chunk_idx * 24 + 32)) AS INTEGER) AS n_chunk_tokens
+    FROM idx
+    """,
+)
+def t_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (operators/textstats.chunk_documents,
+    32-token windows, 8-token overlap) — the long-document context-prep step
+    of a training pipeline, as a zero-shuffle projection."""
+    from f1_datalakehouse_pipeline_spark.operators.textstats import chunk_documents
+    from f1_datalakehouse_pipeline_spark.operators.util import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    return chunk_documents(docs, "doc_id", "text", chunk_tokens=32, overlap_tokens=8)
+
+
+@query(
+    "tpch_q14_promo_revenue",
+    """
+    SELECT CAST(100.0 AS DOUBLE)
+             * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                             THEN CAST(l_extendedprice AS DECIMAL(12,2))
+                                  * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                             ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+             / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+             AS promo_revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1995-10-01 00:00:00'
+    """,
+)
+def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q14 shape: one-month fact slice joined to the part dim, promo
+    # revenue as a share of total. The month filter pushes to the parquet
+    # scan; part broadcasts; both sums are exact decimals so the final
+    # double ratio is bit-stable cross-engine.
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        1 - F.col("l_discount").cast("decimal(4,2)")
+    )
+    promo = F.sum(
+        F.when(F.col("p_type") == "PROMO", rev).otherwise(
+            F.lit(0).cast("decimal(12,2)")
+        )
+    )
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1995-09-01"))
+            & (F.col("l_shipdate") < F.lit("1995-10-01"))
+        )
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            (F.lit(100.0) * promo.cast("double") / F.sum(rev).cast("double")).alias(
+                "promo_revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "tpch_q19_disjunctive_revenue",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q19 shape (adapted to this testdata's columns — no
+    # p_container/l_shipmode here): an OR-of-ANDs predicate straddling both
+    # join sides. Catalyst splits it: the part-only disjunction
+    # (brand+size) and the lineitem-only disjunction (quantity ranges) are
+    # derived and pushed below the join as partial filters, and the exact
+    # mixed predicate re-applies after — the classic disjunctive-pushdown
+    # surface the plain conjunctive queries never exercise.
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        1 - F.col("l_discount").cast("decimal(4,2)")
+    )
+    qty = F.col("l_quantity")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & qty.between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & qty.between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 15)
+            & qty.between(20, 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
     "w18_first_last_value",
     """
     SELECT event_id, user_id, CAST(value AS DOUBLE) AS value,

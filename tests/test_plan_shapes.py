@@ -367,3 +367,30 @@ def test_repetition_stats_two_aggregates_no_python(spark, sf_dir):
     assert "CartesianProduct" not in plan
     # both aggregation levels are hash aggregates (partial + final pairs)
     assert plan.count("HashAggregate") >= 4
+
+
+def test_chunking_zero_exchanges(spark, sf_dir):
+    """Document chunking must be a pure map pipeline: scan → project →
+    explode, no shuffles. (The registry query adds a verify-harness
+    repartition via spread(); the operator itself is exchange-free.)"""
+    from f1_datalakehouse_pipeline_spark.operators.textstats import chunk_documents
+    from f1_datalakehouse_pipeline_spark.sources.testdata import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = plan_of(chunk_documents(docs, "doc_id", "text"))
+    assert plan.count("Exchange") == 0
+    assert "Generate" in plan  # the explode
+
+
+def test_q19_disjunction_pushed_to_both_scans(spark, sf_dir):
+    """The OR-of-ANDs predicate must yield derived partial filters pushed
+    below the join on BOTH sides (lineitem quantity ranges, part
+    brand/size), not a post-join-only filter."""
+    plan = plan_of(registry.queries()["tpch_q19_disjunctive_revenue"](spark, sf_dir))
+    assert "PushedFilters: [" in plan
+    # lineitem side: quantity range disjunction reaches the scan
+    assert "l_quantity" in plan.split("PushedFilters")[1][:400] or \
+           "l_quantity" in [seg[:400] for seg in plan.split("PushedFilters")[1:]][0]
+    # part side: brand disjunction reaches its scan
+    part_scan = [seg for seg in plan.split("PushedFilters") if "p_brand" in seg[:500]]
+    assert part_scan, "no pushed filter mentioning p_brand on the part scan"

@@ -1206,3 +1206,38 @@ def test_novelty_ingest_stream_cross_batch_admission(spark, tmp_path):
     q3.awaitTermination(120)
     rows = spark.read.parquet(out).collect()
     assert len(rows) == 4 and {r.doc_id for r in rows} == {1, 3, 5, 7}
+
+
+def test_chunk_documents_coverage_and_edges(spark):
+    from f1_datalakehouse_pipeline_spark.operators.textstats import chunk_documents
+
+    long_text = " ".join(f"w{i}" for i in range(100))
+    rows = [
+        (1, long_text),                       # 100 tokens → 4 chunks @ 40/10
+        (2, " ".join(f"x{i}" for i in range(40))),  # exactly one chunk
+        (3, "a b"),                           # shorter than one chunk
+        (4, ""),                              # empty → one empty chunk
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = chunk_documents(df, "doc_id", "text", chunk_tokens=40, overlap_tokens=10)
+    rowsd = {}
+    for r in out.collect():
+        rowsd.setdefault(r.doc_id, []).append(r)
+    # doc 1: stride 30 → chunk starts 1, 31, 61; the third reaches token 100
+    c1 = sorted(rowsd[1], key=lambda r: r.chunk_idx)
+    assert [r.n_chunk_tokens for r in c1] == [40, 40, 40]
+    # overlap: each chunk re-reads the previous chunk's last 10 tokens
+    assert c1[1].chunk_text.split()[:10] == c1[0].chunk_text.split()[-10:]
+    # full reconstruction: stitching chunks (dropping overlaps) = original
+    stitched = c1[0].chunk_text.split()
+    for c in c1[1:]:
+        stitched += c.chunk_text.split()[10:]
+    assert stitched == long_text.split()
+    assert [r.n_chunk_tokens for r in rowsd[2]] == [40]
+    assert [r.n_chunk_tokens for r in rowsd[3]] == [2]
+    assert rowsd[4][0].chunk_text == "" and rowsd[4][0].n_chunk_tokens == 0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        chunk_documents(df, "doc_id", "text", chunk_tokens=10, overlap_tokens=10)
