@@ -19,6 +19,14 @@ Design notes for 100 TB scale:
   NULL-on-bad-input semantics (matching the reference's tolerant cleaning
   behavior and the DuckDB oracle comparisons); guarded expressions
   (``try_*``, size checks) are still used where intent matters.
+- Runtime bloom-filter semi-join reduction is ON by Spark 4 default
+  (``spark.sql.optimizer.runtime.bloomFilter.enabled``): big-big joins with
+  a selective build side get a might_contain pre-filter on the fact scan
+  before the SortMergeJoin shuffle. The size thresholds that gate it
+  (creation ≤10 MB build, application ≥10 GB scan) only trigger at real
+  scale — local testdata sits below them, so the injection path is proven
+  by ``tests/test_plan_shapes.test_runtime_bloom_filter_semi_join_reduction``
+  with the thresholds lowered, not by the bench.
 """
 
 from __future__ import annotations
