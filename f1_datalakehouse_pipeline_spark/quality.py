@@ -106,3 +106,64 @@ def schema_diff(df: DataFrame, expected: "DataFrame | object") -> dict:
             n for n in set(want) & set(actual) if want[n] != actual[n]
         ),
     }
+
+
+def profile_columns(
+    df: DataFrame, cols: list[str], approx: bool = True
+) -> DataFrame:
+    """Per-column table profile in ONE aggregation pass: row count, null
+    count, distinct count, min/max (rendered as strings) — the governance
+    snapshot a corpus/lakehouse catalog records per table version.
+
+    One wide ``agg`` computes every statistic (map-side-combinable), then a
+    pure projection explodes it to long form (column, n_rows, n_null,
+    n_distinct, min_value, max_value) — so profiling 100 TB costs one scan,
+    no per-column jobs. ``approx=True`` (default) uses HyperLogLog
+    approx_count_distinct: a single-pass sketch per column. ``approx=False``
+    plans one Expand branch PER distinct aggregate — rows are replicated
+    ×len(cols) through the shuffle; exact mode is for oracle checks and
+    small dims, not the 100 TB path.
+
+    Timestamps format as ``yyyy-MM-dd HH:mm:ss``; other types use CAST —
+    keep float columns out of exact cross-engine comparisons (binary→string
+    rendering differs between engines).
+    """
+    from pyspark.sql.types import TimestampType
+
+    types = dict(df.dtypes)
+
+    def fmt(c, name: str):
+        if types.get(name, "").startswith("timestamp"):
+            return F.date_format(c, "yyyy-MM-dd HH:mm:ss")
+        return c.cast("string")
+
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        nd = (
+            F.approx_count_distinct(c)
+            if approx
+            else F.countDistinct(F.col(c))
+        )
+        aggs += [
+            F.count(c).alias(f"{c}__nn"),
+            nd.alias(f"{c}__nd"),
+            fmt(F.min(c), c).alias(f"{c}__min"),
+            fmt(F.max(c), c).alias(f"{c}__max"),
+        ]
+    wide = df.agg(*aggs)
+    stacked = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(c).alias("column"),
+                    F.col("__n").alias("n_rows"),
+                    (F.col("__n") - F.col(f"{c}__nn")).alias("n_null"),
+                    F.col(f"{c}__nd").alias("n_distinct"),
+                    F.col(f"{c}__min").alias("min_value"),
+                    F.col(f"{c}__max").alias("max_value"),
+                )
+                for c in cols
+            ]
+        )
+    )
+    return wide.select(stacked.alias("s")).select("s.*")

@@ -1568,6 +1568,40 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "t_profile_columns",
+    """
+    SELECT 'l_orderkey' AS "column", COUNT(*) AS n_rows,
+           COUNT(*) - COUNT(l_orderkey) AS n_null,
+           COUNT(DISTINCT l_orderkey) AS n_distinct,
+           CAST(MIN(l_orderkey) AS VARCHAR) AS min_value,
+           CAST(MAX(l_orderkey) AS VARCHAR) AS max_value
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_returnflag', COUNT(*), COUNT(*) - COUNT(l_returnflag),
+           COUNT(DISTINCT l_returnflag),
+           CAST(MIN(l_returnflag) AS VARCHAR), CAST(MAX(l_returnflag) AS VARCHAR)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_shipdate', COUNT(*), COUNT(*) - COUNT(l_shipdate),
+           COUNT(DISTINCT l_shipdate),
+           strftime(MIN(l_shipdate), '%Y-%m-%d %H:%M:%S'),
+           strftime(MAX(l_shipdate), '%Y-%m-%d %H:%M:%S')
+    FROM lineitem
+    """,
+)
+def t_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass per-column table profile (quality.profile_columns) over
+    lineitem — exact distinct counts here so the DuckDB oracle can match
+    value-for-value; production profiling uses the default HLL mode."""
+    from f1_datalakehouse_pipeline_spark.quality import profile_columns
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return profile_columns(
+        li, ["l_orderkey", "l_returnflag", "l_shipdate"], approx=False
+    )
+
+
+@query(
     "t_chunk_documents",
     f"""
     WITH tokd AS (SELECT doc_id, {_DUCK_TOKS.format(x='text')} AS toks FROM documents),

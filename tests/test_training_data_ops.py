@@ -1241,3 +1241,19 @@ def test_chunk_documents_coverage_and_edges(spark):
 
     with _pytest.raises(ValueError):
         chunk_documents(df, "doc_id", "text", chunk_tokens=10, overlap_tokens=10)
+
+
+def test_profile_columns_nulls_and_approx(spark):
+    from f1_datalakehouse_pipeline_spark.quality import profile_columns
+
+    rows = [(i, None if i % 4 == 0 else f"v{i % 10}") for i in range(1000)]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    exact = {r.column: r for r in profile_columns(df, ["k", "v"], approx=False).collect()}
+    assert exact["k"].n_rows == 1000 and exact["k"].n_null == 0
+    assert exact["k"].n_distinct == 1000
+    assert (exact["k"].min_value, exact["k"].max_value) == ("0", "999")
+    assert exact["v"].n_null == 250 and exact["v"].n_distinct == 10
+    # HLL mode: same nulls/min/max, distinct within standard sketch error
+    approx = {r.column: r for r in profile_columns(df, ["k", "v"]).collect()}
+    assert approx["v"].n_null == 250
+    assert abs(approx["k"].n_distinct - 1000) / 1000 < 0.1
