@@ -191,3 +191,49 @@ def test_morton_key_is_injective_and_monotone_per_axis(spark, pts):
         items.sort()
         zs = [z for _, z in items]
         assert zs == sorted(zs)
+
+
+# (n_tokens per doc, chunk_tokens, overlap_tokens) — chunking must hold its
+# reconstruction/shape invariants for ANY document length and window config
+chunk_cases = st.tuples(
+    st.lists(st.integers(min_value=0, max_value=60), min_size=1, max_size=5),
+    st.integers(min_value=2, max_value=20),   # chunk_tokens
+    st.integers(min_value=0, max_value=18),   # overlap_tokens (< chunk)
+)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(case=chunk_cases)
+def test_chunking_invariants_hold_for_any_config(spark, case):
+    from f1_datalakehouse_pipeline_spark.operators.textstats import chunk_documents
+
+    lengths, chunk, overlap = case
+    if overlap >= chunk:
+        overlap = chunk - 1
+    stride = chunk - overlap
+    rows = [(i, " ".join(f"t{i}x{j}" for j in range(n))) for i, n in enumerate(lengths)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = chunk_documents(df, "doc_id", "text", chunk, overlap).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for i, n in enumerate(lengths):
+        chunks = sorted(by_doc[i], key=lambda r: r.chunk_idx)
+        # chunk indices contiguous from 0; every doc emits ≥1 chunk
+        assert [c.chunk_idx for c in chunks] == list(range(len(chunks)))
+        # expected chunk count from the documented formula
+        assert len(chunks) == 1 + max(n - chunk + stride - 1, 0) // stride
+        # each chunk matches its slice of the source; stitching restores it
+        toks = rows[i][1].split()
+        stitched: list = []
+        for c in chunks:
+            got = c.chunk_text.split()
+            start = c.chunk_idx * stride
+            assert got == toks[start : start + chunk]
+            assert c.n_chunk_tokens == len(got)
+            stitched += got if c.chunk_idx == 0 else got[overlap:]
+        assert stitched == toks
