@@ -121,6 +121,7 @@ def main() -> None:
         "tpch_q14_promo_revenue",
         "tpch_q19_disjunctive_revenue",
         "t_profile_columns",
+        "t_shuffle_shards",
     ]
     # r4 (VERDICT r3 item 7): extras get the same median-of-3 + spread
     # treatment as the headline, so regressions on dedup_docs_pipeline-class

@@ -2,7 +2,8 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
 
 
 def spread(df: DataFrame, *cols: str) -> DataFrame:
@@ -63,4 +64,37 @@ def pack_sequences(
     return df.withColumn(
         pack_col,
         F.floor((F.sum(token_col).over(w) - 1) / budget).cast("long"),
+    )
+
+
+def shuffle_assignments(
+    df: DataFrame, id_col: str, n_shards: int, seed: str
+) -> DataFrame:
+    """Deterministic corpus shuffle: assign every row a (shard_id,
+    pos_in_shard) drawn from a seeded hash permutation — the reproducible
+    global reshuffle a training run needs before epoch streaming, WITHOUT a
+    global sort.
+
+    A total ORDER BY hash funnels the corpus through one task at scale;
+    instead the permutation is factored: shard = hash % n_shards (one
+    hash-partition exchange), position = row_number within the shard ordered
+    by (hash, id) — per-shard windows, partition-parallel. Reading shards in
+    id order shard-major reproduces one fixed pseudo-random permutation of
+    the corpus for a given (seed, n_shards); changing the seed gives an
+    independent permutation (epoch reshuffle = seed bump, zero data rewrite
+    if shards are stored as the partition layout).
+
+    The hash is the md5-derived portable hash over seed||id (reproducible
+    cross-engine for the oracle); the (hash, id) tie-break makes positions
+    total even on 48-bit collisions.
+    """
+    from f1_datalakehouse_pipeline_spark.functions.text import portable_hash48
+
+    h = portable_hash48(F.concat(F.lit(seed), F.col(id_col).cast("string")))
+    w = Window.partitionBy("shard_id").orderBy("h", id_col)
+    return (
+        df.withColumn("h", h)
+        .withColumn("shard_id", (F.col("h") % n_shards).cast("int"))
+        .withColumn("pos_in_shard", F.row_number().over(w))
+        .drop("h")
     )

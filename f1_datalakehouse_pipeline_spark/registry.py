@@ -51,19 +51,19 @@ def _load_extensions() -> None:
 # driver-green in a prior round and untouched since (rotation documented in
 # COVERAGE.md).
 _VERIFY_FIRST = [
-    # r4 rotation swap (VERDICT r3 item 1): 10 brand-new queries take their
+    # r4 rotation swap (VERDICT r3 item 1): 11 brand-new queries take their
     # first driver row (contamination/splice/tombstone from the r3 backlog,
     # plus this round's incremental-novelty dedup, repetition-quality,
-    # PII-redaction, document-chunking, column-profiling, and TPC-H
-    # q14/q19 operators),
+    # PII-redaction, document-chunking, column-profiling, deterministic
+    # corpus-shuffle, and TPC-H q14/q19 operators),
     # t_pack_sequences is re-proven because its packer switched to the
-    # sharded form this round, and 39 of the 50 queries whose newest
+    # sharded form this round, and 38 of the 50 queries whose newest
     # driver-green row is from r2 are promoted. The 10 r3-verified queries
-    # rotate to the tail untouched. Ten r2-green queries must wait for r5
-    # (110 registered > 50+50): a1_distinct, a3_count_distinct,
+    # rotate to the tail untouched. Eleven r2-green queries must wait for
+    # r5 (111 registered > 50+50): a1_distinct, a3_count_distinct,
     # a5_stats_agg, f_posexplode_tokens, f_map_ops, t_token_histogram,
-    # f_time_parse, f_url_parse, f_json_extract, f_regex_extract_all — all
-    # trivially-stable
+    # f_time_parse, f_url_parse, f_json_extract, f_regex_extract_all,
+    # f_levenshtein_pairs — all trivially-stable
     # single-exchange or pure-projection plans, untouched since their
     # registration round and re-verified locally every round (the local
     # gate has no cap); they are first in line next round.
@@ -77,6 +77,7 @@ _VERIFY_FIRST = [
     "tpch_q14_promo_revenue",
     "tpch_q19_disjunctive_revenue",
     "t_profile_columns",
+    "t_shuffle_shards",
     "t_pack_sequences",
     "sim_cosine_topk",
     "sim_embedding_neardup",
@@ -109,7 +110,6 @@ _VERIFY_FIRST = [
     "w15_range_frame",
     "w16_percent_rank_cume",
     "w17_session_window_native",
-    "f_levenshtein_pairs",
     "t_corpus_curation",
     "t_train_test_split",
     "t_weighted_sample",

@@ -1568,6 +1568,34 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "t_shuffle_shards",
+    f"""
+    WITH h AS (
+      SELECT doc_id,
+             {_DUCK_HASH.format(x="'epoch-1' || CAST(doc_id AS VARCHAR)")} AS h
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(h % 16 AS INTEGER) AS shard_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY h % 16 ORDER BY h, doc_id)
+                AS INTEGER) AS pos_in_shard
+    FROM h
+    """,
+)
+def t_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic seeded corpus shuffle (operators/util.shuffle_assignments):
+    a reproducible global permutation factored into shard + in-shard position
+    — no global sort. Epoch reshuffle = seed bump."""
+    from f1_datalakehouse_pipeline_spark.operators.util import (
+        shuffle_assignments,
+        spread,
+    )
+
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    return shuffle_assignments(docs.select("doc_id"), "doc_id", 16, "epoch-1")
+
+
+@query(
     "t_profile_columns",
     """
     SELECT 'l_orderkey' AS "column", COUNT(*) AS n_rows,

@@ -1257,3 +1257,27 @@ def test_profile_columns_nulls_and_approx(spark):
     approx = {r.column: r for r in profile_columns(df, ["k", "v"]).collect()}
     assert approx["v"].n_null == 250
     assert abs(approx["k"].n_distinct - 1000) / 1000 < 0.1
+
+
+def test_shuffle_assignments_permutation_properties(spark):
+    from f1_datalakehouse_pipeline_spark.operators.util import shuffle_assignments
+
+    df = spark.createDataFrame([(i,) for i in range(500)], ["doc_id"])
+    out = shuffle_assignments(df, "doc_id", 8, "seed-a").collect()
+    # a true permutation: every row exactly once, positions contiguous per shard
+    assert len(out) == 500 and len({r.doc_id for r in out}) == 500
+    by_shard: dict[int, list] = {}
+    for r in out:
+        assert 0 <= r.shard_id < 8
+        by_shard.setdefault(r.shard_id, []).append(r.pos_in_shard)
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    # deterministic: same seed → identical assignment
+    again = shuffle_assignments(df, "doc_id", 8, "seed-a").collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    # seed bump → a different permutation (epoch reshuffle)
+    other = shuffle_assignments(df, "doc_id", 8, "seed-b").collect()
+    assert sorted(map(tuple, out)) != sorted(map(tuple, other))
+    # not the identity layout: in-shard order differs from id order
+    a0 = sorted((r for r in out if r.shard_id == out[0].shard_id), key=lambda r: r.pos_in_shard)
+    assert [r.doc_id for r in a0] != sorted(r.doc_id for r in a0)
