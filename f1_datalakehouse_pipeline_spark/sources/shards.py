@@ -1,0 +1,102 @@
+"""Training-shard delivery sink: sharded corpus + verifiable manifest.
+
+The last step of a training-data pipeline is not a query — it is handing a
+trainer a directory of shard files it can stream per epoch. This sink ties
+the deterministic corpus shuffle (``operators/util.shuffle_assignments``) to
+the storage layout: rows land parquet-partitioned by ``shard_id`` in a
+seeded pseudo-random order, and a manifest records per-shard row counts,
+token totals, and an order-independent content checksum so the consumer (or
+a later audit) can verify shard integrity without trusting the producer.
+
+Scale shape: one hash-partition exchange for the shuffle assignment, one
+window per shard for positions, and a partitionBy write — no global sort,
+no driver-side iteration. The manifest is one groupBy(shard_id) over the
+same pass. Epoch reshuffle = new seed → new layout, old shards untouched.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from f1_datalakehouse_pipeline_spark.functions.text import portable_hash48, token_count
+from f1_datalakehouse_pipeline_spark.operators.util import shuffle_assignments
+
+MANIFEST_DIR = "_manifest"
+
+
+def write_training_shards(
+    df: DataFrame,
+    id_col: str,
+    content_col: str,
+    out_path: str,
+    n_shards: int,
+    seed: str,
+) -> DataFrame:
+    """Write ``df`` as shard-partitioned parquet plus a manifest; returns the
+    manifest DataFrame (shard_id, n_rows, n_tokens, checksum).
+
+    The checksum is the per-shard SUM of the portable 48-bit content hash —
+    order-independent (file/row order inside a shard never matters to it)
+    and cheap to recompute on read (:func:`verify_training_shards`). 48-bit
+    terms summed over even billions of rows stay far under int64 overflow.
+    """
+    assigned = shuffle_assignments(df, id_col, n_shards, seed).withColumn(
+        "__chk", portable_hash48(F.col(content_col))
+    )
+    data_path = os.path.join(out_path, "data")
+    (
+        assigned.repartition(n_shards, "shard_id")
+        .sortWithinPartitions("pos_in_shard")
+        .write.mode("overwrite")
+        .partitionBy("shard_id")
+        .parquet(data_path)
+    )
+    manifest = (
+        assigned.groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(token_count(F.col(content_col))).alias("n_tokens"),
+            F.sum("__chk").alias("checksum"),
+        )
+        .withColumn("seed", F.lit(seed))
+    )
+    manifest.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(out_path, MANIFEST_DIR)
+    )
+    return manifest
+
+
+def read_training_shards(spark: SparkSession, out_path: str) -> DataFrame:
+    """The shard data, with shard_id/pos_in_shard columns intact — streaming
+    it ordered by (shard_id, pos_in_shard) replays the seeded permutation."""
+    return spark.read.parquet(os.path.join(out_path, "data"))
+
+
+def verify_training_shards(
+    spark: SparkSession, out_path: str, content_col: str
+) -> DataFrame:
+    """Integrity audit: recompute each shard's row count and checksum from
+    the data files and diff against the manifest. Returns a violations
+    DataFrame (empty ⇒ pass, quality.py convention) with one row per
+    corrupted / missing / unexpected shard.
+    """
+    data = read_training_shards(spark, out_path)
+    actual = data.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("actual_rows"),
+        F.sum(portable_hash48(F.col(content_col))).alias("actual_checksum"),
+    )
+    manifest = spark.read.parquet(os.path.join(out_path, MANIFEST_DIR)).select(
+        "shard_id", "n_rows", "checksum"
+    )
+    return (
+        manifest.join(actual, "shard_id", "full_outer")
+        .filter(
+            ~(
+                F.col("n_rows").eqNullSafe(F.col("actual_rows"))
+                & F.col("checksum").eqNullSafe(F.col("actual_checksum"))
+            )
+        )
+    )

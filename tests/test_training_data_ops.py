@@ -1281,3 +1281,39 @@ def test_shuffle_assignments_permutation_properties(spark):
     # not the identity layout: in-shard order differs from id order
     a0 = sorted((r for r in out if r.shard_id == out[0].shard_id), key=lambda r: r.pos_in_shard)
     assert [r.doc_id for r in a0] != sorted(r.doc_id for r in a0)
+
+
+def test_training_shards_roundtrip_and_audit(spark, tmp_path):
+    from f1_datalakehouse_pipeline_spark.sources.shards import (
+        read_training_shards,
+        verify_training_shards,
+        write_training_shards,
+    )
+
+    rows = [(i, f"document number {i} with some filler tokens") for i in range(300)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = str(tmp_path / "shards")
+    manifest = write_training_shards(df, "doc_id", "text", out, n_shards=6, seed="s1")
+    m = {r.shard_id: r for r in manifest.collect()}
+    assert sum(r.n_rows for r in m.values()) == 300 and set(m) <= set(range(6))
+
+    # round trip: every row back, permutation replayable, audit clean
+    back = read_training_shards(spark, out)
+    assert back.count() == 300
+    assert {r.doc_id for r in back.collect()} == set(range(300))
+    assert verify_training_shards(spark, out, "text").count() == 0
+
+    # same seed → byte-identical manifest (deterministic layout)
+    out2 = str(tmp_path / "shards2")
+    manifest2 = write_training_shards(df, "doc_id", "text", out2, n_shards=6, seed="s1")
+    assert sorted(map(tuple, manifest.collect())) == sorted(map(tuple, manifest2.collect()))
+
+    # corruption: drop one data file → the audit flags exactly its shard
+    import glob as g
+    import os as o
+
+    victim = sorted(g.glob(out + "/data/shard_id=*/*.parquet"))[0]
+    shard = int(victim.split("shard_id=")[1].split("/")[0])
+    o.unlink(victim)
+    bad = verify_training_shards(spark, out, "text").collect()
+    assert [r.shard_id for r in bad] == [shard]
