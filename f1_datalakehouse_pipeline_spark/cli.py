@@ -50,12 +50,45 @@ def build_parser() -> argparse.ArgumentParser:
     ing.add_argument("--base-url", required=True, help="API base URL")
     ing.add_argument("--rate-limit", type=float, default=0.5)
     ing.add_argument("--master", default=None)
+    prof = sub.add_parser("profile", help="one-pass per-column table profile")
+    prof.add_argument("--parquet", required=True, help="parquet path to profile")
+    prof.add_argument("--columns", required=True, help="comma-separated columns")
+    prof.add_argument("--exact", action="store_true", help="exact distinct counts (per-column scans) instead of HLL")
+    prof.add_argument("--master", default=None)
+    shd = sub.add_parser("write-shards", help="seeded shuffle -> training shards + manifest")
+    shd.add_argument("--parquet", required=True, help="source corpus parquet")
+    shd.add_argument("--id-col", default="doc_id")
+    shd.add_argument("--content-col", default="text")
+    shd.add_argument("--out", required=True)
+    shd.add_argument("--n-shards", type=int, required=True)
+    shd.add_argument("--seed", required=True)
+    shd.add_argument("--master", default=None)
     return ap
 
 
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
     spark = get_spark(f"f1-lakehouse-{args.cmd}", master=args.master)
+    if args.cmd == "profile":
+        from f1_datalakehouse_pipeline_spark.quality import profile_columns
+
+        df = spark.read.parquet(args.parquet)
+        rows = profile_columns(
+            df, args.columns.split(","), approx=not args.exact
+        ).collect()
+        print(json.dumps([r.asDict() for r in rows]))
+        return 0
+    if args.cmd == "write-shards":
+        from f1_datalakehouse_pipeline_spark.sources.shards import (
+            write_training_shards,
+        )
+
+        df = spark.read.parquet(args.parquet)
+        manifest = write_training_shards(
+            df, args.id_col, args.content_col, args.out, args.n_shards, args.seed
+        ).collect()
+        print(json.dumps([r.asDict() for r in manifest]))
+        return 0
     if args.cmd == "ingest":
         from f1_datalakehouse_pipeline_spark.sources.ingest import (
             RestClient,

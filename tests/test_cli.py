@@ -28,3 +28,29 @@ def test_cli_run_incremental(tmp_path, capsys, spark):
     reports = json.loads(out_lines[-1])
     assert reports[0]["grand_prix"] == "italian"  # auto-detected, ≙ XCom handoff
     assert all(v == "ok" for r in reports for v in r["results"].values())
+
+
+def test_cli_profile_and_write_shards(spark, tmp_path, capsys):
+    import json
+
+    from f1_datalakehouse_pipeline_spark.cli import main
+
+    src = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        [(i, f"doc {i} tokens here") for i in range(50)], ["doc_id", "text"]
+    ).write.parquet(src)
+
+    assert main(["profile", "--parquet", src, "--columns", "doc_id,text", "--exact"]) == 0
+    prof = {r["column"]: r for r in json.loads(capsys.readouterr().out.strip().splitlines()[-1])}
+    assert prof["doc_id"]["n_rows"] == 50 and prof["doc_id"]["n_distinct"] == 50
+
+    out = str(tmp_path / "shards")
+    assert main([
+        "write-shards", "--parquet", src, "--out", out,
+        "--n-shards", "4", "--seed", "e1",
+    ]) == 0
+    man = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert sum(r["n_rows"] for r in man) == 50
+    from f1_datalakehouse_pipeline_spark.sources.shards import verify_training_shards
+
+    assert verify_training_shards(spark, out, "text").count() == 0
