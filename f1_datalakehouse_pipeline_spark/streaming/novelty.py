@@ -13,7 +13,10 @@ a CONTINUOUS admission gate: every micro-batch of incoming documents is
    signature rows are appended to the index — so batch N+1 sees them.
 
 Admission is therefore order-dependent by design (first arrival wins),
-exactly the semantics an append-only training-corpus intake wants.
+exactly the semantics an append-only training-corpus intake wants. Scope:
+the gate matches on k-token shingles, so documents SHORTER than k tokens
+have no signature and always pass — compose with ``dedup.exact_dedup`` on
+the content hash if tiny-doc exact replays matter for the corpus.
 
 State lives in the on-disk index (three parquet dirs: ``bands/`` partitioned
 by band, ``shingles/``, ``sizes/``), not in Spark streaming state — the
@@ -53,14 +56,23 @@ from f1_datalakehouse_pipeline_spark.streaming.incremental import (
 def _read_index(
     spark: SparkSession, index_path: str
 ) -> tuple[DataFrame, DataFrame, DataFrame] | None:
-    """Load the on-disk history index, or None before the first admission."""
+    """Load the on-disk history index, or None before the first admission.
+
+    A batch of shingle-less documents (all shorter than k tokens) appends
+    ZERO index rows, leaving directories with no data files — parquet schema
+    inference fails on those, which is equivalent to "no index yet", so that
+    failure maps to None rather than crashing the next micro-batch.
+    """
     if not os.path.isdir(os.path.join(index_path, "bands")):
         return None
-    return (
-        spark.read.parquet(os.path.join(index_path, "bands")),
-        spark.read.parquet(os.path.join(index_path, "shingles")),
-        spark.read.parquet(os.path.join(index_path, "sizes")),
-    )
+    try:
+        return (
+            spark.read.parquet(os.path.join(index_path, "bands")),
+            spark.read.parquet(os.path.join(index_path, "shingles")),
+            spark.read.parquet(os.path.join(index_path, "sizes")),
+        )
+    except Exception:  # AnalysisException: unable to infer schema (empty dir)
+        return None
 
 
 def _append_index(

@@ -1317,3 +1317,35 @@ def test_training_shards_roundtrip_and_audit(spark, tmp_path):
     o.unlink(victim)
     bad = verify_training_shards(spark, out, "text").collect()
     assert [r.shard_id for r in bad] == [shard]
+
+
+def test_novelty_ingest_survives_shingle_less_first_batch(spark, tmp_path):
+    """A first batch of sub-k-token docs appends an EMPTY index; the next
+    drain must treat that as 'no history yet' instead of failing parquet
+    schema inference on data-less directories."""
+    from f1_datalakehouse_pipeline_spark.streaming.novelty import (
+        novelty_ingest_stream,
+    )
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    spark.createDataFrame([(1, "hi"), (2, "")], ["doc_id", "text"]).coalesce(
+        1
+    ).write.parquet(str(land / "f1"))
+    stream = (
+        spark.readStream.format("parquet")
+        .schema("doc_id BIGINT, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(land / "*"))
+    )
+    idx, out, ckpt = str(tmp_path / "idx"), str(tmp_path / "out"), str(tmp_path / "ck")
+    novelty_ingest_stream(stream, "doc_id", "text", idx, out, ckpt).awaitTermination(120)
+    assert {r.doc_id for r in spark.read.parquet(out).collect()} == {1, 2}
+
+    # second drain with real docs must not crash on the empty index dirs
+    spark.createDataFrame(
+        [(3, "a genuinely long document about spark shuffle behavior")],
+        ["doc_id", "text"],
+    ).coalesce(1).write.parquet(str(land / "f2"))
+    novelty_ingest_stream(stream, "doc_id", "text", idx, out, ckpt).awaitTermination(120)
+    assert {r.doc_id for r in spark.read.parquet(out).collect()} == {1, 2, 3}
