@@ -1,0 +1,119 @@
+"""The training-corpus pipeline: raw documents → verified training shards.
+
+The F1 medallion pipeline (plans/pipeline.py) is the reference-parity job;
+this is its training-data sibling — the composition every 100 TB corpus
+build runs, wired from the engine's own oracle-verified operators:
+
+    raw docs
+      → quality gate        (functions/text.quality_score ≥ threshold)
+      → PII scrub           (functions/pii.scrub_pii — map-only)
+      → exact dedup         (operators/dedup.exact_dedup keepers)
+      → near-dup removal    (minhash_lsh_pairs + apply_dedup)
+      → decontamination     (contamination_pairs vs a held-out benchmark)
+      → chunking            (operators/textstats.chunk_documents)
+      → shard delivery      (sources/shards.write_training_shards:
+                             seeded shuffle + verifiable manifest)
+
+Every stage is a DataFrame transform (no collect, no Python row loops); the
+only driver-side values are the per-stage counts in the report, each a
+single aggregate action. Stage order is deliberate: cheap row-local filters
+(quality, scrub) run before the shuffling dedup stages so the joins see the
+smallest corpus; decontamination runs after dedup so the benchmark index
+probes unique docs only; chunking runs last because near-dup detection on
+full documents beats detection on fragments.
+
+Chunk ids compose (doc_id << 12) | chunk_idx — collision-free while docs
+stay under 4096 chunks (a 2M-token doc at the default window; raise the
+shift for longer).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from f1_datalakehouse_pipeline_spark.functions.pii import scrub_pii
+from f1_datalakehouse_pipeline_spark.functions.text import quality_score
+from f1_datalakehouse_pipeline_spark.operators import dedup
+from f1_datalakehouse_pipeline_spark.operators.textstats import chunk_documents
+from f1_datalakehouse_pipeline_spark.sources.shards import (
+    verify_training_shards,
+    write_training_shards,
+)
+
+
+@dataclass
+class CorpusReport:
+    counts: dict[str, int] = field(default_factory=dict)
+    shard_manifest: list = field(default_factory=list)
+    audit_violations: int = 0
+
+
+def run_corpus_pipeline(
+    spark: SparkSession,
+    docs: DataFrame,
+    out_root: str,
+    id_col: str = "doc_id",
+    content_col: str = "text",
+    benchmark: DataFrame | None = None,
+    quality_min: float = 0.5,
+    near_threshold: float = 0.7,
+    contamination_min: float = 0.5,
+    chunk_tokens: int = 128,
+    overlap_tokens: int = 32,
+    n_shards: int = 16,
+    seed: str = "epoch-0",
+    max_doc_frequency: int | None = 1000,
+) -> CorpusReport:
+    """Run the full corpus build; returns per-stage counts + shard manifest
+    + audit result. Idempotent: shards overwrite per (out_root, seed)."""
+    rep = CorpusReport()
+    rep.counts["raw"] = docs.count()
+
+    kept = docs.filter(quality_score(F.col(content_col)) >= quality_min)
+    rep.counts["after_quality"] = kept.count()
+
+    kept = kept.withColumn(content_col, scrub_pii(F.col(content_col)))
+
+    exact = dedup.exact_dedup(kept, id_col, content_col).select(
+        F.col("keeper_id").alias(id_col)
+    )
+    kept = kept.join(exact, id_col, "left_semi")
+    rep.counts["after_exact_dedup"] = kept.count()
+
+    pairs = dedup.minhash_lsh_pairs(
+        kept, id_col, content_col,
+        threshold=near_threshold, max_doc_frequency=max_doc_frequency,
+    )
+    kept = dedup.apply_dedup(kept, id_col, pairs)
+    rep.counts["after_near_dedup"] = kept.count()
+
+    if benchmark is not None:
+        leaks = dedup.contamination_pairs(
+            kept, benchmark, id_col, content_col,
+            min_containment=contamination_min,
+            max_doc_frequency=max_doc_frequency,
+        ).select(F.col("train_id").alias(id_col)).distinct()
+        kept = kept.join(leaks, id_col, "left_anti")
+        rep.counts["after_decontamination"] = kept.count()
+
+    chunks = chunk_documents(
+        kept, id_col, content_col, chunk_tokens, overlap_tokens
+    ).select(
+        ((F.col(id_col) * F.lit(1 << 12)) + F.col("chunk_idx")).alias("chunk_id"),
+        F.col("chunk_text"),
+    )
+    rep.counts["chunks"] = chunks.count()
+
+    manifest = write_training_shards(
+        chunks, "chunk_id", "chunk_text", out_root, n_shards, seed
+    )
+    rep.shard_manifest = sorted(
+        (r.asDict() for r in manifest.collect()), key=lambda d: d["shard_id"]
+    )
+    rep.audit_violations = verify_training_shards(
+        spark, out_root, "chunk_text"
+    ).count()
+    return rep

@@ -1349,3 +1349,52 @@ def test_novelty_ingest_survives_shingle_less_first_batch(spark, tmp_path):
     ).coalesce(1).write.parquet(str(land / "f2"))
     novelty_ingest_stream(stream, "doc_id", "text", idx, out, ckpt).awaitTermination(120)
     assert {r.doc_id for r in spark.read.parquet(out).collect()} == {1, 2, 3}
+
+
+def test_corpus_pipeline_end_to_end(spark, tmp_path):
+    """The full corpus build: every hygiene stage removes exactly the rows
+    planted for it, and the delivered shards audit clean."""
+    from f1_datalakehouse_pipeline_spark.plans.corpus import run_corpus_pipeline
+
+    good = "the quick brown fox jumps over the lazy dog near the river bank today"
+    rows = [
+        (1, good),
+        (2, good),                                           # exact dup of 1
+        (3, good + " indeed"),                               # near dup of 1 (J≈0.92)
+        (4, "email me at alice@example.com about the spark shuffle internals please"),
+        (5, "!!! ??? ... ;;; ///" * 30),                     # low quality (punct)
+        (6, "benchmark question what is the capital of france answer paris obviously"),
+        (7, "an ordinary clean document describing parquet row group statistics"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    bench = spark.createDataFrame(
+        [(100, "benchmark question what is the capital of france answer paris")],
+        ["doc_id", "text"],
+    )
+    rep = run_corpus_pipeline(
+        spark,
+        docs,
+        str(tmp_path / "corpus_out"),
+        benchmark=bench,
+        quality_min=0.5,
+        near_threshold=0.5,
+        chunk_tokens=8,
+        overlap_tokens=2,
+        n_shards=4,
+        seed="e0",
+    )
+    assert rep.counts["raw"] == 7
+    assert rep.counts["after_quality"] == 6          # doc 5 gone
+    assert rep.counts["after_exact_dedup"] == 5      # doc 2 gone
+    assert rep.counts["after_near_dedup"] == 4       # doc 3 gone
+    assert rep.counts["after_decontamination"] == 3  # doc 6 gone
+    assert rep.counts["chunks"] >= 3 and rep.audit_violations == 0
+    assert sum(m["n_rows"] for m in rep.shard_manifest) == rep.counts["chunks"]
+
+    # the PII scrub reached the delivered text
+    from f1_datalakehouse_pipeline_spark.sources.shards import read_training_shards
+
+    delivered = " ".join(
+        r.chunk_text for r in read_training_shards(spark, str(tmp_path / "corpus_out")).collect()
+    )
+    assert "alice@example.com" not in delivered and "<EMAIL>" in delivered
