@@ -63,6 +63,22 @@ def build_parser() -> argparse.ArgumentParser:
     shd.add_argument("--n-shards", type=int, required=True)
     shd.add_argument("--seed", required=True)
     shd.add_argument("--master", default=None)
+    corp = sub.add_parser(
+        "build-corpus",
+        help="full training-corpus build: quality -> scrub -> dedup -> decontaminate -> chunk -> shards",
+    )
+    corp.add_argument("--parquet", required=True, help="raw documents parquet")
+    corp.add_argument("--out", required=True)
+    corp.add_argument("--id-col", default="doc_id")
+    corp.add_argument("--content-col", default="text")
+    corp.add_argument("--benchmark-parquet", default=None, help="held-out eval set for decontamination")
+    corp.add_argument("--quality-min", type=float, default=0.5)
+    corp.add_argument("--near-threshold", type=float, default=0.7)
+    corp.add_argument("--chunk-tokens", type=int, default=128)
+    corp.add_argument("--overlap-tokens", type=int, default=32)
+    corp.add_argument("--n-shards", type=int, default=16)
+    corp.add_argument("--seed", default="epoch-0")
+    corp.add_argument("--master", default=None)
     return ap
 
 
@@ -89,6 +105,39 @@ def main(argv: list[str] | None = None) -> int:
         ).collect()
         print(json.dumps([r.asDict() for r in manifest]))
         return 0
+    if args.cmd == "build-corpus":
+        from f1_datalakehouse_pipeline_spark.plans.corpus import run_corpus_pipeline
+
+        docs = spark.read.parquet(args.parquet)
+        bench = (
+            spark.read.parquet(args.benchmark_parquet)
+            if args.benchmark_parquet
+            else None
+        )
+        rep = run_corpus_pipeline(
+            spark,
+            docs,
+            args.out,
+            id_col=args.id_col,
+            content_col=args.content_col,
+            benchmark=bench,
+            quality_min=args.quality_min,
+            near_threshold=args.near_threshold,
+            chunk_tokens=args.chunk_tokens,
+            overlap_tokens=args.overlap_tokens,
+            n_shards=args.n_shards,
+            seed=args.seed,
+        )
+        print(
+            json.dumps(
+                {
+                    "counts": rep.counts,
+                    "shards": rep.shard_manifest,
+                    "audit_violations": rep.audit_violations,
+                }
+            )
+        )
+        return 1 if rep.audit_violations else 0
     if args.cmd == "ingest":
         from f1_datalakehouse_pipeline_spark.sources.ingest import (
             RestClient,

@@ -54,3 +54,27 @@ def test_cli_profile_and_write_shards(spark, tmp_path, capsys):
     from f1_datalakehouse_pipeline_spark.sources.shards import verify_training_shards
 
     assert verify_training_shards(spark, out, "text").count() == 0
+
+
+def test_cli_build_corpus(spark, tmp_path, capsys):
+    import json
+
+    from f1_datalakehouse_pipeline_spark.cli import main
+
+    src = str(tmp_path / "raw")
+    spark.createDataFrame(
+        [(i, f"document number {i} about spark engines and window functions") for i in range(20)]
+        + [(100, "document number 0 about spark engines and window functions")],  # exact dup
+        ["doc_id", "text"],
+    ).write.parquet(src)
+    out = str(tmp_path / "corpus")
+    rc = main([
+        "build-corpus", "--parquet", src, "--out", out,
+        "--chunk-tokens", "8", "--overlap-tokens", "2", "--n-shards", "3", "--seed", "e9",
+    ])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["counts"]["raw"] == 21
+    assert rep["counts"]["after_exact_dedup"] == 20
+    assert rep["audit_violations"] == 0
+    assert sum(s["n_rows"] for s in rep["shards"]) == rep["counts"]["chunks"]
