@@ -238,6 +238,42 @@ def run_novelty_scale(spark: SparkSession, sf_dir: str, factor: int) -> dict:
     return r
 
 
+def run_corpus_scale(spark: SparkSession, sf_dir: str, factor: int) -> dict:
+    """Wall-time the FULL corpus pipeline (plans/corpus.run_corpus_pipeline)
+    on the scaled documents corpus: proves the composed stages — not just
+    each operator alone — hold their shape at scale. The benchmark set is a
+    50-doc slice of the corpus itself (the variant salting breaks 8-gram
+    overlap with anything else, so decontamination must remove exactly the
+    planted docs' surviving keepers and nothing more)."""
+    import shutil
+    import time as _t
+
+    from f1_datalakehouse_pipeline_spark.plans.corpus import run_corpus_pipeline
+
+    docs = scaled_docs(spark, sf_dir, factor)
+    bench = docs.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+    )
+    out = os.path.join(CACHE, f"corpus_out_x{factor}")
+    shutil.rmtree(out, ignore_errors=True)
+    t0 = _t.perf_counter()
+    rep = run_corpus_pipeline(
+        spark, docs, out,
+        benchmark=bench,
+        quality_min=0.0,          # synthetic corpus: keep quality gate open
+        near_threshold=0.5,
+        chunk_tokens=64,
+        overlap_tokens=8,
+        n_shards=64,
+        seed="scale",
+        max_doc_frequency=64,
+    )
+    wall = round(_t.perf_counter() - t0, 1)
+    r = {"wall_sec": wall, "audit_violations": rep.audit_violations, **rep.counts}
+    print(f"  {r}", flush=True)
+    return r
+
+
 def generate_bronze_scaled(
     spark: SparkSession,
     root: str,
@@ -492,6 +528,7 @@ def main() -> None:
     ap.add_argument("--ann", action="store_true", help="scale the embeddings table and measure ANN variants")
     ap.add_argument("--pipeline", action="store_true", help="run the full F1 pipeline at ~2.5M lap rows")
     ap.add_argument("--novelty", action="store_true", help="measure incremental-probe amortization vs full self-join")
+    ap.add_argument("--corpus", action="store_true", help="run the full corpus pipeline (plans/corpus.py) at scale")
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     args = ap.parse_args()
     factors = [int(f) for f in args.factors.split(",")]
@@ -526,6 +563,13 @@ def main() -> None:
         for factor in factors:
             print(f"novelty factor {factor}:", flush=True)
             results[str(factor)] = run_novelty_scale(spark, args.sf_dir, factor)
+        print(json.dumps(results, indent=2))
+        return
+
+    if args.corpus:
+        for factor in factors:
+            print(f"corpus factor {factor}:", flush=True)
+            results[str(factor)] = run_corpus_scale(spark, args.sf_dir, factor)
         print(json.dumps(results, indent=2))
         return
 
