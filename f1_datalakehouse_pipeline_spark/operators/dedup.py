@@ -540,6 +540,7 @@ def novelty_pairs(
     n_hashes: int = 16,
     bands: int = 4,
     threshold: float = 0.5,
+    max_doc_frequency: int | None = None,
 ) -> DataFrame:
     """Which new-batch documents near-duplicate the HISTORICAL corpus —
     the incremental form of :func:`minhash_lsh_pairs`.
@@ -552,10 +553,18 @@ def novelty_pairs(
 
     ``k``/``n_hashes``/``bands`` MUST match the parameters the index was
     built with — band signatures are only comparable under identical
-    permutations and banding.
+    permutations and banding, and ``max_doc_frequency`` should match the
+    cap the index was built with: it drops batch-side hot shingles
+    (boilerplate shared across the batch) before signatures, the same
+    candidate-explosion guard :func:`minhash_lsh_pairs` documents — without
+    it a shared header in the batch collides every batch doc into the same
+    history buckets.
     """
     hist_bands, hist_sh, hist_sizes = history_index
-    batch_sh = _shingle_table(batch, id_col, content_col, k).cache()
+    batch_sh = _shingle_table(batch, id_col, content_col, k)
+    if max_doc_frequency is not None:
+        batch_sh = _drop_hot_shingles(batch_sh, max_doc_frequency)
+    batch_sh = batch_sh.cache()
     batch_bands = _band_signatures(batch_sh, n_hashes, bands)
     nb, hb = batch_bands.alias("nb"), hist_bands.alias("hb")
     candidates = (
@@ -611,7 +620,8 @@ def incremental_neardup_pairs(
         history, id_col, content_col, k, n_hashes, bands, max_doc_frequency
     )
     return novelty_pairs(
-        batch, idx, id_col, content_col, k, n_hashes, bands, threshold
+        batch, idx, id_col, content_col, k, n_hashes, bands, threshold,
+        max_doc_frequency=max_doc_frequency,
     )
 
 

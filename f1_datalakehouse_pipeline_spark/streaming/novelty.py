@@ -98,13 +98,17 @@ def admit_batch(
     n_hashes: int = 16,
     bands: int = 4,
     threshold: float = 0.5,
+    max_doc_frequency: int | None = None,
 ) -> None:
-    """One micro-batch through the admission gate (see module docstring)."""
+    """One micro-batch through the admission gate (see module docstring).
+    ``max_doc_frequency`` is the shared hot-shingle cap (boilerplate guard)
+    applied to the within-batch self-join, the index probe, and the index
+    rows this batch contributes."""
     # 1. within-batch dedup: keep one representative per near-dup cluster
     batch_df = batch_df.cache()
     intra = dedup.minhash_lsh_pairs(
         batch_df, id_col, content_col, k=k, n_hashes=n_hashes, bands=bands,
-        threshold=threshold,
+        threshold=threshold, max_doc_frequency=max_doc_frequency,
     )
     survivors = dedup.apply_dedup(batch_df, id_col, intra)
     # 2. probe the accumulated history
@@ -113,6 +117,7 @@ def admit_batch(
         hits = dedup.novelty_pairs(
             survivors, index, id_col, content_col,
             k=k, n_hashes=n_hashes, bands=bands, threshold=threshold,
+            max_doc_frequency=max_doc_frequency,
         )
         survivors = dedup.filter_novel(survivors, hits, id_col)
     # 3. admit: corpus append + index append (the order matters for readers:
@@ -125,7 +130,8 @@ def admit_batch(
     _append_index(
         index_path,
         dedup.minhash_band_index(
-            survivors, id_col, content_col, k=k, n_hashes=n_hashes, bands=bands
+            survivors, id_col, content_col, k=k, n_hashes=n_hashes, bands=bands,
+            max_doc_frequency=max_doc_frequency,
         ),
     )
     survivors.unpersist()
@@ -143,6 +149,7 @@ def novelty_ingest_stream(
     n_hashes: int = 16,
     bands: int = 4,
     threshold: float = 0.5,
+    max_doc_frequency: int | None = None,
     available_now: bool = True,
 ) -> StreamingQuery:
     """Start the admission gate over a streaming DataFrame of documents.
@@ -159,6 +166,7 @@ def novelty_ingest_stream(
             spark, batch_df, batch_id, id_col, content_col,
             index_path, out_path,
             k=k, n_hashes=n_hashes, bands=bands, threshold=threshold,
+            max_doc_frequency=max_doc_frequency,
         )
 
     wrapped = exactly_once_batch_writer(
