@@ -72,22 +72,35 @@ def run_corpus_pipeline(
     rep = CorpusReport()
     rep.counts["raw"] = docs.count()
 
-    kept = docs.filter(quality_score(F.col(content_col)) >= quality_min)
-    rep.counts["after_quality"] = kept.count()
+    # Each shuffling stage consumes its input at least twice (the dedup
+    # pair-computation AND the semi/anti-join back; plus the stage-count
+    # action), so stage boundaries are cached — without this every count
+    # and every second branch recomputes the whole upstream lineage
+    # (measured: 141.5 s → see PERF_NOTES r4 composed-pipeline rung).
+    cached: list[DataFrame] = []
 
-    kept = kept.withColumn(content_col, scrub_pii(F.col(content_col)))
+    def checkpoint_stage(df: DataFrame) -> DataFrame:
+        df = df.cache()
+        cached.append(df)
+        return df
+
+    kept = checkpoint_stage(
+        docs.filter(quality_score(F.col(content_col)) >= quality_min)
+        .withColumn(content_col, scrub_pii(F.col(content_col)))
+    )
+    rep.counts["after_quality"] = kept.count()
 
     exact = dedup.exact_dedup(kept, id_col, content_col).select(
         F.col("keeper_id").alias(id_col)
     )
-    kept = kept.join(exact, id_col, "left_semi")
+    kept = checkpoint_stage(kept.join(exact, id_col, "left_semi"))
     rep.counts["after_exact_dedup"] = kept.count()
 
     pairs = dedup.minhash_lsh_pairs(
         kept, id_col, content_col,
         threshold=near_threshold, max_doc_frequency=max_doc_frequency,
     )
-    kept = dedup.apply_dedup(kept, id_col, pairs)
+    kept = checkpoint_stage(dedup.apply_dedup(kept, id_col, pairs))
     rep.counts["after_near_dedup"] = kept.count()
 
     if benchmark is not None:
@@ -96,20 +109,24 @@ def run_corpus_pipeline(
             min_containment=contamination_min,
             max_doc_frequency=max_doc_frequency,
         ).select(F.col("train_id").alias(id_col)).distinct()
-        kept = kept.join(leaks, id_col, "left_anti")
+        kept = checkpoint_stage(kept.join(leaks, id_col, "left_anti"))
         rep.counts["after_decontamination"] = kept.count()
 
-    chunks = chunk_documents(
-        kept, id_col, content_col, chunk_tokens, overlap_tokens
-    ).select(
-        ((F.col(id_col) * F.lit(1 << 12)) + F.col("chunk_idx")).alias("chunk_id"),
-        F.col("chunk_text"),
+    chunks = checkpoint_stage(
+        chunk_documents(
+            kept, id_col, content_col, chunk_tokens, overlap_tokens
+        ).select(
+            ((F.col(id_col) * F.lit(1 << 12)) + F.col("chunk_idx")).alias("chunk_id"),
+            F.col("chunk_text"),
+        )
     )
     rep.counts["chunks"] = chunks.count()
 
     manifest = write_training_shards(
         chunks, "chunk_id", "chunk_text", out_root, n_shards, seed
     )
+    for df in cached:
+        df.unpersist()
     rep.shard_manifest = sorted(
         (r.asDict() for r in manifest.collect()), key=lambda d: d["shard_id"]
     )
