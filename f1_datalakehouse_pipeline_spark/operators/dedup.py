@@ -136,6 +136,56 @@ def ngram_jaccard_pairs(
     )
 
 
+def shingle_containment_pairs(
+    df: DataFrame, id_col: str, content_col: str, k: int = 3, threshold: float = 0.8,
+    max_doc_frequency: int | None = None,
+) -> DataFrame:
+    """Asymmetric containment dedup: |A∩B| / min(|A|, |B|) over word-shingle
+    sets, for pairs sharing at least one shingle.
+
+    Jaccard is symmetric, so a short document fully quoted inside a much
+    longer one scores near |A|/|B| ≈ 0 and survives symmetric dedup; its
+    containment is 1.0. This operator catches exactly that subset-duplication
+    case (boilerplate inclusion, quoted articles, README-in-repo-dump), the
+    standard complement to Jaccard in training-corpus curation.
+
+    Same inverted-index candidate generation as :func:`ngram_jaccard_pairs` —
+    never all-pairs; ``max_doc_frequency`` caps the quadratic cost of hot
+    shingles identically (sizes computed pre-cap, so surviving pairs'
+    denominators stay exact). Output: (doc_a, doc_b, containment,
+    contained_doc) with doc_a < doc_b; ``contained_doc`` is the smaller
+    shingle set (doc_a on ties — deterministic).
+    """
+    sh = _shingle_table(df, id_col, content_col, k)
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
+    if max_doc_frequency is not None:
+        sh = _drop_hot_shingles(sh, max_doc_frequency)
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    na = sizes.select(F.col("doc").alias("doc_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("doc").alias("doc_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("inter").cast("double")
+                / F.least("n_a", "n_b").cast("double")
+            ).alias("containment"),
+            F.when(F.col("n_a") <= F.col("n_b"), F.col("doc_a"))
+            .otherwise(F.col("doc_b"))
+            .alias("contained_doc"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, content_col: str, k: int = 3, n_hashes: int = 16,
     shingles: DataFrame | None = None,

@@ -1,0 +1,154 @@
+"""Token-budgeted corpus mixture: deterministic per-domain sampling to a
+token budget — the "data mixing" step of a training-corpus pipeline (given
+per-source/per-language target proportions, emit exactly the docs whose
+cumulative token count fits each domain's budget, in a reproducible order).
+
+Semantics (the naive form): within each domain, order docs by
+(seeded_hash(doc_id), doc_id) and keep the prefix whose running token sum is
+≤ the domain's budget. Hash order makes the prefix a uniform random-but-
+reproducible sample; the same (seed, corpus) always yields the same mixture
+on any engine or partitioning.
+
+Scale design — the naive form is a window partitioned only by domain, which
+funnels an entire domain (possibly 99% of a 100 TB corpus) through ONE task.
+This module instead computes the identical row set in two phases:
+
+1. Bucket the 48-bit hash into ``n_buckets`` ordered ranges (top bits, so
+   bucket order == hash order). Per (domain, bucket), aggregate the token
+   sum — a plain parallel groupBy, ~|domains|·n_buckets output rows.
+2. A cumulative sum over that tiny table (window over ≤ n_buckets rows per
+   domain) classifies every bucket as fully-kept (cum ≤ budget), fully-
+   dropped (prior cum ≥ budget), or the single boundary bucket per domain.
+   Fully-kept/dropped docs are decided by a broadcast join — map-only. Only
+   the boundary bucket (~1/n_buckets of the domain) runs the exact
+   within-bucket running sum, seeded with the prior buckets' total.
+
+So the only data-sized shuffles are one groupBy and one window over 1/4096
+of each domain, and no task ever sees more than a bucket. Equality with the
+naive window is pinned by a unit test; the DuckDB oracle runs the naive SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from f1_datalakehouse_pipeline_spark.functions.text import portable_hash48
+
+# portable_hash48 yields 48-bit values; shifting off 36 bits leaves the top
+# 12 → 4096 ordered buckets.
+_HASH_BITS = 48
+
+
+def _budget_expr(budgets: dict[str, int], domain_col: str):
+    """CASE-chain mapping domain → token budget (unlisted domains → 0)."""
+    expr = F.lit(0).cast("long")
+    for dom, b in budgets.items():
+        expr = F.when(F.col(domain_col) == dom, F.lit(int(b)).cast("long")).otherwise(expr)
+    return expr
+
+
+def budgeted_mixture(
+    df: DataFrame,
+    id_col: str,
+    domain_col: str,
+    n_tokens_col: str,
+    budgets: dict[str, int],
+    seed: str = "mix-1",
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """Keep, per domain, the hash-ordered prefix of docs whose cumulative
+    token count fits ``budgets[domain]`` (docs in unlisted domains drop).
+
+    Returns (id_col, domain_col, n_tokens_col, cum_tokens) where cum_tokens
+    is the running sum including the row itself — identical to
+    ``SUM(n) OVER (PARTITION BY domain ORDER BY hash, id ROWS UNBOUNDED
+    PRECEDING)`` filtered to ``cum_tokens <= budget``.
+
+    Rows with ``n_tokens <= 0`` are excluded by contract (they contribute
+    nothing to a token budget, and admitting them past the boundary would
+    make the kept set depend on where the boundary bucket falls).
+    """
+    shift = _HASH_BITS - max((n_buckets - 1).bit_length(), 1)
+    h = portable_hash48(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+    base = df.filter(F.col(n_tokens_col) > 0).select(
+        F.col(id_col),
+        F.col(domain_col),
+        F.col(n_tokens_col).cast("long").alias(n_tokens_col),
+        h.alias("__h"),
+    ).withColumn("__bucket", F.shiftright("__h", shift))
+
+    budget = _budget_expr(budgets, domain_col)
+
+    # Phase 1: parallel per-(domain, bucket) token totals.
+    per_bucket = base.groupBy(domain_col, "__bucket").agg(
+        F.sum(n_tokens_col).alias("__bucket_tokens")
+    )
+
+    # Phase 2: cumulative over the tiny bucket table. `prior` excludes the
+    # bucket itself; a bucket is fully kept iff prior + own total fits, fully
+    # dropped iff prior alone already exceeds the budget, else boundary.
+    wb = Window.partitionBy(domain_col).orderBy("__bucket")
+    decisions = (
+        per_bucket.withColumn(
+            "__prior",
+            F.coalesce(
+                F.sum("__bucket_tokens").over(wb.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0).cast("long"),
+            ),
+        )
+        .withColumn("__budget", budget)
+        .withColumn(
+            "__kind",
+            F.when(F.col("__prior") + F.col("__bucket_tokens") <= F.col("__budget"), F.lit("keep"))
+            .when(F.col("__prior") >= F.col("__budget"), F.lit("drop"))
+            .otherwise(F.lit("boundary")),
+        )
+        .select(domain_col, "__bucket", "__prior", "__kind")
+    )
+
+    tagged = base.join(F.broadcast(decisions), [domain_col, "__bucket"], "left").withColumn(
+        "__kind", F.coalesce(F.col("__kind"), F.lit("drop"))
+    )
+
+    # Fully-kept buckets still need cum_tokens for the output contract; the
+    # within-bucket window partitions on (domain, bucket) — bounded by the
+    # bucket size, never the domain size.
+    ww = (
+        Window.partitionBy(domain_col, "__bucket")
+        .orderBy("__h", id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    kept = (
+        tagged.filter(F.col("__kind") != "drop")
+        .withColumn("cum_tokens", F.col("__prior") + F.sum(n_tokens_col).over(ww))
+        .filter((F.col("__kind") == "keep") | (F.col("cum_tokens") <= budget))
+    )
+    return kept.select(id_col, domain_col, n_tokens_col, "cum_tokens")
+
+
+def budgeted_mixture_naive(
+    df: DataFrame,
+    id_col: str,
+    domain_col: str,
+    n_tokens_col: str,
+    budgets: dict[str, int],
+    seed: str = "mix-1",
+) -> DataFrame:
+    """Single-window reference form (one task per domain — test oracle only)."""
+    h = portable_hash48(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+    w = (
+        Window.partitionBy(domain_col)
+        .orderBy(h, id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        df.filter(F.col(n_tokens_col) > 0)
+        .select(
+            F.col(id_col),
+            F.col(domain_col),
+            F.col(n_tokens_col).cast("long").alias(n_tokens_col),
+        )
+        .withColumn("cum_tokens", F.sum(n_tokens_col).over(w))
+        .filter(F.col("cum_tokens") <= _budget_expr(budgets, domain_col))
+    )

@@ -227,6 +227,28 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.2)
 
 
+@query(
+    "dedup_containment",
+    f"""
+    WITH {_DUCK_SHINGLE_TABLE}
+    SELECT doc_a, doc_b,
+           CAST(i AS DOUBLE) / CAST(least(na.n, nb.n) AS DOUBLE) AS containment,
+           CASE WHEN na.n <= nb.n THEN doc_a ELSE doc_b END AS contained_doc
+    FROM inter
+    JOIN sizes na ON na.doc = doc_a
+    JOIN sizes nb ON nb.doc = doc_b
+    WHERE CAST(i AS DOUBLE) / CAST(least(na.n, nb.n) AS DOUBLE) >= 0.8
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Asymmetric containment |A∩B|/min(|A|,|B|): the subset-duplication
+    # detector symmetric Jaccard misses (a doc quoted inside a 10× longer one
+    # scores jaccard ≈ 0.1 but containment 1.0). Same inverted-index candidate
+    # generation as dedup_ngram_jaccard — never all-pairs.
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.shingle_containment_pairs(docs, "doc_id", "text", k=3, threshold=0.8)
+
+
 def _duck_mh_bands() -> tuple[str, str]:
     """DuckDB fragments for the 16-hash / 4-band MinHash signature: the
     ``mh`` aggregate list and the banded-signature UNION (string-concat band
@@ -1409,6 +1431,50 @@ def f_posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "token"))
         .filter(F.col("pos") % 7 == 0)
         .select("doc_id", "pos", "token")
+    )
+
+
+_MIX_BUDGETS = {f"src{i}": 200 + 150 * i for i in range(20)}
+_DUCK_MIX_BUDGET = (
+    "CASE source "
+    + " ".join(f"WHEN 'src{i}' THEN {200 + 150 * i}" for i in range(20))
+    + " ELSE 0 END"
+)
+
+
+@query(
+    "t_domain_mix",
+    f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(len({_DUCK_TOKS.format(x='text')}) AS BIGINT) AS n_tokens,
+             {_DUCK_HASH.format(x="'mix-1:' || CAST(doc_id AS VARCHAR)")} AS h
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, source, n_tokens,
+             CAST(SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY h, doc_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+      FROM t WHERE n_tokens > 0
+    )
+    SELECT doc_id, source, n_tokens, cum_tokens
+    FROM c WHERE cum_tokens <= {_DUCK_MIX_BUDGET}
+    """,
+)
+def t_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Token-budgeted corpus mixing (operators/mixture.py): per source, keep
+    # the seeded-hash-ordered prefix of docs whose running token sum fits the
+    # source's budget — the data-mixing step of corpus assembly, reproducible
+    # across runs/engines/partitionings. The engine runs the two-phase
+    # bucketed form (no per-domain single-task window); the oracle is the
+    # naive window SQL — equality IS the scale-path correctness proof.
+    from f1_datalakehouse_pipeline_spark.operators.mixture import budgeted_mixture
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs = docs.withColumn("n_tokens", token_count(F.col("text")))
+    return budgeted_mixture(
+        docs, "doc_id", "source", "n_tokens", _MIX_BUDGETS, seed="mix-1"
     )
 
 

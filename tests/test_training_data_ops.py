@@ -1398,3 +1398,84 @@ def test_corpus_pipeline_end_to_end(spark, tmp_path):
         r.chunk_text for r in read_training_shards(spark, str(tmp_path / "corpus_out")).collect()
     )
     assert "alice@example.com" not in delivered and "<EMAIL>" in delivered
+
+
+def test_containment_catches_subset_duplication(spark):
+    # doc 2 is doc 1's text fully embedded in a much longer page: symmetric
+    # Jaccard is low (shared/union ~ 1/3) but containment is 1.0.
+    inner = "alpha beta gamma delta epsilon zeta eta theta"
+    outer = (
+        "page header boilerplate nav " + inner + " footer links copyright "
+        "contact about careers press terms privacy sitemap newsletter signup"
+    )
+    df = spark.createDataFrame(
+        [(1, inner), (2, outer), (3, "totally unrelated content body here")],
+        ["doc_id", "text"],
+    )
+    jac = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(df, "doc_id", "text", k=3, threshold=0.0).collect()
+    }
+    cont = {
+        (r.doc_a, r.doc_b): (r.containment, r.contained_doc)
+        for r in dedup.shingle_containment_pairs(
+            df, "doc_id", "text", k=3, threshold=0.8
+        ).collect()
+    }
+    assert cont[(1, 2)][0] == 1.0 and cont[(1, 2)][1] == 1  # doc 1 is the contained one
+    assert jac[(1, 2)] < 0.5  # jaccard alone would not flag it at common thresholds
+    assert (1, 3) not in cont and (2, 3) not in cont
+
+
+def test_containment_at_least_jaccard_and_df_cap(spark, sf_dir):
+    from f1_datalakehouse_pipeline_spark.sources.testdata import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    j = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.2).collect()
+    }
+    c = {
+        (r.doc_a, r.doc_b): r.containment
+        for r in dedup.shingle_containment_pairs(
+            docs, "doc_id", "text", k=3, threshold=0.0
+        ).collect()
+    }
+    assert j, "corpus should contain near-dup pairs"
+    for pair, jv in j.items():
+        assert c[pair] >= jv - 1e-12  # containment dominates jaccard
+
+
+def _mix_corpus(spark, n=300, domains=("a", "b", "c", "zero", "huge")):
+    rows = []
+    for i in range(n):
+        dom = domains[i % len(domains)]
+        rows.append((i, dom, (i * 37) % 23 + (0 if i % 11 else 0)))
+    # a few zero-token docs to exercise the exclusion contract
+    rows += [(n + 1, "a", 0), (n + 2, "zero", 0)]
+    return spark.createDataFrame(rows, ["doc_id", "source", "n_tokens"])
+
+
+@pytest.mark.parametrize("n_buckets", [4, 64, 4096])
+def test_budgeted_mixture_matches_naive_window(spark, n_buckets):
+    from f1_datalakehouse_pipeline_spark.operators.mixture import (
+        budgeted_mixture,
+        budgeted_mixture_naive,
+    )
+
+    df = _mix_corpus(spark)
+    budgets = {"a": 150, "b": 400, "c": 10**9, "zero": 0}  # "huge" unlisted → dropped
+    fast = budgeted_mixture(df, "doc_id", "source", "n_tokens", budgets, n_buckets=n_buckets)
+    naive = budgeted_mixture_naive(df, "doc_id", "source", "n_tokens", budgets)
+    f_rows = sorted(map(tuple, fast.collect()))
+    n_rows = sorted(map(tuple, naive.collect()))
+    assert f_rows == n_rows and f_rows
+    by_dom = {}
+    for _, dom, n, cum in f_rows:
+        by_dom.setdefault(dom, []).append((n, cum))
+    assert "zero" not in by_dom and "huge" not in by_dom
+    for dom, lst in by_dom.items():
+        assert max(c for _, c in lst) <= budgets[dom]
+    # domain c's budget exceeds its total mass → every positive-token doc kept
+    total_c = df.filter((F.col("source") == "c") & (F.col("n_tokens") > 0)).count()
+    assert len(by_dom["c"]) == total_c
