@@ -122,6 +122,8 @@ def main() -> None:
         "tpch_q19_disjunctive_revenue",
         "t_profile_columns",
         "t_shuffle_shards",
+        "dedup_containment",
+        "t_domain_mix",
     ]
     # r4 (VERDICT r3 item 7): extras get the same median-of-3 + spread
     # treatment as the headline, so regressions on dedup_docs_pipeline-class

@@ -459,3 +459,22 @@ def test_runtime_bloom_filter_semi_join_reduction(spark, sf_dir):
         assert bloomed == plain and len(plain) == 1
     finally:
         restore()
+
+
+def test_domain_mix_windows_never_partition_on_domain_alone(spark, sf_dir):
+    """budgeted_mixture's scale claim: every Window in the plan partitions on
+    (domain, hash-bucket) — the naive per-domain window (one task per domain)
+    must not appear on the data-sized side. The only domain-only window runs
+    over the tiny per-bucket aggregate table, which is bounded by
+    |domains| x n_buckets rows, and is ordered by __bucket (not the hash)."""
+    q = registry.queries()["t_domain_mix"](spark, sf_dir)
+    plan = plan_of(q)
+    windows = [
+        seg.split("\n")[0]
+        for seg in plan.split("windowspecdefinition(")[1:]
+    ]
+    assert windows, "expected window specs in the mixture plan"
+    data_sized = [w for w in windows if "__h" in w]  # per-doc running sum
+    assert data_sized, "expected the within-bucket running-sum window"
+    for w in data_sized:
+        assert "__bucket" in w, f"doc-level window partitioned by domain alone: {w}"

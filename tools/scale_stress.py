@@ -274,6 +274,52 @@ def run_corpus_scale(spark: SparkSession, sf_dir: str, factor: int) -> dict:
     return r
 
 
+def run_mixture_scale(spark: SparkSession, sf_dir: str, factor: int) -> dict:
+    """Bucketed vs naive budgeted_mixture on a 90%-one-domain corpus.
+
+    The skew IS the point: the naive form windows an entire domain in one
+    task, so a dominant domain serializes ~90% of the corpus through a
+    single thread; the bucketed form never windows more than a (domain,
+    bucket) slice. Both must return the identical row set (asserted)."""
+    from f1_datalakehouse_pipeline_spark.operators.mixture import (
+        budgeted_mixture,
+        budgeted_mixture_naive,
+    )
+
+    docs = scaled_docs(spark, sf_dir, factor)
+    corpus = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 10 < 9, F.lit("web"))
+        .otherwise(F.concat(F.lit("src"), (F.col("doc_id") % 10).cast("string")))
+        .alias("source"),
+        F.size(F.filter(F.split(F.trim("text"), r"\s+"), lambda t: t != "")).alias(
+            "n_tokens"
+        ),
+    )
+    path = os.path.join(CACHE, f"mixture_x{factor}")
+    if not os.path.isdir(path):
+        corpus.write.mode("overwrite").parquet(path)
+    corpus = spark.read.parquet(path)
+    total_web = corpus.filter(F.col("source") == "web").agg(F.sum("n_tokens")).first()[0]
+    budgets = {"web": int(total_web * 0.5), "src9": 10**12}
+
+    out: dict[str, float | int] = {"docs": corpus.count(), "web_budget": budgets["web"]}
+    t, n_fast = timed(
+        "bucketed two-phase",
+        lambda: budgeted_mixture(corpus, "doc_id", "source", "n_tokens", budgets).count(),
+    )
+    out["bucketed_sec"], out["kept"] = round(t, 1), n_fast
+    t, n_naive = timed(
+        "naive per-domain window",
+        lambda: budgeted_mixture_naive(
+            corpus, "doc_id", "source", "n_tokens", budgets
+        ).count(),
+    )
+    out["naive_sec"] = round(t, 1)
+    assert n_fast == n_naive, (n_fast, n_naive)
+    return out
+
+
 def generate_bronze_scaled(
     spark: SparkSession,
     root: str,
@@ -529,6 +575,7 @@ def main() -> None:
     ap.add_argument("--pipeline", action="store_true", help="run the full F1 pipeline at ~2.5M lap rows")
     ap.add_argument("--novelty", action="store_true", help="measure incremental-probe amortization vs full self-join")
     ap.add_argument("--corpus", action="store_true", help="run the full corpus pipeline (plans/corpus.py) at scale")
+    ap.add_argument("--mixture", action="store_true", help="bucketed vs naive budgeted_mixture on a 90%%-one-domain corpus")
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     args = ap.parse_args()
     factors = [int(f) for f in args.factors.split(",")]
@@ -570,6 +617,13 @@ def main() -> None:
         for factor in factors:
             print(f"corpus factor {factor}:", flush=True)
             results[str(factor)] = run_corpus_scale(spark, args.sf_dir, factor)
+        print(json.dumps(results, indent=2))
+        return
+
+    if args.mixture:
+        for factor in factors:
+            print(f"mixture factor {factor}:", flush=True)
+            results[str(factor)] = run_mixture_scale(spark, args.sf_dir, factor)
         print(json.dumps(results, indent=2))
         return
 
