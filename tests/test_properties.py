@@ -237,3 +237,45 @@ def test_chunking_invariants_hold_for_any_config(spark, case):
             assert c.n_chunk_tokens == len(got)
             stitched += got if c.chunk_idx == 0 else got[overlap:]
         assert stitched == toks
+
+
+mix_cases = st.tuples(
+    st.lists(  # (domain_index, n_tokens) per doc
+        st.tuples(st.integers(min_value=0, max_value=3), st.integers(min_value=0, max_value=50)),
+        min_size=1,
+        max_size=60,
+    ),
+    st.lists(st.integers(min_value=0, max_value=300), min_size=4, max_size=4),  # budgets
+    st.sampled_from([1, 2, 8, 64, 4096]),  # n_buckets
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(case=mix_cases)
+def test_budgeted_mixture_equals_naive_for_any_corpus(spark, case):
+    """The two-phase bucketed mixture must equal the naive per-domain window
+    for ANY corpus shape, budget vector, and bucket count — including empty
+    domains, zero budgets, zero-token docs, and budgets exceeding a domain's
+    total mass."""
+    from f1_datalakehouse_pipeline_spark.operators.mixture import (
+        budgeted_mixture,
+        budgeted_mixture_naive,
+    )
+
+    doc_specs, budget_vals, n_buckets = case
+    rows = [(i, f"d{dom}", n) for i, (dom, n) in enumerate(doc_specs)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "n_tokens"])
+    budgets = {f"d{i}": b for i, b in enumerate(budget_vals[:3])}  # d3 unlisted
+    fast = sorted(
+        map(tuple, budgeted_mixture(df, "doc_id", "source", "n_tokens", budgets, n_buckets=n_buckets).collect())
+    )
+    naive = sorted(
+        map(tuple, budgeted_mixture_naive(df, "doc_id", "source", "n_tokens", budgets).collect())
+    )
+    assert fast == naive
+    for _, dom, n, cum in fast:
+        assert dom in budgets and 0 < n <= cum <= budgets[dom]
