@@ -79,6 +79,22 @@ def build_parser() -> argparse.ArgumentParser:
     corp.add_argument("--n-shards", type=int, default=16)
     corp.add_argument("--seed", default="epoch-0")
     corp.add_argument("--master", default=None)
+    mix = sub.add_parser(
+        "mix-corpus",
+        help="token-budgeted per-domain mixture (seeded, reproducible): keep each domain's hash-prefix up to its budget",
+    )
+    mix.add_argument("--parquet", required=True, help="corpus parquet")
+    mix.add_argument("--out", required=True, help="output parquet for the mixed corpus")
+    mix.add_argument("--id-col", default="doc_id")
+    mix.add_argument("--content-col", default="text")
+    mix.add_argument("--domain-col", default="source")
+    mix.add_argument(
+        "--budgets",
+        required=True,
+        help='JSON object of domain -> token budget, e.g. \'{"web": 1000000, "code": 250000}\'',
+    )
+    mix.add_argument("--seed", default="mix-1")
+    mix.add_argument("--master", default=None)
     return ap
 
 
@@ -138,6 +154,29 @@ def main(argv: list[str] | None = None) -> int:
             )
         )
         return 1 if rep.audit_violations else 0
+    if args.cmd == "mix-corpus":
+        from pyspark.sql import functions as F
+
+        from f1_datalakehouse_pipeline_spark.functions.text import token_count
+        from f1_datalakehouse_pipeline_spark.operators.mixture import budgeted_mixture
+
+        docs = spark.read.parquet(args.parquet)
+        budgets = {str(k): int(v) for k, v in json.loads(args.budgets).items()}
+        sized = docs.withColumn("n_tokens", token_count(F.col(args.content_col)))
+        kept = budgeted_mixture(
+            sized, args.id_col, args.domain_col, "n_tokens", budgets, seed=args.seed
+        )
+        # re-attach full rows (id is unique by contract); broadcast-free semi
+        # join keeps only the mixture's members
+        out = docs.join(kept.select(args.id_col), args.id_col, "left_semi")
+        out.write.mode("overwrite").parquet(args.out)
+        stats = (
+            kept.groupBy(args.domain_col)
+            .agg(F.count(F.lit(1)).alias("docs"), F.sum("n_tokens").alias("tokens"))
+            .collect()
+        )
+        print(json.dumps({r[args.domain_col]: {"docs": r.docs, "tokens": r.tokens} for r in stats}))
+        return 0
     if args.cmd == "ingest":
         from f1_datalakehouse_pipeline_spark.sources.ingest import (
             RestClient,

@@ -78,3 +78,27 @@ def test_cli_build_corpus(spark, tmp_path, capsys):
     assert rep["counts"]["after_exact_dedup"] == 20
     assert rep["audit_violations"] == 0
     assert sum(s["n_rows"] for s in rep["shards"]) == rep["counts"]["chunks"]
+
+
+def test_cli_mix_corpus(spark, tmp_path, capsys):
+    import json
+
+    from f1_datalakehouse_pipeline_spark.cli import main
+
+    src = str(tmp_path / "mixsrc")
+    rows = [
+        (i, "web" if i % 3 else "code", "tok " * (5 + i % 7)) for i in range(60)
+    ]
+    spark.createDataFrame(rows, ["doc_id", "source", "text"]).write.parquet(src)
+
+    out = str(tmp_path / "mixed")
+    assert main([
+        "mix-corpus", "--parquet", src, "--out", out,
+        "--budgets", '{"web": 80, "code": 1000000}',
+    ]) == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["web"]["tokens"] <= 80          # budget respected
+    assert stats["code"]["docs"] == 20           # over-budget domain kept whole
+    mixed = spark.read.parquet(out)
+    assert mixed.count() == stats["web"]["docs"] + stats["code"]["docs"]
+    assert set(mixed.columns) == {"doc_id", "source", "text"}  # original rows, not projections
