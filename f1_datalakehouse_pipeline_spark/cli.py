@@ -78,6 +78,18 @@ def build_parser() -> argparse.ArgumentParser:
     corp.add_argument("--overlap-tokens", type=int, default=32)
     corp.add_argument("--n-shards", type=int, default=16)
     corp.add_argument("--seed", default="epoch-0")
+    corp.add_argument(
+        "--containment-threshold",
+        type=float,
+        default=None,
+        help="optional subset-dup pass: drop docs whose shingle containment in a surviving doc exceeds this",
+    )
+    corp.add_argument("--domain-col", default=None, help="enable the mixture stage on this column")
+    corp.add_argument(
+        "--domain-budgets",
+        default=None,
+        help='JSON domain -> token budget (requires --domain-col)',
+    )
     corp.add_argument("--master", default=None)
     mix = sub.add_parser(
         "mix-corpus",
@@ -143,6 +155,13 @@ def main(argv: list[str] | None = None) -> int:
             overlap_tokens=args.overlap_tokens,
             n_shards=args.n_shards,
             seed=args.seed,
+            containment_threshold=args.containment_threshold,
+            domain_col=args.domain_col,
+            domain_budgets=(
+                {str(k): int(v) for k, v in json.loads(args.domain_budgets).items()}
+                if args.domain_budgets
+                else None
+            ),
         )
         print(
             json.dumps(

@@ -9,7 +9,11 @@ build runs, wired from the engine's own oracle-verified operators:
       → PII scrub           (functions/pii.scrub_pii — map-only)
       → exact dedup         (operators/dedup.exact_dedup keepers)
       → near-dup removal    (minhash_lsh_pairs + apply_dedup)
+      → containment dedup   (optional: shingle_containment_pairs — drop docs
+                             fully contained in a surviving superset doc)
       → decontamination     (contamination_pairs vs a held-out benchmark)
+      → domain mixture      (optional: mixture.budgeted_mixture — per-domain
+                             token budgets, seeded and reproducible)
       → chunking            (operators/textstats.chunk_documents)
       → shard delivery      (sources/shards.write_training_shards:
                              seeded shuffle + verifiable manifest)
@@ -66,6 +70,9 @@ def run_corpus_pipeline(
     n_shards: int = 16,
     seed: str = "epoch-0",
     max_doc_frequency: int | None = 1000,
+    containment_threshold: float | None = None,
+    domain_col: str | None = None,
+    domain_budgets: dict[str, int] | None = None,
 ) -> CorpusReport:
     """Run the full corpus build; returns per-stage counts + shard manifest
     + audit result. Idempotent: shards overwrite per (out_root, seed)."""
@@ -103,6 +110,22 @@ def run_corpus_pipeline(
     kept = checkpoint_stage(dedup.apply_dedup(kept, id_col, pairs))
     rep.counts["after_near_dedup"] = kept.count()
 
+    if containment_threshold is not None:
+        # Subset-duplication pass: symmetric near-dedup above already removed
+        # high-Jaccard pairs; this drops each remaining pair's CONTAINED doc
+        # (the smaller shingle set), keeping the superset's extra content.
+        contained = (
+            dedup.shingle_containment_pairs(
+                kept, id_col, content_col,
+                threshold=containment_threshold,
+                max_doc_frequency=max_doc_frequency,
+            )
+            .select(F.col("contained_doc").alias(id_col))
+            .distinct()
+        )
+        kept = checkpoint_stage(kept.join(contained, id_col, "left_anti"))
+        rep.counts["after_containment_dedup"] = kept.count()
+
     if benchmark is not None:
         leaks = dedup.contamination_pairs(
             kept, benchmark, id_col, content_col,
@@ -111,6 +134,24 @@ def run_corpus_pipeline(
         ).select(F.col("train_id").alias(id_col)).distinct()
         kept = checkpoint_stage(kept.join(leaks, id_col, "left_anti"))
         rep.counts["after_decontamination"] = kept.count()
+
+    if domain_col is not None and domain_budgets is not None:
+        # Mixture runs after all cleaning so budgets are spent on docs that
+        # will actually ship, and before chunking so budgets count document
+        # tokens, not overlap-inflated chunk tokens.
+        from f1_datalakehouse_pipeline_spark.functions.text import token_count
+        from f1_datalakehouse_pipeline_spark.operators.mixture import budgeted_mixture
+
+        admitted = budgeted_mixture(
+            kept.withColumn("__n_tokens", token_count(F.col(content_col))),
+            id_col,
+            domain_col,
+            "__n_tokens",
+            domain_budgets,
+            seed=f"{seed}-mix",
+        ).select(id_col)
+        kept = checkpoint_stage(kept.join(admitted, id_col, "left_semi"))
+        rep.counts["after_mixture"] = kept.count()
 
     chunks = checkpoint_stage(
         chunk_documents(

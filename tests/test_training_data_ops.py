@@ -1479,3 +1479,58 @@ def test_budgeted_mixture_matches_naive_window(spark, n_buckets):
     # domain c's budget exceeds its total mass → every positive-token doc kept
     total_c = df.filter((F.col("source") == "c") & (F.col("n_tokens") > 0)).count()
     assert len(by_dom["c"]) == total_c
+
+
+def test_corpus_pipeline_optional_containment_and_mixture_stages(spark, tmp_path):
+    """The opt-in stages remove exactly their planted rows: the contained doc
+    (subset-dup past the symmetric near-dedup) and the docs past each
+    domain's token budget — and stay off by default."""
+    from f1_datalakehouse_pipeline_spark.plans.corpus import run_corpus_pipeline
+
+    inner = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    outer = (
+        "page header boilerplate nav " + inner + " footer links copyright "
+        "contact about careers press terms privacy sitemap newsletter signup"
+    )
+    rows = [(1, "web", inner), (2, "web", outer)] + [
+        (i, "code", f"def fn{i} returns value{i} plus offset{i} for index{i} loop{i}")
+        for i in range(10, 22)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+
+    common = dict(
+        quality_min=0.0,
+        near_threshold=0.95,
+        chunk_tokens=16,
+        overlap_tokens=0,
+        n_shards=2,
+        seed="mixstage",
+    )
+    rep = run_corpus_pipeline(
+        spark, docs, str(tmp_path / "plain"), **common
+    )
+    assert "after_containment_dedup" not in rep.counts
+    assert "after_mixture" not in rep.counts
+
+    rep = run_corpus_pipeline(
+        spark,
+        docs,
+        str(tmp_path / "full"),
+        containment_threshold=0.9,
+        domain_col="source",
+        domain_budgets={"web": 10**6, "code": 30},
+        **common,
+    )
+    # doc 1 (the contained subset) drops; doc 2 (the superset) survives
+    assert rep.counts["after_containment_dedup"] == rep.counts["after_near_dedup"] - 1
+    # code domain capped at 30 tokens (each code doc is 7 tokens -> 4 admitted)
+    assert rep.counts["after_mixture"] < rep.counts["after_containment_dedup"]
+    from f1_datalakehouse_pipeline_spark.sources.shards import read_training_shards
+
+    delivered = read_training_shards(spark, str(tmp_path / "full"))
+    words = set(
+        " ".join(r.chunk_text for r in delivered.collect()).split()
+    )
+    # the surviving superset doc's content shipped (incl. the embedded inner
+    # text); phrase-level checks would straddle chunk boundaries
+    assert {"alpha", "kappa", "boilerplate", "sitemap"} <= words
