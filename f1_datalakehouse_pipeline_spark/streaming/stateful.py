@@ -250,3 +250,83 @@ def running_aggregate(
         outputMode="append",
         timeoutConf=_timeout_conf(idle_timeout_ms),
     )
+
+
+_BUDGET_STATE = StructType(
+    [StructField("spent", LongType()), StructField("exhausted", LongType())]
+)
+
+
+def _budget_step(
+    key: tuple,
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+    budgets: dict[str, int],
+    id_col: str,
+    tokens_col: str,
+) -> Iterator[pd.DataFrame]:
+    budget = int(budgets.get(key[0], 0))
+    spent, exhausted = (
+        (int(state.get[0]), bool(state.get[1])) if state.exists else (0, False)
+    )
+    parts = [pdf for pdf in pdfs if len(pdf)]
+    if not parts or exhausted:
+        return iter(())
+    batch = pd.concat(parts, ignore_index=True)
+    batch = batch[batch[tokens_col] > 0].sort_values(id_col, kind="mergesort")
+    if not len(batch):
+        return iter(())
+    cum = batch[tokens_col].cumsum() + spent
+    fits = cum <= budget
+    admitted = batch[fits].copy()
+    if len(admitted) < len(batch):
+        # prefix semantics, same as the batch mixture: the first overflowing
+        # doc closes the domain for good — a later smaller doc must not jump
+        # the queue it arrived behind.
+        exhausted = True
+    if len(admitted):
+        admitted["cum_tokens"] = cum[fits]
+        spent = int(admitted["cum_tokens"].iloc[-1])
+    state.update((spent, int(exhausted)))
+    return iter((admitted,)) if len(admitted) else iter(())
+
+
+def budget_admission(
+    stream: DataFrame,
+    id_col: str,
+    domain_col: str,
+    tokens_col: str,
+    budgets: dict[str, int],
+    out_schema: str,
+) -> DataFrame:
+    """Streaming counterpart of operators/mixture.budgeted_mixture: admit
+    docs from the stream into a per-domain token budget; once a domain's
+    budget is spent, every later doc in that domain is rejected — across
+    micro-batches and restarts (the spent counter lives in the state store,
+    so a checkpointed query resumes exactly where it stopped).
+
+    Semantics differ from the batch mixture BY DESIGN in ordering only:
+    batch selects a seeded-hash prefix (a reproducible uniform sample); a
+    stream cannot see future docs, so admission is arrival-order — first
+    come, first funded — with id-order tie-breaking inside each micro-batch
+    for a deterministic result under a fixed batch chop. The CUT is the
+    same strict prefix as the batch operator: the first doc that overflows
+    the budget closes its domain permanently (a later smaller doc must not
+    jump the queue it arrived behind). Domains absent from ``budgets``
+    get 0.
+
+    State is two longs per domain — O(|domains|) total, never evicted (a
+    timeout would forget spend and re-open an exhausted budget).
+    ``out_schema`` must list the input columns plus ``cum_tokens BIGINT``.
+    """
+
+    def fn(key, pdfs, state):
+        return _budget_step(key, pdfs, state, budgets, id_col, tokens_col)
+
+    return stream.groupBy(domain_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=_BUDGET_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

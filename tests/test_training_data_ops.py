@@ -1534,3 +1534,61 @@ def test_corpus_pipeline_optional_containment_and_mixture_stages(spark, tmp_path
     # the surviving superset doc's content shipped (incl. the embedded inner
     # text); phrase-level checks would straddle chunk boundaries
     assert {"alpha", "kappa", "boilerplate", "sitemap"} <= words
+
+
+def test_stateful_budget_admission(spark, tmp_path):
+    """Per-domain token budgets hold across micro-batches: once a domain's
+    budget is spent in batch 1, batch 2's docs for it are rejected; a later
+    drain on the same checkpoint resumes from the persisted spend."""
+    from f1_datalakehouse_pipeline_spark.streaming.stateful import budget_admission
+
+    src = tmp_path / "budget_src"
+    src.mkdir()
+    schema = "doc_id BIGINT, source STRING, n_tokens BIGINT"
+    # batch 1: web docs 10+10 tokens, code doc 5
+    spark.createDataFrame(
+        [(1, "web", 10), (2, "web", 10), (3, "code", 5)], schema
+    ).coalesce(1).write.parquet(str(src / "b1"))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    out = budget_admission(
+        stream, "doc_id", "source", "n_tokens",
+        {"web": 25, "code": 100},
+        schema + ", cum_tokens BIGINT",
+    )
+    ckpt, sink = str(tmp_path / "ck"), str(tmp_path / "sink")
+
+    def drain():
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {r.doc_id: r.cum_tokens for r in spark.read.parquet(sink).collect()}
+
+    got = drain()
+    assert got == {1: 10, 2: 20, 3: 5}
+
+    # batch 2 (new drain, same checkpoint): web has 5 left -> doc 4 (10)
+    # overflows and permanently CLOSES the web domain (strict-prefix cut,
+    # same as the batch mixture) -- doc 6 (3 tokens) would fit but arrived
+    # behind the overflow, so it is rejected too; code continues normally
+    spark.createDataFrame(
+        [(4, "web", 10), (5, "code", 7), (6, "web", 3)], schema
+    ).coalesce(1).write.parquet(str(src / "b2"))
+    got = drain()
+    assert got == {1: 10, 2: 20, 3: 5, 5: 12}
+
+    # batch 3: web stays closed across batches; code keeps admitting
+    spark.createDataFrame(
+        [(7, "web", 1), (8, "code", 2)], schema
+    ).coalesce(1).write.parquet(str(src / "b3"))
+    got = drain()
+    assert got == {1: 10, 2: 20, 3: 5, 5: 12, 8: 14}
