@@ -152,3 +152,45 @@ def budgeted_mixture_naive(
         .withColumn("cum_tokens", F.sum(n_tokens_col).over(w))
         .filter(F.col("cum_tokens") <= _budget_expr(budgets, domain_col))
     )
+
+
+def repeat_mixture(
+    df: DataFrame,
+    id_col: str,
+    domain_col: str,
+    rates: dict[str, float],
+    seed: str = "rep-1",
+) -> DataFrame:
+    """Deterministic fractional repetition — the UPSAMPLING half of data
+    mixing (budgeted_mixture is the downsampling half): domain rate r emits
+    ``floor(r)`` copies of every doc plus one extra copy for a reproducible
+    ``frac(r)`` fraction of docs (chosen by seeded hash, so the same docs
+    get the extra epoch on every run and engine). rate 2.5 → every doc
+    twice, half the docs a third time; rate 0.25 → a quarter of the docs
+    once; rate 0 / unlisted → dropped.
+
+    Map-only (project + explode): no shuffle, no state. Copies carry
+    ``copy_idx`` (1-based) so downstream shuffling/sharding can give each
+    epoch copy an independent position (seed the shuffle with id+copy_idx).
+    """
+    h = portable_hash48(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))) % F.lit(
+        1_000_000
+    )
+    base_expr = F.lit(0).cast("long")
+    thr_expr = F.lit(0).cast("long")
+    for dom, r in rates.items():
+        if r < 0:
+            raise ValueError(f"negative rate for domain {dom!r}: {r}")
+        base, thr = int(r), int(round((r - int(r)) * 1_000_000))
+        base_expr = F.when(F.col(domain_col) == dom, F.lit(base).cast("long")).otherwise(base_expr)
+        thr_expr = F.when(F.col(domain_col) == dom, F.lit(thr).cast("long")).otherwise(thr_expr)
+    copies = base_expr + F.when(h < thr_expr, F.lit(1)).otherwise(F.lit(0))
+    return df.select(
+        F.col(id_col),
+        F.col(domain_col),
+        F.explode(
+            F.when(copies >= 1, F.sequence(F.lit(1).cast("long"), copies)).otherwise(
+                F.array()
+            )
+        ).alias("copy_idx"),
+    )

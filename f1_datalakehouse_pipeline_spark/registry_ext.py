@@ -1478,6 +1478,52 @@ def t_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_REPEAT_RATES = {f"src{i}": i * 0.25 for i in range(20)}
+_DUCK_REPEAT_BASE = (
+    "CASE source "
+    + " ".join(f"WHEN 'src{i}' THEN {int(i * 0.25)}" for i in range(20))
+    + " ELSE 0 END"
+)
+_DUCK_REPEAT_THR = (
+    "CASE source "
+    + " ".join(
+        f"WHEN 'src{i}' THEN {int(round((i * 0.25 - int(i * 0.25)) * 1_000_000))}"
+        for i in range(20)
+    )
+    + " ELSE 0 END"
+)
+
+
+@query(
+    "t_repeat_mixture",
+    f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             {_DUCK_HASH.format(x="'rep-1:' || CAST(doc_id AS VARCHAR)")} % 1000000 AS h
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, source,
+             {_DUCK_REPEAT_BASE}
+               + CASE WHEN h < {_DUCK_REPEAT_THR} THEN 1 ELSE 0 END AS copies
+      FROM t
+    )
+    SELECT doc_id, source, CAST(unnest(generate_series(1, copies)) AS BIGINT) AS copy_idx
+    FROM c
+    """,
+)
+def t_repeat_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Fractional per-domain repetition (operators/mixture.repeat_mixture) —
+    # the upsampling half of data mixing: rate r = floor(r) copies of every
+    # doc + one extra for a seeded-hash-chosen frac(r) of docs. Rates graded
+    # 0..4.75 across the 20 sources exercise drop / fractional-only / exact
+    # integer / integer+fraction in one query. Map-only plan: no exchange.
+    from f1_datalakehouse_pipeline_spark.operators.mixture import repeat_mixture
+
+    docs = load_table(spark, sf_dir, "documents")
+    return repeat_mixture(docs, "doc_id", "source", _REPEAT_RATES, seed="rep-1")
+
+
 @query(
     "t_train_test_split",
     f"""

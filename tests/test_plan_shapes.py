@@ -478,3 +478,11 @@ def test_domain_mix_windows_never_partition_on_domain_alone(spark, sf_dir):
     assert data_sized, "expected the within-bucket running-sum window"
     for w in data_sized:
         assert "__bucket" in w, f"doc-level window partitioned by domain alone: {w}"
+
+
+def test_repeat_mixture_map_only(spark, sf_dir):
+    """Upsampling must be a pure projection + generator: zero exchanges."""
+    q = registry.queries()["t_repeat_mixture"](spark, sf_dir)
+    plan = plan_of(q)
+    assert plan.count("Exchange") == 0
+    assert "Generate" in plan  # the explode

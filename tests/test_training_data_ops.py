@@ -1592,3 +1592,30 @@ def test_stateful_budget_admission(spark, tmp_path):
     ).coalesce(1).write.parquet(str(src / "b3"))
     got = drain()
     assert got == {1: 10, 2: 20, 3: 5, 5: 12, 8: 14}
+
+
+def test_repeat_mixture_copy_semantics(spark):
+    from f1_datalakehouse_pipeline_spark.operators.mixture import repeat_mixture
+
+    rows = [(i, ["drop", "half", "whole", "twoandhalf"][i % 4]) for i in range(400)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    rates = {"drop": 0.0, "half": 0.5, "whole": 1.0, "twoandhalf": 2.5}
+    out = repeat_mixture(df, "doc_id", "source", rates, seed="rt")
+    got = out.groupBy("source").count().collect()
+    counts = {r.source: r["count"] for r in got}
+    assert "drop" not in counts
+    assert counts["whole"] == 100                      # exactly one copy each
+    assert 25 <= counts["half"] <= 75                  # ~50 of 100, hash-chosen
+    assert 225 <= counts["twoandhalf"] <= 275          # 200 + ~50 extras
+    # copy_idx contiguity: every doc's copies are 1..n
+    per_doc = {}
+    for r in out.collect():
+        per_doc.setdefault(r.doc_id, []).append(r.copy_idx)
+    for doc, idxs in per_doc.items():
+        assert sorted(idxs) == list(range(1, len(idxs) + 1)), (doc, idxs)
+    # deterministic: second run byte-identical
+    again = repeat_mixture(df, "doc_id", "source", rates, seed="rt")
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+    # a different seed re-draws the fractional extras
+    other = repeat_mixture(df, "doc_id", "source", rates, seed="rt2")
+    assert sorted(map(tuple, out.collect())) != sorted(map(tuple, other.collect()))
