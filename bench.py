@@ -124,6 +124,7 @@ def main() -> None:
         "t_shuffle_shards",
         "dedup_containment",
         "t_domain_mix",
+        "t_repeat_mixture",
     ]
     # r4 (VERDICT r3 item 7): extras get the same median-of-3 + spread
     # treatment as the headline, so regressions on dedup_docs_pipeline-class
