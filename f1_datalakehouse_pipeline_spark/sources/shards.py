@@ -38,13 +38,16 @@ def write_training_shards(
     """Write ``df`` as shard-partitioned parquet plus a manifest; returns the
     manifest DataFrame (shard_id, n_rows, n_tokens, checksum).
 
-    The checksum is the per-shard SUM of the portable 48-bit content hash —
+    The checksum is the per-shard SUM of ``content_hash48 % 2^31`` —
     order-independent (file/row order inside a shard never matters to it)
-    and cheap to recompute on read (:func:`verify_training_shards`). 48-bit
-    terms summed over even billions of rows stay far under int64 overflow.
+    and cheap to recompute on read (:func:`verify_training_shards`). The
+    31-bit reduction keeps the running sum under int64 for shards up to
+    ~4.3 billion rows even with ANSI overflow checking enabled (summing the
+    raw 48-bit terms would overflow past ~65K rows — wrapping consistently
+    under the session's non-ANSI config, but crashing any ANSI deployment).
     """
     assigned = shuffle_assignments(df, id_col, n_shards, seed).withColumn(
-        "__chk", portable_hash48(F.col(content_col))
+        "__chk", portable_hash48(F.col(content_col)) % F.lit(2147483647)
     )
     data_path = os.path.join(out_path, "data")
     (
@@ -86,7 +89,9 @@ def verify_training_shards(
     data = read_training_shards(spark, out_path)
     actual = data.groupBy("shard_id").agg(
         F.count(F.lit(1)).alias("actual_rows"),
-        F.sum(portable_hash48(F.col(content_col))).alias("actual_checksum"),
+        F.sum(portable_hash48(F.col(content_col)) % F.lit(2147483647)).alias(
+            "actual_checksum"
+        ),
     )
     manifest = spark.read.parquet(os.path.join(out_path, MANIFEST_DIR)).select(
         "shard_id", "n_rows", "checksum"
