@@ -250,7 +250,9 @@ def run_corpus_scale(spark: SparkSession, sf_dir: str, factor: int) -> dict:
 
     from f1_datalakehouse_pipeline_spark.plans.corpus import run_corpus_pipeline
 
-    docs = scaled_docs(spark, sf_dir, factor)
+    docs = scaled_docs(spark, sf_dir, factor).withColumn(
+        "source", F.concat(F.lit("s"), (F.col("doc_id") % 10).cast("string"))
+    )
     bench = docs.filter(F.col("doc_id") < 50).select(
         (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
     )
@@ -267,6 +269,12 @@ def run_corpus_scale(spark: SparkSession, sf_dir: str, factor: int) -> dict:
         n_shards=64,
         seed="scale",
         max_doc_frequency=64,
+        # the late-r4 optional stages, exercised at scale: a containment
+        # pass after the symmetric near-dedup, and a token-budget cap on
+        # one of the ten synthetic domains (the others unlimited)
+        containment_threshold=0.9,
+        domain_col="source",
+        domain_budgets={f"s{i}": (100_000 if i == 0 else 10**12) for i in range(10)},
     )
     wall = round(_t.perf_counter() - t0, 1)
     r = {"wall_sec": wall, "audit_violations": rep.audit_violations, **rep.counts}
