@@ -133,3 +133,41 @@ def shingle_hashes_from_tokens(col_name: str, k: int = 3) -> Column:
         f"transform(sequence(1, greatest(size(hs) - {k - 1}, 1)), "
         f"i -> (({weights}) % {MINHASH_P}L) % {1 << 48}L)), 1))"
     )
+
+
+def linear_model_score(
+    col: Column,
+    weights_milli: tuple[int, ...],
+    bias_milli: int = 0,
+) -> Column:
+    """fastText-style linear text classifier applied as a NATIVE columnar
+    expression — the model-based successor to the heuristic quality_score
+    (the shape of the CCNet / Dolma quality filters): each token hashes into
+    one of ``len(weights_milli)`` feature buckets, the bucket weights sum,
+    and the score is squashed to (-1, 1).
+
+    Built for exact cross-engine verification and 100 TB scale:
+
+    - weights are INTEGER milli-units, so the feature sum is exact int64
+      arithmetic — no float summation order anywhere (the only float op is
+      the final division and rational squash, both order-free);
+    - the squash is x/(1000 + |x|) (rational, pure arithmetic) instead of a
+      sigmoid — ``exp`` is libm-dependent and not bit-identical between the
+      JVM and DuckDB;
+    - the weight vector is baked into the expression as an array literal
+      (broadcast-by-codegen): scoring is a pure map stage, no shuffle, no
+      UDF, no model server. Typical hashed-feature dims (2^16-2^20) stay
+      comfortably inside expression-size limits at int literals.
+
+    Returns DOUBLE in (-1, 1); rank/filter on it exactly as on quality_score.
+    """
+    dim = len(weights_milli)
+    w = F.array(*[F.lit(int(v)).cast("long") for v in weights_milli])
+    toks = tokens(col)
+    total = F.aggregate(
+        toks,
+        F.lit(int(bias_milli)).cast("long"),
+        lambda acc, t: acc
+        + F.element_at(w, (portable_hash48(t) % dim + 1).cast("int")),
+    )
+    return total.cast("double") / (F.lit(1000.0) + F.abs(total.cast("double")))

@@ -59,20 +59,22 @@ _VERIFY_FIRST = [
     # t_pack_sequences is re-proven because its packer switched to the
     # sharded form this round, and 36 of the 50 queries whose newest
     # driver-green row is from r2 are promoted. The 10 r3-verified queries
-    # rotate to the tail untouched. Fourteen r2-green queries must wait for
-    # r5 (114 registered > 50+50): a1_distinct, a3_count_distinct,
+    # rotate to the tail untouched. Fifteen r2-green queries must wait for
+    # r5 (115 registered > 50+50): a1_distinct, a3_count_distinct,
     # a5_stats_agg, f_posexplode_tokens, f_map_ops, t_token_histogram,
     # f_time_parse, f_url_parse, f_json_extract, f_regex_extract_all,
     # f_levenshtein_pairs, u2_except_antijoin, u5_union_schema_drift,
-    # w14_ntile_quartiles — all trivially-stable single-exchange or
-    # pure-projection plans, untouched since their registration round and
-    # re-verified locally every round (the local gate has no cap); they are
-    # first in line next round. (u2/u5/w14 yielded their head slots to the
-    # late-r4 additions dedup_containment / t_domain_mix / t_repeat_mixture,
-    # which need FIRST driver rows.)
+    # w14_ntile_quartiles, a9_pivot_doc_counts — all trivially-stable
+    # single-exchange or pure-projection plans, untouched since their
+    # registration round and re-verified locally every round (the local
+    # gate has no cap); they are first in line next round. (u2/u5/w14/a9
+    # yielded their head slots to the late-r4 additions dedup_containment /
+    # t_domain_mix / t_repeat_mixture / t_model_quality_score, which need
+    # FIRST driver rows.)
     "dedup_containment",
     "t_domain_mix",
     "t_repeat_mixture",
+    "t_model_quality_score",
     "contamination_pairs",
     "scd2_splice_backdated",
     "tablestore_delete_tombstone",
@@ -101,7 +103,6 @@ _VERIFY_FIRST = [
     "p8_percentile_cont",
     "a4_conditional_counts",
     "a6_pricing_summary",
-    "a9_pivot_doc_counts",
     "a10_approx_distinct",
     "a12_grouping_sets",
     "a13_approx_percentile",

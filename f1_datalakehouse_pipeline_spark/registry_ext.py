@@ -1478,6 +1478,42 @@ def t_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MODEL_DIM = 64
+_MODEL_W = tuple(((i * 2654435761) % 1001) - 500 for i in range(_MODEL_DIM))
+
+
+@query(
+    "t_model_quality_score",
+    f"""
+    WITH t AS (SELECT doc_id, {_DUCK_TOKS.format(x='text')} AS toks FROM documents),
+    s AS (
+      SELECT doc_id,
+             CAST(COALESCE(list_sum(list_transform(toks,
+               tk -> list_extract({list(_MODEL_W)},
+                 CAST((('0x' || substr(md5(tk), 1, 12))::BIGINT % {_MODEL_DIM}) + 1 AS INT))
+             )), 0) AS BIGINT) AS total
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(total AS DOUBLE) / (1000.0 + ABS(CAST(total AS DOUBLE))) AS model_score
+    FROM s
+    """,
+)
+def t_model_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Model-based quality scoring (functions/text.linear_model_score): a
+    # hashed-feature linear classifier evaluated as a pure map expression —
+    # integer milli-unit weights (exact int64 sum, no float order), rational
+    # squash (no libm exp). The weight vector here is a deterministic
+    # Knuth-hash formula standing in for trained weights; swapping in real
+    # ones is a literal-array change.
+    from f1_datalakehouse_pipeline_spark.functions.text import linear_model_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", linear_model_score(F.col("text"), _MODEL_W).alias("model_score")
+    )
+
+
 _REPEAT_RATES = {f"src{i}": i * 0.25 for i in range(20)}
 _DUCK_REPEAT_BASE = (
     "CASE source "

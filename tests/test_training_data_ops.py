@@ -1619,3 +1619,46 @@ def test_repeat_mixture_copy_semantics(spark):
     # a different seed re-draws the fractional extras
     other = repeat_mixture(df, "doc_id", "source", rates, seed="rt2")
     assert sorted(map(tuple, out.collect())) != sorted(map(tuple, other.collect()))
+
+
+def test_linear_model_score_semantics(spark):
+    from f1_datalakehouse_pipeline_spark.functions.text import linear_model_score
+
+    dim = 8
+    # weight +900 for bucket of "good", -900 for bucket of "bad" (resolve
+    # the buckets first so the test is robust to the hash)
+    from pyspark.sql import functions as F
+
+    probe = spark.createDataFrame([("good",), ("bad",)], ["t"])
+    from f1_datalakehouse_pipeline_spark.functions.text import portable_hash48
+
+    buckets = {
+        r.t: r.b for r in probe.select("t", (portable_hash48(F.col("t")) % dim).alias("b")).collect()
+    }
+    w = [0] * dim
+    w[buckets["good"]] += 900
+    w[buckets["bad"]] -= 900
+    df = spark.createDataFrame(
+        [(1, "good good good"), (2, "bad bad"), (3, ""), (4, "good bad")],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: r.s
+        for r in df.select(
+            "doc_id", linear_model_score(F.col("text"), tuple(w)).alias("s")
+        ).collect()
+    }
+    assert out[1] > 0.5 and out[2] < -0.4          # sign follows the evidence
+    assert out[3] == 0.0                           # empty doc -> bias only
+    if buckets["good"] != buckets["bad"]:
+        assert abs(out[4]) < 0.1                   # balanced doc ~ neutral
+    assert all(-1.0 < v < 1.0 for v in out.values())
+    # bias shifts every score in the same direction
+    out_b = {
+        r.doc_id: r.s
+        for r in df.select(
+            "doc_id",
+            linear_model_score(F.col("text"), tuple(w), bias_milli=500).alias("s"),
+        ).collect()
+    }
+    assert all(out_b[k] > out[k] for k in out)
