@@ -125,6 +125,7 @@ def main() -> None:
         "dedup_containment",
         "t_domain_mix",
         "t_repeat_mixture",
+        "t_model_quality_score",
     ]
     # r4 (VERDICT r3 item 7): extras get the same median-of-3 + spread
     # treatment as the headline, so regressions on dedup_docs_pipeline-class
