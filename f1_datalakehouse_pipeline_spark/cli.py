@@ -182,11 +182,13 @@ def main(argv: list[str] | None = None) -> int:
         docs = spark.read.parquet(args.parquet)
         budgets = {str(k): int(v) for k, v in json.loads(args.budgets).items()}
         sized = docs.withColumn("n_tokens", token_count(F.col(args.content_col)))
+        # cache: the mixture (3 shuffles) feeds BOTH the semi-join write and
+        # the stats aggregation — uncached it would run end-to-end twice
         kept = budgeted_mixture(
             sized, args.id_col, args.domain_col, "n_tokens", budgets, seed=args.seed
-        )
-        # re-attach full rows (id is unique by contract); broadcast-free semi
-        # join keeps only the mixture's members
+        ).cache()
+        # re-attach full rows (id is unique by contract); the semi join keeps
+        # only the mixture's members
         out = docs.join(kept.select(args.id_col), args.id_col, "left_semi")
         out.write.mode("overwrite").parquet(args.out)
         stats = (
@@ -194,6 +196,7 @@ def main(argv: list[str] | None = None) -> int:
             .agg(F.count(F.lit(1)).alias("docs"), F.sum("n_tokens").alias("tokens"))
             .collect()
         )
+        kept.unpersist()
         print(json.dumps({r[args.domain_col]: {"docs": r.docs, "tokens": r.tokens} for r in stats}))
         return 0
     if args.cmd == "ingest":

@@ -91,6 +91,32 @@ def _drop_hot_shingles(sh: DataFrame, max_doc_frequency: int) -> DataFrame:
     return sh.join(hot, "h", "left_anti")
 
 
+def _pair_intersections(
+    df: DataFrame, id_col: str, content_col: str, k: int,
+    max_doc_frequency: int | None,
+) -> DataFrame:
+    """Shared candidate machinery for the exact-overlap pair operators:
+    inverted-index self-join over word shingles → one row per co-shingling
+    pair (doc_a < doc_b) with the intersection count and BOTH pre-cap set
+    sizes — (doc_a, doc_b, inter, n_a, n_b). Sizes are computed before the
+    hot-shingle cap so every similarity derived from them stays exact for
+    surviving pairs (the cap's approximation is one-sided: hot-shingle-only
+    pairs drop out entirely)."""
+    sh = _shingle_table(df, id_col, content_col, k)
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
+    if max_doc_frequency is not None:
+        sh = _drop_hot_shingles(sh, max_doc_frequency)
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    na = sizes.select(F.col("doc").alias("doc_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("doc").alias("doc_b"), F.col("n").alias("n_b"))
+    return inter.join(na, "doc_a").join(nb, "doc_b")
+
+
 def ngram_jaccard_pairs(
     df: DataFrame, id_col: str, content_col: str, k: int = 3, threshold: float = 0.5,
     max_doc_frequency: int | None = None,
@@ -109,21 +135,8 @@ def ngram_jaccard_pairs(
     denominators while hot-shingle-only pairs drop out (approximation is
     one-sided and documented).
     """
-    sh = _shingle_table(df, id_col, content_col, k)
-    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
-    if max_doc_frequency is not None:
-        sh = _drop_hot_shingles(sh, max_doc_frequency)
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc") < F.col("b.doc")))
-        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    na = sizes.select(F.col("doc").alias("doc_a"), F.col("n").alias("n_a"))
-    nb = sizes.select(F.col("doc").alias("doc_b"), F.col("n").alias("n_b"))
     return (
-        inter.join(na, "doc_a")
-        .join(nb, "doc_b")
+        _pair_intersections(df, id_col, content_col, k, max_doc_frequency)
         .select(
             "doc_a",
             "doc_b",
@@ -149,28 +162,16 @@ def shingle_containment_pairs(
     case (boilerplate inclusion, quoted articles, README-in-repo-dump), the
     standard complement to Jaccard in training-corpus curation.
 
-    Same inverted-index candidate generation as :func:`ngram_jaccard_pairs` —
-    never all-pairs; ``max_doc_frequency`` caps the quadratic cost of hot
-    shingles identically (sizes computed pre-cap, so surviving pairs'
-    denominators stay exact). Output: (doc_a, doc_b, containment,
-    contained_doc) with doc_a < doc_b; ``contained_doc`` is the smaller
-    shingle set (doc_a on ties — deterministic).
+    Same inverted-index candidate generation as :func:`ngram_jaccard_pairs`
+    (shared `_pair_intersections` machinery) — never all-pairs;
+    ``max_doc_frequency`` caps the quadratic cost of hot shingles
+    identically (sizes computed pre-cap, so surviving pairs' denominators
+    stay exact). Output: (doc_a, doc_b, containment, contained_doc) with
+    doc_a < doc_b; ``contained_doc`` is the smaller shingle set (doc_a on
+    ties — deterministic).
     """
-    sh = _shingle_table(df, id_col, content_col, k)
-    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
-    if max_doc_frequency is not None:
-        sh = _drop_hot_shingles(sh, max_doc_frequency)
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc") < F.col("b.doc")))
-        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    na = sizes.select(F.col("doc").alias("doc_a"), F.col("n").alias("n_a"))
-    nb = sizes.select(F.col("doc").alias("doc_b"), F.col("n").alias("n_b"))
     return (
-        inter.join(na, "doc_a")
-        .join(nb, "doc_b")
+        _pair_intersections(df, id_col, content_col, k, max_doc_frequency)
         .select(
             "doc_a",
             "doc_b",

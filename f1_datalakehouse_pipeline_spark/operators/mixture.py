@@ -107,7 +107,12 @@ def budgeted_mixture(
         .select(domain_col, "__bucket", "__prior", "__kind")
     )
 
-    tagged = base.join(F.broadcast(decisions), [domain_col, "__bucket"], "left").withColumn(
+    # No forced broadcast hint: decisions is |domains| x n_buckets rows —
+    # tiny for real domain columns, but a pathological high-cardinality
+    # domain_col would OOM a forced driver collect. Spark's size-based
+    # choice (AQE) broadcasts the normal case and degrades to a shuffle
+    # join instead of crashing on the pathological one.
+    tagged = base.join(decisions, [domain_col, "__bucket"], "left").withColumn(
         "__kind", F.coalesce(F.col("__kind"), F.lit("drop"))
     )
 

@@ -76,6 +76,13 @@ def run_corpus_pipeline(
 ) -> CorpusReport:
     """Run the full corpus build; returns per-stage counts + shard manifest
     + audit result. Idempotent: shards overwrite per (out_root, seed)."""
+    if (domain_col is None) != (domain_budgets is None):
+        raise ValueError(
+            "domain_col and domain_budgets enable the mixture stage TOGETHER; "
+            f"got domain_col={domain_col!r}, domain_budgets="
+            f"{'set' if domain_budgets is not None else 'None'} — passing only "
+            "one would silently skip the stage"
+        )
     rep = CorpusReport()
     rep.counts["raw"] = docs.count()
 
@@ -163,13 +170,17 @@ def run_corpus_pipeline(
     )
     rep.counts["chunks"] = chunks.count()
 
-    manifest = write_training_shards(
-        chunks, "chunk_id", "chunk_text", out_root, n_shards, seed
-    )
+    write_training_shards(chunks, "chunk_id", "chunk_text", out_root, n_shards, seed)
     for df in cached:
         df.unpersist()
+    # Read the manifest back from the parquet just written — collecting the
+    # returned DataFrame here would re-execute the ENTIRE pipeline lineage
+    # (the stage caches are gone by now), roughly doubling the build.
+    from f1_datalakehouse_pipeline_spark.sources.shards import read_shard_manifest
+
     rep.shard_manifest = sorted(
-        (r.asDict() for r in manifest.collect()), key=lambda d: d["shard_id"]
+        (r.asDict() for r in read_shard_manifest(spark, out_root).collect()),
+        key=lambda d: d["shard_id"],
     )
     rep.audit_violations = verify_training_shards(
         spark, out_root, "chunk_text"

@@ -25,6 +25,7 @@ from f1_datalakehouse_pipeline_spark.functions.text import portable_hash48, toke
 from f1_datalakehouse_pipeline_spark.operators.util import shuffle_assignments
 
 MANIFEST_DIR = "_manifest"
+CHECKSUM_ALGO = "sum-hash48-mod-2p31m1"
 
 
 def write_training_shards(
@@ -38,13 +39,16 @@ def write_training_shards(
     """Write ``df`` as shard-partitioned parquet plus a manifest; returns the
     manifest DataFrame (shard_id, n_rows, n_tokens, checksum).
 
-    The checksum is the per-shard SUM of ``content_hash48 % 2^31`` —
+    The checksum is the per-shard SUM of ``content_hash48 % (2^31 - 1)`` —
     order-independent (file/row order inside a shard never matters to it)
     and cheap to recompute on read (:func:`verify_training_shards`). The
-    31-bit reduction keeps the running sum under int64 for shards up to
-    ~4.3 billion rows even with ANSI overflow checking enabled (summing the
-    raw 48-bit terms would overflow past ~65K rows — wrapping consistently
-    under the session's non-ANSI config, but crashing any ANSI deployment).
+    Mersenne-prime reduction keeps the running sum under int64 for shards up
+    to ~4.3 billion rows even with ANSI overflow checking enabled (summing
+    the raw 48-bit terms would overflow past ~65K rows — wrapping
+    consistently under the session's non-ANSI config, but crashing any ANSI
+    deployment). The manifest records ``checksum_algo`` so an audit against
+    a manifest written under a different formula reports a loud
+    algo-mismatch row instead of flagging every shard corrupt.
     """
     assigned = shuffle_assignments(df, id_col, n_shards, seed).withColumn(
         "__chk", portable_hash48(F.col(content_col)) % F.lit(2147483647)
@@ -65,6 +69,7 @@ def write_training_shards(
             F.sum("__chk").alias("checksum"),
         )
         .withColumn("seed", F.lit(seed))
+        .withColumn("checksum_algo", F.lit(CHECKSUM_ALGO))
     )
     manifest.coalesce(1).write.mode("overwrite").parquet(
         os.path.join(out_path, MANIFEST_DIR)
@@ -76,6 +81,12 @@ def read_training_shards(spark: SparkSession, out_path: str) -> DataFrame:
     """The shard data, with shard_id/pos_in_shard columns intact — streaming
     it ordered by (shard_id, pos_in_shard) replays the seeded permutation."""
     return spark.read.parquet(os.path.join(out_path, "data"))
+
+
+def read_shard_manifest(spark: SparkSession, out_path: str) -> DataFrame:
+    """The manifest as written (shard_id, n_rows, n_tokens, checksum, seed,
+    checksum_algo)."""
+    return spark.read.parquet(os.path.join(out_path, MANIFEST_DIR))
 
 
 def verify_training_shards(
@@ -93,13 +104,17 @@ def verify_training_shards(
             "actual_checksum"
         ),
     )
-    manifest = spark.read.parquet(os.path.join(out_path, MANIFEST_DIR)).select(
-        "shard_id", "n_rows", "checksum"
-    )
+    manifest = read_shard_manifest(spark, out_path)
+    if "checksum_algo" not in manifest.columns:  # pre-versioning manifest
+        manifest = manifest.withColumn("checksum_algo", F.lit("unversioned"))
+    manifest = manifest.select("shard_id", "n_rows", "checksum", "checksum_algo")
     return (
         manifest.join(actual, "shard_id", "full_outer")
         .filter(
-            ~(
+            # an algo mismatch is ONE loud violation class (recompute with
+            # the matching formula), not a per-shard corruption verdict
+            (~F.col("checksum_algo").eqNullSafe(F.lit(CHECKSUM_ALGO)))
+            | ~(
                 F.col("n_rows").eqNullSafe(F.col("actual_rows"))
                 & F.col("checksum").eqNullSafe(F.col("actual_checksum"))
             )

@@ -1512,6 +1512,12 @@ def test_corpus_pipeline_optional_containment_and_mixture_stages(spark, tmp_path
     assert "after_containment_dedup" not in rep.counts
     assert "after_mixture" not in rep.counts
 
+    # half-configured mixture must fail loudly, not silently skip the stage
+    with pytest.raises(ValueError, match="TOGETHER"):
+        run_corpus_pipeline(
+            spark, docs, str(tmp_path / "half"), domain_col="source", **common
+        )
+
     rep = run_corpus_pipeline(
         spark,
         docs,

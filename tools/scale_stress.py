@@ -325,6 +325,11 @@ def run_mixture_scale(spark: SparkSession, sf_dir: str, factor: int) -> dict:
     )
     out["naive_sec"] = round(t, 1)
     assert n_fast == n_naive, (n_fast, n_naive)
+    # true set equality, not just cardinality: symmetric difference empty
+    fast_df = budgeted_mixture(corpus, "doc_id", "source", "n_tokens", budgets)
+    naive_df = budgeted_mixture_naive(corpus, "doc_id", "source", "n_tokens", budgets)
+    diff = fast_df.exceptAll(naive_df).count() + naive_df.exceptAll(fast_df).count()
+    assert diff == 0, f"bucketed vs naive row sets differ by {diff} rows"
     return out
 
 
