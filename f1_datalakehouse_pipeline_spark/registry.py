@@ -59,12 +59,16 @@ _VERIFY_FIRST = [
     # t_pack_sequences is re-proven because its packer switched to the
     # sharded form this round, and 36 of the 50 queries whose newest
     # driver-green row is from r2 are promoted. The 10 r3-verified queries
-    # rotate to the tail untouched. Fifteen r2-green queries must wait for
-    # r5 (115 registered > 50+50): a1_distinct, a3_count_distinct,
+    # rotate to the tail untouched. Sixteen r2-green queries must wait for
+    # r5 (115 registered > 50+50; ts_rollup_gapfill re-enters the head
+    # because its ORACLE got an sf-robustness fix — the grid bounds now
+    # filter to the same user subset as the engine side, identical at the
+    # driver SF, 60 rows different at sf0.1): a1_distinct, a3_count_distinct,
     # a5_stats_agg, f_posexplode_tokens, f_map_ops, t_token_histogram,
     # f_time_parse, f_url_parse, f_json_extract, f_regex_extract_all,
     # f_levenshtein_pairs, u2_except_antijoin, u5_union_schema_drift,
-    # w14_ntile_quartiles, a9_pivot_doc_counts — all trivially-stable
+    # w14_ntile_quartiles, a9_pivot_doc_counts, a17_unpivot_metrics — all
+    # trivially-stable
     # single-exchange or pure-projection plans, untouched since their
     # registration round and re-verified locally every round (the local
     # gate has no cap); they are first in line next round. (u2/u5/w14/a9
@@ -75,6 +79,7 @@ _VERIFY_FIRST = [
     "t_domain_mix",
     "t_repeat_mixture",
     "t_model_quality_score",
+    "ts_rollup_gapfill",
     "contamination_pairs",
     "scd2_splice_backdated",
     "tablestore_delete_tombstone",
@@ -109,7 +114,6 @@ _VERIFY_FIRST = [
     "a14_salted_aggregate",
     "a15_corr_decimal",
     "a16_mode_per_group",
-    "a17_unpivot_metrics",
     "w8_dense_rank_rounds",
     "w15_range_frame",
     "w16_percent_rank_cume",
@@ -337,7 +341,7 @@ def a5_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "j4_star_join_revenue",
     """
     SELECT n_name, c_mktsegment,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS DOUBLE) AS revenue,
+           CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS DECIMAL(28,4)) AS DOUBLE) AS revenue,
            CAST(COUNT(*) AS BIGINT) AS n_lines
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
@@ -360,7 +364,11 @@ def j4_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("n_name", "c_mktsegment")
         .agg(
-            F.sum(rev).cast("double").alias("revenue"),
+            # exact decimal sum → rescale to 4 BEFORE the double cast: at
+            # scale 10 the sum's unscaled value passes 2^53 around sf0.1 and
+            # the two engines' decimal→double casts disagree by 1 ulp; at
+            # scale 4 the unscaled value stays exactly representable
+            F.sum(rev).cast("decimal(28,4)").cast("double").alias("revenue"),
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
@@ -2008,7 +2016,7 @@ def j8_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH bounds AS (
       SELECT CAST(epoch(date_trunc('hour', MIN(ts))) AS BIGINT) AS lo,
              CAST(epoch(date_trunc('hour', MAX(ts))) AS BIGINT) AS hi
-      FROM events
+      FROM events WHERE user_id < 20
     ), grid AS (
       SELECT u.user_id, gs.b AS bucket_s
       FROM (SELECT DISTINCT user_id FROM events WHERE user_id < 20) u
