@@ -53,9 +53,18 @@ def scaled_docs(
     tag = f"docs_x{factor}{'_bp' if boilerplate else ''}"
     path = os.path.join(CACHE, tag)
     if not os.path.isdir(path):
+        # Parallelize the GENERATION side: the replica axis drives the row
+        # explosion, so partition it — with the default 1-partition range the
+        # whole factor-x corpus would be salted by a single task (measured:
+        # factor 10000 = 50M rows through one thread, tens of minutes).
         base = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-        reps = spark.range(factor).select(F.col("id").alias("rep"))
-        out = base.crossJoin(reps)
+        reps = spark.range(factor).repartition(min(max(32, factor // 8), 512)).select(
+            F.col("id").alias("rep")
+        )
+        # broadcast the small DOC side explicitly: the streamed (partitioned)
+        # side must be the replica axis or Spark broadcasts the tiny range
+        # and the whole corpus generates in base's 1-2 input partitions
+        out = reps.crossJoin(F.broadcast(base))
         salt = (F.col("rep") / 2).cast("long").cast("string")
         # salt every 3rd word: no k=3 word shingle survives across salts
         words = F.split(F.col("text"), " ")
