@@ -1668,3 +1668,39 @@ def test_linear_model_score_semantics(spark):
         ).collect()
     }
     assert all(out_b[k] > out[k] for k in out)
+
+
+def test_shard_audit_flags_algo_mismatch_loudly(spark, tmp_path):
+    """A manifest written under a DIFFERENT checksum formula must audit as an
+    algo-mismatch (one violation class), not as per-shard corruption noise."""
+    from f1_datalakehouse_pipeline_spark.sources.shards import (
+        read_shard_manifest,
+        verify_training_shards,
+        write_training_shards,
+        MANIFEST_DIR,
+    )
+    import os
+
+    out = str(tmp_path / "shards")
+    df = spark.createDataFrame(
+        [(i, f"doc body {i} tokens") for i in range(40)], ["doc_id", "text"]
+    )
+    write_training_shards(df, "doc_id", "text", out, 4, "algo-test")
+    assert verify_training_shards(spark, out, "text").count() == 0
+
+    # rewrite the manifest claiming an older formula
+    from pyspark.sql import functions as F
+
+    m = read_shard_manifest(spark, out).withColumn(
+        "checksum_algo", F.lit("sum-hash48-raw")
+    )
+    m.coalesce(1).write.mode("overwrite").parquet(os.path.join(out, MANIFEST_DIR + "_new"))
+    import shutil
+
+    shutil.rmtree(os.path.join(out, MANIFEST_DIR))
+    shutil.move(os.path.join(out, MANIFEST_DIR + "_new"), os.path.join(out, MANIFEST_DIR))
+
+    viol = verify_training_shards(spark, out, "text")
+    assert viol.count() == 4  # every manifest row flagged...
+    algos = {r.checksum_algo for r in viol.collect()}
+    assert algos == {"sum-hash48-raw"}  # ...with the mismatched algo visible
