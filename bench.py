@@ -186,6 +186,14 @@ def main() -> None:
             out["scale_sf1_dedup"] = {"error": f"{type(e).__name__}: {e}"[:200]}
 
     print(json.dumps(out))
+    # The driver captures only the LAST 2000 chars of bench output; the full
+    # JSON object above can exceed that, losing the leading "value" field
+    # (VERDICT r4 item 2). Print a compact trailer so the headline always
+    # survives tail capture.
+    print(
+        "BENCH_SUMMARY "
+        + json.dumps({"headline_s": out["value"], "sf": out["sf"], "n_queries": len(out["queries"])})
+    )
 
 
 if __name__ == "__main__":

@@ -30,6 +30,23 @@ from f1_datalakehouse_pipeline_spark.session import get_spark
 from f1_datalakehouse_pipeline_spark.sources.tables import TableStore
 
 
+def _reject_out_collision(in_path: str, out_path: str) -> None:
+    """Refuse an --out that is, contains, or is nested inside the input
+    parquet path: the overwrite write would clobber the lazily-read input
+    mid-job (ADVICE r4). Local-path heuristic — remote URIs compare as
+    plain strings."""
+    import os
+
+    a = os.path.abspath(in_path).rstrip("/")
+    b = os.path.abspath(out_path).rstrip("/")
+    if a == b or b.startswith(a + "/") or a.startswith(b + "/"):
+        raise SystemExit(
+            f"--out {out_path!r} collides with the input parquet {in_path!r}: "
+            "the overwrite would clobber the input while it is being read; "
+            "choose a disjoint output path"
+        )
+
+
 def _common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--bronze", required=False, help="bronze root directory")
     p.add_argument("--warehouse", required=True, help="silver/gold table root")
@@ -123,6 +140,7 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps([r.asDict() for r in rows]))
         return 0
     if args.cmd == "write-shards":
+        _reject_out_collision(args.parquet, args.out)
         from f1_datalakehouse_pipeline_spark.sources.shards import (
             write_training_shards,
         )
@@ -134,6 +152,7 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps([r.asDict() for r in manifest]))
         return 0
     if args.cmd == "build-corpus":
+        _reject_out_collision(args.parquet, args.out)
         from f1_datalakehouse_pipeline_spark.plans.corpus import run_corpus_pipeline
 
         docs = spark.read.parquet(args.parquet)
@@ -174,6 +193,7 @@ def main(argv: list[str] | None = None) -> int:
         )
         return 1 if rep.audit_violations else 0
     if args.cmd == "mix-corpus":
+        _reject_out_collision(args.parquet, args.out)
         from pyspark.sql import functions as F
 
         from f1_datalakehouse_pipeline_spark.functions.text import token_count

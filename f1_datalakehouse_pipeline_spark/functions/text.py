@@ -154,15 +154,19 @@ def linear_model_score(
     - the squash is x/(1000 + |x|) (rational, pure arithmetic) instead of a
       sigmoid — ``exp`` is libm-dependent and not bit-identical between the
       JVM and DuckDB;
-    - the weight vector is baked into the expression as an array literal
-      (broadcast-by-codegen): scoring is a pure map stage, no shuffle, no
-      UDF, no model server. Typical hashed-feature dims (2^16-2^20) stay
-      comfortably inside expression-size limits at int literals.
+    - the weight vector is baked into the expression as a SINGLE array
+      Literal node (``F.lit(list)``, not an ``F.array`` of per-element
+      literal expressions — the per-element form builds an O(dim) expression
+      tree that strains Catalyst analysis at hashed-feature dims): scoring
+      is a pure map stage, no shuffle, no UDF, no model server. dim=2^16 is
+      exercised by test; dims toward 2^20 cost plan-serialization size
+      linearly and are untested here — ship weights that large via a
+      broadcast join against a (bucket, weight) table instead.
 
     Returns DOUBLE in (-1, 1); rank/filter on it exactly as on quality_score.
     """
     dim = len(weights_milli)
-    w = F.array(*[F.lit(int(v)).cast("long") for v in weights_milli])
+    w = F.lit([int(v) for v in weights_milli]).cast("array<bigint>")
     toks = tokens(col)
     total = F.aggregate(
         toks,

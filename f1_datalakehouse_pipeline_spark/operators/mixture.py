@@ -40,12 +40,29 @@ from f1_datalakehouse_pipeline_spark.functions.text import portable_hash48
 _HASH_BITS = 48
 
 
+def _lookup_expr(mapping: dict[str, int], domain_col: str):
+    """Map-literal lookup domain → long value (unlisted domains → 0).
+
+    A flat ``create_map`` literal instead of a nested when/otherwise CASE
+    chain: a CASE chain is O(n)-DEEP and with thousands of domains risks
+    Catalyst analysis recursion/stack limits (ADVICE r4); the map literal is
+    O(n)-wide but depth-1, still a pure map-stage expression with no shuffle
+    and no driver round-trip.
+    """
+    if not mapping:
+        return F.lit(0).cast("long")
+    pairs: list = []
+    for dom, v in mapping.items():
+        pairs += [F.lit(dom), F.lit(int(v)).cast("long")]
+    return F.coalesce(
+        F.try_element_at(F.create_map(*pairs), F.col(domain_col).cast("string")),
+        F.lit(0).cast("long"),
+    )
+
+
 def _budget_expr(budgets: dict[str, int], domain_col: str):
-    """CASE-chain mapping domain → token budget (unlisted domains → 0)."""
-    expr = F.lit(0).cast("long")
-    for dom, b in budgets.items():
-        expr = F.when(F.col(domain_col) == dom, F.lit(int(b)).cast("long")).otherwise(expr)
-    return expr
+    """Domain → token budget expression (unlisted domains → 0)."""
+    return _lookup_expr(budgets, domain_col)
 
 
 def budgeted_mixture(
@@ -181,14 +198,16 @@ def repeat_mixture(
     h = portable_hash48(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))) % F.lit(
         1_000_000
     )
-    base_expr = F.lit(0).cast("long")
-    thr_expr = F.lit(0).cast("long")
+    bases: dict[str, int] = {}
+    thrs: dict[str, int] = {}
     for dom, r in rates.items():
         if r < 0:
             raise ValueError(f"negative rate for domain {dom!r}: {r}")
-        base, thr = int(r), int(round((r - int(r)) * 1_000_000))
-        base_expr = F.when(F.col(domain_col) == dom, F.lit(base).cast("long")).otherwise(base_expr)
-        thr_expr = F.when(F.col(domain_col) == dom, F.lit(thr).cast("long")).otherwise(thr_expr)
+        bases[dom] = int(r)
+        thrs[dom] = int(round((r - int(r)) * 1_000_000))
+    # two flat map-literal lookups, not nested CASE chains (ADVICE r4)
+    base_expr = _lookup_expr(bases, domain_col)
+    thr_expr = _lookup_expr(thrs, domain_col)
     copies = base_expr + F.when(h < thr_expr, F.lit(1)).otherwise(F.lit(0))
     return df.select(
         F.col(id_col),

@@ -26,6 +26,11 @@ from f1_datalakehouse_pipeline_spark.operators.util import shuffle_assignments
 
 MANIFEST_DIR = "_manifest"
 CHECKSUM_ALGO = "sum-hash48-mod-2p31m1"
+# Pre-versioning manifests (no checksum_algo column) used the raw 48-bit term
+# sum; verify recomputes with that formula for them so intact old shard
+# directories still audit clean instead of being flagged wholesale (migration
+# note: rewriting such manifests is optional, not required).
+LEGACY_ALGO = "unversioned"
 
 
 def write_training_shards(
@@ -98,25 +103,34 @@ def verify_training_shards(
     corrupted / missing / unexpected shard.
     """
     data = read_training_shards(spark, out_path)
+    term = portable_hash48(F.col(content_col))
     actual = data.groupBy("shard_id").agg(
         F.count(F.lit(1)).alias("actual_rows"),
-        F.sum(portable_hash48(F.col(content_col)) % F.lit(2147483647)).alias(
-            "actual_checksum"
-        ),
+        F.sum(term % F.lit(2147483647)).alias("actual_checksum"),
+        # legacy recompute for pre-versioning manifests; raw 48-bit sum
+        # (wraps int64 the same way the old writer did under non-ANSI)
+        F.sum(term).alias("actual_checksum_legacy"),
     )
     manifest = read_shard_manifest(spark, out_path)
     if "checksum_algo" not in manifest.columns:  # pre-versioning manifest
-        manifest = manifest.withColumn("checksum_algo", F.lit("unversioned"))
+        manifest = manifest.withColumn("checksum_algo", F.lit(LEGACY_ALGO))
     manifest = manifest.select("shard_id", "n_rows", "checksum", "checksum_algo")
+    checksum_ok = (
+        F.when(
+            F.col("checksum_algo") == CHECKSUM_ALGO,
+            F.col("checksum").eqNullSafe(F.col("actual_checksum")),
+        )
+        .when(
+            F.col("checksum_algo") == LEGACY_ALGO,
+            F.col("checksum").eqNullSafe(F.col("actual_checksum_legacy")),
+        )
+        # an UNKNOWN algo is ONE loud violation class (no formula to
+        # recompute with), not a per-shard corruption verdict
+        .otherwise(F.lit(False))
+    )
     return (
         manifest.join(actual, "shard_id", "full_outer")
         .filter(
-            # an algo mismatch is ONE loud violation class (recompute with
-            # the matching formula), not a per-shard corruption verdict
-            (~F.col("checksum_algo").eqNullSafe(F.lit(CHECKSUM_ALGO)))
-            | ~(
-                F.col("n_rows").eqNullSafe(F.col("actual_rows"))
-                & F.col("checksum").eqNullSafe(F.col("actual_checksum"))
-            )
+            ~(F.col("n_rows").eqNullSafe(F.col("actual_rows")) & checksum_ok)
         )
     )

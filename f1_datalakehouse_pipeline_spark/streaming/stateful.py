@@ -32,6 +32,7 @@ from collections.abc import Iterable, Iterator
 import pandas as pd
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     LongType,
@@ -266,6 +267,13 @@ def _budget_step(
     tokens_col: str,
 ) -> Iterator[pd.DataFrame]:
     budget = int(budgets.get(key[0], 0))
+    if budget <= 0:
+        # Zero/unlisted domains reject everything and must NOT create a state
+        # entry (ADVICE r4: a dirty high-cardinality domain column would
+        # otherwise grow never-evicted state unboundedly). budget_admission
+        # also pre-filters these rows out; this guard keeps the step safe
+        # when called directly.
+        return iter(())
     spent, exhausted = (
         (int(state.get[0]), bool(state.get[1])) if state.exists else (0, False)
     )
@@ -315,10 +323,15 @@ def budget_admission(
     jump the queue it arrived behind). Domains absent from ``budgets``
     get 0.
 
-    State is two longs per domain — O(|domains|) total, never evicted (a
-    timeout would forget spend and re-open an exhausted budget).
+    State is two longs per FUNDED domain — O(#budgets-with-budget>0) total,
+    never evicted (a timeout would forget spend and re-open an exhausted
+    budget). Unlisted and zero-budget domains are filtered out BEFORE the
+    stateful operator, so a dirty high-cardinality domain column costs
+    neither state entries nor shuffle rows (ADVICE r4).
     ``out_schema`` must list the input columns plus ``cum_tokens BIGINT``.
     """
+    funded = [d for d, b in budgets.items() if int(b) > 0]
+    stream = stream.filter(F.col(domain_col).isin(funded))
 
     def fn(key, pdfs, state):
         return _budget_step(key, pdfs, state, budgets, id_col, tokens_col)

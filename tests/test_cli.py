@@ -102,3 +102,26 @@ def test_cli_mix_corpus(spark, tmp_path, capsys):
     mixed = spark.read.parquet(out)
     assert mixed.count() == stats["web"]["docs"] + stats["code"]["docs"]
     assert set(mixed.columns) == {"doc_id", "source", "text"}  # original rows, not projections
+
+
+def test_cli_mix_corpus_rejects_out_colliding_with_input(spark, tmp_path):
+    """--out equal to / nested inside / containing --parquet must be refused
+    BEFORE any write: the overwrite would clobber the lazily-read input
+    (ADVICE r4)."""
+    import pytest
+
+    from f1_datalakehouse_pipeline_spark.cli import main
+
+    src = str(tmp_path / "mixsrc")
+    spark.createDataFrame(
+        [(i, "web", "tok tok tok") for i in range(5)], ["doc_id", "source", "text"]
+    ).write.parquet(src)
+
+    for bad_out in (src, src + "/", src + "/nested", str(tmp_path)):
+        with pytest.raises(SystemExit, match="collides"):
+            main([
+                "mix-corpus", "--parquet", src, "--out", bad_out,
+                "--budgets", '{"web": 100}',
+            ])
+    # the input survived untouched
+    assert spark.read.parquet(src).count() == 5
