@@ -627,11 +627,18 @@ def novelty_pairs(
         .select(F.col("nb.doc").alias("doc_new"), F.col("hb.doc").alias("doc_hist"))
         .distinct()
     )
+    # Join ORDER is deliberate: the candidate pairs hit the (corpus-sized)
+    # history shingle table FIRST, keyed on doc_hist ALONE — exactly the
+    # index's bucket key when it was written with shingle_buckets (see
+    # streaming/novelty._append_index), so that scan arrives pre-partitioned
+    # and plans ZERO Exchange; only batch-proportional rows shuffle. Joining
+    # batch_sh first would make the history join keyed (doc_hist, h), which
+    # Spark re-shuffles on BOTH sides (requireAllClusterKeysForCoPartition).
+    # Both shingle tables are distinct per (doc, h), so counting (doc_new, h)
+    # matches after expanding history shingles yields the same intersection.
     inter = (
-        candidates.join(
-            batch_sh.select(F.col("doc").alias("doc_new"), "h"), "doc_new"
-        )
-        .join(hist_sh.select(F.col("doc").alias("doc_hist"), "h"), ["doc_hist", "h"])
+        candidates.join(hist_sh.select(F.col("doc").alias("doc_hist"), "h"), "doc_hist")
+        .join(batch_sh.select(F.col("doc").alias("doc_new"), "h"), ["doc_new", "h"])
         .groupBy("doc_new", "doc_hist")
         .agg(F.count(F.lit(1)).alias("inter"))
     )

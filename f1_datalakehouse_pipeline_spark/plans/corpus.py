@@ -41,11 +41,14 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+import os
+
 from f1_datalakehouse_pipeline_spark.functions.pii import scrub_pii
-from f1_datalakehouse_pipeline_spark.functions.text import quality_score
+from f1_datalakehouse_pipeline_spark.functions.text import portable_hash48, quality_score
 from f1_datalakehouse_pipeline_spark.operators import dedup
 from f1_datalakehouse_pipeline_spark.operators.textstats import chunk_documents
 from f1_datalakehouse_pipeline_spark.sources.shards import (
+    append_training_shards,
     verify_training_shards,
     write_training_shards,
 )
@@ -215,6 +218,172 @@ def run_corpus_pipeline(
     # Read the manifest back from the parquet just written — collecting the
     # returned DataFrame here would re-execute the ENTIRE pipeline lineage
     # (the stage caches are gone by now), roughly doubling the build.
+    from f1_datalakehouse_pipeline_spark.sources.shards import read_shard_manifest
+
+    rep.shard_manifest = sorted(
+        (r.asDict() for r in read_shard_manifest(spark, out_root).collect()),
+        key=lambda d: d["shard_id"],
+    )
+    rep.audit_violations = verify_training_shards(
+        spark, out_root, "chunk_text"
+    ).count()
+    return rep
+
+
+def run_corpus_pipeline_incremental(
+    spark: SparkSession,
+    batch: DataFrame,
+    out_root: str,
+    state_root: str,
+    id_col: str = "doc_id",
+    content_col: str = "text",
+    benchmark: DataFrame | None = None,
+    quality_min: float = 0.5,
+    near_threshold: float = 0.7,
+    contamination_min: float = 0.5,
+    chunk_tokens: int = 128,
+    overlap_tokens: int = 32,
+    n_shards: int = 16,
+    seed: str = "epoch-0",
+    max_doc_frequency: int | None = 1000,
+    chunk_shift: int = 12,
+    shingle_buckets: int | None = None,
+) -> CorpusReport:
+    """Admit ONE NEW BATCH into an already-built corpus — the ingestion form
+    of :func:`run_corpus_pipeline`.
+
+    The batch runs quality → scrub → exact dedup (within-batch keepers, then
+    an anti-join against the persisted content-hash history) → near dedup
+    (within-batch LSH self-join over the BATCH only, then a
+    :func:`dedup.novelty_pairs` probe of the persisted band index — never a
+    self-join over history ∪ batch, so per-batch cost tracks the batch) →
+    decontamination → chunking → :func:`append_training_shards` into the
+    existing shard set, manifest updated by summation. Admitted docs then
+    extend both state stores so the NEXT batch sees them.
+
+    State lives under ``state_root``:
+      ``exact_hashes/``  parquet of admitted content hashes (8 B/doc);
+      ``lsh/``           the band/shingles/sizes index
+                         (``streaming/novelty`` layout; ``shingle_buckets``
+                         selects the bucketed 100 TB form).
+
+    Equivalence contract (tested): incrementally admitting B1 then B2 equals
+    the one-shot pipeline over B1∪B2 up to first-arrival-wins keeper choice
+    — identical when earlier batches carry smaller ids (the one-shot keeper
+    is min(id)) and no near-dup cluster chains across batches through a
+    rejected middle member. The first call (no shard manifest yet) creates
+    the shard set with ``n_shards``; later calls ignore ``n_shards`` and
+    append. The mixture/containment stages are deliberately absent here:
+    token budgets across an unbounded stream are
+    ``streaming/stateful.budget_admission``'s job, and containment needs the
+    superset corpus view.
+    """
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    id_type = batch.schema[id_col].dataType
+    if not isinstance(id_type, (ByteType, ShortType, IntegerType, LongType)):
+        raise TypeError(
+            f"chunk_id composition requires an integral {id_col!r} column; got "
+            f"{id_type.simpleString()}"
+        )
+    from f1_datalakehouse_pipeline_spark.streaming.novelty import (
+        _append_index,
+        _read_index,
+    )
+
+    exact_dir = os.path.join(state_root, "exact_hashes")
+    lsh_dir = os.path.join(state_root, "lsh")
+    rep = CorpusReport()
+    rep.counts["raw"] = batch.count()
+
+    cached: list[DataFrame] = []
+
+    def checkpoint_stage(df: DataFrame) -> DataFrame:
+        df = df.cache()
+        cached.append(df)
+        return df
+
+    kept = checkpoint_stage(
+        batch.filter(quality_score(F.col(content_col)) >= quality_min)
+        .withColumn(content_col, scrub_pii(F.col(content_col)))
+    )
+    rep.counts["after_quality"] = kept.count()
+
+    # exact: within-batch keepers, then drop hashes already admitted
+    keepers = dedup.exact_dedup(kept, id_col, content_col).select(
+        F.col("keeper_id").alias(id_col)
+    )
+    kept = kept.join(keepers, id_col, "left_semi")
+    if os.path.isdir(exact_dir):
+        seen = spark.read.parquet(exact_dir)
+        kept = kept.join(
+            seen,
+            portable_hash48(F.col(content_col)) == seen.content_hash,
+            "left_anti",
+        )
+    kept = checkpoint_stage(kept)
+    rep.counts["after_exact_dedup"] = kept.count()
+
+    # near: batch self-join + history index probe (batch-proportional)
+    pairs = dedup.minhash_lsh_pairs(
+        kept, id_col, content_col,
+        threshold=near_threshold, max_doc_frequency=max_doc_frequency,
+    )
+    kept = dedup.apply_dedup(kept, id_col, pairs)
+    index = _read_index(spark, lsh_dir)
+    if index is not None:
+        hits = dedup.novelty_pairs(
+            kept, index, id_col, content_col,
+            threshold=near_threshold, max_doc_frequency=max_doc_frequency,
+        )
+        kept = dedup.filter_novel(kept, hits, id_col)
+    kept = checkpoint_stage(kept)
+    rep.counts["after_near_dedup"] = kept.count()
+
+    if benchmark is not None:
+        leaks = dedup.contamination_pairs(
+            kept, benchmark, id_col, content_col,
+            min_containment=contamination_min,
+            max_doc_frequency=max_doc_frequency,
+        ).select(F.col("train_id").alias(id_col)).distinct()
+        kept = checkpoint_stage(kept.join(leaks, id_col, "left_anti"))
+        rep.counts["after_decontamination"] = kept.count()
+
+    chunks = checkpoint_stage(
+        chunk_documents(
+            kept, id_col, content_col, chunk_tokens, overlap_tokens
+        ).select(
+            compose_chunk_id(id_col, "chunk_idx", chunk_shift).alias("chunk_id"),
+            F.col("chunk_text"),
+        )
+    )
+    rep.counts["chunks"] = chunks.count()
+
+    from f1_datalakehouse_pipeline_spark.sources.shards import MANIFEST_DIR
+
+    if os.path.isdir(os.path.join(out_root, MANIFEST_DIR)):
+        append_training_shards(chunks, "chunk_id", "chunk_text", out_root, seed)
+    else:
+        write_training_shards(
+            chunks, "chunk_id", "chunk_text", out_root, n_shards, seed
+        )
+
+    # extend state LAST (same ordering rationale as streaming/novelty:
+    # a state row without its corpus rows only over-rejects, never
+    # under-rejects)
+    kept.select(
+        portable_hash48(F.col(content_col)).alias("content_hash")
+    ).write.mode("append").parquet(exact_dir)
+    _append_index(
+        lsh_dir,
+        dedup.minhash_band_index(
+            kept, id_col, content_col, max_doc_frequency=max_doc_frequency
+        ),
+        shingle_buckets=shingle_buckets,
+    )
+
+    for df in cached:
+        df.unpersist()
     from f1_datalakehouse_pipeline_spark.sources.shards import read_shard_manifest
 
     rep.shard_manifest = sorted(

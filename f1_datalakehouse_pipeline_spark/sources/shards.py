@@ -75,11 +75,114 @@ def write_training_shards(
         )
         .withColumn("seed", F.lit(seed))
         .withColumn("checksum_algo", F.lit(CHECKSUM_ALGO))
+        .withColumn("n_shards", F.lit(n_shards))
     )
     manifest.coalesce(1).write.mode("overwrite").parquet(
         os.path.join(out_path, MANIFEST_DIR)
     )
     return manifest
+
+
+def append_training_shards(
+    df: DataFrame,
+    id_col: str,
+    content_col: str,
+    out_path: str,
+    seed: str,
+) -> DataFrame:
+    """Append a new batch into an EXISTING shard set (the incremental-corpus
+    delivery path) and return the UPDATED manifest.
+
+    Same seeded shard assignment as :func:`write_training_shards` (the hash
+    is per-id, so a doc lands in the same shard whether delivered in one
+    shot or incrementally); positions are offset past each shard's existing
+    rows so (shard_id, pos_in_shard) stays a total replay order — old epoch
+    content first, new batch after. The manifest updates by per-shard
+    SUMMATION, valid because every manifest quantity is an order-independent
+    per-row sum (that is the point of the checksum design); no re-scan of
+    the existing shards.
+
+    The batch must use the manifest's recorded ``seed`` (a different seed
+    would interleave two incompatible permutations) and the manifest must be
+    current-algo; both are checked loudly.
+    """
+    spark = df.sparkSession
+    if not os.path.isdir(os.path.join(out_path, MANIFEST_DIR)):
+        raise ValueError(f"no existing shard manifest under {out_path!r}")
+    old = read_shard_manifest(spark, out_path)
+    head = old.limit(1).collect()
+    if not head:
+        raise ValueError(f"no existing shard manifest under {out_path!r}")
+    if "checksum_algo" in old.columns:
+        algos = {r[0] for r in old.select("checksum_algo").distinct().collect()}
+        if algos != {CHECKSUM_ALGO}:
+            raise ValueError(
+                f"cannot append to a manifest with checksum_algo {algos}; "
+                f"rewrite the shard set under {CHECKSUM_ALGO!r} first"
+            )
+    seeds = {r[0] for r in old.select("seed").distinct().collect()}
+    if seeds != {seed}:
+        raise ValueError(
+            f"append seed {seed!r} != shard-set seed {seeds}; appending under a "
+            "different seed would interleave two incompatible permutations"
+        )
+    if "n_shards" in old.columns:
+        n_shards = int(head[0]["n_shards"])
+    else:  # pre-column manifest: every shard of a real corpus is occupied
+        n_shards = int(old.agg(F.max("shard_id")).collect()[0][0]) + 1
+
+    assigned = (
+        shuffle_assignments(df, id_col, n_shards, seed)
+        .withColumn("__chk", portable_hash48(F.col(content_col)) % F.lit(2147483647))
+        .join(
+            F.broadcast(old.select("shard_id", F.col("n_rows").alias("__offset"))),
+            "shard_id",
+            "left",
+        )
+        .withColumn(
+            "pos_in_shard",
+            # int, matching the original write's row_number type (parquet
+            # readers reject an int64 column landing in an int32 layout)
+            (F.col("pos_in_shard") + F.coalesce(F.col("__offset"), F.lit(0))).cast("int"),
+        )
+        .drop("__offset")
+    )
+    (
+        assigned.repartition(n_shards, "shard_id")
+        .sortWithinPartitions("pos_in_shard")
+        .write.mode("append")
+        .partitionBy("shard_id")
+        .parquet(os.path.join(out_path, "data"))
+    )
+    batch = assigned.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(token_count(F.col(content_col))).alias("n_tokens"),
+        F.sum("__chk").alias("checksum"),
+    )
+    merged = (
+        old.select("shard_id", "n_rows", "n_tokens", "checksum")
+        .unionByName(batch)
+        .groupBy("shard_id")
+        .agg(
+            F.sum("n_rows").alias("n_rows"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.sum("checksum").alias("checksum"),
+        )
+        .withColumn("seed", F.lit(seed))
+        .withColumn("checksum_algo", F.lit(CHECKSUM_ALGO))
+        .withColumn("n_shards", F.lit(n_shards))
+    )
+    # stage-then-swap: the merged manifest derives from the OLD manifest's
+    # DataFrame, so overwriting the dir it is lazily read from would clobber
+    # the input mid-job
+    staged = os.path.join(out_path, MANIFEST_DIR + "_staged")
+    merged.coalesce(1).write.mode("overwrite").parquet(staged)
+    final = os.path.join(out_path, MANIFEST_DIR)
+    import shutil
+
+    shutil.rmtree(final)
+    os.replace(staged, final)
+    return read_shard_manifest(spark, out_path)
 
 
 def read_training_shards(spark: SparkSession, out_path: str) -> DataFrame:

@@ -24,8 +24,10 @@ index is the product, readable by any batch job, and survives restarts with
 the checkpoint. Per-batch cost: shingling/banding the batch itself, a bucket
 join against the bands index, and an exact-Jaccard verify that scans index
 shingles only for candidate pairs (AQE broadcasts the usually-tiny candidate
-set). At 100 TB the shingles dir would additionally be bucketed by doc so
-the verify join co-locates; the layout seam is this module's writer.
+set). For 100 TB indexes pass ``shingle_buckets``: ``shingles/`` then lives
+as a catalog table bucketed+sorted by doc, and the verify join reads the
+index side pre-partitioned — zero Exchange on the (corpus-sized) index,
+shuffle only on the (batch-sized) probe side.
 
 Crash consistency: the data append and the index append are two writes; a
 crash between them re-delivers the batch (foreachBatch is at-least-once),
@@ -41,6 +43,7 @@ at-most-one-batch weakening, same contract as the TableStore ledger notes.
 
 from __future__ import annotations
 
+import hashlib
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -48,9 +51,20 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from f1_datalakehouse_pipeline_spark.operators import dedup
+from f1_datalakehouse_pipeline_spark.sources.bucketed import save_bucketed
 from f1_datalakehouse_pipeline_spark.streaming.incremental import (
     exactly_once_batch_writer,
 )
+
+
+def _shingles_table_name(index_path: str) -> str:
+    """Catalog name for the bucketed shingles table of one index directory.
+
+    Bucket specs live in the session catalog, not in the parquet files, so
+    the bucketed layout needs a table identity; hashing the absolute path in
+    keeps two indexes on one warehouse from colliding."""
+    digest = hashlib.md5(os.path.abspath(index_path).encode()).hexdigest()[:12]
+    return f"novelty_shingles_{digest}"
 
 
 def _read_index(
@@ -66,9 +80,18 @@ def _read_index(
     if not os.path.isdir(os.path.join(index_path, "bands")):
         return None
     try:
+        sh_table = _shingles_table_name(index_path)
+        shingles = (
+            # the bucketed layout: reading through the catalog keeps the
+            # bucket spec, so the verify join co-locates with no Exchange on
+            # the index side (a raw path read would lose it)
+            spark.table(sh_table)
+            if spark.catalog.tableExists(sh_table)
+            else spark.read.parquet(os.path.join(index_path, "shingles"))
+        )
         return (
             spark.read.parquet(os.path.join(index_path, "bands")),
-            spark.read.parquet(os.path.join(index_path, "shingles")),
+            shingles,
             spark.read.parquet(os.path.join(index_path, "sizes")),
         )
     except Exception:  # AnalysisException: unable to infer schema (empty dir)
@@ -76,13 +99,36 @@ def _read_index(
 
 
 def _append_index(
-    index_path: str, index: tuple[DataFrame, DataFrame, DataFrame]
+    index_path: str,
+    index: tuple[DataFrame, DataFrame, DataFrame],
+    shingle_buckets: int | None = None,
 ) -> None:
+    """Append one admitted batch's index rows.
+
+    ``shingle_buckets`` switches ``shingles/`` to the 100 TB layout: a
+    catalog table bucketed (and sorted) by ``doc``, so the candidate-verify
+    join in :func:`dedup.novelty_pairs` — keyed on (doc_hist, h), for which
+    HashPartitioning(doc) is a valid subset clustering — reads the index
+    side pre-partitioned, shuffling only the (batch-sized) probe side.
+    Must stay constant for the life of an index: the bucket count is part
+    of the on-disk layout.
+    """
     bands, sh, sizes = index
     bands.write.mode("append").partitionBy("band").parquet(
         os.path.join(index_path, "bands")
     )
-    sh.write.mode("append").parquet(os.path.join(index_path, "shingles"))
+    if shingle_buckets:
+        save_bucketed(
+            sh,
+            _shingles_table_name(index_path),
+            ["doc"],
+            shingle_buckets,
+            sort_cols=["doc"],
+            path=os.path.join(index_path, "shingles"),
+            mode="append",
+        )
+    else:
+        sh.write.mode("append").parquet(os.path.join(index_path, "shingles"))
     sizes.write.mode("append").parquet(os.path.join(index_path, "sizes"))
 
 
@@ -99,11 +145,14 @@ def admit_batch(
     bands: int = 4,
     threshold: float = 0.5,
     max_doc_frequency: int | None = None,
+    shingle_buckets: int | None = None,
 ) -> None:
     """One micro-batch through the admission gate (see module docstring).
     ``max_doc_frequency`` is the shared hot-shingle cap (boilerplate guard)
     applied to the within-batch self-join, the index probe, and the index
-    rows this batch contributes."""
+    rows this batch contributes. ``shingle_buckets`` selects the bucketed
+    shingles layout (see :func:`_append_index`); use the same value on every
+    batch of an index's life."""
     # 1. within-batch dedup: keep one representative per near-dup cluster
     batch_df = batch_df.cache()
     intra = dedup.minhash_lsh_pairs(
@@ -133,6 +182,7 @@ def admit_batch(
             survivors, id_col, content_col, k=k, n_hashes=n_hashes, bands=bands,
             max_doc_frequency=max_doc_frequency,
         ),
+        shingle_buckets=shingle_buckets,
     )
     survivors.unpersist()
     batch_df.unpersist()
@@ -151,6 +201,7 @@ def novelty_ingest_stream(
     threshold: float = 0.5,
     max_doc_frequency: int | None = None,
     available_now: bool = True,
+    shingle_buckets: int | None = None,
 ) -> StreamingQuery:
     """Start the admission gate over a streaming DataFrame of documents.
 
@@ -166,7 +217,7 @@ def novelty_ingest_stream(
             spark, batch_df, batch_id, id_col, content_col,
             index_path, out_path,
             k=k, n_hashes=n_hashes, bands=bands, threshold=threshold,
-            max_doc_frequency=max_doc_frequency,
+            max_doc_frequency=max_doc_frequency, shingle_buckets=shingle_buckets,
         )
 
     wrapped = exactly_once_batch_writer(

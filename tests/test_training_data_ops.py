@@ -1150,11 +1150,14 @@ def test_pseudonymize_stable_and_salted(spark):
     assert len(tok[1][0]) == 12
 
 
-def test_novelty_ingest_stream_cross_batch_admission(spark, tmp_path):
+@pytest.mark.parametrize("shingle_buckets", [None, 4])
+def test_novelty_ingest_stream_cross_batch_admission(spark, tmp_path, shingle_buckets):
     """E2E: the streaming admission gate rejects within-batch AND
     cross-batch near-duplicates, admits first arrivals, and a later drain
-    keeps building on the same on-disk index."""
+    keeps building on the same on-disk index — identically under the plain
+    and the bucketed (100 TB) shingles layout."""
     from f1_datalakehouse_pipeline_spark.streaming.novelty import (
+        _shingles_table_name,
         novelty_ingest_stream,
     )
 
@@ -1183,29 +1186,38 @@ def test_novelty_ingest_stream_cross_batch_admission(spark, tmp_path):
         .load(str(land / "*"))
     )
     idx, out, ckpt = str(tmp_path / "idx"), str(tmp_path / "out"), str(tmp_path / "ck")
-    q = novelty_ingest_stream(
-        stream, "doc_id", "text", idx, out, ckpt, threshold=0.5
-    )
-    q.awaitTermination(120)
-    admitted = {r.doc_id for r in spark.read.parquet(out).collect()}
-    assert admitted == {1, 3, 5}
+    try:
+        q = novelty_ingest_stream(
+            stream, "doc_id", "text", idx, out, ckpt, threshold=0.5,
+            shingle_buckets=shingle_buckets,
+        )
+        q.awaitTermination(120)
+        admitted = {r.doc_id for r in spark.read.parquet(out).collect()}
+        assert admitted == {1, 3, 5}
 
-    # second drain: another copy of a (reject) + novel doc (admit)
-    land_file("f3", [(6, a), (7, d)])
-    q2 = novelty_ingest_stream(
-        stream, "doc_id", "text", idx, out, ckpt, threshold=0.5
-    )
-    q2.awaitTermination(120)
-    admitted2 = {r.doc_id for r in spark.read.parquet(out).collect()}
-    assert admitted2 == {1, 3, 5, 7}
+        # second drain: another copy of a (reject) + novel doc (admit)
+        land_file("f3", [(6, a), (7, d)])
+        q2 = novelty_ingest_stream(
+            stream, "doc_id", "text", idx, out, ckpt, threshold=0.5,
+            shingle_buckets=shingle_buckets,
+        )
+        q2.awaitTermination(120)
+        admitted2 = {r.doc_id for r in spark.read.parquet(out).collect()}
+        assert admitted2 == {1, 3, 5, 7}
 
-    # replay drain with nothing new: no duplicate appends
-    q3 = novelty_ingest_stream(
-        stream, "doc_id", "text", idx, out, ckpt, threshold=0.5
-    )
-    q3.awaitTermination(120)
-    rows = spark.read.parquet(out).collect()
-    assert len(rows) == 4 and {r.doc_id for r in rows} == {1, 3, 5, 7}
+        # replay drain with nothing new: no duplicate appends
+        q3 = novelty_ingest_stream(
+            stream, "doc_id", "text", idx, out, ckpt, threshold=0.5,
+            shingle_buckets=shingle_buckets,
+        )
+        q3.awaitTermination(120)
+        rows = spark.read.parquet(out).collect()
+        assert len(rows) == 4 and {r.doc_id for r in rows} == {1, 3, 5, 7}
+        if shingle_buckets:
+            # the index really is the catalog bucketed table
+            assert spark.catalog.tableExists(_shingles_table_name(idx))
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {_shingles_table_name(idx)}")
 
 
 def test_chunk_documents_coverage_and_edges(spark):
@@ -1842,3 +1854,132 @@ def test_linear_model_score_at_hashed_feature_dim(spark):
         ).collect()
     }
     assert again == out
+
+
+def test_append_training_shards_matches_one_shot(spark, tmp_path):
+    """Incremental shard delivery: write B1, append B2 — per-shard manifest
+    (rows/tokens/checksum) must equal the one-shot write over B1∪B2 exactly
+    (every manifest quantity is an order-independent sum), the audit must
+    pass, and replay order is old-epoch-first within each shard."""
+    from f1_datalakehouse_pipeline_spark.sources.shards import (
+        append_training_shards,
+        read_shard_manifest,
+        read_training_shards,
+        verify_training_shards,
+        write_training_shards,
+    )
+
+    rows = [(i, f"doc body number {i} with a few tokens") for i in range(200)]
+    b1 = spark.createDataFrame(rows[:120], ["doc_id", "text"])
+    b2 = spark.createDataFrame(rows[120:], ["doc_id", "text"])
+    union = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    inc, oneshot = str(tmp_path / "inc"), str(tmp_path / "oneshot")
+    write_training_shards(b1, "doc_id", "text", inc, 4, "e0")
+    pre = {r.shard_id: r.n_rows for r in read_shard_manifest(spark, inc).collect()}
+    append_training_shards(b2, "doc_id", "text", inc, "e0")
+    write_training_shards(union, "doc_id", "text", oneshot, 4, "e0")
+
+    m_inc = {r.shard_id: (r.n_rows, r.n_tokens, r.checksum)
+             for r in read_shard_manifest(spark, inc).collect()}
+    m_one = {r.shard_id: (r.n_rows, r.n_tokens, r.checksum)
+             for r in read_shard_manifest(spark, oneshot).collect()}
+    assert m_inc == m_one
+    assert verify_training_shards(spark, inc, "text").count() == 0
+
+    data = read_training_shards(spark, inc)
+    # same membership per shard as one-shot (assignment is seeded per-id)
+    inc_sets = {
+        r.shard_id: r.ids
+        for r in data.groupBy("shard_id").agg(F.collect_set("doc_id").alias("ids")).collect()
+    }
+    one_sets = {
+        r.shard_id: r.ids
+        for r in read_training_shards(spark, oneshot)
+        .groupBy("shard_id").agg(F.collect_set("doc_id").alias("ids")).collect()
+    }
+    assert {k: sorted(v) for k, v in inc_sets.items()} == {k: sorted(v) for k, v in one_sets.items()}
+    # positions are a total order per shard, old epoch first
+    b1_ids = {r[0] for r in b1.select("doc_id").collect()}
+    for r in data.collect():
+        if r.doc_id in b1_ids:
+            assert r.pos_in_shard <= pre[r.shard_id]
+        else:
+            assert r.pos_in_shard > pre[r.shard_id]
+
+    # guards: wrong seed and missing manifest are loud
+    with pytest.raises(ValueError, match="seed"):
+        append_training_shards(b2, "doc_id", "text", inc, "e1")
+    with pytest.raises(ValueError, match="manifest"):
+        append_training_shards(b2, "doc_id", "text", str(tmp_path / "nowhere"), "e0")
+
+
+def test_incremental_corpus_pipeline_equals_one_shot(spark, tmp_path):
+    """VERDICT r4 item 5: admitting B1 then B2 incrementally must equal the
+    one-shot pipeline over B1∪B2 (B1 carries smaller ids so first-arrival ==
+    min-id keeper choice): same per-stage removals, identical shard manifest
+    and chunk sets, audit clean — with the B2 probe using the persisted LSH
+    index, not a history self-join."""
+    from f1_datalakehouse_pipeline_spark.plans.corpus import (
+        run_corpus_pipeline,
+        run_corpus_pipeline_incremental,
+    )
+    from f1_datalakehouse_pipeline_spark.sources.shards import (
+        read_shard_manifest,
+        read_training_shards,
+    )
+
+    good = "the quick brown fox jumps over the lazy dog near the river bank today"
+    b1_rows = [
+        (1, good),
+        (2, good),                                           # exact dup of 1 (within B1)
+        (3, "an ordinary clean document describing parquet row group statistics"),
+        (4, "!!! ??? ... ;;; ///" * 30),                     # low quality
+    ]
+    b2_rows = [
+        (10, good),                                          # exact dup of B1's 1
+        (11, good + " indeed"),                              # near dup of B1's 1
+        (12, "benchmark question what is the capital of france answer paris obviously"),
+        (13, "email me at alice@example.com about the spark shuffle internals please"),
+        (14, "a genuinely novel piece about broadcast joins and executor memory sizing"),
+    ]
+    b1 = spark.createDataFrame(b1_rows, ["doc_id", "text"])
+    b2 = spark.createDataFrame(b2_rows, ["doc_id", "text"])
+    union = spark.createDataFrame(b1_rows + b2_rows, ["doc_id", "text"])
+    bench = spark.createDataFrame(
+        [(100, "benchmark question what is the capital of france answer paris")],
+        ["doc_id", "text"],
+    )
+    kw = dict(
+        benchmark=bench, quality_min=0.5, near_threshold=0.5,
+        chunk_tokens=8, overlap_tokens=2, n_shards=4, seed="e0",
+    )
+
+    inc_out, state = str(tmp_path / "inc_out"), str(tmp_path / "state")
+    r1 = run_corpus_pipeline_incremental(spark, b1, inc_out, state, **kw)
+    assert r1.counts["after_quality"] == 3      # 4 gone
+    assert r1.counts["after_exact_dedup"] == 2  # 2 gone (no history yet)
+    assert r1.counts["after_near_dedup"] == 2
+    assert r1.audit_violations == 0
+
+    r2 = run_corpus_pipeline_incremental(spark, b2, inc_out, state, **kw)
+    assert r2.counts["after_quality"] == 5
+    assert r2.counts["after_exact_dedup"] == 4   # 10 gone vs history hash
+    assert r2.counts["after_near_dedup"] == 3    # 11 gone vs LSH index
+    assert r2.counts["after_decontamination"] == 2  # 12 gone
+    assert r2.audit_violations == 0
+
+    one_out = str(tmp_path / "one_out")
+    run_corpus_pipeline(spark, union, one_out, **kw)
+
+    m_inc = {r.shard_id: (r.n_rows, r.n_tokens, r.checksum)
+             for r in read_shard_manifest(spark, inc_out).collect()}
+    m_one = {r.shard_id: (r.n_rows, r.n_tokens, r.checksum)
+             for r in read_shard_manifest(spark, one_out).collect()}
+    assert m_inc == m_one
+    inc_chunks = {(r.chunk_id, r.chunk_text) for r in read_training_shards(spark, inc_out).collect()}
+    one_chunks = {(r.chunk_id, r.chunk_text) for r in read_training_shards(spark, one_out).collect()}
+    assert inc_chunks == one_chunks
+    # the scrub reached delivered text in the incremental path too
+    joined = " ".join(t for _, t in inc_chunks)
+    assert "alice@example.com" not in joined and "<EMAIL>" in joined

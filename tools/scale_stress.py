@@ -243,6 +243,42 @@ def run_novelty_scale(spark: SparkSession, sf_dir: str, factor: int) -> dict:
         ).count(),
     )
     r["amortized_speedup"] = round(r["selfjoin_sec"] / max(r["probe_sec"], 1e-9), 2)
+
+    # The bucketed shingles layout (VERDICT r4 item 3): same index content,
+    # shingles/ written as a catalog table bucketed by doc, so the verify
+    # join plans no Exchange on the (corpus-sized) index side. Pair count
+    # must be byte-identical to the plain layout.
+    from f1_datalakehouse_pipeline_spark.streaming.novelty import (
+        _append_index,
+        _read_index,
+        _shingles_table_name,
+    )
+
+    idx_b = os.path.join(CACHE, f"novelty_idx_bkt_x{factor}")
+    shutil.rmtree(idx_b, ignore_errors=True)
+    spark.sql(f"DROP TABLE IF EXISTS {_shingles_table_name(idx_b)}")
+
+    def build_bucketed():
+        _append_index(
+            idx_b,
+            dedup.minhash_band_index(history, "doc_id", "text"),
+            shingle_buckets=32,
+        )
+        return 0
+
+    r["index_build_bucketed_sec"], _ = timed(
+        "bucketed index build+persist (one-time)", build_bucketed
+    )
+    index_b = _read_index(spark, idx_b)
+    r["probe_bucketed_sec"], r["probe_bucketed_pairs"] = timed(
+        "batch probe vs bucketed index (recurring cost)",
+        lambda: dedup.novelty_pairs(
+            batch, index_b, "doc_id", "text", threshold=0.5
+        ).count(),
+    )
+    assert r["probe_bucketed_pairs"] == r["probe_pairs"], (
+        "bucketed layout changed the pair count"
+    )
     print(f"  {r}", flush=True)
     return r
 
