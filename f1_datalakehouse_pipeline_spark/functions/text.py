@@ -175,3 +175,40 @@ def linear_model_score(
         + F.element_at(w, (portable_hash48(t) % dim + 1).cast("int")),
     )
     return total.cast("double") / (F.lit(1000.0) + F.abs(total.cast("double")))
+
+
+def encode_token_ids(col: Column, vocab: dict[str, int], unk_id: int = 0) -> Column:
+    """Whitespace tokens → vocabulary ids as a PURE map-stage expression: a
+    flat ``create_map`` literal lookup per token (same depth-1 construction
+    rationale as operators/mixture._lookup_expr), unknown tokens → ``unk_id``.
+    Returns ``array<int>`` preserving token order — the id encoding a
+    training shard ships instead of raw text. No UDF, no shuffle, no model
+    server; for vocabularies too large for one plan expression use
+    :func:`encode_token_ids_with_table` (broadcast join, one shuffle)."""
+    pairs: list = []
+    for tok, i in vocab.items():
+        pairs += [F.lit(tok), F.lit(int(i))]
+    m = F.create_map(*pairs)
+    return F.transform(
+        tokens(col),
+        lambda t: F.coalesce(F.try_element_at(m, t), F.lit(int(unk_id))).cast("int"),
+    )
+
+
+def decode_token_ids(col: Column, vocab: dict[str, int], unk_token: str = "<unk>") -> Column:
+    """Inverse of :func:`encode_token_ids`: ``array<int>`` → ``array<string>``
+    via the inverted vocabulary (ids must be unique; checked). Tokens that
+    encoded to ``unk_id`` decode to ``unk_token`` — round-trip is exact for
+    in-vocabulary text (tested)."""
+    inv: dict[int, str] = {}
+    for tok, i in vocab.items():
+        if int(i) in inv:
+            raise ValueError(f"duplicate id {i} in vocab (for {inv[int(i)]!r} and {tok!r})")
+        inv[int(i)] = tok
+    pairs: list = []
+    for i, tok in inv.items():
+        pairs += [F.lit(int(i)), F.lit(tok)]
+    m = F.create_map(*pairs)
+    return F.transform(
+        col, lambda i: F.coalesce(F.try_element_at(m, i.cast("int")), F.lit(unk_token))
+    )

@@ -318,6 +318,98 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_lsh_pairs_banded(
+    df: DataFrame,
+    id_col: str,
+    content_col: str,
+    scratch_dir: str,
+    k: int = 3,
+    n_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    max_doc_frequency: int | None = None,
+) -> DataFrame:
+    """:func:`minhash_lsh_pairs` restructured for corpora whose one-shot run
+    exceeds the scratch-disk budget (the r4 50M-doc rung ENOSPC'd at
+    ~100 GB): same output pairs, bounded peak scratch.
+
+    Two levers:
+
+    - The shingle table and band signatures are STAGED to snappy parquet
+      under ``scratch_dir`` instead of living in the block-store cache —
+      parquet dictionary-encodes the repeated doc ids and hashes, several
+      times smaller than MEMORY_AND_DISK spill of the same rows, and each
+      downstream job re-reads the compressed files instead of keeping spill
+      alive across the whole plan.
+    - Candidate generation runs BAND-AT-A-TIME (bands are independent: a
+      pair is a candidate iff SOME band slice matches, so the union of
+      per-band self-joins equals the one-shot join): each band's self-join
+      is its own job over 1/``bands`` of the signature rows, its shuffle
+      scratch reclaimed before the next band starts, and its (distinct)
+      pairs appended to parquet. Peak scratch is one band's shuffle + the
+      staged files, not the sum.
+
+    The returned DataFrame reads from ``scratch_dir`` lazily — consume it
+    (write/collect) before deleting the scratch. Callers own the scratch
+    lifecycle; re-invoking with the same dir overwrites the stages.
+    """
+    import os as _os
+
+    spark = df.sparkSession
+    sh = _shingle_table(df, id_col, content_col, k)
+    if max_doc_frequency is not None:
+        sh = _drop_hot_shingles(sh, max_doc_frequency)
+    sh_path = _os.path.join(scratch_dir, "shingles")
+    sh.write.mode("overwrite").parquet(sh_path)
+    sh = spark.read.parquet(sh_path)
+
+    sig_path = _os.path.join(scratch_dir, "band_sigs")
+    _band_signatures(sh, n_hashes, bands).write.mode("overwrite").partitionBy(
+        "band"
+    ).parquet(sig_path)
+    sigs = spark.read.parquet(sig_path)
+
+    cand_path = _os.path.join(scratch_dir, "candidates")
+    for b in range(bands):
+        one = sigs.filter(F.col("band") == b).select("doc", "band_sig")
+        a_, b_ = one.alias("a"), one.alias("b")
+        (
+            a_.join(
+                b_,
+                (F.col("a.band_sig") == F.col("b.band_sig"))
+                & (F.col("a.doc") < F.col("b.doc")),
+            )
+            .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+            .distinct()
+            .write.mode("overwrite" if b == 0 else "append")
+            .parquet(cand_path)
+        )
+    candidates = spark.read.parquet(cand_path).distinct()
+
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
+    ca = candidates.join(sh.select(F.col("doc").alias("doc_a"), "h"), "doc_a")
+    inter = (
+        ca.join(sh.select(F.col("doc").alias("doc_b"), "h"), ["doc_b", "h"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    na = sizes.select(F.col("doc").alias("doc_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("doc").alias("doc_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("inter")).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def simhash_codes(df: DataFrame, id_col: str, content_col: str, n_bits: int = 48) -> DataFrame:
     """48-bit SimHash per document from token hashes.
 

@@ -138,3 +138,59 @@ def chunk_documents(
         F.concat_ws(" ", F.col("c.ctoks")).alias("chunk_text"),
         F.size("c.ctoks").alias("n_chunk_tokens"),
     )
+
+
+def encode_token_ids_with_table(
+    df: DataFrame,
+    id_col: str,
+    content_col: str,
+    vocab: DataFrame,
+    token_col: str = "token",
+    tid_col: str = "token_id",
+    unk_id: int = 0,
+    out_col: str = "token_ids",
+) -> DataFrame:
+    """Vocabulary encoding against a vocabulary TABLE — the large-vocab
+    companion of ``functions/text.encode_token_ids`` (whose map-literal form
+    is bounded by plan-expression size).
+
+    posexplode → broadcast left join on the token → reassemble per doc in
+    position order (``array_sort`` over (pos, id) structs — a groupBy on the
+    doc id, the one shuffle). Unknown tokens → ``unk_id``; docs with no
+    tokens keep an empty array (posexplode_outer + the null-pos filter in
+    the re-assembly). Output: the input row plus ``out_col array<int>``.
+
+    100 TB shape: the vocab broadcasts (vocabularies are ≤ a few million
+    rows — executor-memory scale, not corpus scale); the shuffle is one
+    hash partition by doc id, the same key downstream shard assignment
+    uses. No UDF anywhere.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode_outer(tokens(F.col(content_col))).alias("__pos", "__tok"),
+    )
+    v = vocab.select(
+        F.col(token_col).alias("__tok"), F.col(tid_col).cast("int").alias("__tid")
+    )
+    joined = toks.join(F.broadcast(v), "__tok", "left").select(
+        id_col,
+        "__pos",
+        F.coalesce(F.col("__tid"), F.lit(int(unk_id))).alias("__tid"),
+    )
+    ids = joined.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    # null pos = the empty-doc marker row from posexplode_outer
+                    F.when(
+                        F.col("__pos").isNotNull(),
+                        F.struct(F.col("__pos"), F.col("__tid")),
+                    )
+                )
+            ),
+            lambda s: s["__tid"],
+        ).alias(out_col)
+    )
+    return df.join(ids, id_col, "left").withColumn(
+        out_col, F.coalesce(F.col(out_col), F.array().cast("array<int>"))
+    )

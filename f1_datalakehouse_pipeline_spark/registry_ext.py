@@ -2473,3 +2473,46 @@ def tablestore_delete_tombstone(spark: SparkSession, sf_dir: str) -> DataFrame:
 from f1_datalakehouse_pipeline_spark import registry as _registry  # noqa: E402
 
 _registry._ORACLE["sim_lsh_bucketed_topk"] = _duck_lsh_sql()
+
+
+_TOKEN_VOCAB = {
+    "join": 1, "hash": 2, "row": 3, "batch": 4, "scan": 5,
+    "column": 6, "customer": 7, "filter": 8, "table": 9, "value": 10,
+}
+_DUCK_VOCAB_CASE = (
+    "CASE t "
+    + " ".join(f"WHEN '{w}' THEN {i}" for w, i in _TOKEN_VOCAB.items())
+    + " ELSE 0 END"
+)
+
+
+@query(
+    "t_token_ids",
+    f"""
+    WITH tokd AS (
+      SELECT doc_id, {_DUCK_TOKS.format(x='text')} AS toks
+      FROM documents WHERE doc_id % 25 = 0
+    ), idx AS (
+      SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i FROM tokd
+    ), ids AS (
+      SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, toks[i] AS t FROM idx
+    )
+    SELECT doc_id, pos, CAST({_DUCK_VOCAB_CASE} AS INTEGER) AS token_id
+    FROM ids
+    """,
+)
+def t_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Vocabulary token-id encoding (VERDICT r4 item 8): whitespace tokens →
+    # ids via a flat map-literal lookup, unknown → 0, order preserved — the
+    # shard-ready id form. Pure projection (encode + posexplode, no shuffle);
+    # the large-vocab broadcast-join twin is
+    # operators/textstats.encode_token_ids_with_table (equality unit-tested).
+    from f1_datalakehouse_pipeline_spark.functions.text import encode_token_ids
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 0)
+    return docs.select(
+        "doc_id",
+        F.posexplode(encode_token_ids(F.col("text"), _TOKEN_VOCAB)).alias(
+            "pos", "token_id"
+        ),
+    ).select("doc_id", "pos", "token_id")

@@ -1983,3 +1983,138 @@ def test_incremental_corpus_pipeline_equals_one_shot(spark, tmp_path):
     # the scrub reached delivered text in the incremental path too
     joined = " ".join(t for _, t in inc_chunks)
     assert "alice@example.com" not in joined and "<EMAIL>" in joined
+
+
+def test_minhash_lsh_banded_equals_one_shot(spark, sf_dir, tmp_path):
+    """The disk-staged band-at-a-time LSH must return the SAME pair set
+    (ids and jaccard values) as the one-shot operator — bands are
+    independent for candidate generation, and verification is identical."""
+    from f1_datalakehouse_pipeline_spark.sources.testdata import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    one = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.minhash_lsh_pairs(
+            docs, "doc_id", "text", threshold=0.4, max_doc_frequency=1000
+        ).collect()
+    }
+    banded = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.minhash_lsh_pairs_banded(
+            docs, "doc_id", "text", str(tmp_path / "lsh_scratch"),
+            threshold=0.4, max_doc_frequency=1000,
+        ).collect()
+    }
+    assert one and banded == one
+
+
+def test_plan_mixture_realizes_target_proportions(spark):
+    """plan_mixture derives budgets from proportions × measured mass: the
+    realized per-domain token shares must match the normalized targets to
+    within one boundary doc per domain, the binding (scarcest) domain is
+    taken whole, and infeasible targets fail loudly."""
+    from f1_datalakehouse_pipeline_spark.operators.mixture import plan_mixture
+
+    rows = []
+    for i in range(1200):
+        dom = ["web", "code", "books"][i % 3]
+        rows.append((i, dom, 5 + (i * 13) % 17))
+    # make books scarce: keep only every 9th books doc (books ids are ≡2 mod 3)
+    rows = [r for r in rows if r[1] != "books" or r[0] % 27 == 2]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "n_tokens"])
+
+    target = {"web": 0.5, "code": 0.3, "books": 0.2}
+    admitted, budgets = plan_mixture(df, "doc_id", "source", "n_tokens", target)
+    realized = {
+        r[0]: r[1]
+        for r in admitted.groupBy("source").agg(F.sum("n_tokens")).collect()
+    }
+    total = sum(realized.values())
+    max_doc = 5 + 16  # the largest n_tokens in the corpus
+    for dom, p in target.items():
+        # realized ≤ budget and within one boundary doc of it
+        assert realized[dom] <= budgets[dom]
+        assert budgets[dom] - realized[dom] <= max_doc
+        assert abs(realized[dom] / total - p) <= max_doc / total + 1e-9
+    # the scarce domain binds: its whole mass is (nearly) consumed
+    books_mass = sum(r[2] for r in rows if r[1] == "books")
+    assert books_mass - realized["books"] <= max_doc
+
+    # explicit total below T_max scales everything down proportionally
+    admitted2, budgets2 = plan_mixture(
+        df, "doc_id", "source", "n_tokens", target, total_tokens=total // 2
+    )
+    realized2 = {
+        r[0]: r[1]
+        for r in admitted2.groupBy("source").agg(F.sum("n_tokens")).collect()
+    }
+    for dom, p in target.items():
+        assert abs(realized2[dom] / (total // 2) - p) <= max_doc / (total // 2) + 1e-9
+
+    # a requested total beyond feasibility clamps to T_max (same budgets)
+    _, budgets3 = plan_mixture(
+        df, "doc_id", "source", "n_tokens", target, total_tokens=10**12
+    )
+    assert budgets3 == budgets
+
+    # infeasible: a listed domain with no tokens
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="no corpus tokens"):
+        plan_mixture(df, "doc_id", "source", "n_tokens", {"web": 0.5, "absent": 0.5})
+
+
+def test_token_id_encoding_roundtrip_and_table_equivalence(spark):
+    """Token-id encoding (VERDICT r4 item 8): map-literal expression and
+    broadcast-join table form agree token-for-token; decode(encode(x)) == x
+    for in-vocab text; unknowns go to unk_id/unk_token; empty docs yield
+    empty arrays."""
+    from f1_datalakehouse_pipeline_spark.functions.text import (
+        decode_token_ids,
+        encode_token_ids,
+    )
+    from f1_datalakehouse_pipeline_spark.operators.textstats import (
+        encode_token_ids_with_table,
+    )
+
+    vocab = {"spark": 1, "shuffles": 2, "data": 3, "fast": 4}
+    rows = [
+        (1, "spark shuffles data fast"),
+        (2, "spark mystery data"),       # 'mystery' is OOV
+        (3, ""),                          # empty doc
+        (4, "  fast   fast spark  "),     # whitespace hygiene + repeats
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    enc = {
+        r.doc_id: r.ids
+        for r in df.select(
+            "doc_id", encode_token_ids(F.col("text"), vocab).alias("ids")
+        ).collect()
+    }
+    assert enc == {1: [1, 2, 3, 4], 2: [1, 0, 3], 3: [], 4: [4, 4, 1]}
+
+    vocab_df = spark.createDataFrame(list(vocab.items()), ["token", "token_id"])
+    via_table = {
+        r.doc_id: r.token_ids
+        for r in encode_token_ids_with_table(
+            df, "doc_id", "text", vocab_df
+        ).collect()
+    }
+    assert via_table == enc
+
+    dec = {
+        r.doc_id: r.toks
+        for r in df.select(
+            "doc_id",
+            decode_token_ids(
+                encode_token_ids(F.col("text"), vocab), vocab, unk_token="<unk>"
+            ).alias("toks"),
+        ).collect()
+    }
+    assert dec[1] == ["spark", "shuffles", "data", "fast"]  # exact round-trip
+    assert dec[2] == ["spark", "<unk>", "data"]
+    assert dec[3] == []
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="duplicate id"):
+        df.select(decode_token_ids(F.col("text"), {"a": 1, "b": 1}))
