@@ -51,80 +51,82 @@ def _load_extensions() -> None:
 # driver-green in a prior round and untouched since (rotation documented in
 # COVERAGE.md).
 _VERIFY_FIRST = [
-    # r4 rotation swap (VERDICT r3 item 1): 11 brand-new queries take their
-    # first driver row (contamination/splice/tombstone from the r3 backlog,
-    # plus this round's incremental-novelty dedup, repetition-quality,
-    # PII-redaction, document-chunking, column-profiling, deterministic
-    # corpus-shuffle, and TPC-H q14/q19 operators),
-    # t_pack_sequences is re-proven because its packer switched to the
-    # sharded form this round, and 36 of the 50 queries whose newest
-    # driver-green row is from r2 are promoted. The 10 r3-verified queries
-    # rotate to the tail untouched. Sixteen r2-green queries must wait for
-    # r5 (115 registered > 50+50; ts_rollup_gapfill re-enters the head
-    # because its ORACLE got an sf-robustness fix — the grid bounds now
-    # filter to the same user subset as the engine side, identical at the
-    # driver SF, 60 rows different at sf0.1): a1_distinct, a3_count_distinct,
-    # a5_stats_agg, f_posexplode_tokens, f_map_ops, t_token_histogram,
-    # f_time_parse, f_url_parse, f_json_extract, f_regex_extract_all,
-    # f_levenshtein_pairs, u2_except_antijoin, u5_union_schema_drift,
-    # w14_ntile_quartiles, a9_pivot_doc_counts, a17_unpivot_metrics — all
-    # trivially-stable
-    # single-exchange or pure-projection plans, untouched since their
-    # registration round and re-verified locally every round (the local
-    # gate has no cap); they are first in line next round. (u2/u5/w14/a9
-    # yielded their head slots to the late-r4 additions dedup_containment /
-    # t_domain_mix / t_repeat_mixture / t_model_quality_score, which need
-    # FIRST driver rows.)
-    "dedup_containment",
+    # r5 rotation (VERDICT r4 item 1). Priority order within the 50-slot
+    # driver window, 116 registered:
+    # (a) the 16 r2-green tail queries the r4 verdict names — their newest
+    #     driver row is 2 rounds old and they lead this window;
+    # (b) t_token_ids — brand-new this round (vocabulary id encoding),
+    #     needs a FIRST driver row;
+    # (c) 4 queries whose IMPLEMENTATION changed in r5 and must re-prove:
+    #     dedup_incremental_novelty (novelty_pairs verify-join reordered for
+    #     the bucketed index), t_domain_mix / t_repeat_mixture (domain
+    #     lookup switched from CASE chain to map literal),
+    #     t_model_quality_score (weight vector now a single array Literal);
+    # (d) 29 of the 49 r3-green queries (complex plans first: dedup family,
+    #     SCD2, TPC-H joins, window stacks) so their rows refresh before
+    #     aging past 2 rounds.
+    # The 20 remaining r3-green queries (trivially-stable projections and
+    # single-window queries: w10/w11/w12/w13, o1, u1/u3, f_normalize_name,
+    # f_status_buckets, f_points_when_chain, f_time_format, f_datetime_ops,
+    # f_array_q_split, f_string_battery, a18/a19, t_text_quality, t_lang_id,
+    # t_fingerprint, w18_first_last_value) re-verify locally every round
+    # (the local gate has no cap) and lead the r6 window — named in
+    # COVERAGE.md. Everything r4-green waits at the tail: it re-enters by
+    # age in r6/r7.
+    # (a) the named r2-green tail
+    "a1_distinct",
+    "a3_count_distinct",
+    "a5_stats_agg",
+    "f_posexplode_tokens",
+    "f_map_ops",
+    "t_token_histogram",
+    "f_time_parse",
+    "f_url_parse",
+    "f_json_extract",
+    "f_regex_extract_all",
+    "f_levenshtein_pairs",
+    "u2_except_antijoin",
+    "u5_union_schema_drift",
+    "w14_ntile_quartiles",
+    "a9_pivot_doc_counts",
+    "a17_unpivot_metrics",
+    # (b) new in r5
+    "t_token_ids",
+    # (c) implementation changed in r5
+    "dedup_incremental_novelty",
     "t_domain_mix",
     "t_repeat_mixture",
     "t_model_quality_score",
-    "ts_rollup_gapfill",
-    "contamination_pairs",
-    "scd2_splice_backdated",
-    "tablestore_delete_tombstone",
-    "dedup_incremental_novelty",
-    "t_repetition_quality",
-    "t_pii_redact",
-    "t_chunk_documents",
-    "tpch_q14_promo_revenue",
-    "tpch_q19_disjunctive_revenue",
-    "t_profile_columns",
-    "t_shuffle_shards",
-    "t_pack_sequences",
-    "sim_cosine_topk",
-    "sim_embedding_neardup",
-    "sim_lsh_bucketed_topk",
-    "mm_binary_metadata",
-    "mm_magic_sniff",
-    "asof_purchase_to_view",
-    "asof_tolerance_join",
-    "range_join_ship_window",
-    "j9_full_outer_reconcile",
-    "j10_interval_overlap",
-    "j11_correlated_scalar_subquery",
-    "j4_star_join_revenue",
-    "p1_p5_filtered_projection",
-    "p8_percentile_cont",
-    "a4_conditional_counts",
-    "a6_pricing_summary",
-    "a10_approx_distinct",
-    "a12_grouping_sets",
-    "a13_approx_percentile",
-    "a14_salted_aggregate",
-    "a15_corr_decimal",
-    "a16_mode_per_group",
-    "w8_dense_rank_rounds",
-    "w15_range_frame",
-    "w16_percent_rank_cume",
-    "w17_session_window_native",
-    "t_corpus_curation",
-    "t_train_test_split",
-    "t_weighted_sample",
-    "ts_interpolate_linear",
-    "tpch_q10_returned_items",
-    "tpch_q18_large_orders",
-    "dedup_docs_pipeline",
+    # (d) r3-green refresh, complex plans first
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "scd2_historical_build",
+    "w_sessionize_events",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "j1_j5_lookup_join",
+    "j2_left_change_detection",
+    "j3_left_backfill_fillna",
+    "j6_window_group_share",
+    "j8_semi_join",
+    "j12_not_exists_anti",
+    "w4_w6_w7_championship",
+    "w1_gap_to_best",
+    "w2_personal_best_flag",
+    "w3_best_row_tiebreak",
+    "w5_running_avg",
+    "w9_lead_validity",
+    "a2_latest_attr",
+    "a8_rollup_revenue",
+    "a20_multi_distinct",
+    "ts_resample_ohlc",
+    "t_token_doc_frequency",
+    "o2_topk_per_group",
+    "a11_share_of_total",
 ]
 
 
