@@ -333,45 +333,85 @@ def minhash_lsh_pairs_banded(
     exceeds the scratch-disk budget (the r4 50M-doc rung ENOSPC'd at
     ~100 GB): same output pairs, bounded peak scratch.
 
-    Two levers:
+    Levers (each stage is its own job, so shuffle scratch is reclaimed
+    between stages instead of coexisting across one giant plan — the
+    coexistence is what breaks the one-shot form's disk budget):
 
-    - The shingle table and band signatures are STAGED to snappy parquet
-      under ``scratch_dir`` instead of living in the block-store cache —
-      parquet dictionary-encodes the repeated doc ids and hashes, several
-      times smaller than MEMORY_AND_DISK spill of the same rows, and each
-      downstream job re-reads the compressed files instead of keeping spill
-      alive across the whole plan.
-    - Candidate generation runs BAND-AT-A-TIME (bands are independent: a
-      pair is a candidate iff SOME band slice matches, so the union of
-      per-band self-joins equals the one-shot join): each band's self-join
-      is its own job over 1/``bands`` of the signature rows, its shuffle
-      scratch reclaimed before the next band starts, and its (distinct)
-      pairs appended to parquet. Peak scratch is one band's shuffle + the
-      staged files, not the sum.
+    1. The raw shingle table is staged to snappy parquet ONCE (map-only
+       write, no shuffle; parquet dictionary-encodes the repeated doc ids).
+    2. The hot-shingle (df-cap) list is computed FROM the staged parquet as
+       its own job — the corpus-sized groupBy(h) shuffle is freed before
+       anything else runs; the cap itself is then a broadcast anti-join
+       (map-only) wherever the shingle table is read.
+    3. ONE groupBy(doc) folds each document's (capped) shingles into a
+       sorted array — the ``doc_sets`` table — written BUCKETED by doc
+       (catalog table ``lsh_doc_sets_<digest>``; dropped by the caller or
+       next run). MinHash band signatures become a pure projection of the
+       array (array_min over transform), so no second corpus-sized shuffle.
+    4. Candidate generation runs BAND-AT-A-TIME (bands are independent: a
+       pair is a candidate iff SOME band matches, so the union of per-band
+       self-joins equals the one-shot join), each band its own small job.
+    5. Verification joins the candidate pairs against ``doc_sets`` on
+       doc_a, then doc_b — both plain-doc keys, so the bucketed side plans
+       ZERO Exchange; only candidate-proportional rows shuffle. The
+       intersection is ``array_intersect`` on the two shingle arrays —
+       identical to the (doc, h)-join count, since shingle sets are
+       distinct per doc.
 
     The returned DataFrame reads from ``scratch_dir`` lazily — consume it
     (write/collect) before deleting the scratch. Callers own the scratch
     lifecycle; re-invoking with the same dir overwrites the stages.
     """
+    import hashlib as _hashlib
     import os as _os
 
     spark = df.sparkSession
-    sh = _shingle_table(df, id_col, content_col, k)
-    if max_doc_frequency is not None:
-        sh = _drop_hot_shingles(sh, max_doc_frequency)
     sh_path = _os.path.join(scratch_dir, "shingles")
-    sh.write.mode("overwrite").parquet(sh_path)
+    _shingle_table(df, id_col, content_col, k).write.mode("overwrite").parquet(sh_path)
     sh = spark.read.parquet(sh_path)
 
-    sig_path = _os.path.join(scratch_dir, "band_sigs")
-    _band_signatures(sh, n_hashes, bands).write.mode("overwrite").partitionBy(
-        "band"
-    ).parquet(sig_path)
-    sigs = spark.read.parquet(sig_path)
+    if max_doc_frequency is not None:
+        hot_path = _os.path.join(scratch_dir, "hot_shingles")
+        (
+            sh.groupBy("h")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_doc_frequency)
+            .select("h")
+            .write.mode("overwrite")
+            .parquet(hot_path)
+        )
+        sh = sh.join(F.broadcast(spark.read.parquet(hot_path)), "h", "left_anti")
+
+    digest = _hashlib.md5(_os.path.abspath(scratch_dir).encode()).hexdigest()[:12]
+    sets_table = f"lsh_doc_sets_{digest}"
+    from f1_datalakehouse_pipeline_spark.sources.bucketed import save_bucketed
+
+    spark.sql(f"DROP TABLE IF EXISTS {sets_table}")
+    save_bucketed(
+        sh.groupBy("doc").agg(F.sort_array(F.collect_list("h")).alias("hs")),
+        sets_table,
+        ["doc"],
+        32,
+        sort_cols=["doc"],
+        path=_os.path.join(scratch_dir, "doc_sets"),
+    )
+    doc_sets = spark.table(sets_table)
+
+    rows_per_band = n_hashes // bands
+    mh = [
+        F.array_min(F.transform(F.col("hs"), lambda h: minhash_term(h, i))).alias(
+            f"mh{i}"
+        )
+        for i in range(n_hashes)
+    ]
+    wide = doc_sets.select("doc", *mh)
 
     cand_path = _os.path.join(scratch_dir, "candidates")
     for b in range(bands):
-        one = sigs.filter(F.col("band") == b).select("doc", "band_sig")
+        sig = F.xxhash64(
+            *[F.col(f"mh{b * rows_per_band + j}") for j in range(rows_per_band)]
+        )
+        one = wide.select("doc", sig.alias("band_sig"))
         a_, b_ = one.alias("a"), one.alias("b")
         (
             a_.join(
@@ -386,18 +426,18 @@ def minhash_lsh_pairs_banded(
         )
     candidates = spark.read.parquet(cand_path).distinct()
 
-    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
-    ca = candidates.join(sh.select(F.col("doc").alias("doc_a"), "h"), "doc_a")
-    inter = (
-        ca.join(sh.select(F.col("doc").alias("doc_b"), "h"), ["doc_b", "h"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    na = sizes.select(F.col("doc").alias("doc_a"), F.col("n").alias("n_a"))
-    nb = sizes.select(F.col("doc").alias("doc_b"), F.col("n").alias("n_b"))
+    sa = doc_sets.select(F.col("doc").alias("doc_a"), F.col("hs").alias("hs_a"))
+    sb = doc_sets.select(F.col("doc").alias("doc_b"), F.col("hs").alias("hs_b"))
     return (
-        inter.join(na, "doc_a")
-        .join(nb, "doc_b")
+        candidates.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("hs_a", "hs_b")).alias("inter"),
+            F.size("hs_a").alias("n_a"),
+            F.size("hs_b").alias("n_b"),
+        )
         .select(
             "doc_a",
             "doc_b",

@@ -2007,6 +2007,28 @@ def test_minhash_lsh_banded_equals_one_shot(spark, sf_dir, tmp_path):
     }
     assert one and banded == one
 
+    # with a LOW df-cap that actually triggers, the staged cap job must
+    # drop exactly the same hot shingles as the one-shot's _drop_hot_shingles
+    one_capped = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.minhash_lsh_pairs(
+            docs, "doc_id", "text", threshold=0.2, max_doc_frequency=8
+        ).collect()
+    }
+    banded_capped = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.minhash_lsh_pairs_banded(
+            docs, "doc_id", "text", str(tmp_path / "lsh_scratch2"),
+            threshold=0.2, max_doc_frequency=8,
+        ).collect()
+    }
+    assert banded_capped == one_capped
+
+    import hashlib, os
+    for d in ("lsh_scratch", "lsh_scratch2"):
+        digest = hashlib.md5(os.path.abspath(str(tmp_path / d)).encode()).hexdigest()[:12]
+        spark.sql(f"DROP TABLE IF EXISTS lsh_doc_sets_{digest}")
+
 
 def test_plan_mixture_realizes_target_proportions(spark):
     """plan_mixture derives budgets from proportions × measured mass: the
