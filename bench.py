@@ -126,6 +126,8 @@ def main() -> None:
         "t_domain_mix",
         "t_repeat_mixture",
         "t_model_quality_score",
+        # r5 additions
+        "t_token_ids",
     ]
     # r4 (VERDICT r3 item 7): extras get the same median-of-3 + spread
     # treatment as the headline, so regressions on dedup_docs_pipeline-class

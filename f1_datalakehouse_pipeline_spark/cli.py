@@ -107,6 +107,14 @@ def build_parser() -> argparse.ArgumentParser:
         default=None,
         help='JSON domain -> token budget (requires --domain-col)',
     )
+    corp.add_argument(
+        "--incremental-state",
+        default=None,
+        help="state root (exact-hash + LSH index) — admit --parquet as a NEW "
+        "batch into the existing shard set instead of rebuilding "
+        "(run_corpus_pipeline_incremental; mixture/containment flags are "
+        "batch-mode only and rejected here)",
+    )
     corp.add_argument("--master", default=None)
     mix = sub.add_parser(
         "mix-corpus",
@@ -161,6 +169,44 @@ def main(argv: list[str] | None = None) -> int:
             if args.benchmark_parquet
             else None
         )
+        if args.incremental_state is not None:
+            if args.domain_col or args.domain_budgets or args.containment_threshold:
+                raise SystemExit(
+                    "--incremental-state is incompatible with the mixture/"
+                    "containment flags (cross-batch budgets belong to the "
+                    "streaming budget_admission; containment needs the "
+                    "superset corpus view)"
+                )
+            _reject_out_collision(args.parquet, args.incremental_state)
+            from f1_datalakehouse_pipeline_spark.plans.corpus import (
+                run_corpus_pipeline_incremental,
+            )
+
+            rep = run_corpus_pipeline_incremental(
+                spark,
+                docs,
+                args.out,
+                args.incremental_state,
+                id_col=args.id_col,
+                content_col=args.content_col,
+                benchmark=bench,
+                quality_min=args.quality_min,
+                near_threshold=args.near_threshold,
+                chunk_tokens=args.chunk_tokens,
+                overlap_tokens=args.overlap_tokens,
+                n_shards=args.n_shards,
+                seed=args.seed,
+            )
+            print(
+                json.dumps(
+                    {
+                        "counts": rep.counts,
+                        "shards": rep.shard_manifest,
+                        "audit_violations": rep.audit_violations,
+                    }
+                )
+            )
+            return 1 if rep.audit_violations else 0
         rep = run_corpus_pipeline(
             spark,
             docs,

@@ -125,3 +125,43 @@ def test_cli_mix_corpus_rejects_out_colliding_with_input(spark, tmp_path):
             ])
     # the input survived untouched
     assert spark.read.parquet(src).count() == 5
+
+
+def test_cli_build_corpus_incremental(spark, tmp_path, capsys):
+    """Two incremental CLI invocations build on one state root: the second
+    batch's cross-batch duplicates are rejected and the shard set extends."""
+    import json
+
+    from f1_datalakehouse_pipeline_spark.cli import main
+
+    good = "the quick brown fox jumps over the lazy dog near the river bank today"
+    b1 = str(tmp_path / "b1")
+    b2 = str(tmp_path / "b2")
+    spark.createDataFrame(
+        [(1, good), (2, "an ordinary clean document describing parquet row group stats")],
+        ["doc_id", "text"],
+    ).write.parquet(b1)
+    spark.createDataFrame(
+        [(10, good), (11, "a genuinely novel piece about broadcast joins and memory")],
+        ["doc_id", "text"],
+    ).write.parquet(b2)
+
+    out, state = str(tmp_path / "out"), str(tmp_path / "state")
+    args = ["build-corpus", "--out", out, "--incremental-state", state,
+            "--near-threshold", "0.5", "--chunk-tokens", "8",
+            "--overlap-tokens", "2", "--n-shards", "2", "--seed", "e0"]
+    assert main(["build-corpus", "--parquet", b1] + args[1:]) == 0
+    r1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert r1["counts"]["after_near_dedup"] == 2
+
+    assert main(["build-corpus", "--parquet", b2] + args[1:]) == 0
+    r2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert r2["counts"]["after_exact_dedup"] == 1  # doc 10 == batch-1's doc 1
+    assert r2["audit_violations"] == 0
+    assert sum(m["n_rows"] for m in r2["shards"]) > sum(m["n_rows"] for m in r1["shards"])
+
+    # mixture flags are batch-mode only
+    import pytest
+    with pytest.raises(SystemExit, match="incompatible"):
+        main(["build-corpus", "--parquet", b2, "--domain-col", "src",
+              "--domain-budgets", '{"a": 5}'] + args[1:])
