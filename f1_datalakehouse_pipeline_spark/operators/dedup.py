@@ -328,48 +328,66 @@ def minhash_lsh_pairs_banded(
     bands: int = 4,
     threshold: float = 0.5,
     max_doc_frequency: int | None = None,
+    max_hot_literal: int = 1_000_000,
 ) -> DataFrame:
     """:func:`minhash_lsh_pairs` restructured for corpora whose one-shot run
-    exceeds the scratch-disk budget (the r4 50M-doc rung ENOSPC'd at
-    ~100 GB): same output pairs, bounded peak scratch.
+    exceeds the scratch-disk budget: same output pairs, peak disk bounded by
+    the CORPUS TEXT, never the shingle table.
 
-    Levers (each stage is its own job, so shuffle scratch is reclaimed
-    between stages instead of coexisting across one giant plan — the
-    coexistence is what breaks the one-shot form's disk budget):
+    The one-shot form's disk cost is the materialized shingle inverted index
+    (cache spill or staging): ~#tokens × 8 B of incompressible hash — at
+    50M docs that alone is >65 GB (measured, r5) and no staging order saves
+    it. This form never materializes shingles at all:
 
-    1. The raw shingle table is staged to snappy parquet ONCE (map-only
-       write, no shuffle; parquet dictionary-encodes the repeated doc ids).
-    2. The hot-shingle (df-cap) list is computed FROM the staged parquet as
-       its own job — the corpus-sized groupBy(h) shuffle is freed before
-       anything else runs; the cap itself is then a broadcast anti-join
-       (map-only) wherever the shingle table is read.
-    3. ONE groupBy(doc) folds each document's (capped) shingles into a
-       sorted array — the ``doc_sets`` table — written BUCKETED by doc
-       (catalog table ``lsh_doc_sets_<digest>``; dropped by the caller or
-       next run). MinHash band signatures become a pure projection of the
-       array (array_min over transform), so no second corpus-sized shuffle.
+    1. The (id, text) projection is staged once — compact parquet, text
+       dictionary-compresses; every later job re-reads it instead of
+       re-running upstream lineage.
+    2. The hot-shingle (df-cap) list comes from a groupBy(h) over
+       shingles computed ON THE FLY — count is map-side-combinable, so the
+       shuffle carries partial counts, not raw shingle rows; its scratch is
+       reclaimed when the job ends. The (by-definition small: only
+       shingles in >cap docs) list is collected — guarded by
+       ``max_hot_literal`` — and applied as a broadcast anti-join /
+       array_except literal downstream.
+    3. MinHash signatures are ONE groupBy(doc) of n_hashes min() aggregates
+       — also map-side-combinable (the shuffle carries one partial row per
+       (partition, doc), 16 longs wide) — staged as the ~50M-row wide table.
     4. Candidate generation runs BAND-AT-A-TIME (bands are independent: a
        pair is a candidate iff SOME band matches, so the union of per-band
-       self-joins equals the one-shot join), each band its own small job.
-    5. Verification joins the candidate pairs against ``doc_sets`` on
-       doc_a, then doc_b — both plain-doc keys, so the bucketed side plans
-       ZERO Exchange; only candidate-proportional rows shuffle. The
-       intersection is ``array_intersect`` on the two shingle arrays —
-       identical to the (doc, h)-join count, since shingle sets are
-       distinct per doc.
+       self-joins equals the one-shot join), each band its own job over a
+       projection of the wide table, scratch reclaimed between bands.
+    5. Verification re-derives each candidate doc's shingle SET as an array
+       EXPRESSION over the staged text (map-side; the same per-doc set
+       `_shingle_table` explodes, minus the hot list via array_except) —
+       candidates join the text table on doc_a then doc_b, and Jaccard is
+       ``array_intersect`` arithmetic. Shingles for non-candidate docs are
+       never computed twice; nothing shingle-sized ever hits disk or a
+       shuffle. (At real-corpus dup rates candidates are small and AQE
+       broadcasts them, making the verify a map-only pass over the text.)
 
     The returned DataFrame reads from ``scratch_dir`` lazily — consume it
     (write/collect) before deleting the scratch. Callers own the scratch
     lifecycle; re-invoking with the same dir overwrites the stages.
     """
-    import hashlib as _hashlib
     import os as _os
 
-    spark = df.sparkSession
-    sh_path = _os.path.join(scratch_dir, "shingles")
-    _shingle_table(df, id_col, content_col, k).write.mode("overwrite").parquet(sh_path)
-    sh = spark.read.parquet(sh_path)
+    from f1_datalakehouse_pipeline_spark.functions.text import (
+        shingle_hashes_from_tokens,
+    )
 
+    spark = df.sparkSession
+    base_path = _os.path.join(scratch_dir, "docs")
+    df.select(
+        F.col(id_col).alias("doc"), F.col(content_col).alias("__text")
+    ).write.mode("overwrite").parquet(base_path)
+    base = spark.read.parquet(base_path)
+
+    sh = (
+        base.select("doc", F.explode(shingle_hashes_from_tokens("__text", k)).alias("h"))
+        .filter(F.col("h").isNotNull())
+    )
+
+    hot_list: list[int] = []
     if max_doc_frequency is not None:
         hot_path = _os.path.join(scratch_dir, "hot_shingles")
         (
@@ -380,32 +398,23 @@ def minhash_lsh_pairs_banded(
             .write.mode("overwrite")
             .parquet(hot_path)
         )
-        sh = sh.join(F.broadcast(spark.read.parquet(hot_path)), "h", "left_anti")
+        hot = spark.read.parquet(hot_path)
+        n_hot = hot.count()
+        if n_hot > max_hot_literal:
+            raise ValueError(
+                f"{n_hot} hot shingles exceed max_hot_literal={max_hot_literal}; "
+                "a df-cap this unselective caps most of the corpus — raise "
+                "max_doc_frequency or max_hot_literal"
+            )
+        hot_list = [r[0] for r in hot.collect()]  # bounded by the guard above
+        sh = sh.join(F.broadcast(hot), "h", "left_anti")
 
-    digest = _hashlib.md5(_os.path.abspath(scratch_dir).encode()).hexdigest()[:12]
-    sets_table = f"lsh_doc_sets_{digest}"
-    from f1_datalakehouse_pipeline_spark.sources.bucketed import save_bucketed
-
-    spark.sql(f"DROP TABLE IF EXISTS {sets_table}")
-    save_bucketed(
-        sh.groupBy("doc").agg(F.sort_array(F.collect_list("h")).alias("hs")),
-        sets_table,
-        ["doc"],
-        32,
-        sort_cols=["doc"],
-        path=_os.path.join(scratch_dir, "doc_sets"),
-    )
-    doc_sets = spark.table(sets_table)
+    terms = [F.min(minhash_term(F.col("h"), i)).alias(f"mh{i}") for i in range(n_hashes)]
+    wide_path = _os.path.join(scratch_dir, "wide_sigs")
+    sh.groupBy("doc").agg(*terms).write.mode("overwrite").parquet(wide_path)
+    wide = spark.read.parquet(wide_path)
 
     rows_per_band = n_hashes // bands
-    mh = [
-        F.array_min(F.transform(F.col("hs"), lambda h: minhash_term(h, i))).alias(
-            f"mh{i}"
-        )
-        for i in range(n_hashes)
-    ]
-    wide = doc_sets.select("doc", *mh)
-
     cand_path = _os.path.join(scratch_dir, "candidates")
     for b in range(bands):
         sig = F.xxhash64(
@@ -426,17 +435,25 @@ def minhash_lsh_pairs_banded(
         )
     candidates = spark.read.parquet(cand_path).distinct()
 
-    sa = doc_sets.select(F.col("doc").alias("doc_a"), F.col("hs").alias("hs_a"))
-    sb = doc_sets.select(F.col("doc").alias("doc_b"), F.col("hs").alias("hs_b"))
+    def shingle_set(text_col_name: str):
+        s = F.filter(
+            shingle_hashes_from_tokens(text_col_name, k), lambda x: x.isNotNull()
+        )
+        if hot_list:
+            s = F.array_except(s, F.lit(hot_list).cast("array<bigint>"))
+        return s
+
+    ta = base.select(F.col("doc").alias("doc_a"), F.col("__text").alias("__text_a"))
+    tb = base.select(F.col("doc").alias("doc_b"), F.col("__text").alias("__text_b"))
     return (
-        candidates.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        candidates.join(ta, "doc_a")
+        .join(tb, "doc_b")
         .select(
             "doc_a",
             "doc_b",
-            F.size(F.array_intersect("hs_a", "hs_b")).alias("inter"),
-            F.size("hs_a").alias("n_a"),
-            F.size("hs_b").alias("n_b"),
+            F.size(F.array_intersect(shingle_set("__text_a"), shingle_set("__text_b"))).alias("inter"),
+            F.size(shingle_set("__text_a")).alias("n_a"),
+            F.size(shingle_set("__text_b")).alias("n_b"),
         )
         .select(
             "doc_a",
