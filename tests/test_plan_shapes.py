@@ -562,3 +562,15 @@ def test_bucketed_novelty_index_verify_join_no_index_exchange(spark, tmp_path):
             spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {_shingles_table_name(idx_path)}")
+
+
+def test_token_id_encoding_pure_projection(spark, sf_dir):
+    """Vocabulary id encoding + posexplode must plan as scan → project →
+    generate: zero exchanges, no Python evaluation."""
+    from f1_datalakehouse_pipeline_spark import registry
+
+    qs = registry.queries()
+    plan = plan_of(qs["t_token_ids"](spark, sf_dir))
+    assert plan.count("Exchange") == 0, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Generate" in plan  # the posexplode
