@@ -283,6 +283,63 @@ def run_novelty_scale(spark: SparkSession, sf_dir: str, factor: int) -> dict:
     return r
 
 
+def run_lsh_banded_scale(
+    spark: SparkSession, sf_dir: str, factor: int, compare_oneshot: bool = True
+) -> dict:
+    """Disk-budgeted band-at-a-time LSH rung (VERDICT r4 item 4): run
+    `minhash_lsh_pairs_banded` at ``factor``× documents with a df-cap,
+    tracking peak disk consumption; at factors where the one-shot fits the
+    scratch budget (``compare_oneshot``), assert byte-identical pair
+    counts. The one-shot form ENOSPCs at factor 1000 (5M docs) on this
+    host's ~65 GB free (measured r5), so the invariant chains:
+    one-shot == banded at ≤500K docs, banded structural ratio (~×10 pairs
+    per ×10 docs, cluster-of-2 corpus) above."""
+    import shutil
+    import threading
+
+    docs = scaled_docs(spark, sf_dir, factor)
+    r: dict = {"docs": docs.count()}
+    peak = {"free_min_gb": float("inf")}
+    stop = {"v": False}
+
+    def monitor():
+        while not stop["v"]:
+            st = os.statvfs("/")
+            peak["free_min_gb"] = min(
+                peak["free_min_gb"], st.f_bavail * st.f_frsize / 2**30
+            )
+            time.sleep(2)
+
+    threading.Thread(target=monitor, daemon=True).start()
+    st = os.statvfs("/")
+    free0 = st.f_bavail * st.f_frsize / 2**30
+
+    scratch = os.path.join(CACHE, f"lsh_banded_scratch_x{factor}")
+    shutil.rmtree(scratch, ignore_errors=True)
+    r["banded_sec"], r["banded_pairs"] = timed(
+        "banded LSH (capped)",
+        lambda: dedup.minhash_lsh_pairs_banded(
+            docs, "doc_id", "text", scratch,
+            threshold=0.5, max_doc_frequency=1000,
+        ).count(),
+    )
+    shutil.rmtree(scratch, ignore_errors=True)
+    stop["v"] = True
+    r["free_start_gb"] = round(free0, 1)
+    r["peak_disk_gb"] = round(free0 - peak["free_min_gb"], 1)
+
+    if compare_oneshot:
+        r["oneshot_sec"], r["oneshot_pairs"] = timed(
+            "one-shot LSH (capped)",
+            lambda: dedup.minhash_lsh_pairs(
+                docs, "doc_id", "text", threshold=0.5, max_doc_frequency=1000
+            ).count(),
+        )
+        assert r["oneshot_pairs"] == r["banded_pairs"], r
+    print(f"  {r}", flush=True)
+    return r
+
+
 def run_corpus_scale(spark: SparkSession, sf_dir: str, factor: int) -> dict:
     """Wall-time the FULL corpus pipeline (plans/corpus.run_corpus_pipeline)
     on the scaled documents corpus: proves the composed stages — not just
@@ -632,6 +689,8 @@ def main() -> None:
     ap.add_argument("--ann", action="store_true", help="scale the embeddings table and measure ANN variants")
     ap.add_argument("--pipeline", action="store_true", help="run the full F1 pipeline at ~2.5M lap rows")
     ap.add_argument("--novelty", action="store_true", help="measure incremental-probe amortization vs full self-join")
+    ap.add_argument("--lsh-banded", action="store_true", help="disk-budgeted band-at-a-time LSH rung (pair parity vs one-shot where it fits)")
+    ap.add_argument("--no-oneshot", action="store_true", help="skip the one-shot comparison leg (factors where it exceeds the disk budget)")
     ap.add_argument("--corpus", action="store_true", help="run the full corpus pipeline (plans/corpus.py) at scale")
     ap.add_argument("--mixture", action="store_true", help="bucketed vs naive budgeted_mixture on a 90%%-one-domain corpus")
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
@@ -668,6 +727,15 @@ def main() -> None:
         for factor in factors:
             print(f"novelty factor {factor}:", flush=True)
             results[str(factor)] = run_novelty_scale(spark, args.sf_dir, factor)
+        print(json.dumps(results, indent=2))
+        return
+
+    if args.lsh_banded:
+        for factor in factors:
+            print(f"lsh-banded factor {factor}:", flush=True)
+            results[str(factor)] = run_lsh_banded_scale(
+                spark, args.sf_dir, factor, compare_oneshot=not args.no_oneshot
+            )
         print(json.dumps(results, indent=2))
         return
 
