@@ -375,12 +375,28 @@ def minhash_lsh_pairs_banded(
         shingle_hashes_from_tokens,
     )
 
+    import hashlib as _hashlib
+
+    from f1_datalakehouse_pipeline_spark.sources.bucketed import save_bucketed
+
     spark = df.sparkSession
-    base_path = _os.path.join(scratch_dir, "docs")
-    df.select(
-        F.col(id_col).alias("doc"), F.col(content_col).alias("__text")
-    ).write.mode("overwrite").parquet(base_path)
-    base = spark.read.parquet(base_path)
+    # The text staging is a BUCKETED+SORTED catalog table: the two verify
+    # joins below are keyed on single doc ids, so the corpus side plans
+    # neither Exchange nor Sort (measured: with plain parquet staging the
+    # verify job's two full-corpus sort spills ENOSPC'd the 50M rung even
+    # though every earlier stage fit).
+    digest = _hashlib.md5(_os.path.abspath(scratch_dir).encode()).hexdigest()[:12]
+    docs_table = f"lsh_docs_{digest}"
+    spark.sql(f"DROP TABLE IF EXISTS {docs_table}")
+    save_bucketed(
+        df.select(F.col(id_col).alias("doc"), F.col(content_col).alias("__text")),
+        docs_table,
+        ["doc"],
+        32,
+        sort_cols=["doc"],
+        path=_os.path.join(scratch_dir, "docs"),
+    )
+    base = spark.table(docs_table)
 
     sh = (
         base.select("doc", F.explode(shingle_hashes_from_tokens("__text", k)).alias("h"))
@@ -443,7 +459,10 @@ def minhash_lsh_pairs_banded(
             s = F.array_except(s, F.lit(hot_list).cast("array<bigint>"))
         return s
 
-    ta = base.select(F.col("doc").alias("doc_a"), F.col("__text").alias("__text_a"))
+    # set_a materializes in the projection over the bucketed scan (before
+    # the only shuffle it crosses — the doc_b hash for the second join);
+    # set_b never crosses a shuffle at all.
+    ta = base.select(F.col("doc").alias("doc_a"), shingle_set("__text").alias("__set_a"))
     tb = base.select(F.col("doc").alias("doc_b"), F.col("__text").alias("__text_b"))
     return (
         candidates.join(ta, "doc_a")
@@ -451,8 +470,8 @@ def minhash_lsh_pairs_banded(
         .select(
             "doc_a",
             "doc_b",
-            F.size(F.array_intersect(shingle_set("__text_a"), shingle_set("__text_b"))).alias("inter"),
-            F.size(shingle_set("__text_a")).alias("n_a"),
+            F.size(F.array_intersect(F.col("__set_a"), shingle_set("__text_b"))).alias("inter"),
+            F.size(F.col("__set_a")).alias("n_a"),
             F.size(shingle_set("__text_b")).alias("n_b"),
         )
         .select(

@@ -2027,7 +2027,7 @@ def test_minhash_lsh_banded_equals_one_shot(spark, sf_dir, tmp_path):
     import hashlib, os
     for d in ("lsh_scratch", "lsh_scratch2"):
         digest = hashlib.md5(os.path.abspath(str(tmp_path / d)).encode()).hexdigest()[:12]
-        spark.sql(f"DROP TABLE IF EXISTS lsh_doc_sets_{digest}")
+        spark.sql(f"DROP TABLE IF EXISTS lsh_docs_{digest}")
 
 
 def test_plan_mixture_realizes_target_proportions(spark):
