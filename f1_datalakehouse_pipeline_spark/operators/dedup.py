@@ -459,10 +459,14 @@ def minhash_lsh_pairs_banded(
             s = F.array_except(s, F.lit(hot_list).cast("array<bigint>"))
         return s
 
-    # set_a materializes in the projection over the bucketed scan (before
-    # the only shuffle it crosses — the doc_b hash for the second join);
-    # set_b never crosses a shuffle at all.
-    ta = base.select(F.col("doc").alias("doc_a"), shingle_set("__text").alias("__set_a"))
+    # The only payload that crosses the one candidate-side shuffle (the
+    # doc_b hash for the second join) is TEXT, not the shingle array: text
+    # is smaller and lz4-compresses ~3-4x in shuffle, where the 48-bit hash
+    # arrays are incompressible (measured: carrying arrays doubled the
+    # verify job's sort spill and broke the 50M disk budget). Both sets are
+    # recomputed map-side AFTER the joins; codegen subexpression
+    # elimination evaluates each set expression once per row.
+    ta = base.select(F.col("doc").alias("doc_a"), F.col("__text").alias("__text_a"))
     tb = base.select(F.col("doc").alias("doc_b"), F.col("__text").alias("__text_b"))
     return (
         candidates.join(ta, "doc_a")
@@ -470,8 +474,8 @@ def minhash_lsh_pairs_banded(
         .select(
             "doc_a",
             "doc_b",
-            F.size(F.array_intersect(F.col("__set_a"), shingle_set("__text_b"))).alias("inter"),
-            F.size(F.col("__set_a")).alias("n_a"),
+            F.size(F.array_intersect(shingle_set("__text_a"), shingle_set("__text_b"))).alias("inter"),
+            F.size(shingle_set("__text_a")).alias("n_a"),
             F.size(shingle_set("__text_b")).alias("n_b"),
         )
         .select(
