@@ -318,6 +318,19 @@ def minhash_lsh_pairs(
     )
 
 
+def _reclaim_shuffles(spark) -> None:
+    """Nudge the driver JVM's GC so ContextCleaner frees FINISHED stages'
+    shuffle files immediately. In one long local-mode lineage the shuffle
+    dependencies of completed jobs are only cleaned when the driver happens
+    to GC — without the nudge the banded 50M rung accumulated 64 GB of dead
+    shuffle files alongside the live job (measured r5) and survived with
+    1 GB to spare. No-op when the JVM handle is unavailable."""
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:
+        pass
+
+
 def minhash_lsh_pairs_banded(
     df: DataFrame,
     id_col: str,
@@ -397,6 +410,7 @@ def minhash_lsh_pairs_banded(
         path=_os.path.join(scratch_dir, "docs"),
     )
     base = spark.table(docs_table)
+    _reclaim_shuffles(spark)
 
     sh = (
         base.select("doc", F.explode(shingle_hashes_from_tokens("__text", k)).alias("h"))
@@ -424,11 +438,13 @@ def minhash_lsh_pairs_banded(
             )
         hot_list = [r[0] for r in hot.collect()]  # bounded by the guard above
         sh = sh.join(F.broadcast(hot), "h", "left_anti")
+        _reclaim_shuffles(spark)
 
     terms = [F.min(minhash_term(F.col("h"), i)).alias(f"mh{i}") for i in range(n_hashes)]
     wide_path = _os.path.join(scratch_dir, "wide_sigs")
     sh.groupBy("doc").agg(*terms).write.mode("overwrite").parquet(wide_path)
     wide = spark.read.parquet(wide_path)
+    _reclaim_shuffles(spark)
 
     rows_per_band = n_hashes // bands
     cand_path = _os.path.join(scratch_dir, "candidates")
