@@ -384,6 +384,108 @@ def run_corpus_scale(spark: SparkSession, sf_dir: str, factor: int) -> dict:
     return r
 
 
+def run_corpus_incremental_scale(
+    spark: SparkSession,
+    sf_dir: str,
+    factor: int,
+    n_bootstrap: int = 10,
+    compare_oneshot: bool = True,
+) -> dict:
+    """Measure the r5 incremental-ingestion mode
+    (plans/corpus.run_corpus_pipeline_incremental) at scale: admit the
+    corpus as ``n_bootstrap`` equal batches plus one FINAL 1% batch,
+    timing every admission. The claims under test:
+
+    1. per-batch admission cost stays ~FLAT as the admitted corpus grows
+       (the near-dedup leg is a within-batch self-join plus a
+       novelty-index probe — never a history∪batch self-join);
+    2. admitting the final 1% batch costs a small fraction of rebuilding
+       the corpus one-shot (at factors where the one-shot's in-memory LSH
+       fits the disk budget, ``compare_oneshot`` also asserts the
+       incremental union delivers the IDENTICAL chunk count);
+    3. at factors where the one-shot form is disk-INFEASIBLE on this host
+       (its cached shingle index ENOSPCs at 5M docs, measured r5), the
+       incremental path still runs — that asymmetry is the point.
+
+    Batches split on the replica axis (rep = doc_id // 1M) so earlier
+    batches carry smaller ids (first-arrival-wins == one-shot min-id
+    keepers) and the generator's cluster-of-2 pairs never straddle a
+    batch boundary (salt is shared by rep pair (2k, 2k+1) and every
+    split index below is even). State uses the bucketed (100 TB) index
+    layout. Audit must be clean after every admission's shard append."""
+    import shutil
+    import time as _t
+
+    from f1_datalakehouse_pipeline_spark.plans.corpus import (
+        run_corpus_pipeline,
+        run_corpus_pipeline_incremental,
+    )
+
+    docs = scaled_docs(spark, sf_dir, factor)
+    bench = docs.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 2_000_000_000).alias("doc_id"), "text"
+    )
+    n_final_reps = max(2, (factor // 100) & ~1)  # even, >= 2
+    n_boot_reps = factor - n_final_reps
+    rep = F.col("doc_id") / F.lit(1_000_000)
+    params = dict(
+        benchmark=bench,
+        quality_min=0.0,
+        near_threshold=0.5,
+        chunk_tokens=64,
+        overlap_tokens=8,
+        n_shards=64,
+        seed="scale",
+        max_doc_frequency=64,
+    )
+
+    out = os.path.join(CACHE, f"corpus_inc_out_x{factor}")
+    state = os.path.join(CACHE, f"corpus_inc_state_x{factor}")
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(state, ignore_errors=True)
+
+    r: dict = {"docs": docs.count(), "bootstrap_sec": [], "chunks_inc": 0}
+    bounds = sorted(
+        {round(i * n_boot_reps / n_bootstrap) & ~1 for i in range(n_bootstrap + 1)}
+    )  # dedup: tiny factors round several deciles to the same even rep
+    for i in range(len(bounds) - 1):
+        batch = docs.filter((rep >= bounds[i]) & (rep < bounds[i + 1]))
+        t0 = _t.perf_counter()
+        rep_i = run_corpus_pipeline_incremental(
+            spark, batch, out, state, shingle_buckets=32, **params
+        )
+        sec = round(_t.perf_counter() - t0, 1)
+        assert rep_i.audit_violations == 0, rep_i.audit_violations
+        r["bootstrap_sec"].append(sec)
+        r["chunks_inc"] += rep_i.counts["chunks"]
+        print(f"  bootstrap batch {i}: {sec}s {rep_i.counts}", flush=True)
+
+    final = docs.filter(rep >= n_boot_reps)
+    t0 = _t.perf_counter()
+    rep_f = run_corpus_pipeline_incremental(
+        spark, final, out, state, shingle_buckets=32, **params
+    )
+    r["final_batch_sec"] = round(_t.perf_counter() - t0, 1)
+    assert rep_f.audit_violations == 0, rep_f.audit_violations
+    r["chunks_inc"] += rep_f.counts["chunks"]
+    r["final_batch_docs"] = rep_f.counts["raw"]
+
+    if compare_oneshot:
+        one_out = os.path.join(CACHE, f"corpus_one_out_x{factor}")
+        shutil.rmtree(one_out, ignore_errors=True)
+        t0 = _t.perf_counter()
+        rep_one = run_corpus_pipeline(spark, docs, one_out, **params)
+        r["oneshot_sec"] = round(_t.perf_counter() - t0, 1)
+        r["chunks_oneshot"] = rep_one.counts["chunks"]
+        assert rep_one.audit_violations == 0
+        assert r["chunks_inc"] == r["chunks_oneshot"], r
+        shutil.rmtree(one_out, ignore_errors=True)
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(state, ignore_errors=True)
+    print(f"  {r}", flush=True)
+    return r
+
+
 def run_mixture_scale(spark: SparkSession, sf_dir: str, factor: int) -> dict:
     """Bucketed vs naive budgeted_mixture on a 90%-one-domain corpus.
 
@@ -693,6 +795,7 @@ def main() -> None:
     ap.add_argument("--no-oneshot", action="store_true", help="skip the one-shot comparison leg (factors where it exceeds the disk budget)")
     ap.add_argument("--corpus", action="store_true", help="run the full corpus pipeline (plans/corpus.py) at scale")
     ap.add_argument("--mixture", action="store_true", help="bucketed vs naive budgeted_mixture on a 90%%-one-domain corpus")
+    ap.add_argument("--corpus-incremental", action="store_true", help="batch-at-a-time corpus ingestion: per-batch cost curve vs one-shot rebuild")
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     args = ap.parse_args()
     factors = [int(f) for f in args.factors.split(",")]
@@ -743,6 +846,15 @@ def main() -> None:
         for factor in factors:
             print(f"corpus factor {factor}:", flush=True)
             results[str(factor)] = run_corpus_scale(spark, args.sf_dir, factor)
+        print(json.dumps(results, indent=2))
+        return
+
+    if args.corpus_incremental:
+        for factor in factors:
+            print(f"corpus-incremental factor {factor}:", flush=True)
+            results[str(factor)] = run_corpus_incremental_scale(
+                spark, args.sf_dir, factor, compare_oneshot=not args.no_oneshot
+            )
         print(json.dumps(results, indent=2))
         return
 
