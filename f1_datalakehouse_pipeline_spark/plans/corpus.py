@@ -271,7 +271,17 @@ def run_corpus_pipeline_incremental(
     the one-shot pipeline over B1∪B2 up to first-arrival-wins keeper choice
     — identical when earlier batches carry smaller ids (the one-shot keeper
     is min(id)) and no near-dup cluster chains across batches through a
-    rejected middle member. The first call (no shard manifest yet) creates
+    rejected middle member. One more caveat when ``max_doc_frequency`` is
+    set: the df-cap is VIEW-RELATIVE — the one-shot form counts shingle
+    document frequency over the whole corpus, this form over each batch
+    (and, in the probe, over the admitted history), so a shingle can cross
+    the cap in one view and not the other. Dropping a near-cap shingle
+    perturbs borderline pairs' MinHash signatures, which shifts LSH
+    candidate RECALL on short documents (measured at 500K docs: 0.24% of
+    delivered chunks, tools/scale_stress.py --corpus-incremental). This is
+    inherent to any streaming df statistic, not a defect of the staging:
+    exact global df would require re-scanning the full corpus per batch,
+    which is the cost this mode exists to avoid. The first call (no shard manifest yet) creates
     the shard set with ``n_shards``; later calls ignore ``n_shards`` and
     append. The mixture/containment stages are deliberately absent here:
     token budgets across an unbounded stream are
