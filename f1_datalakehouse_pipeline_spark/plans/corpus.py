@@ -212,6 +212,13 @@ def run_corpus_pipeline(
     )
     rep.counts["chunks"] = chunks.count()
 
+    if rep.counts["chunks"] == 0:
+        # Every doc was filtered out. A zero-row partitionBy write would
+        # leave a data/ dir with no partition files, which no later read
+        # (audit, append) can infer a schema from — deliver nothing.
+        for df in cached:
+            df.unpersist()
+        return rep
     write_training_shards(chunks, "chunk_id", "chunk_text", out_root, n_shards, seed)
     for df in cached:
         df.unpersist()
@@ -371,12 +378,18 @@ def run_corpus_pipeline_incremental(
 
     from f1_datalakehouse_pipeline_spark.sources.shards import MANIFEST_DIR
 
-    if os.path.isdir(os.path.join(out_root, MANIFEST_DIR)):
-        append_training_shards(chunks, "chunk_id", "chunk_text", out_root, seed)
-    else:
-        write_training_shards(
-            chunks, "chunk_id", "chunk_text", out_root, n_shards, seed
-        )
+    have_shards = os.path.isdir(os.path.join(out_root, MANIFEST_DIR))
+    if rep.counts["chunks"] > 0:
+        # A zero-chunk batch delivers nothing (a zero-row FIRST write would
+        # poison out_root with a schema-less partitioned dir) but still
+        # extends state below: its admitted docs must reject later dups.
+        if have_shards:
+            append_training_shards(chunks, "chunk_id", "chunk_text", out_root, seed)
+        else:
+            write_training_shards(
+                chunks, "chunk_id", "chunk_text", out_root, n_shards, seed
+            )
+        have_shards = True
 
     # extend state LAST (same ordering rationale as streaming/novelty:
     # a state row without its corpus rows only over-rejects, never
@@ -394,6 +407,8 @@ def run_corpus_pipeline_incremental(
 
     for df in cached:
         df.unpersist()
+    if not have_shards:  # no batch has delivered a chunk yet
+        return rep
     from f1_datalakehouse_pipeline_spark.sources.shards import read_shard_manifest
 
     rep.shard_manifest = sorted(

@@ -55,6 +55,15 @@ def write_training_shards(
     a manifest written under a different formula reports a loud
     algo-mismatch row instead of flagging every shard corrupt.
     """
+    if df.isEmpty():
+        # A zero-row partitionBy write creates a data/ dir with no
+        # partition files — every later read (audit, append) then fails
+        # schema inference. Refuse to poison out_path; callers with a
+        # possibly-empty corpus should skip delivery (plans/corpus.py does).
+        raise ValueError(
+            f"refusing to write an EMPTY shard set to {out_path!r}: the "
+            "resulting data directory would be unreadable"
+        )
     assigned = shuffle_assignments(df, id_col, n_shards, seed).withColumn(
         "__chk", portable_hash48(F.col(content_col)) % F.lit(2147483647)
     )

@@ -1985,6 +1985,57 @@ def test_incremental_corpus_pipeline_equals_one_shot(spark, tmp_path):
     assert "alice@example.com" not in joined and "<EMAIL>" in joined
 
 
+def test_incremental_corpus_pipeline_empty_batches(spark, tmp_path):
+    """A batch whose every doc is filtered out must deliver NOTHING without
+    poisoning the output directory: a zero-row partitionBy write would leave
+    a data/ dir no later read can infer a schema from. An all-rejected FIRST
+    batch defers shard-set creation; admission resumes cleanly on the next
+    real batch, and within-batch rejections still extend state."""
+    import pytest as _pytest
+
+    from f1_datalakehouse_pipeline_spark.plans.corpus import (
+        run_corpus_pipeline_incremental,
+    )
+    from f1_datalakehouse_pipeline_spark.sources.shards import (
+        write_training_shards,
+    )
+
+    junk = spark.createDataFrame(
+        [(1, "!!! ??? ... ;;; ///" * 30), (2, "??? !!! ;;; ... ///" * 40)],
+        ["doc_id", "text"],
+    )
+    good_text = "a genuinely novel piece about broadcast joins and executor memory"
+    real = spark.createDataFrame(
+        [(10, good_text), (11, "another clean document on shuffle partition sizing")],
+        ["doc_id", "text"],
+    )
+    out, state = str(tmp_path / "out"), str(tmp_path / "state")
+    kw = dict(quality_min=0.5, chunk_tokens=8, overlap_tokens=2, n_shards=4, seed="e0")
+
+    r0 = run_corpus_pipeline_incremental(spark, junk, out, state, **kw)
+    assert r0.counts["chunks"] == 0
+    assert r0.shard_manifest == [] and r0.audit_violations == 0
+    import os as _os
+
+    assert not _os.path.isdir(_os.path.join(out, "data"))  # nothing poisoned
+
+    r1 = run_corpus_pipeline_incremental(spark, real, out, state, **kw)
+    assert r1.counts["chunks"] > 0 and r1.audit_violations == 0
+
+    # an all-rejected LATER batch (exact dup of admitted history) appends
+    # nothing and leaves the existing shard set audit-clean
+    dup = spark.createDataFrame([(20, good_text)], ["doc_id", "text"])
+    r2 = run_corpus_pipeline_incremental(spark, dup, out, state, **kw)
+    assert r2.counts["after_exact_dedup"] == 0 and r2.counts["chunks"] == 0
+    assert r2.shard_manifest == r1.shard_manifest and r2.audit_violations == 0
+
+    # the raw sink refuses an empty write outright
+    with _pytest.raises(ValueError, match="EMPTY shard set"):
+        write_training_shards(
+            junk.filter("doc_id < 0"), "doc_id", "text", str(tmp_path / "poison"), 4, "e0"
+        )
+
+
 def test_minhash_lsh_banded_equals_one_shot(spark, sf_dir, tmp_path):
     """The disk-staged band-at-a-time LSH must return the SAME pair set
     (ids and jaccard values) as the one-shot operator — bands are
