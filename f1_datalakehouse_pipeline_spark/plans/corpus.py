@@ -391,9 +391,12 @@ def run_corpus_pipeline_incremental(
             )
         have_shards = True
 
-    # extend state LAST (same ordering rationale as streaming/novelty:
-    # a state row without its corpus rows only over-rejects, never
-    # under-rejects)
+    # extend state LAST (same ordering rationale as streaming/novelty's
+    # admit_batch: a crash between the shard append and the state append
+    # re-runs a batch the state has not seen — the re-run recomputes the
+    # same verdicts, and the residue is duplicate delivery of that ONE
+    # batch; state-FIRST would instead make the re-run reject the whole
+    # batch against its own half-written state and silently lose it)
     kept.select(
         portable_hash48(F.col(content_col)).alias("content_hash")
     ).write.mode("append").parquet(exact_dir)

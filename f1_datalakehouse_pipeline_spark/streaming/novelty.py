@@ -169,9 +169,12 @@ def admit_batch(
             max_doc_frequency=max_doc_frequency,
         )
         survivors = dedup.filter_novel(survivors, hits, id_col)
-    # 3. admit: corpus append + index append (the order matters for readers:
-    # an index row without its corpus row only causes over-rejection, never
-    # admission of a duplicate — so the index write goes LAST)
+    # 3. admit: corpus append, THEN index append. The index goes last so a
+    # crash inside the two-write window leaves a batch the index has not
+    # seen: the replay recomputes identical verdicts and the residue is
+    # duplicate rows for that ONE batch (module docstring contract).
+    # Index-FIRST would invert the failure: the replayed batch would find
+    # its own signatures in the index and silently drop itself.
     survivors = survivors.cache()
     survivors.withColumn("ingest_batch_id", F.lit(batch_id)).write.mode(
         "append"
