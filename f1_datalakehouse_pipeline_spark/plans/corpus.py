@@ -255,9 +255,16 @@ def run_corpus_pipeline_incremental(
     max_doc_frequency: int | None = 1000,
     chunk_shift: int = 12,
     shingle_buckets: int | None = None,
+    audit: bool = True,
 ) -> CorpusReport:
     """Admit ONE NEW BATCH into an already-built corpus — the ingestion form
     of :func:`run_corpus_pipeline`.
+
+    ``audit=False`` skips the closing full-shard-set integrity re-scan (and
+    the manifest collect): the audit is CORPUS-sized, so a high-frequency
+    caller — the streaming front-end in ``streaming/corpus_ingest`` — must
+    not pay it per micro-batch. Run :func:`~f1_datalakehouse_pipeline_spark.
+    sources.shards.verify_training_shards` out-of-band instead.
 
     The batch runs quality → scrub → exact dedup (within-batch keepers, then
     an anti-join against the persisted content-hash history) → near dedup
@@ -410,7 +417,7 @@ def run_corpus_pipeline_incremental(
 
     for df in cached:
         df.unpersist()
-    if not have_shards:  # no batch has delivered a chunk yet
+    if not have_shards or not audit:  # nothing delivered yet / caller audits out-of-band
         return rep
     from f1_datalakehouse_pipeline_spark.sources.shards import read_shard_manifest
 

@@ -1,0 +1,73 @@
+"""Streaming front-end for the FULL corpus build: every micro-batch of raw
+documents runs the complete admission pipeline (quality → PII scrub → exact
+dedup vs hash history → within-batch LSH + novelty-index probe →
+decontamination → chunk → shard APPEND) via
+``plans/corpus.run_corpus_pipeline_incremental`` inside ``foreachBatch``.
+
+This composes the two existing streaming admission surfaces into the
+delivery path: ``streaming/novelty`` gates near-dups but appends raw docs,
+and ``streaming/stateful.budget_admission`` caps domains but delivers
+nothing — here the batch-mode incremental pipeline IS the upsert, so the
+streaming and batch ingestion paths cannot drift (same code, same state
+layout, same manifest arithmetic). State (content-hash history + band
+index) lives under ``state_root`` exactly as in batch mode; a corpus
+bootstrapped by batch calls can be continued by a stream and vice versa.
+
+Crash consistency is the documented at-most-one-batch weakening shared by
+``streaming/novelty`` and the TableStore ledger: the upsert is wrapped with
+``incremental.exactly_once_batch_writer`` so REPLAYED completed batches are
+skipped; a crash inside one upsert re-runs that batch against state that
+has not seen it (state extension is the LAST write), re-deriving identical
+verdicts, so the residue is duplicate delivery of at most that one batch.
+
+The per-batch report intentionally skips the corpus-sized shard audit
+(``audit=False``); run ``sources/shards.verify_training_shards`` out-of-band
+— per micro-batch it would re-scan the ENTIRE delivered corpus, an
+O(corpus) cost in an O(batch) loop.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import StreamingQuery
+
+from f1_datalakehouse_pipeline_spark.plans.corpus import (
+    run_corpus_pipeline_incremental,
+)
+from f1_datalakehouse_pipeline_spark.streaming.incremental import (
+    exactly_once_batch_writer,
+)
+
+
+def corpus_ingest_stream(
+    stream_docs: DataFrame,
+    out_root: str,
+    state_root: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    **pipeline_kw,
+) -> StreamingQuery:
+    """Start the full-pipeline admission gate over a streaming DataFrame of
+    ``(id, content, …)`` documents. ``pipeline_kw`` is forwarded verbatim to
+    :func:`run_corpus_pipeline_incremental` (thresholds, benchmark, chunking,
+    shard count, seed, ``shingle_buckets`` …) — pass the SAME values on every
+    run of an ingest's life, as in batch mode."""
+    spark = stream_docs.sparkSession
+    pipeline_kw.setdefault("audit", False)
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        run_corpus_pipeline_incremental(
+            spark, batch_df, out_root, state_root, **pipeline_kw
+        )
+
+    wrapped = exactly_once_batch_writer(
+        upsert, os.path.join(checkpoint_dir, "_ingest_ledger")
+    )
+    writer = stream_docs.writeStream.foreachBatch(wrapped).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

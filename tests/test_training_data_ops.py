@@ -2036,6 +2036,77 @@ def test_incremental_corpus_pipeline_empty_batches(spark, tmp_path):
         )
 
 
+def test_corpus_ingest_stream_matches_batch_incremental(spark, tmp_path):
+    """The streaming front-end (corpus_ingest_stream: readStream →
+    foreachBatch → run_corpus_pipeline_incremental) must deliver BYTE-EQUAL
+    shards to the batch incremental path over the same two batches —
+    including across a stream restart (the checkpoint + ledger carry the
+    frontier), with the out-of-band audit clean. The per-batch audit is
+    skipped by default in the stream (corpus-sized scan per micro-batch)."""
+    from f1_datalakehouse_pipeline_spark.plans.corpus import (
+        run_corpus_pipeline_incremental,
+    )
+    from f1_datalakehouse_pipeline_spark.sources.shards import (
+        read_shard_manifest,
+        read_training_shards,
+        verify_training_shards,
+    )
+    from f1_datalakehouse_pipeline_spark.streaming.corpus_ingest import (
+        corpus_ingest_stream,
+    )
+
+    good = "the quick brown fox jumps over the lazy dog near the river bank today"
+    b1_rows = [
+        (1, good),
+        (2, good),                                           # exact dup of 1
+        (3, "an ordinary clean document describing parquet row group statistics"),
+        (4, "!!! ??? ... ;;; ///" * 30),                     # low quality
+    ]
+    b2_rows = [
+        (10, good),                                          # exact dup vs history
+        (11, good + " indeed"),                              # near dup vs history
+        (13, "email me at alice@example.com about the spark shuffle internals please"),
+        (14, "a genuinely novel piece about broadcast joins and executor memory sizing"),
+    ]
+    b1 = spark.createDataFrame(b1_rows, ["doc_id", "text"])
+    b2 = spark.createDataFrame(b2_rows, ["doc_id", "text"])
+    kw = dict(
+        quality_min=0.5, near_threshold=0.5,
+        chunk_tokens=8, overlap_tokens=2, n_shards=4, seed="e0",
+    )
+
+    src = str(tmp_path / "src")
+    s_out, s_state = str(tmp_path / "s_out"), str(tmp_path / "s_state")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        stream = spark.readStream.schema(b1.schema).parquet(src)
+        q = corpus_ingest_stream(stream, s_out, s_state, ckpt, **kw)
+        q.awaitTermination(120)
+
+    b1.coalesce(1).write.mode("append").parquet(src)
+    drain()
+    b2.coalesce(1).write.mode("append").parquet(src)
+    drain()  # restart: checkpoint + ledger resume past B1
+
+    b_out, b_state = str(tmp_path / "b_out"), str(tmp_path / "b_state")
+    run_corpus_pipeline_incremental(spark, b1, b_out, b_state, **kw)
+    run_corpus_pipeline_incremental(spark, b2, b_out, b_state, **kw)
+
+    m_s = {r.shard_id: (r.n_rows, r.n_tokens, r.checksum)
+           for r in read_shard_manifest(spark, s_out).collect()}
+    m_b = {r.shard_id: (r.n_rows, r.n_tokens, r.checksum)
+           for r in read_shard_manifest(spark, b_out).collect()}
+    assert m_s == m_b and m_s
+    c_s = {(r.chunk_id, r.chunk_text) for r in read_training_shards(spark, s_out).collect()}
+    c_b = {(r.chunk_id, r.chunk_text) for r in read_training_shards(spark, b_out).collect()}
+    assert c_s == c_b
+    # scrub reached the streamed deliveries; out-of-band audit is clean
+    joined = " ".join(t for _, t in c_s)
+    assert "alice@example.com" not in joined and "<EMAIL>" in joined
+    assert verify_training_shards(spark, s_out, "chunk_text").count() == 0
+
+
 def test_minhash_lsh_banded_equals_one_shot(spark, sf_dir, tmp_path):
     """The disk-staged band-at-a-time LSH must return the SAME pair set
     (ids and jaccard values) as the one-shot operator — bands are
