@@ -170,7 +170,13 @@ def main(argv: list[str] | None = None) -> int:
             else None
         )
         if args.incremental_state is not None:
-            if args.domain_col or args.domain_budgets or args.containment_threshold:
+            if (
+                args.domain_col
+                or args.domain_budgets
+                # `is not None`: 0.0 is a legal batch-mode threshold and
+                # must be rejected here, not silently dropped
+                or args.containment_threshold is not None
+            ):
                 raise SystemExit(
                     "--incremental-state is incompatible with the mixture/"
                     "containment flags (cross-batch budgets belong to the "

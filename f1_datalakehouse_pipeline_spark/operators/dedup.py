@@ -331,6 +331,19 @@ def _reclaim_shuffles(spark) -> None:
         pass
 
 
+def lsh_docs_table(scratch_dir: str) -> str:
+    """Catalog-table name of :func:`minhash_lsh_pairs_banded`'s bucketed
+    text staging for ``scratch_dir``. The returned pairs DataFrame reads
+    through this table lazily, so the table must outlive consumption;
+    callers own the scratch lifecycle and should ``DROP TABLE`` this name
+    when they delete the scratch dir (the table's data lives inside it)."""
+    import hashlib as _hashlib
+    import os as _os
+
+    digest = _hashlib.md5(_os.path.abspath(scratch_dir).encode()).hexdigest()[:12]
+    return f"lsh_docs_{digest}"
+
+
 def minhash_lsh_pairs_banded(
     df: DataFrame,
     id_col: str,
@@ -387,9 +400,6 @@ def minhash_lsh_pairs_banded(
     from f1_datalakehouse_pipeline_spark.functions.text import (
         shingle_hashes_from_tokens,
     )
-
-    import hashlib as _hashlib
-
     from f1_datalakehouse_pipeline_spark.sources.bucketed import save_bucketed
 
     spark = df.sparkSession
@@ -398,8 +408,7 @@ def minhash_lsh_pairs_banded(
     # neither Exchange nor Sort (measured: with plain parquet staging the
     # verify job's two full-corpus sort spills ENOSPC'd the 50M rung even
     # though every earlier stage fit).
-    digest = _hashlib.md5(_os.path.abspath(scratch_dir).encode()).hexdigest()[:12]
-    docs_table = f"lsh_docs_{digest}"
+    docs_table = lsh_docs_table(scratch_dir)
     spark.sql(f"DROP TABLE IF EXISTS {docs_table}")
     save_bucketed(
         df.select(F.col(id_col).alias("doc"), F.col(content_col).alias("__text")),
@@ -487,12 +496,23 @@ def minhash_lsh_pairs_banded(
     return (
         candidates.join(ta, "doc_a")
         .join(tb, "doc_b")
+        # hoist each capped set into its OWN projection: the hot-list
+        # literal then appears twice in the plan (once per set), not once
+        # per use, and Catalyst keeps the projection boundary (non-cheap
+        # expressions referenced multiple times are not collapse-inlined),
+        # so each set is built once per row regardless of codegen CSE
         .select(
             "doc_a",
             "doc_b",
-            F.size(F.array_intersect(shingle_set("__text_a"), shingle_set("__text_b"))).alias("inter"),
-            F.size(shingle_set("__text_a")).alias("n_a"),
-            F.size(shingle_set("__text_b")).alias("n_b"),
+            shingle_set("__text_a").alias("__sa"),
+            shingle_set("__text_b").alias("__sb"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect(F.col("__sa"), F.col("__sb"))).alias("inter"),
+            F.size("__sa").alias("n_a"),
+            F.size("__sb").alias("n_b"),
         )
         .select(
             "doc_a",

@@ -61,6 +61,37 @@ class CorpusReport:
     audit_violations: int = 0
 
 
+def _manifest_and_audit(spark: SparkSession, out_root: str, rep: "CorpusReport") -> None:
+    """Shared delivery epilogue: read the manifest back from the parquet the
+    sink just wrote (collecting the in-flight DataFrame would re-execute the
+    pipeline lineage once the stage caches are gone) and run the integrity
+    audit. One definition so the batch and incremental reports cannot drift."""
+    from f1_datalakehouse_pipeline_spark.sources.shards import read_shard_manifest
+
+    rep.shard_manifest = sorted(
+        (r.asDict() for r in read_shard_manifest(spark, out_root).collect()),
+        key=lambda d: d["shard_id"],
+    )
+    rep.audit_violations = verify_training_shards(
+        spark, out_root, "chunk_text"
+    ).count()
+
+
+def _require_integral_id(df: DataFrame, id_col: str) -> None:
+    """Both pipelines compose chunk ids by bit-shifting the doc id, so the
+    id column must be integral — shared so the batch and incremental guards
+    (and their remediation message) cannot drift."""
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    id_type = df.schema[id_col].dataType
+    if not isinstance(id_type, (ByteType, ShortType, IntegerType, LongType)):
+        raise TypeError(
+            f"chunk_id composition requires an integral {id_col!r} column; got "
+            f"{id_type.simpleString()} — map ids to int64 upstream (e.g. "
+            "xxhash64) or chunk without the composed id"
+        )
+
+
 def compose_chunk_id(id_col: str, idx_col: str, shift: int = 12):
     """``(doc_id << shift) | chunk_idx`` with loud execution-time guards.
 
@@ -116,15 +147,7 @@ def run_corpus_pipeline(
             f"{'set' if domain_budgets is not None else 'None'} — passing only "
             "one would silently skip the stage"
         )
-    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
-
-    id_type = docs.schema[id_col].dataType
-    if not isinstance(id_type, (ByteType, ShortType, IntegerType, LongType)):
-        raise TypeError(
-            f"chunk_id composition requires an integral {id_col!r} column; got "
-            f"{id_type.simpleString()} — map ids to int64 upstream (e.g. "
-            "xxhash64) or chunk without the composed id"
-        )
+    _require_integral_id(docs, id_col)
     rep = CorpusReport()
     rep.counts["raw"] = docs.count()
 
@@ -222,18 +245,7 @@ def run_corpus_pipeline(
     write_training_shards(chunks, "chunk_id", "chunk_text", out_root, n_shards, seed)
     for df in cached:
         df.unpersist()
-    # Read the manifest back from the parquet just written — collecting the
-    # returned DataFrame here would re-execute the ENTIRE pipeline lineage
-    # (the stage caches are gone by now), roughly doubling the build.
-    from f1_datalakehouse_pipeline_spark.sources.shards import read_shard_manifest
-
-    rep.shard_manifest = sorted(
-        (r.asDict() for r in read_shard_manifest(spark, out_root).collect()),
-        key=lambda d: d["shard_id"],
-    )
-    rep.audit_violations = verify_training_shards(
-        spark, out_root, "chunk_text"
-    ).count()
+    _manifest_and_audit(spark, out_root, rep)
     return rep
 
 
@@ -302,14 +314,7 @@ def run_corpus_pipeline_incremental(
     ``streaming/stateful.budget_admission``'s job, and containment needs the
     superset corpus view.
     """
-    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
-
-    id_type = batch.schema[id_col].dataType
-    if not isinstance(id_type, (ByteType, ShortType, IntegerType, LongType)):
-        raise TypeError(
-            f"chunk_id composition requires an integral {id_col!r} column; got "
-            f"{id_type.simpleString()}"
-        )
+    _require_integral_id(batch, id_col)
     from f1_datalakehouse_pipeline_spark.streaming.novelty import (
         _append_index,
         _read_index,
@@ -419,13 +424,5 @@ def run_corpus_pipeline_incremental(
         df.unpersist()
     if not have_shards or not audit:  # nothing delivered yet / caller audits out-of-band
         return rep
-    from f1_datalakehouse_pipeline_spark.sources.shards import read_shard_manifest
-
-    rep.shard_manifest = sorted(
-        (r.asDict() for r in read_shard_manifest(spark, out_root).collect()),
-        key=lambda d: d["shard_id"],
-    )
-    rep.audit_violations = verify_training_shards(
-        spark, out_root, "chunk_text"
-    ).count()
+    _manifest_and_audit(spark, out_root, rep)
     return rep

@@ -124,11 +124,17 @@ def append_training_shards(
         raise ValueError(f"no existing shard manifest under {out_path!r}")
     if "checksum_algo" in old.columns:
         algos = {r[0] for r in old.select("checksum_algo").distinct().collect()}
-        if algos != {CHECKSUM_ALGO}:
-            raise ValueError(
-                f"cannot append to a manifest with checksum_algo {algos}; "
-                f"rewrite the shard set under {CHECKSUM_ALGO!r} first"
-            )
+    else:
+        # pre-versioning manifest: raw 48-bit-sum checksums. Summing those
+        # with current-algo terms would stamp a silently mixed-formula
+        # manifest that the next audit flags wholesale — same loud refusal
+        # as an explicit foreign algo.
+        algos = {LEGACY_ALGO}
+    if algos != {CHECKSUM_ALGO}:
+        raise ValueError(
+            f"cannot append to a manifest with checksum_algo {algos}; "
+            f"rewrite the shard set under {CHECKSUM_ALGO!r} first"
+        )
     seeds = {r[0] for r in old.select("seed").distinct().collect()}
     if seeds != {seed}:
         raise ValueError(
@@ -156,6 +162,10 @@ def append_training_shards(
         )
         .drop("__offset")
     )
+    # consumed twice (data append + manifest agg); without the cache each
+    # append would run the assignment shuffle, position window, and per-row
+    # hashing twice — per MICRO-BATCH on the streaming-ingest hot path
+    assigned = assigned.cache()
     (
         assigned.repartition(n_shards, "shard_id")
         .sortWithinPartitions("pos_in_shard")
@@ -183,14 +193,22 @@ def append_training_shards(
     )
     # stage-then-swap: the merged manifest derives from the OLD manifest's
     # DataFrame, so overwriting the dir it is lazily read from would clobber
-    # the input mid-job
+    # the input mid-job. The swap is rename-aside, not delete-then-rename:
+    # a complete manifest copy exists at every instant (a crash between the
+    # two renames leaves the old manifest under _manifest_retired and the
+    # new one under _manifest_staged — recover by renaming either back),
+    # where an rmtree-first swap had a window with NO surviving copy.
     staged = os.path.join(out_path, MANIFEST_DIR + "_staged")
     merged.coalesce(1).write.mode("overwrite").parquet(staged)
+    assigned.unpersist()
     final = os.path.join(out_path, MANIFEST_DIR)
+    retired = os.path.join(out_path, MANIFEST_DIR + "_retired")
     import shutil
 
-    shutil.rmtree(final)
+    shutil.rmtree(retired, ignore_errors=True)
+    os.replace(final, retired)
     os.replace(staged, final)
+    shutil.rmtree(retired)
     return read_shard_manifest(spark, out_path)
 
 
@@ -214,19 +232,27 @@ def verify_training_shards(
     DataFrame (empty ⇒ pass, quality.py convention) with one row per
     corrupted / missing / unexpected shard.
     """
-    data = read_training_shards(spark, out_path)
-    term = portable_hash48(F.col(content_col))
-    actual = data.groupBy("shard_id").agg(
-        F.count(F.lit(1)).alias("actual_rows"),
-        F.sum(term % F.lit(2147483647)).alias("actual_checksum"),
-        # legacy recompute for pre-versioning manifests; raw 48-bit sum
-        # (wraps int64 the same way the old writer did under non-ANSI)
-        F.sum(term).alias("actual_checksum_legacy"),
-    )
     manifest = read_shard_manifest(spark, out_path)
     if "checksum_algo" not in manifest.columns:  # pre-versioning manifest
         manifest = manifest.withColumn("checksum_algo", F.lit(LEGACY_ALGO))
     manifest = manifest.select("shard_id", "n_rows", "checksum", "checksum_algo")
+    # compute only the checksum flavor(s) the manifest actually uses: the
+    # legacy raw 48-bit sum deliberately WRAPS int64 (matching the old
+    # writer under non-ANSI configs), so recomputing it unconditionally
+    # would crash an ANSI session auditing a current-algo shard set — and
+    # waste a full-corpus aggregate everywhere else
+    algos = {r[0] for r in manifest.select("checksum_algo").distinct().collect()}
+    data = read_training_shards(spark, out_path)
+    term = portable_hash48(F.col(content_col))
+    aggs = [F.count(F.lit(1)).alias("actual_rows")]
+    if algos - {LEGACY_ALGO}:
+        aggs.append(F.sum(term % F.lit(2147483647)).alias("actual_checksum"))
+    if LEGACY_ALGO in algos:
+        aggs.append(F.sum(term).alias("actual_checksum_legacy"))
+    actual = data.groupBy("shard_id").agg(*aggs)
+    for col in ("actual_checksum", "actual_checksum_legacy"):
+        if col not in actual.columns:
+            actual = actual.withColumn(col, F.lit(None).cast("long"))
     checksum_ok = (
         F.when(
             F.col("checksum_algo") == CHECKSUM_ALGO,

@@ -1806,6 +1806,51 @@ def test_shard_audit_verifies_legacy_unversioned_manifest(spark, tmp_path):
     assert {r.shard_id for r in viol} == {0}
 
 
+def test_append_refuses_legacy_unversioned_manifest(spark, tmp_path):
+    """Appending to a PRE-VERSIONING manifest (no checksum_algo column) must
+    refuse as loudly as an explicit foreign algo: summing raw-48-bit legacy
+    checksums with current-algo terms would stamp a silently mixed-formula
+    manifest that the next audit flags wholesale."""
+    import os
+    import shutil
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from f1_datalakehouse_pipeline_spark.functions.text import portable_hash48
+    from f1_datalakehouse_pipeline_spark.sources.shards import (
+        MANIFEST_DIR,
+        append_training_shards,
+        read_training_shards,
+        write_training_shards,
+    )
+
+    out = str(tmp_path / "shards")
+    df = spark.createDataFrame(
+        [(i, f"legacy doc body {i} tokens") for i in range(20)], ["doc_id", "text"]
+    )
+    write_training_shards(df, "doc_id", "text", out, 4, "legacy-test")
+    legacy = (
+        read_training_shards(spark, out)
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.length("text")).alias("n_tokens"),
+            F.sum(portable_hash48(F.col("text"))).alias("checksum"),
+        )
+        .withColumn("seed", F.lit("legacy-test"))
+    )
+    legacy.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(out, MANIFEST_DIR + "_new")
+    )
+    shutil.rmtree(os.path.join(out, MANIFEST_DIR))
+    shutil.move(os.path.join(out, MANIFEST_DIR + "_new"), os.path.join(out, MANIFEST_DIR))
+
+    batch = spark.createDataFrame([(100, "a brand new doc")], ["doc_id", "text"])
+    with _pytest.raises(ValueError, match="unversioned"):
+        append_training_shards(batch, "doc_id", "text", out, "legacy-test")
+
+
 def test_mixture_survives_thousands_of_domains(spark):
     """The domain→budget lookup is a flat map literal, not an O(n)-deep CASE
     chain (ADVICE r4): 5000 domains must analyze and run."""
@@ -2146,10 +2191,10 @@ def test_minhash_lsh_banded_equals_one_shot(spark, sf_dir, tmp_path):
     }
     assert banded_capped == one_capped
 
-    import hashlib, os
     for d in ("lsh_scratch", "lsh_scratch2"):
-        digest = hashlib.md5(os.path.abspath(str(tmp_path / d)).encode()).hexdigest()[:12]
-        spark.sql(f"DROP TABLE IF EXISTS lsh_docs_{digest}")
+        spark.sql(
+            f"DROP TABLE IF EXISTS {dedup.lsh_docs_table(str(tmp_path / d))}"
+        )
 
 
 def test_plan_mixture_realizes_target_proportions(spark):

@@ -464,7 +464,10 @@ def run_corpus_incremental_scale(
         r["chunks_inc"] += rep_i.counts["chunks"]
         print(f"  bootstrap batch {i}: {sec}s {rep_i.counts}", flush=True)
 
-    final = docs.filter(rep >= n_boot_reps)
+    # from the last BOOTSTRAP bound, not n_boot_reps: odd factors round the
+    # final even bound below n_boot_reps, and the slice between them must
+    # not be dropped (it belongs to the final batch)
+    final = docs.filter(rep >= bounds[-1])
     t0 = _t.perf_counter()
     rep_f = run_corpus_pipeline_incremental(
         spark, final, out, state, shingle_buckets=32, **params
