@@ -279,3 +279,79 @@ def test_budgeted_mixture_equals_naive_for_any_corpus(spark, case):
     assert fast == naive
     for _, dom, n, cum in fast:
         assert dom in budgets and 0 < n <= cum <= budgets[dom]
+
+
+# (doc texts, split points): arbitrary small corpora delivered in 1-4 batches
+shard_corpora = st.tuples(
+    st.lists(
+        st.text(
+            alphabet="abcdef XYZ",  # spaces → multi-token docs
+            min_size=1,
+            max_size=30,
+        ).filter(str.strip),
+        min_size=1,
+        max_size=14,
+    ),
+    st.lists(st.integers(min_value=1, max_value=13), max_size=3, unique=True),
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(case=shard_corpora)
+def test_shard_append_chain_equals_one_shot_for_any_split(spark, tmp_path_factory, case):
+    """For ANY corpus and ANY batch split, delivering the batches through an
+    append chain must produce the same manifest (rows, tokens, checksum per
+    shard) and the same (id, content) set as one one-shot write — the
+    manifest-by-summation design's core claim. Positions must remain a total
+    replay order per shard with old-batch content strictly first."""
+    from f1_datalakehouse_pipeline_spark.sources.shards import (
+        append_training_shards,
+        read_shard_manifest,
+        read_training_shards,
+        verify_training_shards,
+        write_training_shards,
+    )
+
+    texts, raw_splits = case
+    rows = [(i, t) for i, t in enumerate(texts)]
+    splits = sorted({s for s in raw_splits if s < len(rows)})
+    bounds = [0, *splits, len(rows)]
+    batches = [rows[a:b] for a, b in zip(bounds, bounds[1:]) if a < b]
+
+    tmp = tmp_path_factory.mktemp("shard_prop")
+    one_out, inc_out = str(tmp / "one"), str(tmp / "inc")
+    df_all = spark.createDataFrame(rows, ["doc_id", "text"])
+    write_training_shards(df_all, "doc_id", "text", one_out, 3, "p")
+
+    for bi, batch in enumerate(batches):
+        bdf = spark.createDataFrame(batch, ["doc_id", "text"])
+        if bi == 0:
+            write_training_shards(bdf, "doc_id", "text", inc_out, 3, "p")
+        else:
+            append_training_shards(bdf, "doc_id", "text", inc_out, "p")
+
+    m_one = {r.shard_id: (r.n_rows, r.n_tokens, r.checksum)
+             for r in read_shard_manifest(spark, one_out).collect()}
+    m_inc = {r.shard_id: (r.n_rows, r.n_tokens, r.checksum)
+             for r in read_shard_manifest(spark, inc_out).collect()}
+    assert m_inc == m_one
+
+    inc_rows = read_training_shards(spark, inc_out).collect()
+    one_rows = read_training_shards(spark, one_out).collect()
+    assert {(r.doc_id, r.text) for r in inc_rows} == {(r.doc_id, r.text) for r in one_rows}
+    # per shard: positions are a dense 1-based total order (row_number)
+    by_shard: dict[int, list] = {}
+    for r in inc_rows:
+        by_shard.setdefault(r.shard_id, []).append(r)
+    batch_of = {i: bi for bi, batch in enumerate(batches) for i, _ in batch}
+    for rs in by_shard.values():
+        rs.sort(key=lambda r: r.pos_in_shard)
+        assert [r.pos_in_shard for r in rs] == list(range(1, len(rs) + 1))
+        # replay order never interleaves batches: batch index is monotone
+        bseq = [batch_of[r.doc_id] for r in rs]
+        assert bseq == sorted(bseq)
+    assert verify_training_shards(spark, inc_out, "text").count() == 0
