@@ -408,17 +408,35 @@ def run_corpus_pipeline_incremental(
     # re-runs a batch the state has not seen — the re-run recomputes the
     # same verdicts, and the residue is duplicate delivery of that ONE
     # batch; state-FIRST would instead make the re-run reject the whole
-    # batch against its own half-written state and silently lose it)
-    kept.select(
-        portable_hash48(F.col(content_col)).alias("content_hash")
-    ).write.mode("append").parquet(exact_dir)
-    _append_index(
-        lsh_dir,
-        dedup.minhash_band_index(
-            kept, id_col, content_col, max_doc_frequency=max_doc_frequency
-        ),
-        shingle_buckets=shingle_buckets,
+    # batch against its own half-written state and silently lose it).
+    #
+    # The admitted rows are STAGED to a lineage-free parquet first: `kept`'s
+    # plan READS exact_dir and the LSH index dirs, and Spark re-materializes
+    # path-dependent caches on append (CacheManager.recacheByPath) — so
+    # appending state directly from `kept` re-runs its anti-join against
+    # state that now includes this batch's OWN hashes, evaluates empty, and
+    # the second append writes nothing, silently truncating the LSH index
+    # to batch 1 (regression-tested: it takes THREE batches to observe).
+    n_admitted = rep.counts.get(
+        "after_decontamination", rep.counts["after_near_dedup"]
     )
+    if n_admitted > 0:
+        import shutil
+
+        staging = os.path.join(state_root, "_batch_staging")
+        kept.select(id_col, content_col).write.mode("overwrite").parquet(staging)
+        kept_s = spark.read.parquet(staging)
+        kept_s.select(
+            portable_hash48(F.col(content_col)).alias("content_hash")
+        ).write.mode("append").parquet(exact_dir)
+        _append_index(
+            lsh_dir,
+            dedup.minhash_band_index(
+                kept_s, id_col, content_col, max_doc_frequency=max_doc_frequency
+            ),
+            shingle_buckets=shingle_buckets,
+        )
+        shutil.rmtree(staging, ignore_errors=True)
 
     for df in cached:
         df.unpersist()

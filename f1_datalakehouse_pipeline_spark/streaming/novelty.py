@@ -175,18 +175,34 @@ def admit_batch(
     # duplicate rows for that ONE batch (module docstring contract).
     # Index-FIRST would invert the failure: the replayed batch would find
     # its own signatures in the index and silently drop itself.
+    #
+    # Survivors are STAGED to a lineage-free parquet before any state
+    # append: their plan READS the index dirs, and Spark re-materializes
+    # path-dependent caches on append (CacheManager.recacheByPath) — each
+    # index append would otherwise re-run the probe against an index
+    # containing this batch's own partially-written rows, making the later
+    # appends' contents depend on the bands→shingles→sizes write order
+    # instead of on the admission verdicts (regression-tested with a
+    # three-batch chain; two-batch tests cannot observe it).
     survivors = survivors.cache()
-    survivors.withColumn("ingest_batch_id", F.lit(batch_id)).write.mode(
-        "append"
-    ).parquet(out_path)
-    _append_index(
-        index_path,
-        dedup.minhash_band_index(
-            survivors, id_col, content_col, k=k, n_hashes=n_hashes, bands=bands,
-            max_doc_frequency=max_doc_frequency,
-        ),
-        shingle_buckets=shingle_buckets,
-    )
+    if not survivors.isEmpty():
+        import shutil
+
+        staging = os.path.join(index_path, "_staging")
+        survivors.write.mode("overwrite").parquet(staging)
+        sv = spark.read.parquet(staging)
+        sv.withColumn("ingest_batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(out_path)
+        _append_index(
+            index_path,
+            dedup.minhash_band_index(
+                sv, id_col, content_col, k=k, n_hashes=n_hashes, bands=bands,
+                max_doc_frequency=max_doc_frequency,
+            ),
+            shingle_buckets=shingle_buckets,
+        )
+        shutil.rmtree(staging, ignore_errors=True)
     survivors.unpersist()
     batch_df.unpersist()
 

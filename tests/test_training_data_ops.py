@@ -1331,6 +1331,72 @@ def test_training_shards_roundtrip_and_audit(spark, tmp_path):
     assert [r.shard_id for r in bad] == [shard]
 
 
+@pytest.mark.parametrize("shingle_buckets", [None, 8])
+def test_novelty_index_accumulates_across_three_batches(spark, tmp_path, shingle_buckets):
+    """REGRESSION (r5): every batch's index rows must survive into the
+    on-disk index — not just batch 1's. The state-extension writes derive
+    from the cached survivor set whose LINEAGE reads the very paths being
+    appended to; Spark invalidates and re-materializes such caches on
+    append (recacheByPath), so without lineage-breaking staging the
+    re-computation sees the batch's own freshly-written rows, evaluates
+    empty, and appends NOTHING — silently truncating the index to batch 1
+    and under-rejecting every later cross-batch near-dup. Two-batch tests
+    structurally cannot catch this; it takes three."""
+    from f1_datalakehouse_pipeline_spark.streaming.novelty import admit_batch
+
+    a = "the quick brown fox jumps over the lazy dog again and again"
+    b = "completely different prose describing shuffle partitions in spark"
+    c = "a third unrelated text about parquet footers and column statistics"
+    idx, out = str(tmp_path / "idx"), str(tmp_path / "out")
+    batches = [
+        [(1, a)],
+        [(10, b)],                       # batch 2's rows must reach the index
+        [(20, a + " indeed"), (21, b + " indeed"), (22, c)],
+    ]
+    for bi, rows in enumerate(batches):
+        admit_batch(
+            spark, spark.createDataFrame(rows, ["doc_id", "text"]), bi,
+            "doc_id", "text", idx, out, threshold=0.5,
+            shingle_buckets=shingle_buckets,
+        )
+    admitted = {r.doc_id for r in spark.read.parquet(out).collect()}
+    # 20 dups batch-1's doc 1; 21 dups BATCH-2's doc 10 — the regression case
+    assert admitted == {1, 10, 22}
+
+
+def test_incremental_corpus_rejects_dups_of_every_earlier_batch(spark, tmp_path):
+    """REGRESSION (r5): the incremental pipeline's LSH state must accumulate
+    across ALL batches (same recacheByPath self-poisoning as the novelty
+    gate): a batch-3 near-dup of a BATCH-2 admitted doc must be rejected."""
+    from f1_datalakehouse_pipeline_spark.plans.corpus import (
+        run_corpus_pipeline_incremental,
+    )
+
+    base = "a quick brown fox jumps over the lazy dog near the river bank today"
+    other = "another unrelated document describing parquet row group statistics fully"
+    out, state = str(tmp_path / "out"), str(tmp_path / "state")
+    kw = dict(quality_min=0.0, near_threshold=0.5, chunk_tokens=8,
+              overlap_tokens=2, n_shards=4, seed="e0", max_doc_frequency=64)
+    r1 = run_corpus_pipeline_incremental(
+        spark, spark.createDataFrame([(1, base)], ["doc_id", "text"]), out, state, **kw
+    )
+    r2 = run_corpus_pipeline_incremental(
+        spark, spark.createDataFrame([(10, other)], ["doc_id", "text"]), out, state, **kw
+    )
+    r3 = run_corpus_pipeline_incremental(
+        spark,
+        spark.createDataFrame(
+            [(20, base + " indeed"), (21, other + " pls")], ["doc_id", "text"]
+        ),
+        out, state, **kw,
+    )
+    assert r1.counts["after_near_dedup"] == 1
+    assert r2.counts["after_near_dedup"] == 1
+    # both batch-3 docs near-dup earlier admissions (batch 1 AND batch 2)
+    assert r3.counts["after_near_dedup"] == 0
+    assert r3.audit_violations == 0
+
+
 def test_novelty_ingest_survives_shingle_less_first_batch(spark, tmp_path):
     """A first batch of sub-k-token docs appends an EMPTY index; the next
     drain must treat that as 'no history yet' instead of failing parquet
