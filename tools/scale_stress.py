@@ -495,6 +495,74 @@ def run_corpus_incremental_scale(
     return r
 
 
+def run_corpus_stream_scale(
+    spark: SparkSession, sf_dir: str, factor: int, n_batches: int = 10
+) -> dict:
+    """Wall-time the STREAMING corpus ingest (streaming/corpus_ingest) over
+    the scaled corpus, delivered as ~``n_batches`` file-bounded
+    micro-batches via maxFilesPerTrigger. Measures what foreachBatch
+    orchestration adds over the batch incremental ladder (same pipeline per
+    batch; micro-batch boundaries are file-grouping-dependent, so delivered
+    chunk counts are reported, not asserted — the controlled-batch
+    byte-equality contract is the e2e test's job). Out-of-band audit must
+    be clean."""
+    import glob
+    import shutil
+    import time as _t
+
+    from f1_datalakehouse_pipeline_spark.sources.shards import (
+        verify_training_shards,
+    )
+    from f1_datalakehouse_pipeline_spark.streaming.corpus_ingest import (
+        corpus_ingest_stream,
+    )
+
+    docs = scaled_docs(spark, sf_dir, factor)
+    src = os.path.join(CACHE, f"corpus_stream_src_x{factor}")
+    if not os.path.isdir(src):
+        # n_batches file groups; repartition keeps each file rep-contiguous
+        docs.repartition(n_batches, (F.col("doc_id") / F.lit(1_000_000)).cast("long")) \
+            .write.mode("overwrite").parquet(src)
+    n_files = len(glob.glob(os.path.join(src, "part-*")))
+    per_trigger = max(1, n_files // n_batches)
+
+    out = os.path.join(CACHE, f"corpus_stream_out_x{factor}")
+    state = os.path.join(CACHE, f"corpus_stream_state_x{factor}")
+    ckpt = os.path.join(CACHE, f"corpus_stream_ckpt_x{factor}")
+    for d in (out, state, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", per_trigger)
+        .parquet(src)
+    )
+    t0 = _t.perf_counter()
+    q = corpus_ingest_stream(
+        stream, out, state, ckpt,
+        quality_min=0.0, near_threshold=0.5, chunk_tokens=64,
+        overlap_tokens=8, n_shards=64, seed="scale",
+        max_doc_frequency=64, shingle_buckets=32,
+    )
+    q.awaitTermination()
+    wall = round(_t.perf_counter() - t0, 1)
+
+    from f1_datalakehouse_pipeline_spark.sources.shards import read_shard_manifest
+
+    chunks = sum(r.n_rows for r in read_shard_manifest(spark, out).collect())
+    violations = verify_training_shards(spark, out, "chunk_text").count()
+    r = {
+        "docs": docs.count(), "wall_sec": wall, "n_files": n_files,
+        "files_per_trigger": per_trigger, "chunks": chunks,
+        "audit_violations": violations,
+    }
+    assert violations == 0, r
+    for d in (out, state, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+    print(f"  {r}", flush=True)
+    return r
+
+
 def run_mixture_scale(spark: SparkSession, sf_dir: str, factor: int) -> dict:
     """Bucketed vs naive budgeted_mixture on a 90%-one-domain corpus.
 
@@ -805,6 +873,7 @@ def main() -> None:
     ap.add_argument("--corpus", action="store_true", help="run the full corpus pipeline (plans/corpus.py) at scale")
     ap.add_argument("--mixture", action="store_true", help="bucketed vs naive budgeted_mixture on a 90%%-one-domain corpus")
     ap.add_argument("--corpus-incremental", action="store_true", help="batch-at-a-time corpus ingestion: per-batch cost curve vs one-shot rebuild")
+    ap.add_argument("--corpus-stream", action="store_true", help="streaming (foreachBatch) corpus ingest wall time over ~10 micro-batches")
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     args = ap.parse_args()
     factors = [int(f) for f in args.factors.split(",")]
@@ -855,6 +924,13 @@ def main() -> None:
         for factor in factors:
             print(f"corpus factor {factor}:", flush=True)
             results[str(factor)] = run_corpus_scale(spark, args.sf_dir, factor)
+        print(json.dumps(results, indent=2))
+        return
+
+    if args.corpus_stream:
+        for factor in factors:
+            print(f"corpus-stream factor {factor}:", flush=True)
+            results[str(factor)] = run_corpus_stream_scale(spark, args.sf_dir, factor)
         print(json.dumps(results, indent=2))
         return
 
