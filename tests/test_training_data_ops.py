@@ -1872,6 +1872,31 @@ def test_shard_audit_verifies_legacy_unversioned_manifest(spark, tmp_path):
     assert {r.shard_id for r in viol} == {0}
 
 
+def test_shard_audit_is_ansi_safe_for_current_algo(spark, tmp_path):
+    """Auditing a CURRENT-algo shard set must not compute the legacy raw
+    48-bit checksum sum at all: that sum deliberately wraps int64 (matching
+    the pre-versioning writer under non-ANSI configs) and would throw under
+    ANSI mode — which Spark 4 defaults ON; only this repo's session helper
+    pins it off. 70K+ rows guarantee the raw sum would overflow if it were
+    computed."""
+    from f1_datalakehouse_pipeline_spark.sources.shards import (
+        verify_training_shards,
+        write_training_shards,
+    )
+
+    out = str(tmp_path / "shards")
+    df = spark.range(70_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("doc body number "), F.col("id").cast("string")).alias("text"),
+    )
+    write_training_shards(df, "doc_id", "text", out, 4, "ansi")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        assert verify_training_shards(spark, out, "text").count() == 0
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", "false")
+
+
 def test_append_refuses_legacy_unversioned_manifest(spark, tmp_path):
     """Appending to a PRE-VERSIONING manifest (no checksum_algo column) must
     refuse as loudly as an explicit foreign algo: summing raw-48-bit legacy
