@@ -898,3 +898,101 @@ def filter_novel(batch: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
     runtime, same rationale as :func:`apply_dedup`."""
     dup_ids = pairs.select(F.col("doc_new")).distinct()
     return batch.join(dup_ids, batch[id_col] == dup_ids.doc_new, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Semantic (embedding-space) deduplication — SemDeDup-style
+# ---------------------------------------------------------------------------
+
+
+def semantic_cluster_assign(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[float]],
+) -> DataFrame:
+    """Assign each embedding to its max-cosine centroid (ties → lowest
+    centroid id). Pure projection: the centroid matrix is a small literal
+    (trained out-of-band, e.g. ``similarity.kmeans_distributed``), so the
+    assignment is map-only — no shuffle, no UDF, and the sequential-fold
+    cosine is bit-reproducible in the DuckDB oracle.
+
+    Adds ``cluster_id`` (long) and ``centroid_cos`` (double). The argmax is
+    computed as ``array_max`` over ``struct(cos, -cid)`` rows: struct
+    comparison is lexicographic, so the max struct carries the highest
+    cosine and, among exact ties, the highest ``-cid`` = lowest cid —
+    matching the oracle's ``ROW_NUMBER() ... ORDER BY cos DESC, cid ASC``.
+    """
+    from f1_datalakehouse_pipeline_spark.operators import similarity as sim
+
+    v = F.col(vec_col).cast("array<double>")
+    best = F.array_max(
+        F.array(
+            *[
+                F.struct(
+                    sim.cosine(v, F.array(*[F.lit(float(x)) for x in c])).alias("cos"),
+                    F.lit(-i).cast("long").alias("neg_cid"),
+                )
+                for i, c in enumerate(centroids)
+            ]
+        )
+    )
+    return df.withColumn("_best", best).select(
+        "*",
+        (-F.col("_best.neg_cid")).alias("cluster_id"),
+        F.col("_best.cos").alias("centroid_cos"),
+    ).drop("_best")
+
+
+def semantic_dedup_flags(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[float]],
+    eps: float,
+) -> DataFrame:
+    """SemDeDup (Abbas et al., arXiv:2303.09540, public): cluster embeddings,
+    call same-cluster pairs with cosine ≥ ``eps`` semantic duplicates, keep
+    one representative per neighborhood. Keeper rule here is the
+    deterministic greedy-by-id form: a document is removed iff some
+    LOWER-id document in its cluster sits within ``eps`` — expressible as a
+    single NOT EXISTS, so the whole operator is oracle-verifiable.
+
+    Output: (id, cluster_id, kept) for every input row.
+
+    100 TB shape: assignment is a map-only projection (k literal centroids);
+    the only shuffles are the within-cluster pair join (keyed on
+    cluster_id) and the removed-set anti-join. Pair cost is bounded by the
+    largest cluster — size k proportionally to the corpus
+    (k ≈ N / target_cluster_size, the SemDeDup paper's regime) so cluster
+    populations stay bounded and the join never degenerates toward n².
+    Skewed/outlier-heavy clusters would show up as straggler tasks; the
+    same salting used for skewed aggregations (operators/skew.py) applies
+    on (cluster_id) if a corpus concentrates mass in one cluster.
+    """
+    from f1_datalakehouse_pipeline_spark.operators import similarity as sim
+
+    asg = semantic_cluster_assign(df, id_col, vec_col, centroids).select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v"), "cluster_id"
+    )
+    a = asg.select(
+        F.col(id_col).alias("_id_a"), F.col("_v").alias("_va"), "cluster_id"
+    )
+    b = asg.select(
+        F.col(id_col).alias("_id_b"), F.col("_v").alias("_vb"), "cluster_id"
+    )
+    removed = (
+        a.join(b, ["cluster_id"])
+        .filter(F.col("_id_a") < F.col("_id_b"))
+        .filter(sim.cosine(F.col("_va"), F.col("_vb")) >= eps)
+        .select(F.col("_id_b").alias("_removed_id"))
+        .distinct()
+    )
+    return (
+        asg.join(removed, asg[id_col] == removed._removed_id, "left_outer")
+        .select(
+            F.col(id_col),
+            F.col("cluster_id"),
+            F.col("_removed_id").isNull().alias("kept"),
+        )
+    )

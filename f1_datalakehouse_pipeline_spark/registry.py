@@ -55,8 +55,9 @@ _VERIFY_FIRST = [
     # driver window, 116 registered:
     # (a) the 16 r2-green tail queries the r4 verdict names — their newest
     #     driver row is 2 rounds old and they lead this window;
-    # (b) t_token_ids — brand-new this round (vocabulary id encoding),
-    #     needs a FIRST driver row;
+    # (b) t_token_ids and dedup_semantic — brand-new this round
+    #     (vocabulary id encoding; SemDeDup-style embedding-space dedup),
+    #     each needs a FIRST driver row;
     # (c) 4 queries whose IMPLEMENTATION changed in r5 and must re-prove:
     #     dedup_incremental_novelty (novelty_pairs verify-join reordered for
     #     the bucketed index), t_domain_mix / t_repeat_mixture (domain
@@ -65,11 +66,12 @@ _VERIFY_FIRST = [
     # (d) 29 of the 49 r3-green queries (complex plans first: dedup family,
     #     SCD2, TPC-H joins, window stacks) so their rows refresh before
     #     aging past 2 rounds.
-    # The 20 remaining r3-green queries (trivially-stable projections and
+    # The 21 remaining r3-green queries (trivially-stable projections and
     # single-window queries: w10/w11/w12/w13, o1, u1/u3, f_normalize_name,
     # f_status_buckets, f_points_when_chain, f_time_format, f_datetime_ops,
     # f_array_q_split, f_string_battery, a18/a19, t_text_quality, t_lang_id,
-    # t_fingerprint, w18_first_last_value) re-verify locally every round
+    # t_fingerprint, w18_first_last_value, a11_share_of_total — the last
+    # yielded its slot to dedup_semantic's first row) re-verify locally every round
     # (the local gate has no cap) and lead the r6 window — named in
     # COVERAGE.md. Everything r4-green waits at the tail: it re-enters by
     # age in r6/r7.
@@ -92,6 +94,7 @@ _VERIFY_FIRST = [
     "a17_unpivot_metrics",
     # (b) new in r5
     "t_token_ids",
+    "dedup_semantic",
     # (c) implementation changed in r5
     "dedup_incremental_novelty",
     "t_domain_mix",
@@ -126,7 +129,6 @@ _VERIFY_FIRST = [
     "ts_resample_ohlc",
     "t_token_doc_frequency",
     "o2_topk_per_group",
-    "a11_share_of_total",
 ]
 
 

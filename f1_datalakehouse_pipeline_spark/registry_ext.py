@@ -606,6 +606,62 @@ def sim_lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_bucketed_topk(emb, queries, _lsh_planes(), k=5)
 
 
+_SEMANTIC_EPS = 0.3
+_SEMANTIC_K = 8
+
+
+@query(
+    "dedup_semantic",
+    f"""
+    WITH seeds AS (
+      SELECT vec_id AS cid, embedding AS cv FROM embeddings
+      WHERE vec_id < {_SEMANTIC_K}
+    ), scored AS (
+      SELECT e.vec_id, e.embedding, s.cid,
+             {_DUCK_COS.replace('qv', 'e.embedding').replace('cv', 's.cv')} AS cos
+      FROM embeddings e CROSS JOIN seeds s
+    ), asg AS (
+      SELECT vec_id, embedding, cid AS cluster_id
+      FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY cos DESC, cid ASC) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    ), removed AS (
+      SELECT DISTINCT b.vec_id
+      FROM asg a JOIN asg b
+        ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+      WHERE {_DUCK_COS.replace('qv', 'a.embedding').replace('cv', 'b.embedding')}
+            >= {_SEMANTIC_EPS}
+    )
+    SELECT asg.vec_id, CAST(asg.cluster_id AS BIGINT) AS cluster_id,
+           (r.vec_id IS NULL) AS kept
+    FROM asg LEFT JOIN removed r ON asg.vec_id = r.vec_id
+    """,
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (operators/dedup.semantic_dedup_flags):
+    centroid bucketing → within-cluster cosine ≥ eps → greedy-by-id keeper.
+
+    The oracle run pins the centroids to the first K embeddings (a bounded
+    8-row collect — the deterministic stand-in for an out-of-band k-means);
+    at scale the centroid matrix comes from similarity.kmeans_distributed
+    with k ≈ N / target_cluster_size, and everything downstream is
+    unchanged: map-only assignment, cluster-keyed pair join, anti-join.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    seeds = (
+        emb.filter(F.col("vec_id") < _SEMANTIC_K)
+        .orderBy("vec_id")
+        .select(F.col("embedding").cast("array<double>"))
+        .collect()
+    )
+    centroids = [list(r[0]) for r in seeds]
+    return dedup.semantic_dedup_flags(
+        emb, "vec_id", "embedding", centroids, _SEMANTIC_EPS
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multimodal binary plumbing
 # ---------------------------------------------------------------------------

@@ -2398,3 +2398,78 @@ def test_token_id_encoding_roundtrip_and_table_equivalence(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="duplicate id"):
         df.select(decode_token_ids(F.col("text"), {"a": 1, "b": 1}))
+
+
+# ---------------------------------------------------------------------------
+# Semantic (embedding-space) dedup — SemDeDup-style
+# ---------------------------------------------------------------------------
+
+
+def test_semantic_dedup_matches_numpy_brute_force(spark, sf_dir):
+    """Engine flags == an independent numpy recomputation of the same
+    semantics (centroid argmax-cosine assignment, within-cluster eps graph,
+    greedy-by-id keeper) on the real embeddings table."""
+    import numpy as np
+
+    from f1_datalakehouse_pipeline_spark.sources.testdata import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = sorted(emb.collect(), key=lambda r: r.vec_id)
+    ids = np.array([r.vec_id for r in rows])
+    V = np.array([list(r.embedding) for r in rows], dtype=np.float64)
+    C = V[ids < 8]
+    eps = 0.3
+
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    cos_to_c = Vn @ Cn.T
+    # argmax with ties to the LOWEST centroid id: np.argmax already takes
+    # the first max.
+    cluster = cos_to_c.argmax(axis=1)
+    removed = set()
+    for c in range(len(C)):
+        members = ids[cluster == c]
+        M = Vn[cluster == c]
+        S = M @ M.T
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                if S[i, j] >= eps:
+                    removed.add(int(max(members[i], members[j])))
+
+    centroids = [list(v) for v in C]
+    out = dedup.semantic_dedup_flags(emb, "vec_id", "embedding", centroids, eps)
+    got = {r.vec_id: (r.cluster_id, r.kept) for r in out.collect()}
+    assert len(got) == len(ids)
+    n_mismatch_cluster = sum(
+        1 for i, vid in enumerate(ids) if got[int(vid)][0] != cluster[i]
+    )
+    assert n_mismatch_cluster == 0
+    for vid in ids:
+        assert got[int(vid)][1] == (int(vid) not in removed), int(vid)
+    # sanity: this corpus actually exercises both branches
+    assert 0 < len(removed) < len(ids)
+
+
+def test_semantic_assign_tie_breaks_to_lowest_centroid(spark):
+    """Exact-tie cosines (duplicate centroids) must resolve to the LOWEST
+    centroid id — the documented struct-max/-cid trick."""
+    df = spark.createDataFrame([(1, [1.0, 0.0]), (2, [0.0, 1.0])], ["vec_id", "embedding"])
+    cents = [[0.0, 2.0], [1.0, 1.0], [0.0, 2.0]]  # 0 and 2 identical
+    out = {r.vec_id: r.cluster_id for r in
+           dedup.semantic_cluster_assign(df, "vec_id", "embedding", cents).collect()}
+    assert out[2] == 0  # ties with centroid 2 but 0 wins
+    assert out[1] == 1
+
+
+def test_semantic_dedup_keeps_cluster_min_id(spark, sf_dir):
+    """The greedy-by-id rule can never remove the lowest id of a cluster."""
+    from f1_datalakehouse_pipeline_spark.sources.testdata import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    seeds = [list(r[0]) for r in emb.filter(F.col("vec_id") < 8).orderBy("vec_id")
+             .select(F.col("embedding").cast("array<double>")).collect()]
+    out = dedup.semantic_dedup_flags(emb, "vec_id", "embedding", seeds, 0.3)
+    mins = out.groupBy("cluster_id").agg(F.min("vec_id").alias("m"))
+    bad = out.join(mins, (out.cluster_id == mins.cluster_id)
+                   & (out.vec_id == mins.m) & (~out.kept))
+    assert bad.count() == 0
