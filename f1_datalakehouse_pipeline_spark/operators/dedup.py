@@ -944,12 +944,167 @@ def semantic_cluster_assign(
     ).drop("_best")
 
 
+def semantic_cluster_assign_table(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids_df: DataFrame,
+) -> DataFrame:
+    """Broadcast-join twin of :func:`semantic_cluster_assign` for LARGE k.
+
+    The literal form bakes an O(k·dim) expression tree into the plan — fine
+    for the IVF/SemDeDup-at-local regime (k·dim ≲ 10⁴) but plan
+    serialization and Catalyst analysis cost grow linearly, so a 100 TB
+    corpus at k ≈ N/cluster_size (easily k ≥ 10⁵) ships centroids as DATA
+    instead: ``centroids_df`` is a k-row ``(cluster_id long, centroid
+    array<double>)`` table, broadcast-joined against every vector, argmax
+    taken by a map-combinable ``max(struct(cos, -cid))`` aggregation — the
+    shuffle carries one pre-reduced row per vector, never the k-fanout.
+    Same tie rule as the literal form (exact ties → lowest cluster_id).
+
+    Returns ``(id_col, vec_col as array<double>, cluster_id, centroid_cos)``
+    — a reduced projection, not ``df.*`` (join the result back on
+    ``id_col`` if other columns are needed downstream).
+    """
+    from f1_datalakehouse_pipeline_spark.operators import similarity as sim
+
+    v = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v"))
+    c = centroids_df.select(
+        F.col("cluster_id").cast("long").alias("_cid"),
+        F.col("centroid").cast("array<double>").alias("_cv"),
+    )
+    scored = v.join(F.broadcast(c)).select(
+        F.col(id_col),
+        F.col("_v"),
+        F.struct(
+            sim.cosine(F.col("_v"), F.col("_cv")).alias("cos"),
+            (-F.col("_cid")).alias("neg_cid"),
+        ).alias("_s"),
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(F.max("_s").alias("_best"), F.first("_v").alias("_v"))
+        .select(
+            F.col(id_col),
+            F.col("_v").alias(vec_col),
+            (-F.col("_best.neg_cid")).alias("cluster_id"),
+            F.col("_best.cos").alias("centroid_cos"),
+        )
+    )
+
+
+def semantic_index_two_level(
+    fine_df: DataFrame,
+    coarse_centroids: list[list[float]],
+) -> DataFrame:
+    """Attach coarse routing ids to a fine-centroid table — the literal
+    assignment reused on the centroid table itself. Input ``(cluster_id,
+    centroid)``; output adds ``coarse_id`` (the fine centroid's own
+    argmax-cosine coarse cell). Train-time-only cost: k_fine × k_coarse
+    cosines over a k_fine-row table."""
+    tmp = fine_df.select(
+        F.col("cluster_id").cast("long").alias("_fid"),
+        F.col("centroid").cast("array<double>").alias("centroid"),
+    )
+    routed = semantic_cluster_assign(tmp, "_fid", "centroid", coarse_centroids)
+    return routed.select(
+        F.col("_fid").alias("cluster_id"),
+        "centroid",
+        F.col("cluster_id").alias("coarse_id"),
+    )
+
+
+def semantic_cluster_assign_two_level(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    indexed_fine_df: DataFrame,
+    coarse_centroids: list[list[float]],
+    nprobe: int = 1,
+) -> DataFrame:
+    """Two-level (IVF-style) centroid assignment — the O(n·k) escape hatch.
+
+    Brute assignment costs n·k cosines; with SemDeDup's k ∝ N regime that
+    trends quadratic in corpus size. The public fix (FAISS coarse
+    quantizer / inverted multi-index shape) is hierarchical routing: score
+    each vector against k_coarse ≈ √k coarse centroids (map-only literal
+    expression), take the top-``nprobe`` cells, and broadcast-join only the
+    fine centroids living in those cells (``indexed_fine_df`` from
+    :func:`semantic_index_two_level`). Cost per vector:
+    k_coarse + nprobe·(k/k_coarse) ≈ 2√k at nprobe=1 — at k = 10⁵ that is
+    ~160× fewer cosines than brute.
+
+    APPROXIMATE for nprobe < #cells, exactly like IVF probing: a vector
+    whose true nearest fine centroid lives outside its probed coarse cells
+    gets its best IN-probe centroid instead (equivalence at full nprobe is
+    tested). Coarse cells with no fine centroids are dropped from the
+    routing array at plan-build time, so every vector always lands in a
+    non-empty cell and no row is ever lost to an empty probe.
+
+    Output schema matches :func:`semantic_cluster_assign_table`.
+    """
+    from f1_datalakehouse_pipeline_spark.operators import similarity as sim
+
+    fine = indexed_fine_df.select(
+        F.col("cluster_id").cast("long").alias("_cid"),
+        F.col("centroid").cast("array<double>").alias("_cv"),
+        F.col("coarse_id").cast("long").alias("_coarse"),
+    )
+    # non-empty coarse cells only (bounded collect: ≤ k_coarse longs)
+    live = sorted(
+        r[0] for r in fine.select("_coarse").distinct().collect()
+    )
+    if not live:
+        raise ValueError("indexed_fine_df has no centroids")
+    nprobe = min(nprobe, len(live))
+
+    v = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v"))
+    scores = F.array(
+        *[
+            F.struct(
+                sim.cosine(
+                    F.col("_v"),
+                    F.array(*[F.lit(float(x)) for x in coarse_centroids[cid]]),
+                ).alias("cos"),
+                F.lit(-cid).cast("long").alias("neg_cid"),
+            )
+            for cid in live
+        ]
+    )
+    probes = F.slice(F.reverse(F.array_sort(scores)), 1, nprobe)
+    routed = v.select(
+        F.col(id_col),
+        F.col("_v"),
+        F.explode(F.transform(probes, lambda s: -s["neg_cid"])).alias("_coarse"),
+    )
+    scored = routed.join(F.broadcast(fine), "_coarse").select(
+        F.col(id_col),
+        F.col("_v"),
+        F.struct(
+            sim.cosine(F.col("_v"), F.col("_cv")).alias("cos"),
+            (-F.col("_cid")).alias("neg_cid"),
+        ).alias("_s"),
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(F.max("_s").alias("_best"), F.first("_v").alias("_v"))
+        .select(
+            F.col(id_col),
+            F.col("_v").alias(vec_col),
+            (-F.col("_best.neg_cid")).alias("cluster_id"),
+            F.col("_best.cos").alias("centroid_cos"),
+        )
+    )
+
+
 def semantic_dedup_flags(
     df: DataFrame,
     id_col: str,
     vec_col: str,
-    centroids: list[list[float]],
+    centroids: "list[list[float]] | DataFrame",
     eps: float,
+    coarse_centroids: "list[list[float]] | None" = None,
+    nprobe: int = 1,
 ) -> DataFrame:
     """SemDeDup (Abbas et al., arXiv:2303.09540, public): cluster embeddings,
     call same-cluster pairs with cosine ≥ ``eps`` semantic duplicates, keep
@@ -969,12 +1124,35 @@ def semantic_dedup_flags(
     Skewed/outlier-heavy clusters would show up as straggler tasks; the
     same salting used for skewed aggregations (operators/skew.py) applies
     on (cluster_id) if a corpus concentrates mass in one cluster.
+
+    ``centroids`` is either a literal ``list[list[float]]`` (map-only
+    assignment, small k) or a ``(cluster_id, centroid)`` DataFrame
+    (broadcast-join assignment via :func:`semantic_cluster_assign_table`,
+    the large-k scale path); the two forms are equivalence-tested. When
+    ``coarse_centroids`` is also given (centroids must then be the indexed
+    DataFrame carrying ``coarse_id``), assignment routes hierarchically via
+    :func:`semantic_cluster_assign_two_level` — O(√k) per vector instead of
+    O(k), approximate below full ``nprobe``.
     """
     from f1_datalakehouse_pipeline_spark.operators import similarity as sim
 
-    asg = semantic_cluster_assign(df, id_col, vec_col, centroids).select(
-        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v"), "cluster_id"
-    )
+    if coarse_centroids is not None:
+        if not isinstance(centroids, DataFrame):
+            raise ValueError(
+                "two-level assignment needs centroids as an indexed DataFrame "
+                "(semantic_index_two_level output), got a literal list"
+            )
+        asg = semantic_cluster_assign_two_level(
+            df, id_col, vec_col, centroids, coarse_centroids, nprobe
+        ).select(F.col(id_col), F.col(vec_col).alias("_v"), "cluster_id")
+    elif isinstance(centroids, DataFrame):
+        asg = semantic_cluster_assign_table(df, id_col, vec_col, centroids).select(
+            F.col(id_col), F.col(vec_col).alias("_v"), "cluster_id"
+        )
+    else:
+        asg = semantic_cluster_assign(df, id_col, vec_col, centroids).select(
+            F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v"), "cluster_id"
+        )
     a = asg.select(
         F.col(id_col).alias("_id_a"), F.col("_v").alias("_va"), "cluster_id"
     )

@@ -574,3 +574,25 @@ def test_token_id_encoding_pure_projection(spark, sf_dir):
     assert plan.count("Exchange") == 0, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Generate" in plan  # the posexplode
+
+
+def test_semantic_dedup_assignment_map_only_and_pairs_not_cartesian(spark, sf_dir):
+    """SemDeDup shape: centroid assignment is a pure projection (zero
+    exchanges — the centroid matrix is a literal), and the within-cluster
+    pair stage plans as an equi-join on cluster_id, never a nested-loop or
+    cartesian plan."""
+    from f1_datalakehouse_pipeline_spark.operators import dedup
+    from f1_datalakehouse_pipeline_spark.sources.testdata import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = [list(r[0]) for r in emb.filter(F.col("vec_id") < 4)
+             .orderBy("vec_id")
+             .select(F.col("embedding").cast("array<double>")).collect()]
+
+    asg_plan = plan_of(dedup.semantic_cluster_assign(emb, "vec_id", "embedding", cents))
+    assert asg_plan.count("Exchange") == 0, asg_plan
+    assert "BatchEvalPython" not in asg_plan and "ArrowEvalPython" not in asg_plan
+
+    flags_plan = plan_of(dedup.semantic_dedup_flags(emb, "vec_id", "embedding", cents, 0.3))
+    assert "CartesianProduct" not in flags_plan
+    assert "BroadcastNestedLoopJoin" not in flags_plan

@@ -2473,3 +2473,95 @@ def test_semantic_dedup_keeps_cluster_min_id(spark, sf_dir):
     bad = out.join(mins, (out.cluster_id == mins.cluster_id)
                    & (out.vec_id == mins.m) & (~out.kept))
     assert bad.count() == 0
+
+
+def test_semantic_assign_table_equals_literal(spark, sf_dir):
+    """The broadcast-join assignment (large-k scale path) must agree exactly
+    with the literal-expression form — cluster ids AND cosines — including
+    on duplicate-centroid exact ties, and semantic_dedup_flags must accept
+    either centroid representation with identical output."""
+    from f1_datalakehouse_pipeline_spark.sources.testdata import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = [list(r[0]) for r in emb.filter(F.col("vec_id") < 8).orderBy("vec_id")
+             .select(F.col("embedding").cast("array<double>")).collect()]
+    cents = cents + [cents[0]]  # duplicate → exact-tie path exercised
+    cdf = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)], ["cluster_id", "centroid"]
+    )
+
+    lit_rows = {
+        r.vec_id: (r.cluster_id, r.centroid_cos)
+        for r in dedup.semantic_cluster_assign(emb, "vec_id", "embedding", cents)
+        .select("vec_id", "cluster_id", "centroid_cos").collect()
+    }
+    tbl_rows = {
+        r.vec_id: (r.cluster_id, r.centroid_cos)
+        for r in dedup.semantic_cluster_assign_table(emb, "vec_id", "embedding", cdf)
+        .select("vec_id", "cluster_id", "centroid_cos").collect()
+    }
+    assert lit_rows == tbl_rows
+
+    flags_lit = {tuple(r) for r in dedup.semantic_dedup_flags(
+        emb, "vec_id", "embedding", cents, 0.3).collect()}
+    flags_tbl = {tuple(r) for r in dedup.semantic_dedup_flags(
+        emb, "vec_id", "embedding", cdf, 0.3).collect()}
+    assert flags_lit == flags_tbl
+
+
+def test_semantic_two_level_full_probe_equals_exact(spark, sf_dir):
+    """With nprobe = #live coarse cells the hierarchical assignment scores
+    every fine centroid, so it must equal the exact table assignment
+    bit-for-bit; at nprobe=1 it must stay a valid assignment (every vector
+    assigned exactly once, to a real centroid) with high agreement."""
+    from f1_datalakehouse_pipeline_spark.sources.testdata import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    fine = [list(r[0]) for r in emb.filter(F.col("vec_id") < 16).orderBy("vec_id")
+            .select(F.col("embedding").cast("array<double>")).collect()]
+    coarse = fine[::4]  # 4 coarse cells
+    fdf = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(fine)], ["cluster_id", "centroid"]
+    )
+    idx = dedup.semantic_index_two_level(fdf, coarse)
+
+    exact = {
+        r.vec_id: (r.cluster_id, r.centroid_cos)
+        for r in dedup.semantic_cluster_assign_table(emb, "vec_id", "embedding", fdf)
+        .collect()
+    }
+    full = {
+        r.vec_id: (r.cluster_id, r.centroid_cos)
+        for r in dedup.semantic_cluster_assign_two_level(
+            emb, "vec_id", "embedding", idx, coarse, nprobe=len(coarse)
+        ).collect()
+    }
+    assert full == exact
+
+    one = dedup.semantic_cluster_assign_two_level(
+        emb, "vec_id", "embedding", idx, coarse, nprobe=1
+    ).collect()
+    got = {r.vec_id: r.cluster_id for r in one}
+    assert len(got) == len(exact)                      # no row lost to routing
+    assert set(got.values()) <= set(range(len(fine)))  # real centroids only
+    agree = sum(1 for vid, cid in got.items() if cid == exact[vid][0])
+    assert agree / len(exact) > 0.5  # probing is approximate but not random
+
+
+def test_semantic_two_level_empty_cell_never_drops_rows(spark):
+    """A coarse cell that owns no fine centroid must be pruned from the
+    routing array: vectors nearest to the empty cell still land somewhere."""
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [-1.0, 0.0])],
+        ["vec_id", "embedding"],
+    )
+    # both fine centroids route to coarse cell 0; cell 1 ends up empty
+    fdf = spark.createDataFrame(
+        [(0, [1.0, 0.1]), (1, [1.0, -0.1])], ["cluster_id", "centroid"]
+    )
+    coarse = [[1.0, 0.0], [-1.0, 0.0]]
+    idx = dedup.semantic_index_two_level(fdf, coarse)
+    out = dedup.semantic_cluster_assign_two_level(
+        df, "vec_id", "embedding", idx, coarse, nprobe=1
+    )
+    assert out.count() == 3

@@ -198,6 +198,77 @@ def run_ann_scale(spark: SparkSession, sf_dir: str, factor: int) -> dict:
     return r
 
 
+def run_semantic_scale(spark: SparkSession, sf_dir: str, factor: int) -> dict:
+    """SemDeDup at scale. Claims under test: (1) with k ∝ N (fixed target
+    cluster size) the within-cluster pair mass is ~N·cluster_size/2 —
+    LINEAR in corpus size, visible as near-flat sec-per-1k-vectors up the
+    ladder; (2) two-level routed assignment (O(√k) cosines/vector) tracks
+    the brute O(k) assignment's wall time down while flag output stays a
+    valid assignment. Fine/coarse centroids train driver-bounded
+    (ivf_train sample mode); everything measured is engine-side."""
+    import math
+
+    from f1_datalakehouse_pipeline_spark.operators import dedup, similarity
+
+    emb = scaled_embeddings(spark, sf_dir, factor)
+    n = emb.count()
+    k = max(8, n // 200)
+    k_coarse = max(4, int(math.isqrt(k)))
+    r: dict = {"vectors": n, "k": k, "k_coarse": k_coarse}
+
+    t0 = time.perf_counter()
+    fine = similarity.ivf_train(
+        emb, n_lists=k, train_sample=max(4096, 2 * k), train="sample"
+    )
+    coarse = similarity.ivf_train(
+        emb, n_lists=k_coarse, train_sample=4096, seed=29, train="sample"
+    )
+    fdf = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(fine)], "cluster_id long, centroid array<double>"
+    )
+    idx = dedup.semantic_index_two_level(fdf, coarse).cache()
+    idx.count()
+    r["train_sec"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    asg = dedup.semantic_cluster_assign_two_level(
+        emb, "vec_id", "embedding", idx, coarse, nprobe=1
+    )
+    sizes = asg.groupBy("cluster_id").count()
+    stats = sizes.agg(
+        F.count("*"), F.max("count"), F.avg("count"), F.sum(F.col("count") * F.col("count"))
+    ).collect()[0]
+    r["assign2l_sec"] = round(time.perf_counter() - t0, 2)
+    r["live_clusters"] = stats[0]
+    r["max_cluster"] = stats[1]
+    r["avg_cluster"] = round(stats[2], 1)
+    r["pair_mass"] = int(stats[3] // 2)
+
+    t0 = time.perf_counter()
+    flags = dedup.semantic_dedup_flags(
+        emb, "vec_id", "embedding", idx, eps=0.95, coarse_centroids=coarse, nprobe=1
+    )
+    agg = flags.agg(
+        F.count("*").alias("n"),
+        F.sum((~F.col("kept")).cast("long")).alias("removed"),
+    ).collect()[0]
+    r["flags_sec"] = round(time.perf_counter() - t0, 2)
+    assert agg["n"] == n, (agg["n"], n)  # no row lost to routing
+    r["removed"] = agg["removed"]
+    r["sec_per_1k_vectors"] = round(r["flags_sec"] / (n / 1000), 4)
+
+    # brute O(n·k) assignment comparison where it is still affordable
+    if n * k <= 50_000_000:
+        t0 = time.perf_counter()
+        dedup.semantic_cluster_assign_table(emb, "vec_id", "embedding", fdf).agg(
+            F.count("*")
+        ).collect()
+        r["assign_brute_sec"] = round(time.perf_counter() - t0, 2)
+    idx.unpersist()
+    print(f"  {r}", flush=True)
+    return r
+
+
 def run_novelty_scale(spark: SparkSession, sf_dir: str, factor: int) -> dict:
     """Quantify the incremental-dedup amortization claim: per-batch cost of
     probing a PREBUILT on-disk index vs re-running the full-corpus self-join
@@ -868,6 +939,7 @@ def main() -> None:
     ap.add_argument("--ann", action="store_true", help="scale the embeddings table and measure ANN variants")
     ap.add_argument("--pipeline", action="store_true", help="run the full F1 pipeline at ~2.5M lap rows")
     ap.add_argument("--novelty", action="store_true", help="measure incremental-probe amortization vs full self-join")
+    ap.add_argument("--semantic", action="store_true", help="SemDeDup rung: two-level routed assignment + within-cluster pair cost up the ladder")
     ap.add_argument("--lsh-banded", action="store_true", help="disk-budgeted band-at-a-time LSH rung (pair parity vs one-shot where it fits)")
     ap.add_argument("--no-oneshot", action="store_true", help="skip the one-shot comparison leg (factors where it exceeds the disk budget)")
     ap.add_argument("--corpus", action="store_true", help="run the full corpus pipeline (plans/corpus.py) at scale")
@@ -901,6 +973,13 @@ def main() -> None:
         for factor in factors:
             print(f"ann factor {factor}:", flush=True)
             results[str(factor)] = run_ann_scale(spark, args.sf_dir, factor)
+        print(json.dumps(results, indent=2))
+        return
+
+    if args.semantic:
+        for factor in factors:
+            print(f"semantic factor {factor}:", flush=True)
+            results[str(factor)] = run_semantic_scale(spark, args.sf_dir, factor)
         print(json.dumps(results, indent=2))
         return
 
