@@ -128,6 +128,7 @@ def main() -> None:
         "t_model_quality_score",
         # r5 additions
         "t_token_ids",
+        "dedup_semantic",
     ]
     # r4 (VERDICT r3 item 7): extras get the same median-of-3 + spread
     # treatment as the headline, so regressions on dedup_docs_pipeline-class

@@ -1101,10 +1101,11 @@ def semantic_dedup_flags(
     df: DataFrame,
     id_col: str,
     vec_col: str,
-    centroids: "list[list[float]] | DataFrame",
+    centroids: "list[list[float]] | DataFrame | None",
     eps: float,
     coarse_centroids: "list[list[float]] | None" = None,
     nprobe: int = 1,
+    lsh_planes: "list[list[list[float]]] | None" = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al., arXiv:2303.09540, public): cluster embeddings,
     call same-cluster pairs with cosine ≥ ``eps`` semantic duplicates, keep
@@ -1121,9 +1122,14 @@ def semantic_dedup_flags(
     largest cluster — size k proportionally to the corpus
     (k ≈ N / target_cluster_size, the SemDeDup paper's regime) so cluster
     populations stay bounded and the join never degenerates toward n².
-    Skewed/outlier-heavy clusters would show up as straggler tasks; the
-    same salting used for skewed aggregations (operators/skew.py) applies
-    on (cluster_id) if a corpus concentrates mass in one cluster.
+    Skewed/outlier-heavy clusters would show up as straggler tasks;
+    ``lsh_planes`` is the structural fix: a list of hyperplane BANDS
+    (each a list of planes) narrows pair candidates to same-(cluster,
+    band, sign-bucket) — an oversized cluster's all-pairs cost divides by
+    ~2^planes per band while the exact cosine ≥ eps verify keeps precision
+    exact (recall approximate, the same contract as the MinHash-LSH
+    banding; removed_lsh ⊆ removed_exact is property-tested, and a single
+    empty band degenerates to the exact form bit-for-bit).
 
     ``centroids`` is either a literal ``list[list[float]]`` (map-only
     assignment, small k) or a ``(cluster_id, centroid)`` DataFrame
@@ -1132,11 +1138,20 @@ def semantic_dedup_flags(
     ``coarse_centroids`` is also given (centroids must then be the indexed
     DataFrame carrying ``coarse_id``), assignment routes hierarchically via
     :func:`semantic_cluster_assign_two_level` — O(√k) per vector instead of
-    O(k), approximate below full ``nprobe``.
+    O(k), approximate below full ``nprobe``. ``centroids=None`` means ``df``
+    ALREADY carries ``cluster_id`` (a persisted assignment) — the
+    production shape: the lazy form recomputes the assignment for each
+    pair-join side, so at scale assign once, write to parquet, then flag
+    from the staged table.
     """
     from f1_datalakehouse_pipeline_spark.operators import similarity as sim
 
-    if coarse_centroids is not None:
+    if centroids is None:
+        asg = df.select(
+            F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v"),
+            F.col("cluster_id").cast("long").alias("cluster_id"),
+        )
+    elif coarse_centroids is not None:
         if not isinstance(centroids, DataFrame):
             raise ValueError(
                 "two-level assignment needs centroids as an indexed DataFrame "
@@ -1153,14 +1168,41 @@ def semantic_dedup_flags(
         asg = semantic_cluster_assign(df, id_col, vec_col, centroids).select(
             F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v"), "cluster_id"
         )
-    a = asg.select(
-        F.col(id_col).alias("_id_a"), F.col("_v").alias("_va"), "cluster_id"
-    )
-    b = asg.select(
-        F.col(id_col).alias("_id_b"), F.col("_v").alias("_vb"), "cluster_id"
-    )
+    if lsh_planes is not None:
+        if not lsh_planes:
+            raise ValueError("lsh_planes must contain at least one band")
+        sigs = [
+            asg.select(
+                F.col(id_col),
+                F.col("_v"),
+                "cluster_id",
+                F.lit(bi).alias("_band"),
+                sim.hyperplane_bucket(F.col("_v"), planes).alias("_bucket"),
+            )
+            for bi, planes in enumerate(lsh_planes)
+        ]
+        sig = sigs[0]
+        for s in sigs[1:]:
+            sig = sig.unionByName(s)
+        a = sig.select(
+            F.col(id_col).alias("_id_a"), F.col("_v").alias("_va"),
+            "cluster_id", "_band", "_bucket",
+        )
+        b = sig.select(
+            F.col(id_col).alias("_id_b"), F.col("_v").alias("_vb"),
+            "cluster_id", "_band", "_bucket",
+        )
+        pair_keys = ["cluster_id", "_band", "_bucket"]
+    else:
+        a = asg.select(
+            F.col(id_col).alias("_id_a"), F.col("_v").alias("_va"), "cluster_id"
+        )
+        b = asg.select(
+            F.col(id_col).alias("_id_b"), F.col("_v").alias("_vb"), "cluster_id"
+        )
+        pair_keys = ["cluster_id"]
     removed = (
-        a.join(b, ["cluster_id"])
+        a.join(b, pair_keys)
         .filter(F.col("_id_a") < F.col("_id_b"))
         .filter(sim.cosine(F.col("_va"), F.col("_vb")) >= eps)
         .select(F.col("_id_b").alias("_removed_id"))

@@ -2565,3 +2565,51 @@ def test_semantic_two_level_empty_cell_never_drops_rows(spark):
         df, "vec_id", "embedding", idx, coarse, nprobe=1
     )
     assert out.count() == 3
+
+
+def test_semantic_dedup_lsh_banding_properties(spark, sf_dir):
+    """Within-cluster LSH banding contract: (1) a single EMPTY band puts
+    everything in one bucket and must equal the exact all-pairs form
+    bit-for-bit; (2) real planes can only MISS duplicates, never invent
+    them — removed_lsh ⊆ removed_exact; (3) on this corpus the banded form
+    still finds most of the exact removals (recall sanity, not vacuous)."""
+    from f1_datalakehouse_pipeline_spark.registry_ext import _lsh_planes
+    from f1_datalakehouse_pipeline_spark.sources.testdata import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = [list(r[0]) for r in emb.filter(F.col("vec_id") < 8).orderBy("vec_id")
+             .select(F.col("embedding").cast("array<double>")).collect()]
+
+    exact = {tuple(r) for r in dedup.semantic_dedup_flags(
+        emb, "vec_id", "embedding", cents, 0.3).collect()}
+    degenerate = {tuple(r) for r in dedup.semantic_dedup_flags(
+        emb, "vec_id", "embedding", cents, 0.3, lsh_planes=[[]]).collect()}
+    assert degenerate == exact
+
+    planes = _lsh_planes(n=2)
+    banded = dedup.semantic_dedup_flags(
+        emb, "vec_id", "embedding", cents, 0.3,
+        lsh_planes=[planes[:1], planes[1:2]],
+    ).collect()
+    removed_exact = {r[0] for r in exact if not r[2]}
+    removed_lsh = {r.vec_id for r in banded if not r.kept}
+    assert removed_lsh <= removed_exact
+    assert len(banded) == len(exact)  # every row still flagged
+    assert len(removed_lsh) >= 0.5 * len(removed_exact)
+
+
+def test_semantic_dedup_precomputed_assignment(spark, sf_dir):
+    """centroids=None flags from a df that already carries cluster_id (the
+    persisted-assignment production shape) and must equal the lazy
+    literal-centroid form exactly."""
+    from f1_datalakehouse_pipeline_spark.sources.testdata import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = [list(r[0]) for r in emb.filter(F.col("vec_id") < 8).orderBy("vec_id")
+             .select(F.col("embedding").cast("array<double>")).collect()]
+    lazy = {tuple(r) for r in dedup.semantic_dedup_flags(
+        emb, "vec_id", "embedding", cents, 0.3).collect()}
+    staged = dedup.semantic_cluster_assign(emb, "vec_id", "embedding", cents)
+    pre = {tuple(r) for r in dedup.semantic_dedup_flags(
+        staged, "vec_id", "embedding", None, 0.3).collect()}
+    assert pre == lazy

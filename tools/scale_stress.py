@@ -257,6 +257,34 @@ def run_semantic_scale(spark: SparkSession, sf_dir: str, factor: int) -> dict:
     r["removed"] = agg["removed"]
     r["sec_per_1k_vectors"] = round(r["flags_sec"] / (n / 1000), 4)
 
+    # production shape: stage the assignment ONCE, then flag from the staged
+    # table — isolates the pair stage and lets the banded form show its
+    # straggler protection without paying the assignment recompute
+    from f1_datalakehouse_pipeline_spark.registry_ext import _lsh_planes
+
+    staged_path = os.path.join(CACHE, f"semantic_asg_x{factor}")
+    t0 = time.perf_counter()
+    asg.write.mode("overwrite").parquet(staged_path)
+    staged = spark.read.parquet(staged_path)
+    r["stage_asg_sec"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    plain = dedup.semantic_dedup_flags(staged, "vec_id", "embedding", None, eps=0.95)
+    removed_plain = plain.agg(F.sum((~F.col("kept")).cast("long"))).collect()[0][0]
+    r["flags_staged_sec"] = round(time.perf_counter() - t0, 2)
+
+    planes = _lsh_planes(n=4)
+    t0 = time.perf_counter()
+    banded = dedup.semantic_dedup_flags(
+        staged, "vec_id", "embedding", None, eps=0.95,
+        lsh_planes=[planes[:2], planes[2:4]],
+    )
+    removed_banded = banded.agg(F.sum((~F.col("kept")).cast("long"))).collect()[0][0]
+    r["flags_staged_banded_sec"] = round(time.perf_counter() - t0, 2)
+    r["removed_staged"] = removed_plain
+    r["removed_banded"] = removed_banded
+    r["banded_recall"] = round(removed_banded / max(removed_plain, 1), 4)
+
     # brute O(n·k) assignment comparison where it is still affordable
     if n * k <= 50_000_000:
         t0 = time.perf_counter()
