@@ -297,6 +297,55 @@ def run_semantic_scale(spark: SparkSession, sf_dir: str, factor: int) -> dict:
     return r
 
 
+def run_semantic_skew_scale(spark: SparkSession, sf_dir: str, factor: int) -> dict:
+    """The banding win, in the regime it exists for: DELIBERATELY coarse
+    k=16 produces giant (~N/16-doc) clusters — the skewed-corpus shape
+    where the within-cluster all-pairs stage is the straggler. Banding
+    divides each cluster's pair mass by ~2^planes per band; on the bounded
+    ~200-doc clusters of the main rung it is pure overhead (measured), so
+    this leg isolates where it actually pays."""
+    from f1_datalakehouse_pipeline_spark.operators import dedup, similarity
+    from f1_datalakehouse_pipeline_spark.registry_ext import _lsh_planes
+
+    emb = scaled_embeddings(spark, sf_dir, factor)
+    n = emb.count()
+    k = 16
+    r: dict = {"vectors": n, "k": k}
+
+    cents = similarity.ivf_train(emb, n_lists=k, train_sample=4096, train="sample")
+    staged_path = os.path.join(CACHE, f"semantic_skew_asg_x{factor}")
+    asg = dedup.semantic_cluster_assign(emb, "vec_id", "embedding", cents).select(
+        "vec_id", "embedding", "cluster_id"
+    )
+    asg.write.mode("overwrite").parquet(staged_path)
+    staged = spark.read.parquet(staged_path)
+    sizes = staged.groupBy("cluster_id").count()
+    stats = sizes.agg(F.max("count"), F.sum(F.col("count") * F.col("count"))).collect()[0]
+    r["max_cluster"] = stats[0]
+    r["pair_mass"] = int(stats[1] // 2)
+
+    planes = _lsh_planes(n=8)
+    t0 = time.perf_counter()
+    banded = dedup.semantic_dedup_flags(
+        staged, "vec_id", "embedding", None, eps=0.95,
+        lsh_planes=[planes[:4], planes[4:8]],
+    )
+    removed_banded = banded.agg(F.sum((~F.col("kept")).cast("long"))).collect()[0][0]
+    r["flags_banded_sec"] = round(time.perf_counter() - t0, 2)
+    r["removed_banded"] = removed_banded
+    print(f"  banded: {r}", flush=True)
+
+    t0 = time.perf_counter()
+    plain = dedup.semantic_dedup_flags(staged, "vec_id", "embedding", None, eps=0.95)
+    removed_plain = plain.agg(F.sum((~F.col("kept")).cast("long"))).collect()[0][0]
+    r["flags_plain_sec"] = round(time.perf_counter() - t0, 2)
+    r["removed_plain"] = removed_plain
+    r["banded_recall"] = round(removed_banded / max(removed_plain, 1), 4)
+    r["speedup"] = round(r["flags_plain_sec"] / max(r["flags_banded_sec"], 1e-9), 2)
+    print(f"  {r}", flush=True)
+    return r
+
+
 def run_novelty_scale(spark: SparkSession, sf_dir: str, factor: int) -> dict:
     """Quantify the incremental-dedup amortization claim: per-batch cost of
     probing a PREBUILT on-disk index vs re-running the full-corpus self-join
@@ -968,6 +1017,7 @@ def main() -> None:
     ap.add_argument("--pipeline", action="store_true", help="run the full F1 pipeline at ~2.5M lap rows")
     ap.add_argument("--novelty", action="store_true", help="measure incremental-probe amortization vs full self-join")
     ap.add_argument("--semantic", action="store_true", help="SemDeDup rung: two-level routed assignment + within-cluster pair cost up the ladder")
+    ap.add_argument("--semantic-skew", action="store_true", help="banding win on deliberately-giant clusters (k=16)")
     ap.add_argument("--lsh-banded", action="store_true", help="disk-budgeted band-at-a-time LSH rung (pair parity vs one-shot where it fits)")
     ap.add_argument("--no-oneshot", action="store_true", help="skip the one-shot comparison leg (factors where it exceeds the disk budget)")
     ap.add_argument("--corpus", action="store_true", help="run the full corpus pipeline (plans/corpus.py) at scale")
@@ -1001,6 +1051,13 @@ def main() -> None:
         for factor in factors:
             print(f"ann factor {factor}:", flush=True)
             results[str(factor)] = run_ann_scale(spark, args.sf_dir, factor)
+        print(json.dumps(results, indent=2))
+        return
+
+    if args.semantic_skew:
+        for factor in factors:
+            print(f"semantic-skew factor {factor}:", flush=True)
+            results[str(factor)] = run_semantic_skew_scale(spark, args.sf_dir, factor)
         print(json.dumps(results, indent=2))
         return
 
