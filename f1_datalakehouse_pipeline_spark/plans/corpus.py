@@ -11,6 +11,10 @@ build runs, wired from the engine's own oracle-verified operators:
       → near-dup removal    (minhash_lsh_pairs + apply_dedup)
       → containment dedup   (optional: shingle_containment_pairs — drop docs
                              fully contained in a surviving superset doc)
+      → semantic dedup      (optional: dedup.semantic_dedup_flags over a
+                             doc-aligned embeddings table — rewordings the
+                             shingle family cannot see; docs without an
+                             embedding row pass through)
       → decontamination     (contamination_pairs vs a held-out benchmark)
       → domain mixture      (optional: mixture.budgeted_mixture — per-domain
                              token budgets, seeded and reproducible)
@@ -137,15 +141,38 @@ def run_corpus_pipeline(
     domain_col: str | None = None,
     domain_budgets: dict[str, int] | None = None,
     chunk_shift: int = 12,
+    embeddings: DataFrame | None = None,
+    semantic_eps: float | None = None,
+    semantic_centroids: "list[list[float]] | DataFrame | None" = None,
+    semantic_vec_id_col: str = "vec_id",
+    semantic_vec_col: str = "embedding",
+    semantic_lsh_planes: "list[list[list[float]]] | None" = None,
 ) -> CorpusReport:
     """Run the full corpus build; returns per-stage counts + shard manifest
-    + audit result. Idempotent: shards overwrite per (out_root, seed)."""
+    + audit result. Idempotent: shards overwrite per (out_root, seed).
+
+    ``embeddings`` + ``semantic_eps`` + ``semantic_centroids`` together
+    enable the SemDeDup stage (operators/dedup.semantic_dedup_flags) after
+    the text-level dedups and before decontamination: embeddings are
+    semi-joined to the surviving docs first (no assignment work for rows
+    other stages already dropped), and a doc with NO embedding row is KEPT
+    — absence of evidence is not duplication evidence."""
     if (domain_col is None) != (domain_budgets is None):
         raise ValueError(
             "domain_col and domain_budgets enable the mixture stage TOGETHER; "
             f"got domain_col={domain_col!r}, domain_budgets="
             f"{'set' if domain_budgets is not None else 'None'} — passing only "
             "one would silently skip the stage"
+        )
+    semantic_args = (embeddings is not None, semantic_eps is not None,
+                     semantic_centroids is not None)
+    if any(semantic_args) and not all(semantic_args):
+        raise ValueError(
+            "embeddings, semantic_eps and semantic_centroids enable the "
+            "semantic-dedup stage TOGETHER; passing a subset would silently "
+            f"skip it (got embeddings={'set' if semantic_args[0] else 'None'}, "
+            f"semantic_eps={semantic_eps!r}, semantic_centroids="
+            f"{'set' if semantic_args[2] else 'None'})"
         )
     _require_integral_id(docs, id_col)
     rep = CorpusReport()
@@ -197,6 +224,30 @@ def run_corpus_pipeline(
         )
         kept = checkpoint_stage(kept.join(contained, id_col, "left_anti"))
         rep.counts["after_containment_dedup"] = kept.count()
+
+    if semantic_eps is not None:
+        # Meaning-level dedup after the text-level passes (rewordings and
+        # translations the shingle family cannot see). Embeddings restricted
+        # to survivors before any assignment work; docs without an embedding
+        # row pass through untouched.
+        emb_kept = (
+            embeddings.select(
+                F.col(semantic_vec_id_col).cast("long").alias(id_col),
+                F.col(semantic_vec_col).alias(semantic_vec_col),
+            )
+            .join(kept.select(id_col), id_col, "left_semi")
+        )
+        sem_removed = (
+            dedup.semantic_dedup_flags(
+                emb_kept, id_col, semantic_vec_col,
+                semantic_centroids, semantic_eps,
+                lsh_planes=semantic_lsh_planes,
+            )
+            .filter(~F.col("kept"))
+            .select(id_col)
+        )
+        kept = checkpoint_stage(kept.join(sem_removed, id_col, "left_anti"))
+        rep.counts["after_semantic_dedup"] = kept.count()
 
     if benchmark is not None:
         leaks = dedup.contamination_pairs(

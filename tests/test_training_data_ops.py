@@ -2613,3 +2613,55 @@ def test_semantic_dedup_precomputed_assignment(spark, sf_dir):
     pre = {tuple(r) for r in dedup.semantic_dedup_flags(
         staged, "vec_id", "embedding", None, 0.3).collect()}
     assert pre == lazy
+
+
+def test_corpus_pipeline_semantic_stage(spark, tmp_path):
+    """The opt-in semantic stage removes exactly the planted embedding-space
+    twin (distinct TEXT, so every shingle-family stage keeps it), keeps docs
+    with no embedding row, and a half-configured stage fails loudly."""
+    from f1_datalakehouse_pipeline_spark.plans.corpus import run_corpus_pipeline
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (2, "a fast auburn fox leaps above a sleepy hound beside the water edge"),
+        (3, "completely unrelated treatise on medieval naval architecture and rigging"),
+        (4, "another document with no embedding row that must pass straight through"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.2]),
+            (2, [0.99, 0.01, 0.2]),   # semantic twin of doc 1
+            (3, [0.0, 1.0, -0.3]),
+            # doc 4 deliberately absent
+        ],
+        ["vec_id", "embedding"],
+    )
+    centroids = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]
+    common = dict(
+        quality_min=0.0, near_threshold=0.95,
+        chunk_tokens=8, overlap_tokens=0, n_shards=2, seed="sem",
+    )
+
+    with pytest.raises(ValueError, match="TOGETHER"):
+        run_corpus_pipeline(
+            spark, docs, str(tmp_path / "half"), embeddings=emb, **common
+        )
+
+    rep = run_corpus_pipeline(
+        spark, docs, str(tmp_path / "sem"),
+        embeddings=emb, semantic_eps=0.99, semantic_centroids=centroids,
+        **common,
+    )
+    assert rep.counts["after_near_dedup"] == 4          # text dedup sees no dup
+    assert rep.counts["after_semantic_dedup"] == 3      # exactly the twin drops
+    assert rep.audit_violations == 0
+    from f1_datalakehouse_pipeline_spark.sources.shards import read_training_shards
+
+    words = set(" ".join(
+        r.chunk_text for r in read_training_shards(spark, str(tmp_path / "sem")).collect()
+    ).split())
+    assert "quick" in words        # doc 1 (keeper, lower id) shipped
+    assert "auburn" not in words   # doc 2 (twin) removed
+    assert "treatise" in words     # unrelated embedded doc kept
+    assert "straight" in words     # no-embedding doc passed through
