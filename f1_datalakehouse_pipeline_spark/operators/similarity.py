@@ -174,19 +174,33 @@ def kmeans_distributed(
     vec_col: str = "embedding",
     n_lists: int = 16,
     iters: int = 5,
+    assign: str = "literal",
 ) -> list[list[float]]:
     """Spherical k-means trained FULLY DISTRIBUTED (Lloyd's iterations as
     DataFrame aggregations) — the 100 TB trainer for the IVF quantizer.
 
-    Per iteration: centroids broadcast as literal arrays; every vector is
-    assigned to its argmax-cosine centroid map-side; the centroid update is
-    one ``posexplode → groupBy(list, dim) → avg`` shuffle whose output is
-    exactly ``n_lists × dim`` rows — only that tiny aggregate ever reaches
-    the driver (re-normalization), regardless of table size. Deterministic:
-    initialization picks the ``n_lists`` vectors with the smallest
-    ``xxhash64(id)`` (seedless but stable), assignment ties break to the
-    first list. Empty clusters keep their previous centroid.
+    Per iteration: every vector is assigned to its argmax-cosine centroid;
+    the centroid update is one ``posexplode → groupBy(list, dim) → avg``
+    shuffle whose output is exactly ``n_lists × dim`` rows — only that tiny
+    aggregate ever reaches the driver (re-normalization), regardless of
+    table size. Deterministic: initialization picks the ``n_lists`` vectors
+    with the smallest ``xxhash64(id)`` (seedless but stable), assignment
+    ties break to the first list. Empty clusters keep their previous
+    centroid.
+
+    ``assign="literal"`` (default) bakes centroids into the plan as literal
+    arrays — map-only, but the expression tree is O(n_lists·dim), so
+    Catalyst analysis cost caps practical n_lists at a few thousand.
+    ``assign="table"`` ships each iteration's centroids as a broadcast
+    ``(cid, centroid)`` DataFrame instead (same tiering rationale as
+    dedup.semantic_cluster_assign_table) — per-iteration cost gains one
+    map-combinable max(struct) aggregation, plan size becomes independent
+    of n_lists, and the driver round-trips n_lists × dim doubles between
+    iterations (51 MB at k=10⁵ · dim=64 — data, not expression). The two
+    modes are bit-equivalence-tested (same dot fold, same tie rule).
     """
+    if assign not in ("literal", "table"):
+        raise ValueError(f"assign must be 'literal' or 'table', got {assign!r}")
     v = embeddings.select(
         F.col(id_col).alias("__id"), _as_double(F.col(vec_col)).alias("__v")
     )
@@ -195,12 +209,36 @@ def kmeans_distributed(
     init = v.orderBy(F.xxhash64(F.col("__id")), F.col("__id")).limit(n_lists).collect()
     cent: list[list[float]] = [list(r["__nv"]) for r in init]
     dim = len(cent[0])
+    spark = embeddings.sparkSession
     for _ in range(iters):
-        cent_cols = [F.array(*[F.lit(float(x)) for x in c]) for c in cent]
-        scores = F.array(*[dot(F.col("__nv"), cc) for cc in cent_cols])
-        assign = (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
+        if assign == "table":
+            cdf = spark.createDataFrame(
+                [(i, c) for i, c in enumerate(cent)],
+                "__cid long, __cv array<double>",
+            )
+            assigned = (
+                v.join(F.broadcast(cdf))
+                .select(
+                    "__id",
+                    "__nv",
+                    F.struct(
+                        dot(F.col("__nv"), F.col("__cv")).alias("s"),
+                        (-F.col("__cid")).alias("nc"),
+                    ).alias("__p"),
+                )
+                .groupBy("__id")
+                .agg(F.max("__p").alias("__b"), F.first("__nv").alias("__nv"))
+                .select((-F.col("__b.nc")).cast("int").alias("__list"), "__nv")
+            )
+        else:
+            cent_cols = [F.array(*[F.lit(float(x)) for x in c]) for c in cent]
+            scores = F.array(*[dot(F.col("__nv"), cc) for cc in cent_cols])
+            am = (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
+            assigned = v.select(am.alias("__list"), "__nv")
         sums = (
-            v.select(assign.alias("__list"), F.posexplode("__nv").alias("__pos", "__x"))
+            assigned.select(
+                "__list", F.posexplode("__nv").alias("__pos", "__x")
+            )
             .groupBy("__list", "__pos")
             .agg(F.avg("__x").alias("__m"))
             .collect()

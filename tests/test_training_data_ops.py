@@ -2665,3 +2665,19 @@ def test_corpus_pipeline_semantic_stage(spark, tmp_path):
     assert "auburn" not in words   # doc 2 (twin) removed
     assert "treatise" in words     # unrelated embedded doc kept
     assert "straight" in words     # no-embedding doc passed through
+
+
+def test_kmeans_table_assignment_equals_literal(spark, sf_dir):
+    """assign='table' (broadcast-centroid iterations, the large-k trainer)
+    must reproduce assign='literal' EXACTLY — same dot fold, same
+    ties-to-lowest-cid rule, so every iteration's assignments and therefore
+    every returned centroid are bit-identical; bogus mode raises."""
+    from f1_datalakehouse_pipeline_spark.sources.testdata import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    lit_c = similarity.kmeans_distributed(emb, n_lists=6, iters=3)
+    tbl_c = similarity.kmeans_distributed(emb, n_lists=6, iters=3, assign="table")
+    assert lit_c == tbl_c
+
+    with pytest.raises(ValueError, match="assign"):
+        similarity.kmeans_distributed(emb, n_lists=2, iters=1, assign="bogus")
