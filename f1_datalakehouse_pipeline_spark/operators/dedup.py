@@ -16,6 +16,11 @@ mandate — these are first-class engine operators, not demos):
   conditional sums (vectorized; no per-row higher-order loops).
 - embedding_neardup_pairs: cosine near-duplicates over embedding vectors
   (delegates to operators/similarity.py primitives).
+- semantic_dedup_flags: SemDeDup-style embedding-space dedup — centroid
+  bucketing (three assignment tiers: literal / broadcast-table /
+  two-level-routed, chosen by k), within-cluster cosine ≥ eps, greedy
+  lowest-id keeper; optional within-cluster LSH banding for skewed
+  clusters and a persisted-assignment production mode.
 
 All hashes are the md5-derived portable hash (functions/text.py) so every
 stage is exactly reproducible in the DuckDB oracle.
