@@ -129,6 +129,10 @@ def main() -> None:
         # r5 additions
         "t_token_ids",
         "dedup_semantic",
+        "tpch_q13_custdist",
+        "tpch_q17_small_qty_revenue",
+        "tpch_q21_last_shipper",
+        "tpch_q22_rich_inactive",
     ]
     # r4 (VERDICT r3 item 7): extras get the same median-of-3 + spread
     # treatment as the headline, so regressions on dedup_docs_pipeline-class

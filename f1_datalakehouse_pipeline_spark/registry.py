@@ -52,7 +52,7 @@ def _load_extensions() -> None:
 # COVERAGE.md).
 _VERIFY_FIRST = [
     # r5 rotation (VERDICT r4 item 1). Priority order within the 50-slot
-    # driver window, 116 registered:
+    # driver window, 121 registered:
     # (a) the 16 r2-green tail queries the r4 verdict names — their newest
     #     driver row is 2 rounds old and they lead this window;
     # (b) t_token_ids and dedup_semantic — brand-new this round
@@ -66,15 +66,17 @@ _VERIFY_FIRST = [
     # (d) 29 of the 49 r3-green queries (complex plans first: dedup family,
     #     SCD2, TPC-H joins, window stacks) so their rows refresh before
     #     aging past 2 rounds.
-    # The 21 remaining r3-green queries (trivially-stable projections and
+    # The 25 remaining r3-green queries (trivially-stable projections and
     # single-window queries: w10/w11/w12/w13, o1, u1/u3, f_normalize_name,
     # f_status_buckets, f_points_when_chain, f_time_format, f_datetime_ops,
     # f_array_q_split, f_string_battery, a18/a19, t_text_quality, t_lang_id,
-    # t_fingerprint, w18_first_last_value, a11_share_of_total — the last
-    # yielded its slot to dedup_semantic's first row) re-verify locally every round
-    # (the local gate has no cap) and lead the r6 window — named in
-    # COVERAGE.md. Everything r4-green waits at the tail: it re-enters by
-    # age in r6/r7.
+    # t_fingerprint, w18_first_last_value, a11_share_of_total — that one
+    # yielded its slot to dedup_semantic's first row — plus
+    # a20_multi_distinct, ts_resample_ohlc, t_token_doc_frequency,
+    # o2_topk_per_group, which yielded theirs to the four late-r5 TPC-H
+    # shapes q13/q17/q21/q22) re-verify locally every round (the local gate
+    # has no cap) and lead the r6 window — named in COVERAGE.md. Everything
+    # r4-green waits at the tail: it re-enters by age in r6/r7.
     # (a) the named r2-green tail
     "a1_distinct",
     "a3_count_distinct",
@@ -125,10 +127,15 @@ _VERIFY_FIRST = [
     "w9_lead_validity",
     "a2_latest_attr",
     "a8_rollup_revenue",
-    "a20_multi_distinct",
-    "ts_resample_ohlc",
-    "t_token_doc_frequency",
-    "o2_topk_per_group",
+    # (e) new in late r5 — the four TPC-H decorrelation/outer-agg shapes,
+    #     each needing a FIRST driver row (they took the slots of
+    #     a20_multi_distinct / ts_resample_ohlc / t_token_doc_frequency /
+    #     o2_topk_per_group, all r3-green and untouched — those four join
+    #     the named r3-green tail leading the r6 window).
+    "tpch_q13_custdist",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q21_last_shipper",
+    "tpch_q22_rich_inactive",
 ]
 
 
