@@ -133,6 +133,7 @@ def main() -> None:
         "tpch_q17_small_qty_revenue",
         "tpch_q21_last_shipper",
         "tpch_q22_rich_inactive",
+        "t_bpe_encode",
     ]
     # r4 (VERDICT r3 item 7): extras get the same median-of-3 + spread
     # treatment as the headline, so regressions on dedup_docs_pipeline-class

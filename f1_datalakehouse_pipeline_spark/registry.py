@@ -52,7 +52,7 @@ def _load_extensions() -> None:
 # COVERAGE.md).
 _VERIFY_FIRST = [
     # r5 rotation (VERDICT r4 item 1). Priority order within the 50-slot
-    # driver window, 121 registered:
+    # driver window, 122 registered:
     # (a) the 16 r2-green tail queries the r4 verdict names — their newest
     #     driver row is 2 rounds old and they lead this window;
     # (b) t_token_ids and dedup_semantic — brand-new this round
@@ -125,17 +125,18 @@ _VERIFY_FIRST = [
     "w3_best_row_tiebreak",
     "w5_running_avg",
     "w9_lead_validity",
-    "a2_latest_attr",
     "a8_rollup_revenue",
-    # (e) new in late r5 — the four TPC-H decorrelation/outer-agg shapes,
-    #     each needing a FIRST driver row (they took the slots of
-    #     a20_multi_distinct / ts_resample_ohlc / t_token_doc_frequency /
-    #     o2_topk_per_group, all r3-green and untouched — those four join
-    #     the named r3-green tail leading the r6 window).
+    # (e) new in late r5 — the four TPC-H decorrelation/outer-agg shapes
+    #     and the BPE subword encoder, each needing a FIRST driver row
+    #     (they took the slots of a20_multi_distinct / ts_resample_ohlc /
+    #     t_token_doc_frequency / o2_topk_per_group / a2_latest_attr, all
+    #     r3-green and untouched — those five join the named r3-green tail
+    #     leading the r6 window).
     "tpch_q13_custdist",
     "tpch_q17_small_qty_revenue",
     "tpch_q21_last_shipper",
     "tpch_q22_rich_inactive",
+    "t_bpe_encode",
 ]
 
 

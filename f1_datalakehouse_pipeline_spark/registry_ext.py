@@ -2785,3 +2785,90 @@ def tpch_q22_rich_inactive(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("totacctbal"),
         )
     )
+
+
+# Fixed merge list for the BPE-encode oracle query — applied IN ORDER, so
+# later merges compose earlier ones ("th"+"e", "in"+"g"). The trainer itself
+# is not SQL-expressible (iterative argmax); it is pinned instead by
+# tests/test_bpe.py's equivalence to textbook sequential BPE, including
+# under multi-merge batching. This query proves the ENCODER's replace-chain
+# semantics are bit-identical cross-engine.
+_BPE_MERGES: tuple[tuple[str, str], ...] = (
+    ("t", "h"),
+    ("th", "e"),
+    ("i", "n"),
+    ("e", "r"),
+    ("a", "n"),
+    ("an", "d"),
+    ("o", "n"),
+    ("in", "g"),
+)
+
+
+def _duck_bpe_pieces_sql() -> str:
+    """DuckDB mirror of operators/bpe.bpe_pieces_expr: frame each char in
+    \\x1e, chain replace() per merge (DuckDB and the JVM share the
+    non-overlapping left-to-right replace contract — tests/test_bpe.py),
+    split back."""
+    sep = "chr(30)"
+    sym = f"{sep} || array_to_string(string_split_regex(word, ''), {sep}||{sep}) || {sep}"
+    for a, b in _BPE_MERGES:
+        sym = (
+            f"replace({sym}, {sep}||'{a}'||{sep}||{sep}||'{b}'||{sep}, "
+            f"{sep}||'{a}{b}'||{sep})"
+        )
+    return sym
+
+
+@query(
+    "t_bpe_encode",
+    f"""
+    WITH tokd AS (
+      SELECT doc_id, {_DUCK_TOKS.format(x='text')} AS toks
+      FROM documents WHERE doc_id % 25 = 0
+    ), w AS (
+      SELECT doc_id, CAST(i - 1 AS INTEGER) AS word_idx, toks[i] AS word
+      FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i
+            FROM tokd)
+    ), pieces AS (
+      SELECT doc_id, word_idx,
+             list_filter(string_split({_duck_bpe_pieces_sql()}, chr(30)),
+                         x -> x != '') AS ps
+      FROM w
+    )
+    SELECT doc_id, word_idx, CAST(j - 1 AS INTEGER) AS piece_idx, ps[j] AS piece
+    FROM (SELECT doc_id, word_idx, ps, unnest(generate_series(1, len(ps))) AS j
+          FROM pieces)
+    """,
+)
+def t_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # BPE subword encoding as a PURE native expression (operators/bpe.py):
+    # whitespace tokens -> separator-framed chars -> one replace() per merge
+    # in learn order -> pieces. Long-form (doc, word_idx, piece_idx, piece)
+    # output, the shard-ready layout. Zero shuffles, zero UDFs; the
+    # corpus-scale path (bpe_word_table + bpe_encode_with_table) pays the
+    # replace chain once per DISTINCT word and joins, equality-tested in
+    # tests/test_bpe.py.
+    from f1_datalakehouse_pipeline_spark.operators.bpe import (
+        BpeModel,
+        bpe_pieces_expr,
+    )
+
+    model = BpeModel(_BPE_MERGES)
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 0)
+    return (
+        docs.select(
+            "doc_id",
+            F.posexplode(
+                F.filter(F.split(F.trim("text"), r"\s+"), lambda t: t != "")
+            ).alias("word_idx", "word"),
+        )
+        .select(
+            "doc_id",
+            "word_idx",
+            F.posexplode(bpe_pieces_expr(F.col("word"), model)).alias(
+                "piece_idx", "piece"
+            ),
+        )
+        .select("doc_id", "word_idx", "piece_idx", "piece")
+    )
