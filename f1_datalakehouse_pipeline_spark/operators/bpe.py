@@ -170,20 +170,48 @@ def bpe_train(
     *,
     pairs_per_pass: int = 64,
     min_count: int = 2,
+    stats: dict | None = None,
 ) -> BpeModel:
-    """Learn ``num_merges`` BPE merges from a corpus. Distributed shape:
-    one corpus pass for the word-frequency table, then per pass ONE
-    aggregate job over the vocabulary-sized word table + a bounded top-K
+    """Learn ``num_merges`` BPE merges from a corpus: one corpus pass for
+    the word-frequency table, then :func:`bpe_train_from_words`."""
+    return bpe_train_from_words(
+        word_frequency_table(df, text_col),
+        num_merges,
+        pairs_per_pass=pairs_per_pass,
+        min_count=min_count,
+        stats=stats,
+    )
+
+
+def bpe_train_from_words(
+    word_counts: DataFrame,
+    num_merges: int,
+    *,
+    pairs_per_pass: int = 64,
+    min_count: int = 2,
+    stats: dict | None = None,
+) -> BpeModel:
+    """Learn merges from a prebuilt (word, cnt) table — the form a 100 TB
+    pipeline actually trains from (the word-frequency table is computed
+    once, persisted, and shared across tokenizer experiments). Per pass:
+    ONE aggregate job over the vocabulary-sized table + a bounded top-K
     collect (4*pairs_per_pass rows) + one chunked rewrite projection with
     the lineage cut (``localCheckpoint``) so the plan never deepens across
     passes. Identical to sequential BPE by the _safe_batch rule;
-    deterministic tie-break = (count desc, left symbol, right symbol)."""
-    words = word_frequency_table(df, text_col).withColumn(
+    deterministic tie-break = (count desc, left symbol, right symbol).
+    ``stats`` (optional dict) receives {"passes", "n_words"} for
+    instrumentation."""
+    words = word_counts.select("word", "cnt").withColumn(
         "sym", _framed(F.col("word"))
     )
     words = words.localCheckpoint(eager=True)
+    if stats is not None:
+        stats["n_words"] = words.count()
+        stats["passes"] = 0
     merges: list[tuple[str, str]] = []
     while len(merges) < num_merges:
+        if stats is not None:
+            stats["passes"] += 1
         ss = _unframed(F.col("sym"))
         pairs = (
             words.select(F.col("cnt"), ss.alias("ss"))

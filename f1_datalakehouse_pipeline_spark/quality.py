@@ -179,3 +179,150 @@ def profile_columns(
         )
     )
     return wide.select(stacked.alias("s")).select("s.*")
+
+
+def psi_drift(
+    ref: DataFrame,
+    new: DataFrame,
+    numeric_cols: list[str] | None = None,
+    categorical_cols: list[str] | None = None,
+    *,
+    n_buckets: int = 10,
+    top_k: int = 20,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Population-stability drift between a reference snapshot and a new
+    batch — the monitor a training-data pipeline runs on every ingest
+    (feature drift, crawl-source rot, upstream schema accidents).
+
+    Output is long-form detail, one row per (column, bucket):
+    ``column, bucket, n_ref, n_new, ref_share, new_share, psi_term``;
+    ``psi_term = (new_share - ref_share) * ln((new_share+eps)/(ref_share+eps))``
+    so ``SUM(psi_term) GROUP BY column`` is the classic PSI (rule of thumb:
+    < 0.1 stable, 0.1-0.25 drifting, > 0.25 shifted).
+
+    Scale design (two scans total, zero collects):
+
+    - numeric columns bucket by FIXED-WIDTH intervals over the REFERENCE
+      min/max (the a19 exact-bucketing shape) — bounds travel as a 1-row
+      broadcast cross join, never through the driver; out-of-range new
+      values land in ``__lo__``/``__hi__`` guard buckets (drift you must
+      SEE, not clamp away), nulls in ``__null__``;
+    - categorical columns keep the top_k reference categories and fold the
+      rest into ``__other__``; the top-k frame is a per-column window over
+      the (column, value) counts, broadcast into both sides;
+    - each side makes ONE pass: every column's bucket label is emitted via
+      a projection-side explode, and the (column, bucket) partial counts
+      map-side-combine to a result whose size is columns x buckets,
+      independent of row count.
+
+    PSI's ``ln`` is evaluated by each engine's libm, so cross-engine
+    comparisons are tolerance-based (1e-9 in tests), not hash-exact —
+    which is why this ships as a monitor, not a driver-gate oracle query.
+    """
+    numeric_cols = list(numeric_cols or [])
+    categorical_cols = list(categorical_cols or [])
+    if not numeric_cols and not categorical_cols:
+        raise ValueError("psi_drift: no columns given")
+
+    def bucketed(df: DataFrame, bounds: DataFrame, topk: DataFrame) -> DataFrame:
+        labels = []
+        for c in numeric_cols:
+            lo, hi = F.col(f"__lo_{c}"), F.col(f"__hi_{c}")
+            width = (hi - lo) / F.lit(float(n_buckets))
+            idx = F.floor((F.col(c).cast("double") - lo) / width)
+            label = (
+                F.when(F.col(c).isNull(), F.lit("__null__"))
+                .when(hi <= lo, F.lit("b0"))  # degenerate ref range
+                .when(F.col(c).cast("double") < lo, F.lit("__lo__"))
+                .when(F.col(c).cast("double") > hi, F.lit("__hi__"))
+                .otherwise(
+                    F.concat(
+                        F.lit("b"),
+                        F.least(idx, F.lit(n_buckets - 1)).cast("string"),
+                    )
+                )
+            )
+            labels.append(
+                F.struct(F.lit(c).alias("column"), label.alias("bucket"))
+            )
+        for c in categorical_cols:
+            label = F.when(F.col(c).isNull(), F.lit("__null__")).otherwise(
+                F.when(
+                    F.col(f"__keep_{c}").isNotNull(), F.col(c).cast("string")
+                ).otherwise(F.lit("__other__"))
+            )
+            labels.append(
+                F.struct(F.lit(c).alias("column"), label.alias("bucket"))
+            )
+        if numeric_cols:
+            df = df.crossJoin(F.broadcast(bounds))
+        for c in categorical_cols:
+            keep = topk.filter(F.col("__col") == c).select(
+                F.col("__val").alias(c), F.lit(1).alias(f"__keep_{c}")
+            )
+            df = df.join(F.broadcast(keep), on=c, how="left")
+        pairs = df.select(F.explode(F.array(*labels)).alias("p")).select("p.*")
+        return pairs.groupBy("column", "bucket").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+
+    bounds = None
+    if numeric_cols:
+        aggs = []
+        for c in numeric_cols:
+            aggs.append(F.min(F.col(c).cast("double")).alias(f"__lo_{c}"))
+            aggs.append(F.max(F.col(c).cast("double")).alias(f"__hi_{c}"))
+        bounds = ref.agg(*aggs)
+
+    topk = None
+    if categorical_cols:
+        cats = ref.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(c).alias("__col"),
+                            F.col(c).cast("string").alias("__val"),
+                        )
+                        for c in categorical_cols
+                    ]
+                )
+            ).alias("p")
+        ).select("p.*").filter(F.col("__val").isNotNull())
+        counts = cats.groupBy("__col", "__val").agg(F.count(F.lit(1)).alias("n"))
+        w = Window.partitionBy("__col").orderBy(F.desc("n"), "__val")
+        topk = (
+            counts.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= top_k)
+            .select("__col", "__val")
+        )
+
+    rc = bucketed(ref, bounds, topk).withColumnRenamed("n", "n_ref")
+    nc = bucketed(new, bounds, topk).withColumnRenamed("n", "n_new")
+    both = rc.join(nc, ["column", "bucket"], "full").fillna(
+        0, subset=["n_ref", "n_new"]
+    )
+    tot = both.groupBy("column").agg(
+        F.sum("n_ref").alias("__tr"), F.sum("n_new").alias("__tn")
+    )
+    both = both.join(F.broadcast(tot), "column")
+    ref_share = F.col("n_ref") / F.greatest(F.col("__tr"), F.lit(1))
+    new_share = F.col("n_new") / F.greatest(F.col("__tn"), F.lit(1))
+    term = (new_share - ref_share) * F.log(
+        (new_share + F.lit(eps)) / (ref_share + F.lit(eps))
+    )
+    return both.select(
+        "column",
+        "bucket",
+        "n_ref",
+        "n_new",
+        ref_share.alias("ref_share"),
+        new_share.alias("new_share"),
+        term.alias("psi_term"),
+    )
+
+
+def psi_summary(detail: DataFrame) -> DataFrame:
+    """(column, psi) rollup of :func:`psi_drift` detail."""
+    return detail.groupBy("column").agg(F.sum("psi_term").alias("psi"))

@@ -762,6 +762,132 @@ def run_mixture_scale(spark: SparkSession, sf_dir: str, factor: int) -> dict:
     return out
 
 
+def zipf_word_table(spark: SparkSession, n_words: int) -> DataFrame:
+    """Deterministic Zipf-ish word-frequency table: n_words distinct
+    pseudo-words (md5-derived letters, length 4-11) with counts ~ 1/rank^0.9
+    — the tie-sparse head a natural-language corpus has, which the
+    synthetic documents table (31 base words, 5-way replication ties)
+    does not."""
+    path = os.path.join(CACHE, f"zipf_words_{n_words}")
+    if not os.path.isdir(path):
+        ids = spark.range(n_words).repartition(32)
+        hexs = F.md5(F.col("id").cast("string"))
+        word = F.concat(
+            F.translate(
+                F.substring(hexs, 1, (F.col("id") % 8 + 4).cast("int")),
+                "0123456789abcdef",
+                "abcdefghijklmnop",
+            ),
+        )
+        cnt = (F.lit(10**9) / F.pow(F.col("id") + 1, F.lit(0.9))).cast("long") + 1
+        ids.select(word.alias("word"), cnt.alias("cnt")).groupBy("word").agg(
+            F.max("cnt").alias("cnt")
+        ).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+def run_bpe_scale(spark: SparkSession, sf_dir: str, factor: int) -> dict:
+    """Distributed BPE trainer rung, two legs.
+
+    Leg 1 (the 100 TB claim): per-pass training cost on a REALISTIC
+    vocabulary — a Zipf word-frequency table with factor*100K distinct
+    words. After the single corpus pass, training cost depends only on
+    this table; the leg measures per-merge wall time and the _safe_batch
+    multi-merge win on a tie-sparse (natural-language-like) count
+    distribution, asserting the batched merge list equals sequential BPE.
+
+    Leg 2 (corpus plumbing): word-frequency build + word-table encode
+    join throughput on the scaled documents corpus. NOTE the synthetic
+    corpus is a batching WORST CASE (31 base words x 5-way replication
+    ties force near-singleton safe batches) — disclosed, and the
+    exactness assert is the point there, not speedup."""
+    from f1_datalakehouse_pipeline_spark.operators import bpe
+
+    out: dict[str, float | int] = {}
+
+    # ---- leg 1: Zipf vocabulary ------------------------------------
+    n_words = factor * 100_000
+    wt = zipf_word_table(spark, n_words).localCheckpoint(eager=True)
+    out["zipf_words"] = wt.count()
+    n_merges = 256
+    stats_b: dict = {}
+    t, _ = timed(
+        f"zipf train {n_merges} merges (pairs_per_pass=64)",
+        lambda: len(
+            bpe.bpe_train_from_words(
+                wt, n_merges, pairs_per_pass=64, stats=stats_b
+            ).merges
+        ),
+    )
+    out["zipf_train_batched_sec"] = round(t, 1)
+    out["zipf_batched_passes"] = stats_b["passes"]
+    n_seq = 32
+    stats_s: dict = {}
+    t, _ = timed(
+        f"zipf train {n_seq} merges (pairs_per_pass=1)",
+        lambda: len(
+            bpe.bpe_train_from_words(
+                wt, n_seq, pairs_per_pass=1, stats=stats_s
+            ).merges
+        ),
+    )
+    out["zipf_train_seq_sec"] = round(t, 1)
+    out["zipf_per_merge_batched_sec"] = round(
+        out["zipf_train_batched_sec"] / n_merges, 3
+    )
+    out["zipf_per_merge_seq_sec"] = round(out["zipf_train_seq_sec"] / n_seq, 3)
+    out["zipf_batching_speedup"] = round(
+        out["zipf_per_merge_seq_sec"] / out["zipf_per_merge_batched_sec"], 1
+    )
+    mb = bpe.bpe_train_from_words(wt, n_seq, pairs_per_pass=64)
+    ms = bpe.bpe_train_from_words(wt, n_seq, pairs_per_pass=1)
+    assert mb.merges == ms.merges, "zipf: batched != sequential"
+
+    # ---- leg 2: corpus plumbing on scaled docs ----------------------
+    docs = scaled_docs(spark, sf_dir, factor)
+    out["docs"] = docs.count()
+    t, n = timed(
+        "word_frequency_table (one corpus pass)",
+        lambda: bpe.word_frequency_table(docs, "text").count(),
+    )
+    out["wordfreq_sec"], out["corpus_words"] = round(t, 1), n
+    corpus_stats: dict = {}
+    n_corpus_merges = 48
+    t, _ = timed(
+        f"corpus train {n_corpus_merges} merges (pairs_per_pass=64, tie-heavy worst case)",
+        lambda: len(
+            bpe.bpe_train(
+                docs, "text", n_corpus_merges, pairs_per_pass=64,
+                stats=corpus_stats,
+            ).merges
+        ),
+    )
+    out["corpus_train_sec"] = round(t, 1)
+    out["corpus_passes"] = corpus_stats["passes"]
+    model_b = bpe.bpe_train(docs, "text", n_corpus_merges, pairs_per_pass=64)
+    model_s = bpe.bpe_train(docs, "text", n_corpus_merges, pairs_per_pass=1)
+    assert model_b.merges == model_s.merges, "corpus: batched != sequential"
+
+    words = bpe.word_frequency_table(docs, "text")
+    model = model_b
+    t, _ = timed(
+        "bpe_word_table (merges applied once per distinct word)",
+        lambda: bpe.bpe_word_table(words, model).count(),
+    )
+    out["word_table_sec"] = round(t, 1)
+    table = bpe.bpe_word_table(words, model).localCheckpoint(eager=True)
+    t, n = timed(
+        "encode corpus via vocabulary join (long form)",
+        lambda: bpe.bpe_encode_with_table(
+            docs, "doc_id", "text", table
+        ).count(),
+    )
+    out["encode_sec"] = round(t, 1)
+    out["pieces"] = n
+    out["encode_rows_per_sec"] = int(n / t) if t > 0 else 0
+    return out
+
+
 def generate_bronze_scaled(
     spark: SparkSession,
     root: str,
@@ -1023,6 +1149,7 @@ def main() -> None:
     ap.add_argument("--corpus", action="store_true", help="run the full corpus pipeline (plans/corpus.py) at scale")
     ap.add_argument("--mixture", action="store_true", help="bucketed vs naive budgeted_mixture on a 90%%-one-domain corpus")
     ap.add_argument("--corpus-incremental", action="store_true", help="batch-at-a-time corpus ingestion: per-batch cost curve vs one-shot rebuild")
+    ap.add_argument("--bpe", action="store_true", help="distributed BPE trainer: per-pass cost, exact-batching speedup, join-encode throughput")
     ap.add_argument("--corpus-stream", action="store_true", help="streaming (foreachBatch) corpus ingest wall time over ~10 micro-batches")
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     args = ap.parse_args()
@@ -1051,6 +1178,13 @@ def main() -> None:
         for factor in factors:
             print(f"ann factor {factor}:", flush=True)
             results[str(factor)] = run_ann_scale(spark, args.sf_dir, factor)
+        print(json.dumps(results, indent=2))
+        return
+
+    if args.bpe:
+        for factor in factors:
+            print(f"bpe factor {factor}:", flush=True)
+            results[str(factor)] = run_bpe_scale(spark, args.sf_dir, factor)
         print(json.dumps(results, indent=2))
         return
 
