@@ -184,3 +184,78 @@ def test_matches_duckdb_replication(spark):
     )
     # and the shifted batch actually reads as drifted
     assert got["o_totalprice"] > 0.1
+
+
+def test_streaming_drift_matches_batch(spark, tmp_path):
+    """The streaming monitor's per-batch PSI must equal psi_drift run
+    directly on each batch's rows vs the same reference — per-batch
+    verdicts, two micro-batches, both scored."""
+    from f1_datalakehouse_pipeline_spark.streaming.drift import (
+        drift_monitor_stream,
+    )
+
+    ref = load_table(spark, SF_DIR, "orders")
+    b1 = ref.filter(F.col("o_orderkey") % 4 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 1.2
+    )
+    b2 = ref.filter(F.col("o_orderkey") % 4 == 1)
+
+    src = str(tmp_path / "landing")
+    b1.coalesce(1).write.mode("append").parquet(src)
+    b2.coalesce(1).write.mode("append").parquet(src)
+
+    out = str(tmp_path / "drift")
+    stream = (
+        spark.readStream.schema(ref.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = drift_monitor_stream(
+        stream,
+        ref,
+        out_path=out,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        numeric_cols=["o_totalprice"],
+        categorical_cols=["o_orderpriority"],
+        n_buckets=6,
+    )
+    q.awaitTermination(180)
+
+    summary = spark.read.parquet(f"{out}/summary").collect()
+    assert {r.batch_id for r in summary} == {0, 1}
+
+    # match each streamed batch verdict against the direct batch operator,
+    # identifying which landed file became which batch by its PSI profile
+    def direct(batch_df):
+        return {
+            r.column: r.psi
+            for r in psi_summary(
+                psi_drift(
+                    ref,
+                    batch_df,
+                    numeric_cols=["o_totalprice"],
+                    categorical_cols=["o_orderpriority"],
+                    n_buckets=6,
+                )
+            ).collect()
+        }
+
+    want = [direct(b1), direct(b2)]
+    got = {}
+    for r in summary:
+        got.setdefault(r.batch_id, {})[r.column] = r.psi
+    matched = 0
+    for verdict in got.values():
+        for w in want:
+            if all(abs(verdict[c] - w[c]) < 1e-12 for c in w):
+                matched += 1
+                break
+    assert matched == 2, (got, want)
+    # the shifted batch reads as drifted, the unshifted one as stable
+    psis = sorted(v["o_totalprice"] for v in got.values())
+    assert psis[0] < 0.01 and psis[1] > 0.1
+    # detail sink carries the guard buckets for the shifted batch
+    detail = spark.read.parquet(f"{out}/detail")
+    assert detail.filter(
+        (F.col("bucket") == "__hi__") & (F.col("n_new") > 0)
+    ).count() > 0
