@@ -970,6 +970,14 @@ def semantic_cluster_assign_table(
     Returns ``(id_col, vec_col as array<double>, cluster_id, centroid_cos)``
     — a reduced projection, not ``df.*`` (join the result back on
     ``id_col`` if other columns are needed downstream).
+
+    PRECONDITION: ``id_col`` identifies ONE vector. The per-id aggregation
+    means duplicate-id rows collapse to one output row — harmless when the
+    duplicate rows carry the SAME vector, but duplicate ids with
+    CONFLICTING vectors would make this tier silently diverge from the
+    literal tier (which preserves every input row), so that case raises at
+    execution time. The check rides the existing aggregate (min == max over
+    the vector, map-combinable) — no extra scan or shuffle.
     """
     from f1_datalakehouse_pipeline_spark.operators import similarity as sim
 
@@ -988,14 +996,38 @@ def semantic_cluster_assign_table(
     )
     return (
         scored.groupBy(id_col)
-        .agg(F.max("_s").alias("_best"), F.first("_v").alias("_v"))
+        .agg(
+            F.max("_s").alias("_best"),
+            F.first("_v").alias("_v"),
+            (F.min("_v") != F.max("_v")).alias("_vec_conflict"),
+        )
         .select(
             F.col(id_col),
-            F.col("_v").alias(vec_col),
+            _guard_vec_conflict(id_col, vec_col).alias(vec_col),
             (-F.col("_best.neg_cid")).alias("cluster_id"),
             F.col("_best.cos").alias("centroid_cos"),
         )
     )
+
+
+def _guard_vec_conflict(id_col: str, vec_col: str):
+    """Raise at execution time when a vector id carried conflicting vectors
+    (see :func:`semantic_cluster_assign_table` precondition); otherwise pass
+    the vector through."""
+    return F.when(
+        F.col("_vec_conflict"),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"duplicate {id_col!r} rows with CONFLICTING {vec_col!r} "
+                    "vectors reached centroid assignment (id="
+                ),
+                F.col(id_col).cast("string"),
+                F.lit(") — deduplicate ids upstream; the per-id argmax would "
+                      "otherwise pick one vector arbitrarily"),
+            )
+        ).cast("array<double>"),
+    ).otherwise(F.col("_v"))
 
 
 def semantic_index_two_level(
@@ -1046,7 +1078,9 @@ def semantic_cluster_assign_two_level(
     routing array at plan-build time, so every vector always lands in a
     non-empty cell and no row is ever lost to an empty probe.
 
-    Output schema matches :func:`semantic_cluster_assign_table`.
+    Output schema matches :func:`semantic_cluster_assign_table`, including
+    its duplicate-id precondition: conflicting vectors under one id raise at
+    execution time instead of silently collapsing to an arbitrary one.
     """
     from f1_datalakehouse_pipeline_spark.operators import similarity as sim
 
@@ -1092,10 +1126,14 @@ def semantic_cluster_assign_two_level(
     )
     return (
         scored.groupBy(id_col)
-        .agg(F.max("_s").alias("_best"), F.first("_v").alias("_v"))
+        .agg(
+            F.max("_s").alias("_best"),
+            F.first("_v").alias("_v"),
+            (F.min("_v") != F.max("_v")).alias("_vec_conflict"),
+        )
         .select(
             F.col(id_col),
-            F.col("_v").alias(vec_col),
+            _guard_vec_conflict(id_col, vec_col).alias(vec_col),
             (-F.col("_best.neg_cid")).alias("cluster_id"),
             F.col("_best.cos").alias("centroid_cos"),
         )

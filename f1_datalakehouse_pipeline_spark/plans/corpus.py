@@ -183,6 +183,10 @@ def run_corpus_pipeline(
     # action), so stage boundaries are cached — without this every count
     # and every second branch recomputes the whole upstream lineage
     # (measured: 141.5 s → see PERF_NOTES r4 composed-pipeline rung).
+    # The unpersist runs in a finally: a stage that raises must not leak its
+    # caches — a lingering cached plan that reads a state/output path would
+    # silently serve STALE data to a later run in the same session (writes
+    # into new partition subdirs do not invalidate a parent-dir cache).
     cached: list[DataFrame] = []
 
     def checkpoint_stage(df: DataFrame) -> DataFrame:
@@ -190,112 +194,113 @@ def run_corpus_pipeline(
         cached.append(df)
         return df
 
-    kept = checkpoint_stage(
-        docs.filter(quality_score(F.col(content_col)) >= quality_min)
-        .withColumn(content_col, scrub_pii(F.col(content_col)))
-    )
-    rep.counts["after_quality"] = kept.count()
+    try:
+        kept = checkpoint_stage(
+            docs.filter(quality_score(F.col(content_col)) >= quality_min)
+            .withColumn(content_col, scrub_pii(F.col(content_col)))
+        )
+        rep.counts["after_quality"] = kept.count()
 
-    exact = dedup.exact_dedup(kept, id_col, content_col).select(
-        F.col("keeper_id").alias(id_col)
-    )
-    kept = checkpoint_stage(kept.join(exact, id_col, "left_semi"))
-    rep.counts["after_exact_dedup"] = kept.count()
+        exact = dedup.exact_dedup(kept, id_col, content_col).select(
+            F.col("keeper_id").alias(id_col)
+        )
+        kept = checkpoint_stage(kept.join(exact, id_col, "left_semi"))
+        rep.counts["after_exact_dedup"] = kept.count()
 
-    pairs = dedup.minhash_lsh_pairs(
-        kept, id_col, content_col,
-        threshold=near_threshold, max_doc_frequency=max_doc_frequency,
-    )
-    kept = checkpoint_stage(dedup.apply_dedup(kept, id_col, pairs))
-    rep.counts["after_near_dedup"] = kept.count()
+        pairs = dedup.minhash_lsh_pairs(
+            kept, id_col, content_col,
+            threshold=near_threshold, max_doc_frequency=max_doc_frequency,
+        )
+        kept = checkpoint_stage(dedup.apply_dedup(kept, id_col, pairs))
+        rep.counts["after_near_dedup"] = kept.count()
 
-    if containment_threshold is not None:
-        # Subset-duplication pass: symmetric near-dedup above already removed
-        # high-Jaccard pairs; this drops each remaining pair's CONTAINED doc
-        # (the smaller shingle set), keeping the superset's extra content.
-        contained = (
-            dedup.shingle_containment_pairs(
-                kept, id_col, content_col,
-                threshold=containment_threshold,
+        if containment_threshold is not None:
+            # Subset-duplication pass: symmetric near-dedup above already
+            # removed high-Jaccard pairs; this drops each remaining pair's
+            # CONTAINED doc (the smaller shingle set), keeping the
+            # superset's extra content.
+            contained = (
+                dedup.shingle_containment_pairs(
+                    kept, id_col, content_col,
+                    threshold=containment_threshold,
+                    max_doc_frequency=max_doc_frequency,
+                )
+                .select(F.col("contained_doc").alias(id_col))
+                .distinct()
+            )
+            kept = checkpoint_stage(kept.join(contained, id_col, "left_anti"))
+            rep.counts["after_containment_dedup"] = kept.count()
+
+        if semantic_eps is not None:
+            # Meaning-level dedup after the text-level passes (rewordings
+            # and translations the shingle family cannot see). Embeddings
+            # restricted to survivors before any assignment work; docs
+            # without an embedding row pass through untouched.
+            emb_kept = (
+                embeddings.select(
+                    F.col(semantic_vec_id_col).cast("long").alias(id_col),
+                    F.col(semantic_vec_col).alias(semantic_vec_col),
+                )
+                .join(kept.select(id_col), id_col, "left_semi")
+            )
+            sem_removed = (
+                dedup.semantic_dedup_flags(
+                    emb_kept, id_col, semantic_vec_col,
+                    semantic_centroids, semantic_eps,
+                    lsh_planes=semantic_lsh_planes,
+                )
+                .filter(~F.col("kept"))
+                .select(id_col)
+            )
+            kept = checkpoint_stage(kept.join(sem_removed, id_col, "left_anti"))
+            rep.counts["after_semantic_dedup"] = kept.count()
+
+        if benchmark is not None:
+            leaks = dedup.contamination_pairs(
+                kept, benchmark, id_col, content_col,
+                min_containment=contamination_min,
                 max_doc_frequency=max_doc_frequency,
+            ).select(F.col("train_id").alias(id_col)).distinct()
+            kept = checkpoint_stage(kept.join(leaks, id_col, "left_anti"))
+            rep.counts["after_decontamination"] = kept.count()
+
+        if domain_col is not None and domain_budgets is not None:
+            # Mixture runs after all cleaning so budgets are spent on docs
+            # that will actually ship, and before chunking so budgets count
+            # document tokens, not overlap-inflated chunk tokens.
+            from f1_datalakehouse_pipeline_spark.functions.text import token_count
+            from f1_datalakehouse_pipeline_spark.operators.mixture import budgeted_mixture
+
+            admitted = budgeted_mixture(
+                kept.withColumn("__n_tokens", token_count(F.col(content_col))),
+                id_col,
+                domain_col,
+                "__n_tokens",
+                domain_budgets,
+                seed=f"{seed}-mix",
+            ).select(id_col)
+            kept = checkpoint_stage(kept.join(admitted, id_col, "left_semi"))
+            rep.counts["after_mixture"] = kept.count()
+
+        chunks = checkpoint_stage(
+            chunk_documents(
+                kept, id_col, content_col, chunk_tokens, overlap_tokens
+            ).select(
+                compose_chunk_id(id_col, "chunk_idx", chunk_shift).alias("chunk_id"),
+                F.col("chunk_text"),
             )
-            .select(F.col("contained_doc").alias(id_col))
-            .distinct()
         )
-        kept = checkpoint_stage(kept.join(contained, id_col, "left_anti"))
-        rep.counts["after_containment_dedup"] = kept.count()
+        rep.counts["chunks"] = chunks.count()
 
-    if semantic_eps is not None:
-        # Meaning-level dedup after the text-level passes (rewordings and
-        # translations the shingle family cannot see). Embeddings restricted
-        # to survivors before any assignment work; docs without an embedding
-        # row pass through untouched.
-        emb_kept = (
-            embeddings.select(
-                F.col(semantic_vec_id_col).cast("long").alias(id_col),
-                F.col(semantic_vec_col).alias(semantic_vec_col),
-            )
-            .join(kept.select(id_col), id_col, "left_semi")
-        )
-        sem_removed = (
-            dedup.semantic_dedup_flags(
-                emb_kept, id_col, semantic_vec_col,
-                semantic_centroids, semantic_eps,
-                lsh_planes=semantic_lsh_planes,
-            )
-            .filter(~F.col("kept"))
-            .select(id_col)
-        )
-        kept = checkpoint_stage(kept.join(sem_removed, id_col, "left_anti"))
-        rep.counts["after_semantic_dedup"] = kept.count()
-
-    if benchmark is not None:
-        leaks = dedup.contamination_pairs(
-            kept, benchmark, id_col, content_col,
-            min_containment=contamination_min,
-            max_doc_frequency=max_doc_frequency,
-        ).select(F.col("train_id").alias(id_col)).distinct()
-        kept = checkpoint_stage(kept.join(leaks, id_col, "left_anti"))
-        rep.counts["after_decontamination"] = kept.count()
-
-    if domain_col is not None and domain_budgets is not None:
-        # Mixture runs after all cleaning so budgets are spent on docs that
-        # will actually ship, and before chunking so budgets count document
-        # tokens, not overlap-inflated chunk tokens.
-        from f1_datalakehouse_pipeline_spark.functions.text import token_count
-        from f1_datalakehouse_pipeline_spark.operators.mixture import budgeted_mixture
-
-        admitted = budgeted_mixture(
-            kept.withColumn("__n_tokens", token_count(F.col(content_col))),
-            id_col,
-            domain_col,
-            "__n_tokens",
-            domain_budgets,
-            seed=f"{seed}-mix",
-        ).select(id_col)
-        kept = checkpoint_stage(kept.join(admitted, id_col, "left_semi"))
-        rep.counts["after_mixture"] = kept.count()
-
-    chunks = checkpoint_stage(
-        chunk_documents(
-            kept, id_col, content_col, chunk_tokens, overlap_tokens
-        ).select(
-            compose_chunk_id(id_col, "chunk_idx", chunk_shift).alias("chunk_id"),
-            F.col("chunk_text"),
-        )
-    )
-    rep.counts["chunks"] = chunks.count()
-
-    if rep.counts["chunks"] == 0:
-        # Every doc was filtered out. A zero-row partitionBy write would
-        # leave a data/ dir with no partition files, which no later read
-        # (audit, append) can infer a schema from — deliver nothing.
+        if rep.counts["chunks"] == 0:
+            # Every doc was filtered out. A zero-row partitionBy write would
+            # leave a data/ dir with no partition files, which no later read
+            # (audit, append) can infer a schema from — deliver nothing.
+            return rep
+        write_training_shards(chunks, "chunk_id", "chunk_text", out_root, n_shards, seed)
+    finally:
         for df in cached:
             df.unpersist()
-        return rep
-    write_training_shards(chunks, "chunk_id", "chunk_text", out_root, n_shards, seed)
-    for df in cached:
-        df.unpersist()
     _manifest_and_audit(spark, out_root, rep)
     return rep
 
@@ -339,10 +344,26 @@ def run_corpus_pipeline_incremental(
     extend both state stores so the NEXT batch sees them.
 
     State lives under ``state_root``:
-      ``exact_hashes/``  parquet of admitted content hashes (8 B/doc);
+      ``exact_hashes/``  admitted content hashes (8 B/doc), one
+                         ``batch_token=<t>`` partition per admitted batch —
+                         the token is derived from the RAW batch content, so
+                         a replay recomputes the same token;
       ``lsh/``           the band/shingles/sizes index
                          (``streaming/novelty`` layout; ``shingle_buckets``
-                         selects the bucketed 100 TB form).
+                         selects the bucketed 100 TB form);
+      ``_commits/<t>``   marker touched only after BOTH state appends.
+
+    Crash-replay contract (ADVICE r5): the two state extensions (exact-hash
+    partition, then LSH index append) are not one atomic write, so a crash
+    between them must not strand the state. The batch-token partition plus
+    commit marker make the replay deterministic: a replay that finds its own
+    token partition WITHOUT a marker (crash mid-state) excludes that
+    partition from the exact gate — reproducing the original verdicts — then
+    overwrites its own partition (idempotent) and completes the LSH append;
+    a replay that finds the marker (fully committed) runs the normal gates
+    and is rejected whole at the exact gate, extending nothing. Residue is
+    limited to duplicate shard delivery of the one in-flight batch, exactly
+    as documented for the shards-before-state ordering below.
 
     Equivalence contract (tested): incrementally admitting B1 then B2 equals
     the one-shot pipeline over B1∪B2 up to first-arrival-wins keeper choice
@@ -374,8 +395,32 @@ def run_corpus_pipeline_incremental(
     exact_dir = os.path.join(state_root, "exact_hashes")
     lsh_dir = os.path.join(state_root, "lsh")
     rep = CorpusReport()
-    rep.counts["raw"] = batch.count()
 
+    # Batch identity from the RAW input (order-independent sums, one small
+    # aggregate that also provides the raw count): a crash-replay re-submits
+    # the same rows and therefore recomputes the same token.
+    tok = batch.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.xxhash64(F.col(content_col))).alias("h_content"),
+        F.sum(F.xxhash64(F.col(id_col).cast("string"))).alias("h_id"),
+    ).collect()[0]
+    rep.counts["raw"] = tok["n"]
+    batch_token = "%016x%016x" % (
+        (tok["h_content"] or 0) & 0xFFFFFFFFFFFFFFFF,
+        (tok["h_id"] or 0) & 0xFFFFFFFFFFFFFFFF,
+    )
+    tok_dir = os.path.join(exact_dir, f"batch_token={batch_token}")
+    marker = os.path.join(state_root, "_commits", batch_token)
+    # Crash window: prior run wrote this batch's exact-hash partition but
+    # died before the LSH append (no marker). Excluding the partition from
+    # the exact gate makes the replay reproduce the original verdicts.
+    replaying_partial = os.path.isdir(tok_dir) and not os.path.exists(marker)
+
+    # finally-scoped like the batch form: a stage that raises must not leak
+    # caches — a crashed run's lingering cached anti-join would serve stale
+    # verdicts to the in-session replay this function's crash contract
+    # exists for (partition-subdir writes don't invalidate parent-dir
+    # caches, so Spark never refreshes the stale entry itself).
     cached: list[DataFrame] = []
 
     def checkpoint_stage(df: DataFrame) -> DataFrame:
@@ -383,115 +428,207 @@ def run_corpus_pipeline_incremental(
         cached.append(df)
         return df
 
-    kept = checkpoint_stage(
-        batch.filter(quality_score(F.col(content_col)) >= quality_min)
-        .withColumn(content_col, scrub_pii(F.col(content_col)))
-    )
-    rep.counts["after_quality"] = kept.count()
-
-    # exact: within-batch keepers, then drop hashes already admitted
-    keepers = dedup.exact_dedup(kept, id_col, content_col).select(
-        F.col("keeper_id").alias(id_col)
-    )
-    kept = kept.join(keepers, id_col, "left_semi")
-    if os.path.isdir(exact_dir):
-        seen = spark.read.parquet(exact_dir)
-        kept = kept.join(
-            seen,
-            portable_hash48(F.col(content_col)) == seen.content_hash,
-            "left_anti",
+    try:
+        kept = checkpoint_stage(
+            batch.filter(quality_score(F.col(content_col)) >= quality_min)
+            .withColumn(content_col, scrub_pii(F.col(content_col)))
         )
-    kept = checkpoint_stage(kept)
-    rep.counts["after_exact_dedup"] = kept.count()
+        rep.counts["after_quality"] = kept.count()
 
-    # near: batch self-join + history index probe (batch-proportional)
-    pairs = dedup.minhash_lsh_pairs(
-        kept, id_col, content_col,
-        threshold=near_threshold, max_doc_frequency=max_doc_frequency,
-    )
-    kept = dedup.apply_dedup(kept, id_col, pairs)
-    index = _read_index(spark, lsh_dir)
-    if index is not None:
-        hits = dedup.novelty_pairs(
-            kept, index, id_col, content_col,
+        # exact: within-batch keepers, then drop hashes already admitted
+        keepers = dedup.exact_dedup(kept, id_col, content_col).select(
+            F.col("keeper_id").alias(id_col)
+        )
+        kept = kept.join(keepers, id_col, "left_semi")
+        if os.path.isdir(exact_dir):
+            seen = spark.read.parquet(exact_dir)
+            if replaying_partial:
+                # partition-pruned at the scan: the batch's own
+                # half-committed hashes never reach the anti-join
+                seen = seen.filter(F.col("batch_token") != batch_token)
+            kept = kept.join(
+                seen,
+                portable_hash48(F.col(content_col)) == seen.content_hash,
+                "left_anti",
+            )
+        kept = checkpoint_stage(kept)
+        rep.counts["after_exact_dedup"] = kept.count()
+
+        # near: batch self-join + history index probe (batch-proportional)
+        pairs = dedup.minhash_lsh_pairs(
+            kept, id_col, content_col,
             threshold=near_threshold, max_doc_frequency=max_doc_frequency,
         )
-        kept = dedup.filter_novel(kept, hits, id_col)
-    kept = checkpoint_stage(kept)
-    rep.counts["after_near_dedup"] = kept.count()
-
-    if benchmark is not None:
-        leaks = dedup.contamination_pairs(
-            kept, benchmark, id_col, content_col,
-            min_containment=contamination_min,
-            max_doc_frequency=max_doc_frequency,
-        ).select(F.col("train_id").alias(id_col)).distinct()
-        kept = checkpoint_stage(kept.join(leaks, id_col, "left_anti"))
-        rep.counts["after_decontamination"] = kept.count()
-
-    chunks = checkpoint_stage(
-        chunk_documents(
-            kept, id_col, content_col, chunk_tokens, overlap_tokens
-        ).select(
-            compose_chunk_id(id_col, "chunk_idx", chunk_shift).alias("chunk_id"),
-            F.col("chunk_text"),
-        )
-    )
-    rep.counts["chunks"] = chunks.count()
-
-    from f1_datalakehouse_pipeline_spark.sources.shards import MANIFEST_DIR
-
-    have_shards = os.path.isdir(os.path.join(out_root, MANIFEST_DIR))
-    if rep.counts["chunks"] > 0:
-        # A zero-chunk batch delivers nothing (a zero-row FIRST write would
-        # poison out_root with a schema-less partitioned dir) but still
-        # extends state below: its admitted docs must reject later dups.
-        if have_shards:
-            append_training_shards(chunks, "chunk_id", "chunk_text", out_root, seed)
-        else:
-            write_training_shards(
-                chunks, "chunk_id", "chunk_text", out_root, n_shards, seed
+        kept = dedup.apply_dedup(kept, id_col, pairs)
+        index = _read_index(spark, lsh_dir)
+        if index is not None:
+            hits = dedup.novelty_pairs(
+                kept, index, id_col, content_col,
+                threshold=near_threshold, max_doc_frequency=max_doc_frequency,
             )
-        have_shards = True
+            kept = dedup.filter_novel(kept, hits, id_col)
+        kept = checkpoint_stage(kept)
+        rep.counts["after_near_dedup"] = kept.count()
 
-    # extend state LAST (same ordering rationale as streaming/novelty's
-    # admit_batch: a crash between the shard append and the state append
-    # re-runs a batch the state has not seen — the re-run recomputes the
-    # same verdicts, and the residue is duplicate delivery of that ONE
-    # batch; state-FIRST would instead make the re-run reject the whole
-    # batch against its own half-written state and silently lose it).
-    #
-    # The admitted rows are STAGED to a lineage-free parquet first: `kept`'s
-    # plan READS exact_dir and the LSH index dirs, and Spark re-materializes
-    # path-dependent caches on append (CacheManager.recacheByPath) — so
-    # appending state directly from `kept` re-runs its anti-join against
-    # state that now includes this batch's OWN hashes, evaluates empty, and
-    # the second append writes nothing, silently truncating the LSH index
-    # to batch 1 (regression-tested: it takes THREE batches to observe).
-    n_admitted = rep.counts.get(
-        "after_decontamination", rep.counts["after_near_dedup"]
-    )
-    if n_admitted > 0:
-        import shutil
+        if benchmark is not None:
+            leaks = dedup.contamination_pairs(
+                kept, benchmark, id_col, content_col,
+                min_containment=contamination_min,
+                max_doc_frequency=max_doc_frequency,
+            ).select(F.col("train_id").alias(id_col)).distinct()
+            kept = checkpoint_stage(kept.join(leaks, id_col, "left_anti"))
+            rep.counts["after_decontamination"] = kept.count()
 
-        staging = os.path.join(state_root, "_batch_staging")
-        kept.select(id_col, content_col).write.mode("overwrite").parquet(staging)
-        kept_s = spark.read.parquet(staging)
-        kept_s.select(
-            portable_hash48(F.col(content_col)).alias("content_hash")
-        ).write.mode("append").parquet(exact_dir)
-        _append_index(
-            lsh_dir,
-            dedup.minhash_band_index(
-                kept_s, id_col, content_col, max_doc_frequency=max_doc_frequency
-            ),
-            shingle_buckets=shingle_buckets,
+        chunks = checkpoint_stage(
+            chunk_documents(
+                kept, id_col, content_col, chunk_tokens, overlap_tokens
+            ).select(
+                compose_chunk_id(id_col, "chunk_idx", chunk_shift).alias("chunk_id"),
+                F.col("chunk_text"),
+            )
         )
-        shutil.rmtree(staging, ignore_errors=True)
+        rep.counts["chunks"] = chunks.count()
 
-    for df in cached:
-        df.unpersist()
+        from f1_datalakehouse_pipeline_spark.sources.shards import MANIFEST_DIR
+
+        have_shards = os.path.isdir(os.path.join(out_root, MANIFEST_DIR))
+        if rep.counts["chunks"] > 0:
+            # A zero-chunk batch delivers nothing (a zero-row FIRST write
+            # would poison out_root with a schema-less partitioned dir) but
+            # still extends state below: its admitted docs must reject
+            # later dups.
+            if have_shards:
+                append_training_shards(chunks, "chunk_id", "chunk_text", out_root, seed)
+            else:
+                write_training_shards(
+                    chunks, "chunk_id", "chunk_text", out_root, n_shards, seed
+                )
+            have_shards = True
+
+        # extend state LAST (same ordering rationale as streaming/novelty's
+        # admit_batch: a crash between the shard append and the state append
+        # re-runs a batch the state has not seen — the re-run recomputes the
+        # same verdicts, and the residue is duplicate delivery of that ONE
+        # batch; state-FIRST would instead make the re-run reject the whole
+        # batch against its own half-written state and silently lose it).
+        #
+        # The admitted rows are STAGED to a lineage-free parquet first:
+        # `kept`'s plan READS exact_dir and the LSH index dirs, and Spark
+        # re-materializes path-dependent caches on append
+        # (CacheManager.recacheByPath) — so appending state directly from
+        # `kept` re-runs its anti-join against state that now includes this
+        # batch's OWN hashes, evaluates empty, and the second append writes
+        # nothing, silently truncating the LSH index to batch 1
+        # (regression-tested: it takes THREE batches to observe).
+        n_admitted = rep.counts.get(
+            "after_decontamination", rep.counts["after_near_dedup"]
+        )
+        if n_admitted > 0:
+            import shutil
+
+            staging = os.path.join(state_root, "_batch_staging")
+            kept.select(id_col, content_col).write.mode("overwrite").parquet(staging)
+            kept_s = spark.read.parquet(staging)
+            # The exact-hash delta goes into this batch's OWN partition with
+            # mode=overwrite: a crash-replay that re-reaches this point
+            # rewrites the identical rows instead of double-appending.
+            kept_s.select(
+                portable_hash48(F.col(content_col)).alias("content_hash")
+            ).write.mode("overwrite").parquet(tok_dir)
+            _append_index(
+                lsh_dir,
+                dedup.minhash_band_index(
+                    kept_s, id_col, content_col, max_doc_frequency=max_doc_frequency
+                ),
+                shingle_buckets=shingle_buckets,
+            )
+            # Commit marker LAST: its presence means both state stores hold
+            # this batch, so any later replay runs the normal gates and is
+            # rejected whole at the exact stage.
+            os.makedirs(os.path.dirname(marker), exist_ok=True)
+            with open(marker, "w") as fh:
+                fh.write(str(n_admitted))
+            shutil.rmtree(staging, ignore_errors=True)
+    finally:
+        for df in cached:
+            df.unpersist()
+
     if not have_shards or not audit:  # nothing delivered yet / caller audits out-of-band
         return rep
     _manifest_and_audit(spark, out_root, rep)
     return rep
+
+
+def compact_corpus_state(
+    spark: SparkSession, state_root: str, *, target_files: int = 1
+) -> dict:
+    """Maintenance hook for the incremental-pipeline state roots (VERDICT r5
+    item 3): every admitted batch appends one small parquet file to each
+    store, so after thousands of micro-batches the per-batch probe scan is
+    dominated by file-listing/footer overhead. This rewrites both stores
+    into few files without changing any verdict. Run it between batches —
+    never concurrently with an ingest into the same state root (the same
+    contract as any OPTIMIZE).
+
+    ``exact_hashes/`` folds all COMMITTED ``batch_token=`` partitions (plus
+    previous folds) into one ``batch_token=__compacted_<digest>__``
+    partition. No atomic swap is needed: the store is consumed ONLY via an
+    anti-join, so duplicate hashes change no verdict — the sequence
+    (write compacted partition → delete folded partitions) is
+    superset-monotonic at every crash point, and the deterministic digest
+    name makes a retried fold overwrite its own partial output. An
+    UNCOMMITTED partition (in-flight or crashed batch, no ``_commits``
+    marker) is never folded: the crash-replay exclusion needs it intact
+    under its own token. Folded batches' markers are kept — a post-fold
+    replay finds no own-token partition, runs the normal gates, and is
+    rejected by the compacted hashes.
+
+    ``lsh/`` delegates to
+    :func:`~f1_datalakehouse_pipeline_spark.streaming.novelty.
+    compact_novelty_index` — that store needs the exact multiset (duplicate
+    shingles would inflate the count-based Jaccard verify), hence its
+    recoverable rename dance.
+    """
+    import hashlib
+    import shutil
+
+    from f1_datalakehouse_pipeline_spark.streaming.novelty import (
+        _count_files,
+        compact_novelty_index,
+    )
+
+    stats: dict = {"lsh": compact_novelty_index(
+        spark, os.path.join(state_root, "lsh"), target_files=target_files
+    )}
+    exact_dir = os.path.join(state_root, "exact_hashes")
+    if not os.path.isdir(exact_dir):
+        return stats
+    commits_dir = os.path.join(state_root, "_commits")
+    committed = set(os.listdir(commits_dir)) if os.path.isdir(commits_dir) else set()
+    parts = [d for d in os.listdir(exact_dir) if d.startswith("batch_token=")]
+    foldable = sorted(
+        d for d in parts
+        if d.removeprefix("batch_token=") in committed
+        or d.startswith("batch_token=__compacted_")
+    )
+    before = _count_files(exact_dir)
+    if len(foldable) < 2:
+        stats["exact_hashes"] = {
+            "files_before": before, "files_after": before, "folded_partitions": 0,
+        }
+        return stats
+    digest = hashlib.md5("|".join(foldable).encode()).hexdigest()[:16]
+    dest = os.path.join(exact_dir, f"batch_token=__compacted_{digest}__")
+    spark.read.parquet(*[os.path.join(exact_dir, d) for d in foldable]).select(
+        "content_hash"
+    ).coalesce(target_files).write.mode("overwrite").parquet(dest)
+    for d in foldable:
+        p = os.path.join(exact_dir, d)
+        if os.path.realpath(p) != os.path.realpath(dest):
+            shutil.rmtree(p, ignore_errors=True)
+    stats["exact_hashes"] = {
+        "files_before": before,
+        "files_after": _count_files(exact_dir),
+        "folded_partitions": len(foldable),
+    }
+    return stats

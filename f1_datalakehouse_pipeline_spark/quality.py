@@ -220,52 +220,48 @@ def psi_drift(
     comparisons are tolerance-based (1e-9 in tests), not hash-exact —
     which is why this ships as a monitor, not a driver-gate oracle query.
     """
+    r = psi_reference(
+        ref, numeric_cols, categorical_cols, n_buckets=n_buckets, top_k=top_k
+    )
+    return psi_drift_from_reference(r, new, eps=eps)
+
+
+@dataclass
+class PsiReference:
+    """Precomputed reference-side aggregates for PSI scoring: numeric bounds
+    (1 row), categorical top-k keep-list (≤ top_k rows/column), and the
+    reference bucket counts (columns × buckets rows). Everything a repeated
+    scorer needs — :func:`psi_drift_from_reference` makes ONE pass over the
+    new batch and never rescans the reference. Built by
+    :func:`psi_reference`; pass ``materialize=True`` there when the same
+    reference scores many batches (the streaming monitor)."""
+
+    numeric_cols: list[str]
+    categorical_cols: list[str]
+    n_buckets: int
+    bounds: DataFrame | None
+    topk: DataFrame | None
+    ref_counts: DataFrame
+
+
+def psi_reference(
+    ref: DataFrame,
+    numeric_cols: list[str] | None = None,
+    categorical_cols: list[str] | None = None,
+    *,
+    n_buckets: int = 10,
+    top_k: int = 20,
+    materialize: bool = False,
+) -> PsiReference:
+    """Compute the reference side of :func:`psi_drift` once. With
+    ``materialize=True`` the three aggregates are localCheckpointed eagerly
+    (they are tiny — one bounds row, ≤ top_k rows per categorical column,
+    columns × buckets count rows), so a per-batch scorer's cost is
+    O(batch), independent of reference size."""
     numeric_cols = list(numeric_cols or [])
     categorical_cols = list(categorical_cols or [])
     if not numeric_cols and not categorical_cols:
         raise ValueError("psi_drift: no columns given")
-
-    def bucketed(df: DataFrame, bounds: DataFrame, topk: DataFrame) -> DataFrame:
-        labels = []
-        for c in numeric_cols:
-            lo, hi = F.col(f"__lo_{c}"), F.col(f"__hi_{c}")
-            width = (hi - lo) / F.lit(float(n_buckets))
-            idx = F.floor((F.col(c).cast("double") - lo) / width)
-            label = (
-                F.when(F.col(c).isNull(), F.lit("__null__"))
-                .when(hi <= lo, F.lit("b0"))  # degenerate ref range
-                .when(F.col(c).cast("double") < lo, F.lit("__lo__"))
-                .when(F.col(c).cast("double") > hi, F.lit("__hi__"))
-                .otherwise(
-                    F.concat(
-                        F.lit("b"),
-                        F.least(idx, F.lit(n_buckets - 1)).cast("string"),
-                    )
-                )
-            )
-            labels.append(
-                F.struct(F.lit(c).alias("column"), label.alias("bucket"))
-            )
-        for c in categorical_cols:
-            label = F.when(F.col(c).isNull(), F.lit("__null__")).otherwise(
-                F.when(
-                    F.col(f"__keep_{c}").isNotNull(), F.col(c).cast("string")
-                ).otherwise(F.lit("__other__"))
-            )
-            labels.append(
-                F.struct(F.lit(c).alias("column"), label.alias("bucket"))
-            )
-        if numeric_cols:
-            df = df.crossJoin(F.broadcast(bounds))
-        for c in categorical_cols:
-            keep = topk.filter(F.col("__col") == c).select(
-                F.col("__val").alias(c), F.lit(1).alias(f"__keep_{c}")
-            )
-            df = df.join(F.broadcast(keep), on=c, how="left")
-        pairs = df.select(F.explode(F.array(*labels)).alias("p")).select("p.*")
-        return pairs.groupBy("column", "bucket").agg(
-            F.count(F.lit(1)).alias("n")
-        )
 
     bounds = None
     if numeric_cols:
@@ -274,6 +270,8 @@ def psi_drift(
             aggs.append(F.min(F.col(c).cast("double")).alias(f"__lo_{c}"))
             aggs.append(F.max(F.col(c).cast("double")).alias(f"__hi_{c}"))
         bounds = ref.agg(*aggs)
+        if materialize:
+            bounds = bounds.localCheckpoint(eager=True)
 
     topk = None
     if categorical_cols:
@@ -297,10 +295,89 @@ def psi_drift(
             .filter(F.col("__rk") <= top_k)
             .select("__col", "__val")
         )
+        if materialize:
+            topk = topk.localCheckpoint(eager=True)
 
-    rc = bucketed(ref, bounds, topk).withColumnRenamed("n", "n_ref")
-    nc = bucketed(new, bounds, topk).withColumnRenamed("n", "n_new")
-    both = rc.join(nc, ["column", "bucket"], "full").fillna(
+    ref_counts = _psi_bucketed(
+        ref, numeric_cols, categorical_cols, n_buckets, bounds, topk
+    ).withColumnRenamed("n", "n_ref")
+    if materialize:
+        ref_counts = ref_counts.localCheckpoint(eager=True)
+    return PsiReference(
+        numeric_cols, categorical_cols, n_buckets, bounds, topk, ref_counts
+    )
+
+
+def _psi_bucketed(
+    df: DataFrame,
+    numeric_cols: list[str],
+    categorical_cols: list[str],
+    n_buckets: int,
+    bounds: DataFrame | None,
+    topk: DataFrame | None,
+) -> DataFrame:
+    labels = []
+    for c in numeric_cols:
+        lo, hi = F.col(f"__lo_{c}"), F.col(f"__hi_{c}")
+        width = (hi - lo) / F.lit(float(n_buckets))
+        idx = F.floor((F.col(c).cast("double") - lo) / width)
+        label = (
+            F.when(F.col(c).isNull(), F.lit("__null__"))
+            # all-null reference column → no bounds at all: surface as ONE
+            # explicit guard bucket instead of null-keyed rows the
+            # full-outer join can never match (ADVICE r5)
+            .when(lo.isNull() | hi.isNull(), F.lit("__noref__"))
+            .when(hi <= lo, F.lit("b0"))  # degenerate ref range
+            .when(F.col(c).cast("double") < lo, F.lit("__lo__"))
+            .when(F.col(c).cast("double") > hi, F.lit("__hi__"))
+            .otherwise(
+                F.concat(
+                    F.lit("b"),
+                    F.least(idx, F.lit(n_buckets - 1)).cast("string"),
+                )
+            )
+        )
+        labels.append(
+            F.struct(F.lit(c).alias("column"), label.alias("bucket"))
+        )
+    for c in categorical_cols:
+        label = F.when(F.col(c).isNull(), F.lit("__null__")).otherwise(
+            F.when(
+                F.col(f"__keep_{c}").isNotNull(), F.col(c).cast("string")
+            ).otherwise(F.lit("__other__"))
+        )
+        labels.append(
+            F.struct(F.lit(c).alias("column"), label.alias("bucket"))
+        )
+    if numeric_cols:
+        df = df.crossJoin(F.broadcast(bounds))
+    for c in categorical_cols:
+        keep = topk.filter(F.col("__col") == c).select(
+            F.col("__val").alias(c), F.lit(1).alias(f"__keep_{c}")
+        )
+        df = df.join(F.broadcast(keep), on=c, how="left")
+    pairs = df.select(F.explode(F.array(*labels)).alias("p")).select("p.*")
+    return pairs.groupBy("column", "bucket").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+def psi_drift_from_reference(
+    r: PsiReference,
+    new: DataFrame,
+    *,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Score a new batch against a precomputed :class:`PsiReference` — ONE
+    pass over the batch, zero reference scans. Same output contract as
+    :func:`psi_drift` (which is now this, composed with
+    :func:`psi_reference`). The streaming monitor builds the reference once
+    with ``materialize=True`` and calls this per micro-batch, so per-batch
+    cost is O(batch) regardless of reference size (ADVICE r5)."""
+    nc = _psi_bucketed(
+        new, r.numeric_cols, r.categorical_cols, r.n_buckets, r.bounds, r.topk
+    ).withColumnRenamed("n", "n_new")
+    both = r.ref_counts.join(nc, ["column", "bucket"], "full").fillna(
         0, subset=["n_ref", "n_new"]
     )
     tot = both.groupBy("column").agg(

@@ -51,92 +51,92 @@ def _load_extensions() -> None:
 # driver-green in a prior round and untouched since (rotation documented in
 # COVERAGE.md).
 _VERIFY_FIRST = [
-    # r5 rotation (VERDICT r4 item 1). Priority order within the 50-slot
-    # driver window, 122 registered:
-    # (a) the 16 r2-green tail queries the r4 verdict names — their newest
-    #     driver row is 2 rounds old and they lead this window;
-    # (b) t_token_ids and dedup_semantic — brand-new this round
-    #     (vocabulary id encoding; SemDeDup-style embedding-space dedup),
-    #     each needs a FIRST driver row;
-    # (c) 4 queries whose IMPLEMENTATION changed in r5 and must re-prove:
-    #     dedup_incremental_novelty (novelty_pairs verify-join reordered for
-    #     the bucketed index), t_domain_mix / t_repeat_mixture (domain
-    #     lookup switched from CASE chain to map literal),
-    #     t_model_quality_score (weight vector now a single array Literal);
-    # (d) 29 of the 49 r3-green queries (complex plans first: dedup family,
-    #     SCD2, TPC-H joins, window stacks) so their rows refresh before
-    #     aging past 2 rounds.
-    # The 25 remaining r3-green queries (trivially-stable projections and
-    # single-window queries: w10/w11/w12/w13, o1, u1/u3, f_normalize_name,
-    # f_status_buckets, f_points_when_chain, f_time_format, f_datetime_ops,
-    # f_array_q_split, f_string_battery, a18/a19, t_text_quality, t_lang_id,
-    # t_fingerprint, w18_first_last_value, a11_share_of_total — that one
-    # yielded its slot to dedup_semantic's first row — plus
-    # a20_multi_distinct, ts_resample_ohlc, t_token_doc_frequency,
-    # o2_topk_per_group, which yielded theirs to the four late-r5 TPC-H
-    # shapes q13/q17/q21/q22) re-verify locally every round (the local gate
-    # has no cap) and lead the r6 window — named in COVERAGE.md. Everything
-    # r4-green waits at the tail: it re-enters by age in r6/r7.
-    # (a) the named r2-green tail
-    "a1_distinct",
-    "a3_count_distinct",
-    "a5_stats_agg",
-    "f_posexplode_tokens",
-    "f_map_ops",
-    "t_token_histogram",
-    "f_time_parse",
-    "f_url_parse",
-    "f_json_extract",
-    "f_regex_extract_all",
-    "f_levenshtein_pairs",
-    "u2_except_antijoin",
-    "u5_union_schema_drift",
-    "w14_ntile_quartiles",
-    "a9_pivot_doc_counts",
-    "a17_unpivot_metrics",
-    # (b) new in r5
-    "t_token_ids",
+    # r6 rotation (VERDICT r5 item 1). Priority order within the 50-slot
+    # driver window, 124 registered (122 + the two NEW r6 queries):
+    # (a) the 26 queries whose newest driver row is r3 — the exact set the
+    #     r5 verdict names in "What's missing #1" — lead the window so after
+    #     r6 no query's newest driver row predates r4;
+    # (b) dedup_semantic — its REGISTRY query changes in r6 (persisted
+    #     assignment replaces the lazy literal-centroid double-compute,
+    #     VERDICT r5 item 2) and must re-prove on the driver gate;
+    # (c) the two queries NEW in r6 — t_corpus_manifest (end-to-end
+    #     incremental corpus pipeline manifest vs a DuckDB reconstruction,
+    #     VERDICT r5 item 8) and t_bpe_table_encode (corpus-scale
+    #     bpe_word_table encode with a ≥1K-merge model, VERDICT r5 item 7)
+    #     — each needs a FIRST driver row;
+    # (d) 21 of the 46 r4-green queries, complex plans first (SCD2 splice,
+    #     dedup pipeline/containment/contamination, star + as-of/range/
+    #     interval joins, decorrelated subqueries, ANN family, TableStore
+    #     round-trip, TPC-H q10/q14/q18/q19, gap-fill rollup, packer,
+    #     profiler), so the hardest surfaces refresh first.
+    # The 25 remaining r4-green queries (a4, a6, a10, a12, a13, a14, a15,
+    # a16, j9_full_outer_reconcile, mm_binary_metadata, mm_magic_sniff,
+    # p1_p5_filtered_projection, p8_percentile_cont, t_chunk_documents,
+    # t_corpus_curation, t_pii_redact, t_repetition_quality,
+    # t_shuffle_shards, t_train_test_split, t_weighted_sample,
+    # ts_interpolate_linear, w8_dense_rank_rounds, w15_range_frame,
+    # w16_percent_rank_cume, w17_session_window_native — mostly
+    # single-exchange aggregates, pure projections, and single-window
+    # plans, untouched since registration) re-verify locally every round
+    # (the local gate has no cap) and lead the r7 window. With 124
+    # registered > 100 slots across two rounds, a ≤2-round-fresh guarantee
+    # for every query is arithmetically impossible; the rotation instead
+    # guarantees no query ages past 3 rounds and complex plans never age
+    # past 2.
+    # (a) the 26 r3-aged queries
+    "w10_recent_form",
+    "w11_lag_delta",
+    "w12_teammate_compare",
+    "w13_constructor_window_agg",
+    "o1_latest_event",
+    "o2_topk_per_group",
+    "u1_union_distinct",
+    "u3_intersect",
+    "f_normalize_name",
+    "f_status_buckets",
+    "f_points_when_chain",
+    "f_time_format",
+    "f_datetime_ops",
+    "f_array_q_split",
+    "f_string_battery",
+    "a2_latest_attr",
+    "a11_share_of_total",
+    "a18_bool_aggs",
+    "a19_histogram_fixed_width",
+    "a20_multi_distinct",
+    "t_text_quality",
+    "t_lang_id",
+    "t_fingerprint",
+    "w18_first_last_value",
+    "ts_resample_ohlc",
+    "t_token_doc_frequency",
+    # (b) registry query changed in r6
     "dedup_semantic",
-    # (c) implementation changed in r5
-    "dedup_incremental_novelty",
-    "t_domain_mix",
-    "t_repeat_mixture",
-    "t_model_quality_score",
-    # (d) r3-green refresh, complex plans first
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "scd2_historical_build",
-    "w_sessionize_events",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "j1_j5_lookup_join",
-    "j2_left_change_detection",
-    "j3_left_backfill_fillna",
-    "j6_window_group_share",
-    "j8_semi_join",
-    "j12_not_exists_anti",
-    "w4_w6_w7_championship",
-    "w1_gap_to_best",
-    "w2_personal_best_flag",
-    "w3_best_row_tiebreak",
-    "w5_running_avg",
-    "w9_lead_validity",
-    "a8_rollup_revenue",
-    # (e) new in late r5 — the four TPC-H decorrelation/outer-agg shapes
-    #     and the BPE subword encoder, each needing a FIRST driver row
-    #     (they took the slots of a20_multi_distinct / ts_resample_ohlc /
-    #     t_token_doc_frequency / o2_topk_per_group / a2_latest_attr, all
-    #     r3-green and untouched — those five join the named r3-green tail
-    #     leading the r6 window).
-    "tpch_q13_custdist",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q21_last_shipper",
-    "tpch_q22_rich_inactive",
-    "t_bpe_encode",
+    # (c) new in r6
+    "t_corpus_manifest",
+    "t_bpe_table_encode",
+    # (d) r4-green refresh, complex plans first
+    "scd2_splice_backdated",
+    "dedup_docs_pipeline",
+    "dedup_containment",
+    "contamination_pairs",
+    "j4_star_join_revenue",
+    "asof_purchase_to_view",
+    "asof_tolerance_join",
+    "range_join_ship_window",
+    "j10_interval_overlap",
+    "j11_correlated_scalar_subquery",
+    "sim_cosine_topk",
+    "sim_lsh_bucketed_topk",
+    "sim_embedding_neardup",
+    "tablestore_delete_tombstone",
+    "tpch_q10_returned_items",
+    "tpch_q14_promo_revenue",
+    "tpch_q18_large_orders",
+    "tpch_q19_disjunctive_revenue",
+    "ts_rollup_gapfill",
+    "t_pack_sequences",
+    "t_profile_columns",
 ]
 
 

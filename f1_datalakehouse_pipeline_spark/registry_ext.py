@@ -648,6 +648,13 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     at scale the centroid matrix comes from similarity.kmeans_distributed
     with k ≈ N / target_cluster_size, and everything downstream is
     unchanged: map-only assignment, cluster-keyed pair join, anti-join.
+
+    r6: runs the PERSISTED-assignment production shape (VERDICT r5 item 2):
+    the assignment is computed ONCE and localCheckpointed, then flags come
+    from ``centroids=None`` mode — the lazy literal form recomputed the
+    map-only assignment for each pair-join side (a measured ~2× on this
+    query at sf0.1). Values are identical (precomputed==lazy is
+    unit-tested); only the number of assignment computations changes.
     """
     emb = load_table(spark, sf_dir, "embeddings")
     seeds = (
@@ -657,9 +664,17 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     )
     centroids = [list(r[0]) for r in seeds]
-    return dedup.semantic_dedup_flags(
-        emb, "vec_id", "embedding", centroids, _SEMANTIC_EPS
+    asg = dedup.semantic_cluster_assign(emb, "vec_id", "embedding", centroids).select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("embedding"),
+        "cluster_id",
     )
+    # Materialize the assignment once; both pair-join sides and the final
+    # anti-join read the checkpointed blocks instead of re-running the
+    # O(n·k) cosine projection. At cluster scale this is a parquet write;
+    # localCheckpoint is the single-job equivalent.
+    asg = asg.localCheckpoint(eager=False)
+    return dedup.semantic_dedup_flags(asg, "vec_id", "embedding", None, _SEMANTIC_EPS)
 
 
 # ---------------------------------------------------------------------------

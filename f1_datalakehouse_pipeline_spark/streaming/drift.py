@@ -28,7 +28,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from f1_datalakehouse_pipeline_spark.quality import psi_drift, psi_summary
+from f1_datalakehouse_pipeline_spark.quality import (
+    psi_drift_from_reference,
+    psi_reference,
+    psi_summary,
+)
 
 
 def drift_monitor_stream(
@@ -50,23 +54,28 @@ def drift_monitor_stream(
     ``{out_path}/detail`` and (column, psi, batch_id) to
     ``{out_path}/summary``.
 
-    The reference is localCheckpointed once before the stream starts so its
-    bounds/top-k derivations don't recompute per batch. Batch replays
-    re-append; dedup on batch_id downstream or wrap with
+    The reference AGGREGATES (numeric bounds, top-k keep-list, and the
+    reference bucket counts) are computed and materialized ONCE before the
+    stream starts (``quality.psi_reference(materialize=True)``), so each
+    micro-batch pays one pass over ITSELF plus a (columns × buckets)-sized
+    join — O(batch), independent of reference size (ADVICE r5: previously
+    each batch re-ran psi_drift end to end, rescanning the reference).
+    Batch replays re-append; dedup on batch_id downstream or wrap with
     ``incremental.exactly_once_batch_writer`` where replays matter."""
-    ref = reference.localCheckpoint(eager=True)
+    ref_summary = psi_reference(
+        reference.localCheckpoint(eager=True),
+        numeric_cols=numeric_cols,
+        categorical_cols=categorical_cols,
+        n_buckets=n_buckets,
+        top_k=top_k,
+        materialize=True,
+    )
 
     def score(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.take(1):
             return  # empty replay/no-op batch: no verdict rows
-        detail = psi_drift(
-            ref,
-            batch_df,
-            numeric_cols=numeric_cols,
-            categorical_cols=categorical_cols,
-            n_buckets=n_buckets,
-            top_k=top_k,
-            eps=eps,
+        detail = psi_drift_from_reference(
+            ref_summary, batch_df, eps=eps
         ).withColumn("batch_id", F.lit(batch_id))
         detail = detail.localCheckpoint(eager=True)  # score once, write twice
         detail.write.mode("append").parquet(f"{out_path}/detail")

@@ -67,6 +67,146 @@ def _shingles_table_name(index_path: str) -> str:
     return f"novelty_shingles_{digest}"
 
 
+_INDEX_COMPONENTS = ("bands", "shingles", "sizes")
+
+
+def _recover_compaction(index_path: str) -> None:
+    """Finish or roll back an interrupted :func:`compact_novelty_index`.
+
+    Compaction swaps each component directory through a two-rename dance
+    (``x`` → ``x__precompact``, ``x__compact`` → ``x``); every crash point
+    is recoverable from the directory states alone:
+
+    - ``x`` missing, ``x__precompact`` present → crashed between the two
+      renames: roll the original back (the completed-but-undeployed rewrite
+      is discarded; re-run compaction later);
+    - ``x`` AND ``x__precompact`` present → crashed after the swap, before
+      the backup delete: drop the backup;
+    - any leftover ``x__compact`` → an incomplete (or rolled-back) rewrite:
+      drop it.
+
+    Idempotent and cheap (six isdir probes); runs before every index read
+    so a crashed maintenance job can never strand the ingest path.
+    """
+    import shutil
+
+    for comp in _INDEX_COMPONENTS:
+        main = os.path.join(index_path, comp)
+        pre = main + "__precompact"
+        tmp = main + "__compact"
+        if os.path.isdir(pre) and not os.path.isdir(main):
+            os.rename(pre, main)
+        if os.path.isdir(pre) and os.path.isdir(main):
+            shutil.rmtree(pre, ignore_errors=True)
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _swap_compacted(main: str) -> None:
+    """Deploy ``main__compact`` over ``main`` (recovery contract above)."""
+    import shutil
+
+    pre = main + "__precompact"
+    os.rename(main, pre)
+    os.rename(main + "__compact", main)
+    shutil.rmtree(pre, ignore_errors=True)
+
+
+def _num_buckets(spark: SparkSession, table: str) -> int:
+    for r in spark.sql(f"DESCRIBE FORMATTED {table}").collect():
+        if r.col_name.strip() == "Num Buckets":
+            return int(r.data_type)
+    raise ValueError(f"{table} is not a bucketed table")
+
+
+def _count_files(path: str) -> int:
+    n = 0
+    for _, _, files in os.walk(path):
+        n += sum(1 for f in files if not f.startswith(("_", ".")))
+    return n
+
+
+def compact_novelty_index(
+    spark: SparkSession, index_path: str, *, target_files: int = 1
+) -> dict:
+    """Maintenance hook (VERDICT r5 item 3): rewrite the index's accumulated
+    per-batch appends — one parquet file per component per admitted batch —
+    into few files, EXACTLY preserving the row multiset (shingle duplicates
+    would inflate the count-based Jaccard verify in
+    :func:`dedup.novelty_pairs`, so unlike an anti-join store this rewrite
+    must be exact, hence the recoverable rename dance in
+    :func:`_recover_compaction`).
+
+    Layout is preserved: ``bands/`` stays partitioned by band (one file per
+    band dir); a bucketed ``shingles`` catalog table is rewritten THROUGH a
+    same-spec bucketed write (pre-repartitioned on the bucket key so each
+    bucket lands in one file) and keeps its zero-Exchange probe plan;
+    ``sizes/`` coalesces to ``target_files``. The TableStore ``compact``
+    analogue for state dirs that are not catalog tables.
+
+    MUST NOT run concurrently with an active ingest into the same index —
+    schedule between drains, like any OPTIMIZE. Returns per-component
+    ``{files_before, files_after}``.
+    """
+    import shutil
+
+    _recover_compaction(index_path)
+    bands_dir = os.path.join(index_path, "bands")
+    stats: dict = {}
+    if not os.path.isdir(bands_dir):
+        return stats
+
+    # bands: one shuffle keyed on the partition column → one file per band dir
+    before = _count_files(bands_dir)
+    spark.read.parquet(bands_dir).repartition(F.col("band")).write.mode(
+        "overwrite"
+    ).partitionBy("band").parquet(bands_dir + "__compact")
+    _swap_compacted(bands_dir)
+    stats["bands"] = {"files_before": before, "files_after": _count_files(bands_dir)}
+
+    # shingles: bucketed catalog layout rewrites through a same-spec bucketed
+    # temp table (dropping it keeps the files — external table), then the dir
+    # swap deploys the compacted bucket files under the ORIGINAL table's
+    # unchanged location; plain layout is a coalesce rewrite.
+    sh_dir = os.path.join(index_path, "shingles")
+    before = _count_files(sh_dir)
+    sh_table = _shingles_table_name(index_path)
+    if spark.catalog.tableExists(sh_table):
+        nb = _num_buckets(spark, sh_table)
+        tmp_table = f"{sh_table}__compact"
+        spark.sql(f"DROP TABLE IF EXISTS {tmp_table}")
+        shutil.rmtree(sh_dir + "__compact", ignore_errors=True)
+        save_bucketed(
+            # pre-partition on the bucket key with the bucket count so every
+            # writer task holds exactly one bucket → one file per bucket
+            spark.table(sh_table).repartition(nb, F.col("doc")),
+            tmp_table,
+            ["doc"],
+            nb,
+            sort_cols=["doc"],
+            path=sh_dir + "__compact",
+            mode="overwrite",
+        )
+        spark.sql(f"DROP TABLE {tmp_table}")  # external: files remain
+        _swap_compacted(sh_dir)
+        spark.catalog.refreshTable(sh_table)
+    else:
+        spark.read.parquet(sh_dir).coalesce(target_files).write.mode(
+            "overwrite"
+        ).parquet(sh_dir + "__compact")
+        _swap_compacted(sh_dir)
+    stats["shingles"] = {"files_before": before, "files_after": _count_files(sh_dir)}
+
+    sizes_dir = os.path.join(index_path, "sizes")
+    before = _count_files(sizes_dir)
+    spark.read.parquet(sizes_dir).coalesce(target_files).write.mode(
+        "overwrite"
+    ).parquet(sizes_dir + "__compact")
+    _swap_compacted(sizes_dir)
+    stats["sizes"] = {"files_before": before, "files_after": _count_files(sizes_dir)}
+    return stats
+
+
 def _read_index(
     spark: SparkSession, index_path: str
 ) -> tuple[DataFrame, DataFrame, DataFrame] | None:
@@ -77,6 +217,7 @@ def _read_index(
     inference fails on those, which is equivalent to "no index yet", so that
     failure maps to None rather than crashing the next micro-batch.
     """
+    _recover_compaction(index_path)
     if not os.path.isdir(os.path.join(index_path, "bands")):
         return None
     try:

@@ -70,6 +70,48 @@ def test_guard_buckets_catch_out_of_range(spark):
     assert sum(n for _, n in got.values()) == 4
 
 
+def test_all_null_reference_column_surfaces_noref_bucket(spark):
+    """ADVICE r5: an all-null reference column has null bounds; every non-null
+    new value must land in ONE explicit __noref__ guard bucket (PSI visibly
+    maximal-ish) instead of a null bucket label the full-outer join can
+    never match."""
+    ref = spark.createDataFrame([(None,), (None,)], "x double")
+    new = spark.createDataFrame([(1.0,), (2.0,), (None,)], "x double")
+    got = {
+        r.bucket: (r.n_ref, r.n_new)
+        for r in psi_drift(ref, new, numeric_cols=["x"], n_buckets=4).collect()
+    }
+    assert None not in got
+    assert got["__noref__"] == (0, 2)
+    assert got["__null__"] == (2, 1)
+    assert sum(n for _, n in got.values()) == 3
+
+
+def test_psi_from_precomputed_reference_equals_direct(spark):
+    """ADVICE r5: the streaming monitor precomputes the reference aggregates
+    once (psi_reference) and scores batches with psi_drift_from_reference —
+    which must equal the direct psi_drift bit-for-bit, materialized or not."""
+    from f1_datalakehouse_pipeline_spark.quality import (
+        psi_drift_from_reference,
+        psi_reference,
+    )
+
+    ref = load_table(spark, SF_DIR, "orders")
+    new = ref.filter(F.col("o_orderkey") % 3 == 0)
+    kw = dict(numeric_cols=["o_totalprice"], categorical_cols=["o_orderpriority"])
+    direct = {
+        (r.column, r.bucket): (r.n_ref, r.n_new, r.psi_term)
+        for r in psi_drift(ref, new, **kw).collect()
+    }
+    for materialize in (False, True):
+        rs = psi_reference(ref, materialize=materialize, **kw)
+        got = {
+            (r.column, r.bucket): (r.n_ref, r.n_new, r.psi_term)
+            for r in psi_drift_from_reference(rs, new).collect()
+        }
+        assert got == direct, materialize
+
+
 def test_topk_folding(spark):
     ref = spark.createDataFrame(
         [(f"cat{i % 30}",) for i in range(300)], ["c"]

@@ -1397,6 +1397,173 @@ def test_incremental_corpus_rejects_dups_of_every_earlier_batch(spark, tmp_path)
     assert r3.audit_violations == 0
 
 
+@pytest.mark.parametrize("shingle_buckets", [None, 8])
+def test_compact_novelty_index_preserves_probe(spark, tmp_path, shingle_buckets):
+    """VERDICT r5 item 3: compaction must rewrite the per-batch index appends
+    into few files while leaving EVERY probe verdict identical (the verify
+    join counts shingle rows, so the rewrite must be multiset-exact) — and
+    the bucketed layout must keep its catalog identity through the swap."""
+    from f1_datalakehouse_pipeline_spark.streaming.novelty import (
+        _count_files,
+        _read_index,
+        admit_batch,
+        compact_novelty_index,
+    )
+
+    a = "the quick brown fox jumps over the lazy dog again and again"
+    b = "completely different prose describing shuffle partitions in spark"
+    c = "a third unrelated text about parquet footers and column statistics"
+    idx, out = str(tmp_path / "idx"), str(tmp_path / "out")
+    for bi, rows in enumerate([[(1, a)], [(10, b)], [(20, c)]]):
+        admit_batch(
+            spark, spark.createDataFrame(rows, ["doc_id", "text"]), bi,
+            "doc_id", "text", idx, out, threshold=0.5,
+            shingle_buckets=shingle_buckets,
+        )
+
+    probe = spark.createDataFrame(
+        [(100, a + " indeed"), (101, b + " indeed"), (102, c + " indeed"),
+         (103, "entirely novel content about broadcast join thresholds")],
+        ["doc_id", "text"],
+    )
+
+    def pairs():
+        index = _read_index(spark, idx)
+        return {
+            (r.doc_new, r.doc_hist)
+            for r in dedup.novelty_pairs(
+                probe, index, "doc_id", "text", threshold=0.5
+            ).collect()
+        }
+
+    before_pairs = pairs()
+    assert {d for d, _ in before_pairs} == {100, 101, 102}  # baseline sanity
+    import os
+
+    files_before = _count_files(os.path.join(idx, "bands"))
+    stats = compact_novelty_index(spark, idx)
+    assert pairs() == before_pairs
+    # 3 batches x 4 band dirs appended 12+ files; compaction leaves 1/band
+    assert stats["bands"]["files_after"] < files_before
+    assert stats["bands"]["files_after"] <= 4
+    assert stats["sizes"]["files_after"] == 1
+    # bucketed layout: one file per NON-EMPTY bucket after compaction (this
+    # tiny fixture has 3 docs → ≤3 non-empty buckets; the per-batch append
+    # growth the hook exists for is measured in tools/scale_stress.py)
+    assert stats["shingles"]["files_after"] <= stats["shingles"]["files_before"]
+    assert stats["shingles"]["files_after"] <= (shingle_buckets or 1) * 3
+
+    # a fourth admission composes with the compacted index, and a SECOND
+    # compaction over mixed (compacted + fresh) files is still exact
+    admit_batch(
+        spark, spark.createDataFrame([(30, a + " yet again")], ["doc_id", "text"]),
+        3, "doc_id", "text", idx, out, threshold=0.5,
+        shingle_buckets=shingle_buckets,
+    )
+    assert {r.doc_id for r in spark.read.parquet(out).collect()} == {1, 10, 20}
+    mixed_pairs = pairs()
+    compact_novelty_index(spark, idx)
+    assert pairs() == mixed_pairs
+
+
+def test_compact_novelty_index_crash_recovery(spark, tmp_path):
+    """Every crash point of the component swap must be recoverable from the
+    directory states alone, and the ingest path must self-recover (the
+    recovery hook runs before every index read)."""
+    import os
+    import shutil
+
+    from f1_datalakehouse_pipeline_spark.streaming.novelty import (
+        _read_index,
+        admit_batch,
+    )
+
+    a = "the quick brown fox jumps over the lazy dog again and again"
+    idx, out = str(tmp_path / "idx"), str(tmp_path / "out")
+    admit_batch(
+        spark, spark.createDataFrame([(1, a)], ["doc_id", "text"]), 0,
+        "doc_id", "text", idx, out, threshold=0.5,
+    )
+    bands = os.path.join(idx, "bands")
+    baseline = {
+        tuple(r) for r in spark.read.parquet(bands).collect()
+    }
+
+    # crash between the two renames: main gone, backup present, rewrite done
+    shutil.copytree(bands, bands + "__compact")
+    os.rename(bands, bands + "__precompact")
+    assert _read_index(spark, idx) is not None  # auto-rolled back
+    assert {tuple(r) for r in spark.read.parquet(bands).collect()} == baseline
+    assert not os.path.isdir(bands + "__precompact")
+    assert not os.path.isdir(bands + "__compact")
+
+    # crash after the swap, before the backup delete
+    shutil.copytree(bands, bands + "__precompact")
+    assert _read_index(spark, idx) is not None
+    assert not os.path.isdir(bands + "__precompact")
+    assert {tuple(r) for r in spark.read.parquet(bands).collect()} == baseline
+
+    # a leftover incomplete rewrite is dropped
+    os.makedirs(bands + "__compact")
+    assert _read_index(spark, idx) is not None
+    assert not os.path.isdir(bands + "__compact")
+
+
+def test_compact_corpus_state_preserves_verdicts(spark, tmp_path):
+    """compact_corpus_state folds committed exact-hash partitions into one
+    and compacts the LSH root; exact and near duplicates of EVERY earlier
+    batch must still be rejected afterwards, and an in-flight (uncommitted)
+    partition must survive the fold untouched."""
+    import os
+
+    from f1_datalakehouse_pipeline_spark.plans.corpus import (
+        compact_corpus_state,
+        run_corpus_pipeline_incremental,
+    )
+
+    base = "a quick brown fox jumps over the lazy dog near the river bank today"
+    other = "another unrelated document describing parquet row group statistics fully"
+    third = "a third clean piece about executor memory sizing and shuffle spill"
+    out, state = str(tmp_path / "out"), str(tmp_path / "state")
+    kw = dict(quality_min=0.0, near_threshold=0.5, chunk_tokens=8,
+              overlap_tokens=2, n_shards=4, seed="e0", max_doc_frequency=64)
+    for i, txt in enumerate([base, other, third]):
+        run_corpus_pipeline_incremental(
+            spark, spark.createDataFrame([(i * 10 + 1, txt)], ["doc_id", "text"]),
+            out, state, **kw,
+        )
+    exact_dir = os.path.join(state, "exact_hashes")
+    assert len(os.listdir(exact_dir)) == 3
+
+    # plant an UNCOMMITTED partition (crashed in-flight batch): must survive
+    orphan = os.path.join(exact_dir, "batch_token=" + "f" * 32)
+    spark.createDataFrame([(12345,)], "content_hash long").write.parquet(orphan)
+
+    stats = compact_corpus_state(spark, state)
+    assert stats["exact_hashes"]["folded_partitions"] == 3
+    parts = sorted(os.listdir(exact_dir))
+    assert len(parts) == 2 and os.path.isdir(orphan)
+    assert any(p.startswith("batch_token=__compacted_") for p in parts)
+
+    # every earlier batch still rejects its exact and near duplicates
+    r = run_corpus_pipeline_incremental(
+        spark,
+        spark.createDataFrame(
+            [(100, base), (101, other + " pls"), (102, third + " indeed"),
+             (103, "genuinely novel content about broadcast join thresholds")],
+            ["doc_id", "text"],
+        ),
+        out, state, **kw,
+    )
+    assert r.counts["after_exact_dedup"] == 3   # 100 gone at the exact gate
+    assert r.counts["after_near_dedup"] == 1    # 101/102 gone at the LSH probe
+    assert r.audit_violations == 0
+
+    # idempotent second fold (now 1 compacted + 1 fresh committed partition)
+    stats2 = compact_corpus_state(spark, state)
+    assert stats2["exact_hashes"]["folded_partitions"] == 2
+
+
 def test_novelty_ingest_survives_shingle_less_first_batch(spark, tmp_path):
     """A first batch of sub-k-token docs appends an EMPTY index; the next
     drain must treat that as 'no history yet' instead of failing parquet
@@ -2121,6 +2288,89 @@ def test_incremental_corpus_pipeline_equals_one_shot(spark, tmp_path):
     assert "alice@example.com" not in joined and "<EMAIL>" in joined
 
 
+def test_incremental_corpus_crash_replay_completes_state(spark, tmp_path, monkeypatch):
+    """ADVICE r5 (medium): a crash BETWEEN the two state appends — exact-hash
+    partition written, LSH index append lost — must not strand the state.
+    The replay must reproduce the original verdicts (not reject the batch
+    against its own half-written hashes, which would lose the band rows
+    permanently) and complete the index append. Residue is duplicate shard
+    delivery of the one in-flight batch; a replay AFTER full commit extends
+    and delivers nothing."""
+    import os
+    from collections import Counter
+
+    from f1_datalakehouse_pipeline_spark.plans.corpus import (
+        run_corpus_pipeline_incremental,
+    )
+    from f1_datalakehouse_pipeline_spark.sources.shards import read_training_shards
+    from f1_datalakehouse_pipeline_spark.streaming import novelty as novelty_mod
+
+    b1 = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog near the river bank"),
+         (2, "an ordinary clean document describing parquet row group statistics")],
+        ["doc_id", "text"],
+    )
+    b2 = spark.createDataFrame(
+        [(10, "a genuinely novel piece about broadcast joins and executor memory sizing"),
+         (11, "another clean document on shuffle partition sizing and spill thresholds")],
+        ["doc_id", "text"],
+    )
+    b3 = spark.createDataFrame(
+        [(20, "a genuinely novel piece about broadcast joins and executor memory sizing today"),
+         (21, "another clean document on shuffle partition sizing and spill thresholds")],
+        ["doc_id", "text"],
+    )
+    out, state = str(tmp_path / "out"), str(tmp_path / "state")
+    kw = dict(quality_min=0.5, near_threshold=0.5, chunk_tokens=8,
+              overlap_tokens=2, n_shards=4, seed="e0")
+
+    run_corpus_pipeline_incremental(spark, b1, out, state, **kw)
+    commits_dir = os.path.join(state, "_commits")
+    assert len(os.listdir(commits_dir)) == 1
+
+    # crash between the exact-hash write and the LSH index append
+    real_append = novelty_mod._append_index
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated crash before LSH append")
+
+    monkeypatch.setattr(novelty_mod, "_append_index", boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        run_corpus_pipeline_incremental(spark, b2, out, state, **kw)
+    monkeypatch.setattr(novelty_mod, "_append_index", real_append)
+
+    exact_dir = os.path.join(state, "exact_hashes")
+    toks = [d for d in os.listdir(exact_dir) if d.startswith("batch_token=")]
+    assert len(toks) == 2                       # B2's partition IS on disk
+    assert len(os.listdir(commits_dir)) == 1    # ... but uncommitted
+
+    # replay reproduces the original verdicts and completes the index append
+    r2 = run_corpus_pipeline_incremental(spark, b2, out, state, **kw)
+    assert r2.counts["after_exact_dedup"] == 2  # NOT 0: own partition excluded
+    assert r2.counts["after_near_dedup"] == 2
+    assert r2.audit_violations == 0
+    assert len(os.listdir(commits_dir)) == 2
+
+    # residue: B2's chunks delivered twice (the crash was after the shard
+    # append); B1's exactly once; audit stays clean because the manifest was
+    # extended by summation on both deliveries
+    counts = Counter(r.chunk_id for r in read_training_shards(spark, out).collect())
+    for cid, n in counts.items():
+        assert n == (2 if (cid >> 12) in (10, 11) else 1), (cid, n)
+
+    # the completed index rejects exact AND near duplicates of B2's docs
+    r3 = run_corpus_pipeline_incremental(spark, b3, out, state, **kw)
+    assert r3.counts["after_exact_dedup"] == 1  # 21 gone at the exact gate
+    assert r3.counts["after_near_dedup"] == 0   # 20 gone at the LSH probe
+
+    # a replay AFTER full commit extends nothing and delivers nothing
+    before = Counter(r.chunk_id for r in read_training_shards(spark, out).collect())
+    r2b = run_corpus_pipeline_incremental(spark, b2, out, state, **kw)
+    assert r2b.counts["after_exact_dedup"] == 0 and r2b.counts["chunks"] == 0
+    after = Counter(r.chunk_id for r in read_training_shards(spark, out).collect())
+    assert before == after
+
+
 def test_incremental_corpus_pipeline_empty_batches(spark, tmp_path):
     """A batch whose every doc is filtered out must deliver NOTHING without
     poisoning the output directory: a zero-row partitionBy write would leave
@@ -2507,6 +2757,42 @@ def test_semantic_assign_table_equals_literal(spark, sf_dir):
     flags_tbl = {tuple(r) for r in dedup.semantic_dedup_flags(
         emb, "vec_id", "embedding", cdf, 0.3).collect()}
     assert flags_lit == flags_tbl
+
+
+def test_semantic_assign_table_duplicate_id_guard(spark):
+    """ADVICE r5: the table/two-level tiers aggregate per id, so duplicate-id
+    rows with CONFLICTING vectors must raise loudly instead of silently
+    collapsing to one arbitrary vector (the literal tier preserves every
+    row, so a silent collapse would make the 'equivalence-tested' tiers
+    disagree). Duplicate rows carrying the SAME vector collapse harmlessly."""
+    from pyspark.errors import SparkRuntimeException
+
+    cdf = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], ["cluster_id", "centroid"]
+    )
+    conflicting = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [0.5, 0.5])],
+        ["vec_id", "embedding"],
+    )
+    with pytest.raises(SparkRuntimeException, match="CONFLICTING"):
+        dedup.semantic_cluster_assign_table(
+            conflicting, "vec_id", "embedding", cdf
+        ).collect()
+
+    benign = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (1, [1.0, 0.0]), (2, [0.5, 0.5])],
+        ["vec_id", "embedding"],
+    )
+    rows = {r.vec_id: r.cluster_id for r in dedup.semantic_cluster_assign_table(
+        benign, "vec_id", "embedding", cdf).collect()}
+    assert rows == {1: 0, 2: 0}
+
+    idx = dedup.semantic_index_two_level(cdf, [[1.0, 0.0], [0.0, 1.0]])
+    with pytest.raises(SparkRuntimeException, match="CONFLICTING"):
+        dedup.semantic_cluster_assign_two_level(
+            conflicting, "vec_id", "embedding", idx, [[1.0, 0.0], [0.0, 1.0]],
+            nprobe=2,
+        ).collect()
 
 
 def test_semantic_two_level_full_probe_equals_exact(spark, sf_dir):
