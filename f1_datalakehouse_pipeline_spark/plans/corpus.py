@@ -63,6 +63,32 @@ class CorpusReport:
     counts: dict[str, int] = field(default_factory=dict)
     shard_manifest: list = field(default_factory=list)
     audit_violations: int = 0
+    #: per-column PSI of this batch vs the bootstrap reference (set only
+    #: when the caller passes drift_reference) and the columns whose PSI
+    #: crossed the threshold. Drift FLAGS, it never rejects: a distribution
+    #: shift is an operator signal (crawl rot, upstream unit change), not a
+    #: per-document verdict — delivery identity stays byte-equal.
+    drift_psi: dict = field(default_factory=dict)
+    drift_flagged: list = field(default_factory=list)
+
+
+def corpus_drift_reference(docs: DataFrame, content_col: str = "text", *, n_buckets: int = 10):
+    """Build the PSI drift reference for :func:`run_corpus_pipeline_incremental`
+    from a bootstrap corpus snapshot: quality-score and token-count
+    distributions, aggregates materialized once
+    (quality.psi_reference(materialize=True)) so every later batch scores in
+    O(batch)."""
+    from f1_datalakehouse_pipeline_spark.functions.text import token_count
+    from f1_datalakehouse_pipeline_spark.quality import psi_reference
+
+    proj = docs.select(
+        quality_score(F.col(content_col)).alias("quality"),
+        token_count(F.col(content_col)).alias("n_tokens"),
+    )
+    return psi_reference(
+        proj, numeric_cols=["quality", "n_tokens"], n_buckets=n_buckets,
+        materialize=True,
+    )
 
 
 def _manifest_and_audit(spark: SparkSession, out_root: str, rep: "CorpusReport") -> None:
@@ -324,9 +350,19 @@ def run_corpus_pipeline_incremental(
     chunk_shift: int = 12,
     shingle_buckets: int | None = None,
     audit: bool = True,
+    drift_reference=None,
+    drift_threshold: float = 0.25,
 ) -> CorpusReport:
     """Admit ONE NEW BATCH into an already-built corpus — the ingestion form
     of :func:`run_corpus_pipeline`.
+
+    ``drift_reference`` (a :func:`corpus_drift_reference` result, built once
+    from the bootstrap corpus) turns on the per-batch PSI drift gate
+    (VERDICT r5 item 5): the RAW batch's quality-score and token-count
+    distributions are scored against the reference in O(batch) and the
+    per-column PSI lands in ``report.drift_psi`` with columns past
+    ``drift_threshold`` named in ``report.drift_flagged``. Drift FLAGS, it
+    never rejects — delivery stays identical with or without the gate.
 
     ``audit=False`` skips the closing full-shard-set integrity re-scan (and
     the manifest collect): the audit is CORPUS-sized, so a high-frequency
@@ -409,6 +445,28 @@ def run_corpus_pipeline_incremental(
         (tok["h_content"] or 0) & 0xFFFFFFFFFFFFFFFF,
         (tok["h_id"] or 0) & 0xFFFFFFFFFFFFFFFF,
     )
+    if drift_reference is not None:
+        from f1_datalakehouse_pipeline_spark.functions.text import token_count
+        from f1_datalakehouse_pipeline_spark.quality import (
+            psi_drift_from_reference,
+            psi_summary,
+        )
+
+        proj = batch.select(
+            quality_score(F.col(content_col)).alias("quality"),
+            token_count(F.col(content_col)).alias("n_tokens"),
+        )
+        # bounded collect: one row per monitored column
+        rep.drift_psi = {
+            r.column: r.psi
+            for r in psi_summary(
+                psi_drift_from_reference(drift_reference, proj)
+            ).collect()
+        }
+        rep.drift_flagged = sorted(
+            c for c, v in rep.drift_psi.items() if v > drift_threshold
+        )
+
     tok_dir = os.path.join(exact_dir, f"batch_token={batch_token}")
     marker = os.path.join(state_root, "_commits", batch_token)
     # Crash window: prior run wrote this batch's exact-hash partition but

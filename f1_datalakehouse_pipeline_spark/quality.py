@@ -327,9 +327,13 @@ def _psi_bucketed(
             # explicit guard bucket instead of null-keyed rows the
             # full-outer join can never match (ADVICE r5)
             .when(lo.isNull() | hi.isNull(), F.lit("__noref__"))
-            .when(hi <= lo, F.lit("b0"))  # degenerate ref range
+            # guard buckets BEFORE the degenerate-range branch: a CONSTANT
+            # reference column (lo == hi) must still surface drifted new
+            # values in __lo__/__hi__ — routing everything to b0 would read
+            # PSI exactly 0 on a shifted batch
             .when(F.col(c).cast("double") < lo, F.lit("__lo__"))
             .when(F.col(c).cast("double") > hi, F.lit("__hi__"))
+            .when(hi <= lo, F.lit("b0"))  # degenerate ref range, in-range value
             .otherwise(
                 F.concat(
                     F.lit("b"),

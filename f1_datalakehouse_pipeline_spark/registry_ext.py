@@ -2887,3 +2887,302 @@ def t_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "word_idx", "piece_idx", "piece")
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end corpus delivery on the hard signal (VERDICT r5 item 8)
+# ---------------------------------------------------------------------------
+
+
+def _duck_corpus_manifest_sql(
+    quality_min: float = 0.5,
+    near_threshold: float = 0.7,
+    chunk_tokens: int = 32,
+    step: int = 24,
+    n_shards: int = 8,
+    seed: str = "corpus-e0",
+) -> str:
+    """DuckDB reconstruction of the WHOLE incremental corpus pipeline as the
+    equivalent ONE-SHOT computation: quality gate (raw text) → PII scrub →
+    exact dedup (min-id keeper per 48-bit content hash of the SCRUBBED
+    text) → MinHash-LSH near-dup removal with recursive-CTE transitive
+    closure over the survivors → overlapping-window chunking → seeded shard
+    assignment → per-shard manifest aggregation (rows, tokens,
+    order-independent checksum). Every fragment reuses an already
+    oracle-verified block (t_text_quality, t_pii_redact, dedup_exact,
+    dedup_minhash_lsh/dedup_docs_pipeline, t_chunk_documents,
+    t_shuffle_shards); this query puts their COMPOSITION — the thing a
+    training-data pipeline actually ships — on the driver's hash-compare.
+    """
+    from f1_datalakehouse_pipeline_spark.functions.pii import (
+        EMAIL_RE,
+        IPV4_RE,
+        PHONE_RE,
+    )
+
+    mins, bands = _duck_mh_bands()
+    toks_raw = _DUCK_TOKS.format(x="text")
+    q = _DUCK_QUALITY.format(toks="rtoks", text="text")
+    scrub = (
+        f"regexp_replace(regexp_replace(regexp_replace("
+        f"text, '{EMAIL_RE}', '<EMAIL>', 'g'), "
+        f"'{PHONE_RE}', '<PHONE>', 'g'), "
+        f"'{IPV4_RE}', '<IP>', 'g')"
+    )
+    return f"""
+    WITH RECURSIVE raw AS (
+      SELECT doc_id, text, {toks_raw} AS rtoks FROM documents
+    ),
+    q AS (
+      SELECT doc_id, {scrub} AS text FROM raw WHERE {q} >= {quality_min}
+    ),
+    exact AS (
+      SELECT doc_id, text FROM (
+        SELECT doc_id, text,
+               ROW_NUMBER() OVER (
+                 PARTITION BY {_DUCK_HASH.format(x='text')} ORDER BY doc_id
+               ) AS rn
+        FROM q
+      ) WHERE rn = 1
+    ),
+    tokd AS (SELECT doc_id, {_DUCK_TOKS.format(x='text')} AS toks FROM exact),
+    thash AS (SELECT doc_id, {_DUCK_TOKEN_HASHES.format(toks='toks')} AS hs FROM tokd),
+    sh AS (
+      SELECT DISTINCT doc_id AS doc, h FROM (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, greatest(len(hs) - 2, 1)),
+                      i -> ((12289 * hs[i] + 23 * hs[i+1] + hs[i+2]) % {_SHINGLE_P}) % {1 << 48})) AS h
+        FROM thash
+      ) WHERE h IS NOT NULL
+    ),
+    sizes AS (SELECT doc, COUNT(*) AS n FROM sh GROUP BY doc),
+    inter AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS i
+      FROM sh a JOIN sh b ON a.h = b.h AND a.doc < b.doc
+      GROUP BY 1, 2
+    ),
+    jac AS (
+      SELECT doc_a, doc_b,
+             CAST(i AS DOUBLE) / CAST(na.n + nb.n - i AS DOUBLE) AS jaccard
+      FROM inter
+      JOIN sizes na ON na.doc = doc_a
+      JOIN sizes nb ON nb.doc = doc_b
+    ),
+    mh AS (SELECT doc, {mins} FROM sh GROUP BY doc),
+    bands AS ({bands}),
+    cand AS (
+      SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc < b.doc
+    ),
+    pairs AS (
+      SELECT c.doc_a, c.doc_b, j.jaccard
+      FROM cand c JOIN jac j ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
+      WHERE j.jaccard >= {near_threshold}
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(doc, r) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.doc
+    ),
+    keeper AS (SELECT doc, LEAST(doc, MIN(r)) AS k FROM reach GROUP BY doc),
+    dropped AS (SELECT doc FROM keeper WHERE k < doc),
+    kept AS (
+      SELECT t.doc_id, t.toks FROM tokd t
+      WHERE t.doc_id NOT IN (SELECT doc FROM dropped)
+    ),
+    chunk_base AS (
+      SELECT doc_id, toks,
+             CAST(1 + (greatest(len(toks) - {chunk_tokens}, 0) + {step - 1}) // {step} AS INTEGER) AS n_chunks
+      FROM kept
+    ),
+    chunk_idx AS (
+      SELECT doc_id, toks,
+             CAST(unnest(generate_series(0, n_chunks - 1)) AS INTEGER) AS ci
+      FROM chunk_base
+    ),
+    chunks AS (
+      SELECT doc_id * 4096 + ci AS chunk_id,
+             array_to_string(list_slice(toks, ci * {step} + 1, ci * {step} + {chunk_tokens}), ' ') AS chunk_text
+      FROM chunk_idx
+    ),
+    assigned AS (
+      SELECT CAST({_DUCK_HASH.format(x=f"'{seed}' || CAST(chunk_id AS VARCHAR)")} % {n_shards} AS INTEGER) AS shard_id,
+             chunk_text
+      FROM chunks
+    )
+    SELECT shard_id,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(len({_DUCK_TOKS.format(x='chunk_text')})) AS BIGINT) AS n_tokens,
+           CAST(SUM({_DUCK_HASH.format(x='chunk_text')} % 2147483647) AS BIGINT) AS checksum,
+           '{seed}' AS seed,
+           'sum-hash48-mod-2p31m1' AS checksum_algo,
+           CAST({n_shards} AS INTEGER) AS n_shards
+    FROM assigned
+    GROUP BY shard_id
+    """
+
+
+@query("t_corpus_manifest", _duck_corpus_manifest_sql())
+def t_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL incremental corpus pipeline on the driver's hash signal: the
+    documents table is admitted in TWO id-ordered batches through
+    plans/corpus.run_corpus_pipeline_incremental (quality → scrub → exact
+    gate vs persisted hashes → within-batch LSH + persisted-index novelty
+    probe → chunking → shard append with summed manifest), and the resulting
+    shard MANIFEST — rows, tokens, order-independent checksum per shard — is
+    returned for DuckDB to match against its one-shot reconstruction.
+
+    Exactness preconditions (all documented on the operator): batch 1
+    carries the smaller ids (first-arrival == min-id keeper),
+    max_doc_frequency=None (the df-cap is view-relative), and at
+    near_threshold=0.7 the exact gate has already removed identical texts so
+    no cross-batch near-dup chains arise on this corpus. Builds a fresh temp
+    state/out per invocation (rerunnable, like tablestore_delete_tombstone);
+    the manifest is localCheckpointed so the temp dirs can be deleted before
+    returning.
+    """
+    import shutil
+    import tempfile
+
+    from f1_datalakehouse_pipeline_spark.plans.corpus import (
+        run_corpus_pipeline_incremental,
+    )
+    from f1_datalakehouse_pipeline_spark.sources.shards import read_shard_manifest
+
+    docs = load_table(spark, sf_dir, "documents")
+    mid = docs.agg(F.max("doc_id")).collect()[0][0] // 2  # bounded: one row
+    tmp = tempfile.mkdtemp(prefix="t_corpus_manifest_")
+    out, state = f"{tmp}/out", f"{tmp}/state"
+    kw = dict(
+        quality_min=0.5, near_threshold=0.7, chunk_tokens=32,
+        overlap_tokens=8, n_shards=8, seed="corpus-e0",
+        max_doc_frequency=None, audit=False,
+    )
+    try:
+        run_corpus_pipeline_incremental(
+            spark, docs.filter(F.col("doc_id") <= mid), out, state, **kw
+        )
+        run_corpus_pipeline_incremental(
+            spark, docs.filter(F.col("doc_id") > mid), out, state, **kw
+        )
+        manifest = read_shard_manifest(spark, out).select(
+            F.col("shard_id").cast("int").alias("shard_id"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("checksum").cast("long").alias("checksum"),
+            "seed",
+            "checksum_algo",
+            F.col("n_shards").cast("int").alias("n_shards"),
+        )
+        return manifest.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _duck_bpe_table_encode_sql(chunk: int = 64) -> str:
+    """DuckDB mirror of the corpus-scale BPE encode (bpe_word_table +
+    bpe_encode_with_table) under the 1024-merge model: the replace chain is
+    applied to the DISTINCT-word vocabulary in ``chunk``-deep CTE stages
+    (DuckDB's binder caps expression recursion at 128, the same pressure
+    that makes the inline-expression encoder infeasible at this merge count
+    on any engine), then joined back to the tokenized corpus — structurally
+    the same vocabulary-join plan the engine runs."""
+    from f1_datalakehouse_pipeline_spark.operators.bpe_model_corpus import (
+        MERGES_1K,
+    )
+
+    sep = "chr(30)"
+    toks = _DUCK_TOKS.format(x="text")
+    stages = []
+    prev = "s0"
+    for si in range(0, len(MERGES_1K), chunk):
+        sym = "sym"
+        for a, b in MERGES_1K[si : si + chunk]:
+            sym = (
+                f"replace({sym}, {sep}||'{a}'||{sep}||{sep}||'{b}'||{sep}, "
+                f"{sep}||'{a}{b}'||{sep})"
+            )
+        name = f"s{si // chunk + 1}"
+        stages.append(f"{name} AS (SELECT word, {sym} AS sym FROM {prev})")
+        prev = name
+    stage_sql = ",\n    ".join(stages)
+    return f"""
+    WITH corpus AS (
+      SELECT doc_id AS id, text FROM documents WHERE doc_id % 5 = 0
+      UNION ALL SELECT c_custkey + 1000000, c_name FROM customer
+      UNION ALL SELECT s_suppkey + 2000000, s_name FROM supplier
+      UNION ALL SELECT p_partkey + 3000000, p_name FROM part
+    ),
+    tokd AS (SELECT id, {toks} AS toks FROM corpus),
+    w AS (
+      SELECT id, CAST(i - 1 AS INTEGER) AS word_idx, toks[i] AS word
+      FROM (SELECT id, toks, unnest(generate_series(1, len(toks))) AS i
+            FROM tokd)
+      WHERE NOT contains(toks[i], chr(30))
+    ),
+    vocab AS (SELECT DISTINCT word FROM w),
+    s0 AS (
+      SELECT word,
+             {sep} || array_to_string(string_split_regex(word, ''), {sep}||{sep}) || {sep} AS sym
+      FROM vocab
+    ),
+    {stage_sql},
+    wt AS (
+      SELECT word, list_filter(string_split(sym, chr(30)), x -> x != '') AS ps
+      FROM {prev}
+    ),
+    pieces AS (
+      SELECT w.id, w.word_idx, wt.ps FROM w JOIN wt USING (word)
+    )
+    SELECT id, word_idx, CAST(j - 1 AS INTEGER) AS piece_idx, ps[j] AS piece,
+           FALSE AS oov
+    FROM (SELECT id, word_idx, ps, unnest(generate_series(1, len(ps))) AS j
+          FROM pieces)
+    """
+
+
+@query("t_bpe_table_encode", _duck_bpe_table_encode_sql())
+def t_bpe_table_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-scale BPE encode under a REALISTIC merge budget (VERDICT r5
+    item 7): the 1024-merge model (operators/bpe_model_corpus, trained
+    offline from this corpus) applied via bpe_word_table — the replace
+    chain paid once per DISTINCT word in chunked lineage-cut projections —
+    then one vocabulary join (bpe_encode_with_table). At this merge count
+    the inline-expression encoder (t_bpe_encode's form) is infeasible on
+    both engines, so this row is the driver-gate proof of the scale path.
+    The vocabulary is built from the queried corpus itself, so every token
+    joins (oov is identically false, kept to pin the column's semantics).
+    """
+    from f1_datalakehouse_pipeline_spark.operators.bpe import (
+        BpeModel,
+        bpe_encode_with_table,
+        bpe_word_table,
+    )
+    from f1_datalakehouse_pipeline_spark.operators.bpe_model_corpus import (
+        MERGES_1K,
+    )
+    from f1_datalakehouse_pipeline_spark.functions.text import tokens as _toks
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 5 == 0
+    ).select(F.col("doc_id").alias("id"), "text")
+    cust = load_table(spark, sf_dir, "customer").select(
+        (F.col("c_custkey") + 1000000).alias("id"), F.col("c_name").alias("text")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        (F.col("s_suppkey") + 2000000).alias("id"), F.col("s_name").alias("text")
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        (F.col("p_partkey") + 3000000).alias("id"), F.col("p_name").alias("text")
+    )
+    corpus = docs.unionByName(cust).unionByName(supp).unionByName(part)
+    model = BpeModel(MERGES_1K)
+    wt = bpe_word_table(
+        corpus.select(F.explode(_toks(F.col("text"))).alias("word")), model
+    )
+    return bpe_encode_with_table(corpus, "id", "text", wt)

@@ -70,6 +70,25 @@ def test_guard_buckets_catch_out_of_range(spark):
     assert sum(n for _, n in got.values()) == 4
 
 
+def test_constant_reference_column_surfaces_drift(spark):
+    """A CONSTANT reference column (lo == hi) must not swallow drifted new
+    values into the degenerate b0 bucket — shifted values land in
+    __lo__/__hi__ and the PSI reads nonzero."""
+    ref = spark.createDataFrame([(12.0,)] * 5, ["x"])
+    new = spark.createDataFrame([(12.0,), (120.0,), (1.0,)], ["x"])
+    got = {
+        r.bucket: (r.n_ref, r.n_new)
+        for r in psi_drift(ref, new, numeric_cols=["x"], n_buckets=4).collect()
+    }
+    assert got["b0"] == (5, 1)
+    assert got["__hi__"] == (0, 1)
+    assert got["__lo__"] == (0, 1)
+    psi = psi_summary(
+        psi_drift(ref, new, numeric_cols=["x"], n_buckets=4)
+    ).collect()[0].psi
+    assert psi > 0.25
+
+
 def test_all_null_reference_column_surfaces_noref_bucket(spark):
     """ADVICE r5: an all-null reference column has null bounds; every non-null
     new value must land in ONE explicit __noref__ guard bucket (PSI visibly

