@@ -134,6 +134,9 @@ def main() -> None:
         "tpch_q21_last_shipper",
         "tpch_q22_rich_inactive",
         "t_bpe_encode",
+        # r6 additions
+        "t_bpe_table_encode",
+        "t_corpus_manifest",
     ]
     # r4 (VERDICT r3 item 7): extras get the same median-of-3 + spread
     # treatment as the headline, so regressions on dedup_docs_pipeline-class

@@ -199,8 +199,10 @@ def bpe_train_from_words(
     the lineage cut (``localCheckpoint``) so the plan never deepens across
     passes. Identical to sequential BPE by the _safe_batch rule;
     deterministic tie-break = (count desc, left symbol, right symbol).
-    ``stats`` (optional dict) receives {"passes", "n_words"} for
-    instrumentation."""
+    ``stats`` (optional dict) receives {"passes", "n_words", "batch_sizes"}
+    for instrumentation — ``batch_sizes[i]`` is the number of merges pass i
+    batched, so the conflict-binding curve at large merge budgets is
+    measurable from ONE training run."""
     words = word_counts.select("word", "cnt").withColumn(
         "sym", _framed(F.col("word"))
     )
@@ -208,6 +210,7 @@ def bpe_train_from_words(
     if stats is not None:
         stats["n_words"] = words.count()
         stats["passes"] = 0
+        stats["batch_sizes"] = []
     merges: list[tuple[str, str]] = []
     while len(merges) < num_merges:
         if stats is not None:
@@ -247,6 +250,8 @@ def bpe_train_from_words(
             # conflict): fall back to the single exact head pick.
             batch = [(cand[0].a, cand[0].b)]
         merges.extend(batch)
+        if stats is not None:
+            stats["batch_sizes"].append(len(batch))
         words = words.withColumn("sym", _apply_merges(F.col("sym"), tuple(batch)))
         words = words.localCheckpoint(eager=True)
     return BpeModel(tuple(merges[:num_merges]))

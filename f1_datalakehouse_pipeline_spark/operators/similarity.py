@@ -291,12 +291,24 @@ def ivf_train(
         rng = np.random.RandomState(seed)
         cent = x[rng.choice(len(x), size=min(n_lists, len(x)), replace=False)]
         for _ in range(kmeans_iters):
-            assign = np.argmax(x @ cent.T, axis=1)
-            for j in range(len(cent)):
-                members = x[assign == j]
-                if len(members):
-                    c = members.mean(axis=0)
-                    cent[j] = c / max(np.linalg.norm(c), 1e-12)
+            # blocked argmax: a one-shot x @ cent.T is sample×lists doubles
+            # (40 GB at 100K×50K — the SemDeDup k ∝ N regime), so score in
+            # row blocks; same result, bounded memory
+            assign = np.empty(len(x), dtype=np.int64)
+            block = max(1, min(len(x), (1 << 27) // max(len(cent), 1)))
+            for s in range(0, len(x), block):
+                assign[s : s + block] = np.argmax(x[s : s + block] @ cent.T, axis=1)
+            # vectorized per-centroid mean (a python loop over 50K centroids
+            # with a full-sample mask each would be quadratic-ish)
+            sums = np.zeros_like(cent)
+            counts = np.zeros(len(cent), dtype=np.int64)
+            np.add.at(sums, assign, x)
+            np.add.at(counts, assign, 1)
+            nz = counts > 0
+            cent[nz] = sums[nz] / counts[nz, None]
+            cent = cent / np.maximum(
+                np.linalg.norm(cent, axis=1, keepdims=True), 1e-12
+            )
     else:
         raise ValueError(f"train must be 'sample' or 'distributed', got {train!r}")
     return [[float(v) for v in row] for row in cent]

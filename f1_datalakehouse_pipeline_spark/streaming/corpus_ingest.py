@@ -47,13 +47,22 @@ def corpus_ingest_stream(
     state_root: str,
     checkpoint_dir: str,
     available_now: bool = True,
+    compact_every_batches: int | None = None,
     **pipeline_kw,
 ) -> StreamingQuery:
     """Start the full-pipeline admission gate over a streaming DataFrame of
     ``(id, content, …)`` documents. ``pipeline_kw`` is forwarded verbatim to
     :func:`run_corpus_pipeline_incremental` (thresholds, benchmark, chunking,
     shard count, seed, ``shingle_buckets`` …) — pass the SAME values on every
-    run of an ingest's life, as in batch mode."""
+    run of an ingest's life, as in batch mode.
+
+    ``compact_every_batches=N`` runs
+    :func:`~f1_datalakehouse_pipeline_spark.plans.corpus.compact_corpus_state`
+    after every Nth batch, inside ``foreachBatch`` where it cannot race the
+    ingest — without it a long-lived stream accumulates one small parquet
+    file per state component per admitted batch (the probe-scan degradation
+    the compaction hook exists for). Compaction changes no verdict, so a
+    ledger replay skipping it loses only the maintenance."""
     spark = stream_docs.sparkSession
     pipeline_kw.setdefault("audit", False)
 
@@ -61,6 +70,12 @@ def corpus_ingest_stream(
         run_corpus_pipeline_incremental(
             spark, batch_df, out_root, state_root, **pipeline_kw
         )
+        if compact_every_batches and (batch_id + 1) % compact_every_batches == 0:
+            from f1_datalakehouse_pipeline_spark.plans.corpus import (
+                compact_corpus_state,
+            )
+
+            compact_corpus_state(spark, state_root)
 
     wrapped = exactly_once_batch_writer(
         upsert, os.path.join(checkpoint_dir, "_ingest_ledger")

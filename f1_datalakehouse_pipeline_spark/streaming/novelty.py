@@ -362,6 +362,7 @@ def novelty_ingest_stream(
     max_doc_frequency: int | None = None,
     available_now: bool = True,
     shingle_buckets: int | None = None,
+    compact_every_batches: int | None = None,
 ) -> StreamingQuery:
     """Start the admission gate over a streaming DataFrame of documents.
 
@@ -369,6 +370,16 @@ def novelty_ingest_stream(
     ``ingest_batch_id`` column; the growing LSH index lives under
     ``index_path``. The batch-id ledger sits beside the checkpoint so
     checkpoint and ledger survive together (ADVICE r3 contract).
+
+    ``compact_every_batches=N`` runs :func:`compact_novelty_index` inside
+    ``foreachBatch`` after every Nth admission — the one place compaction is
+    guaranteed not to race the ingest (micro-batches are sequential), so a
+    long-lived stream's per-batch probe cost does not degrade with one
+    small parquet file per component per admitted batch. A crash during the
+    maintenance step is covered by :func:`_recover_compaction` on the next
+    index read, and a ledger replay skips the whole batch (admission AND
+    maintenance) — compaction changes no probe verdict, so skipping it on
+    replay loses nothing but the maintenance itself.
     """
     spark = stream_docs.sparkSession
 
@@ -379,6 +390,12 @@ def novelty_ingest_stream(
             k=k, n_hashes=n_hashes, bands=bands, threshold=threshold,
             max_doc_frequency=max_doc_frequency, shingle_buckets=shingle_buckets,
         )
+        if (
+            compact_every_batches
+            and (batch_id + 1) % compact_every_batches == 0
+            and os.path.isdir(os.path.join(index_path, "bands"))
+        ):
+            compact_novelty_index(spark, index_path)
 
     wrapped = exactly_once_batch_writer(
         upsert, os.path.join(checkpoint_dir, "_ingest_ledger")

@@ -1749,6 +1749,52 @@ def test_compact_corpus_state_preserves_verdicts(spark, tmp_path):
     assert stats2["exact_hashes"]["folded_partitions"] == 2
 
 
+@pytest.mark.parametrize("shingle_buckets", [None, 8])
+def test_novelty_ingest_stream_with_inline_compaction(spark, tmp_path, shingle_buckets):
+    """compact_every_batches runs index maintenance INSIDE foreachBatch
+    (micro-batches are sequential, so it cannot race the ingest): a drain
+    with per-batch compaction must admit exactly what the uncompacted gate
+    admits — including cross-batch rejections probed against a
+    just-compacted index — and leave fewer index files behind."""
+    from f1_datalakehouse_pipeline_spark.streaming.novelty import (
+        _count_files,
+        novelty_ingest_stream,
+    )
+
+    a = "the quick brown fox jumps over the lazy dog again and again"
+    b = "completely different prose describing shuffle partitions in spark"
+    land = tmp_path / "landing"
+    land.mkdir()
+    batches = [
+        [(1, a)],
+        [(10, b)],
+        [(20, a + " indeed"), (21, b + " indeed"),
+         (22, "a third unrelated text about parquet footers and statistics")],
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, ["doc_id", "text"]).coalesce(1).write.parquet(
+            str(land / f"f{i}")
+        )
+    stream = (
+        spark.readStream.format("parquet")
+        .schema("doc_id BIGINT, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(land / "*"))
+    )
+    idx, out, ckpt = str(tmp_path / "idx"), str(tmp_path / "out"), str(tmp_path / "ck")
+    novelty_ingest_stream(
+        stream, "doc_id", "text", idx, out, ckpt, threshold=0.5,
+        shingle_buckets=shingle_buckets, compact_every_batches=1,
+    ).awaitTermination(180)
+    assert {r.doc_id for r in spark.read.parquet(out).collect()} == {1, 10, 22}
+    import os
+
+    # every component compacted after the last admission: bands hold at most
+    # one file per band dir, sizes exactly one
+    assert _count_files(os.path.join(idx, "sizes")) == 1
+    assert _count_files(os.path.join(idx, "bands")) <= 4
+
+
 def test_novelty_ingest_survives_shingle_less_first_batch(spark, tmp_path):
     """A first batch of sub-k-token docs appends an EMPTY index; the next
     drain must treat that as 'no history yet' instead of failing parquet
@@ -2607,13 +2653,16 @@ def test_incremental_corpus_pipeline_empty_batches(spark, tmp_path):
         )
 
 
-def test_corpus_ingest_stream_matches_batch_incremental(spark, tmp_path):
+@pytest.mark.parametrize("compact_every", [None, 1])
+def test_corpus_ingest_stream_matches_batch_incremental(spark, tmp_path, compact_every):
     """The streaming front-end (corpus_ingest_stream: readStream →
     foreachBatch → run_corpus_pipeline_incremental) must deliver BYTE-EQUAL
     shards to the batch incremental path over the same two batches —
     including across a stream restart (the checkpoint + ledger carry the
     frontier), with the out-of-band audit clean. The per-batch audit is
-    skipped by default in the stream (corpus-sized scan per micro-batch)."""
+    skipped by default in the stream (corpus-sized scan per micro-batch).
+    Parametrized over compact_every_batches: in-stream state compaction is
+    pure maintenance, so equality must survive it (r6)."""
     from f1_datalakehouse_pipeline_spark.plans.corpus import (
         run_corpus_pipeline_incremental,
     )
@@ -2652,7 +2701,10 @@ def test_corpus_ingest_stream_matches_batch_incremental(spark, tmp_path):
 
     def drain():
         stream = spark.readStream.schema(b1.schema).parquet(src)
-        q = corpus_ingest_stream(stream, s_out, s_state, ckpt, **kw)
+        q = corpus_ingest_stream(
+            stream, s_out, s_state, ckpt,
+            compact_every_batches=compact_every, **kw,
+        )
         q.awaitTermination(120)
 
     b1.coalesce(1).write.mode("append").parquet(src)

@@ -212,7 +212,10 @@ def run_semantic_scale(spark: SparkSession, sf_dir: str, factor: int) -> dict:
 
     emb = scaled_embeddings(spark, sf_dir, factor)
     n = emb.count()
-    k = max(8, n // 200)
+    # k ∝ N at the SemDeDup paper's density (one centroid per ~100 vectors)
+    # — the regime where brute O(n·k) assignment trends quadratic and the
+    # two-level router has to carry the ladder (VERDICT r5 item 4)
+    k = max(8, n // 100)
     k_coarse = max(4, int(math.isqrt(k)))
     r: dict = {"vectors": n, "k": k, "k_coarse": k_coarse}
 
@@ -292,6 +295,25 @@ def run_semantic_scale(spark: SparkSession, sf_dir: str, factor: int) -> dict:
             F.count("*")
         ).collect()
         r["assign_brute_sec"] = round(time.perf_counter() - t0, 2)
+        # small-rung exactness anchor: the two-level router at FULL nprobe
+        # must flag identically to the brute table assignment — the ladder's
+        # upper rungs then stand on a mechanism proven exact where brute is
+        # affordable (nprobe=1 above is the documented approximate mode)
+        t0 = time.perf_counter()
+        exact_flags = dedup.semantic_dedup_flags(
+            emb, "vec_id", "embedding", fdf, eps=0.95
+        )
+        full_flags = dedup.semantic_dedup_flags(
+            emb, "vec_id", "embedding", idx, eps=0.95,
+            coarse_centroids=coarse, nprobe=k_coarse,
+        )
+        diff = (
+            exact_flags.exceptAll(full_flags).count()
+            + full_flags.exceptAll(exact_flags).count()
+        )
+        assert diff == 0, f"two-level@full-nprobe != brute flags ({diff} rows)"
+        r["fullprobe_equals_brute"] = True
+        r["equiv_check_sec"] = round(time.perf_counter() - t0, 2)
     idx.unpersist()
     print(f"  {r}", flush=True)
     return r
@@ -888,6 +910,149 @@ def run_bpe_scale(spark: SparkSession, sf_dir: str, factor: int) -> dict:
     return out
 
 
+def run_compaction_scale(
+    spark: SparkSession, sf_dir: str, factor: int, shingle_buckets: int | None = None
+) -> dict:
+    """Small-file recovery rung (VERDICT r5 item 3): build a novelty index
+    by appending ``factor`` per-batch deltas — the streaming-ingest file
+    pattern, one parquet file per component per batch — then measure the
+    SAME batch probe before and after :func:`compact_novelty_index`.
+    Asserts the pair set is identical; reports file counts and probe wall
+    (median of 3) on both sides, i.e. how much of the per-batch probe is
+    file-listing/footer overhead that compaction reclaims."""
+    import shutil
+    import statistics
+
+    from f1_datalakehouse_pipeline_spark.operators import dedup
+    from f1_datalakehouse_pipeline_spark.streaming.novelty import (
+        _append_index,
+        _count_files,
+        _read_index,
+        compact_novelty_index,
+    )
+
+    docs = scaled_docs(spark, sf_dir, 10)
+    n = docs.count()
+    idx_path = os.path.join(
+        CACHE, f"compact_idx_{factor}_{shingle_buckets or 0}"
+    )
+    shutil.rmtree(idx_path, ignore_errors=True)
+    spark.sql(f"DROP TABLE IF EXISTS novelty_shingles_{__import__('hashlib').md5(os.path.abspath(idx_path).encode()).hexdigest()[:12]}")
+    r: dict = {"docs": n, "batches": factor, "shingle_buckets": shingle_buckets}
+    t0 = time.perf_counter()
+    for b in range(factor):
+        batch = docs.filter(F.col("doc_id") % factor == b)
+        _append_index(
+            idx_path,
+            dedup.minhash_band_index(batch, "doc_id", "text", max_doc_frequency=1000),
+            shingle_buckets=shingle_buckets,
+        )
+    r["append_sec"] = round(time.perf_counter() - t0, 1)
+    r["files_before"] = _count_files(idx_path)
+
+    probe = docs.filter(F.col("doc_id") % 97 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 10_000_000
+    )
+
+    def probe_pairs() -> set:
+        index = _read_index(spark, idx_path)
+        return {
+            (x.doc_new, x.doc_hist)
+            for x in dedup.novelty_pairs(
+                probe, index, "doc_id", "text",
+                threshold=0.5, max_doc_frequency=1000,
+            ).collect()
+        }
+
+    def median_probe() -> float:
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            probe_pairs()
+            times.append(time.perf_counter() - t0)
+        return round(statistics.median(times), 2)
+
+    before_pairs = probe_pairs()  # warm + correctness anchor
+    r["probe_before_sec"] = median_probe()
+    t0 = time.perf_counter()
+    r["compact_stats"] = compact_novelty_index(spark, idx_path)
+    r["compact_sec"] = round(time.perf_counter() - t0, 1)
+    r["files_after"] = _count_files(idx_path)
+    after_pairs = probe_pairs()
+    assert after_pairs == before_pairs, (
+        f"probe changed: {len(before_pairs)} -> {len(after_pairs)} pairs"
+    )
+    r["pairs"] = len(before_pairs)
+    r["probe_after_sec"] = median_probe()
+    r["probe_speedup"] = round(
+        r["probe_before_sec"] / max(r["probe_after_sec"], 1e-9), 2
+    )
+    print(f"  {r}", flush=True)
+    return r
+
+
+def run_bpe_budget_scale(
+    spark: SparkSession, sf_dir: str, factor: int, budget: int = 8192
+) -> dict:
+    """Realistic-merge-budget trainer rung (VERDICT r5 item 7): train
+    ``budget`` merges on the factor*100K-word Zipf table and measure where
+    multi-merge CONFLICTS bind — per-pass batch sizes shrink as the merge
+    frontier crowds (composed symbols collide with pending candidates), so
+    pass count grows faster than budget/pairs_per_pass. One training run
+    yields the whole curve (stats["batch_sizes"] is cumulative), plus a
+    ≥1K-merge encode-throughput leg through the word-table join — the only
+    encode form that exists at this budget (inline expressions cap out at
+    engine recursion limits near a few hundred merges)."""
+    from f1_datalakehouse_pipeline_spark.operators import bpe
+
+    out: dict = {"budget": budget}
+    wt = zipf_word_table(spark, factor * 100_000).localCheckpoint(eager=True)
+    out["zipf_words"] = wt.count()
+    stats: dict = {}
+    t0 = time.perf_counter()
+    model = bpe.bpe_train_from_words(wt, budget, pairs_per_pass=64, stats=stats)
+    t = time.perf_counter() - t0
+    out["merges_learned"] = len(model.merges)
+    out["train_sec"] = round(t, 1)
+    out["passes"] = stats["passes"]
+    sizes = stats["batch_sizes"]
+    # pass-count growth at power-of-two budgets, from the one run
+    cum, marks = 0, {}
+    for i, b in enumerate(sizes, start=1):
+        cum += b
+        for m in (1024, 2048, 4096, 8192, 16384, 32768):
+            if m not in marks and cum >= m:
+                marks[m] = i
+    out["passes_at_budget"] = {str(m): p for m, p in sorted(marks.items())}
+    qs = [len(sizes) // 4, len(sizes) // 2, (3 * len(sizes)) // 4, len(sizes) - 1]
+    out["batch_size_quartiles"] = [sizes[q] for q in qs if 0 <= q < len(sizes)]
+    out["avg_batch_size"] = round(sum(sizes) / max(len(sizes), 1), 1)
+    out["sec_per_merge"] = round(t / max(len(model.merges), 1), 4)
+
+    # encode leg at this budget: the word-table join is the ONLY encode form
+    # here (inline expression depth = merges); throughput over the Zipf
+    # vocabulary expanded into a synthetic corpus of one row per word
+    t, _ = timed(
+        f"bpe_word_table ({len(model.merges)} merges once per distinct word)",
+        lambda: bpe.bpe_word_table(wt, model).count(),
+    )
+    out["word_table_sec"] = round(t, 1)
+    table = bpe.bpe_word_table(wt, model).localCheckpoint(eager=True)
+    corpus = wt.select(
+        F.monotonically_increasing_id().alias("doc_id"),
+        F.col("word").alias("text"),
+    )
+    t, n = timed(
+        "encode via vocabulary join (long form)",
+        lambda: bpe.bpe_encode_with_table(corpus, "doc_id", "text", table).count(),
+    )
+    out["encode_sec"] = round(t, 1)
+    out["pieces"] = n
+    out["encode_pieces_per_sec"] = int(n / t) if t > 0 else 0
+    print(f"  {out}", flush=True)
+    return out
+
+
 def generate_bronze_scaled(
     spark: SparkSession,
     root: str,
@@ -1150,6 +1315,9 @@ def main() -> None:
     ap.add_argument("--mixture", action="store_true", help="bucketed vs naive budgeted_mixture on a 90%%-one-domain corpus")
     ap.add_argument("--corpus-incremental", action="store_true", help="batch-at-a-time corpus ingestion: per-batch cost curve vs one-shot rebuild")
     ap.add_argument("--bpe", action="store_true", help="distributed BPE trainer: per-pass cost, exact-batching speedup, join-encode throughput")
+    ap.add_argument("--bpe-budget", type=int, default=0, help="realistic-merge-budget trainer rung: train N merges on the factor*100K-word Zipf table, report conflict-binding curve + encode throughput")
+    ap.add_argument("--compaction", action="store_true", help="novelty-index small-file rung: factor per-batch appends, probe wall before/after compact_novelty_index (pair-set asserted identical)")
+    ap.add_argument("--compaction-buckets", type=int, default=0, help="with --compaction: use the bucketed shingles layout with this bucket count")
     ap.add_argument("--corpus-stream", action="store_true", help="streaming (foreachBatch) corpus ingest wall time over ~10 micro-batches")
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     args = ap.parse_args()
@@ -1185,6 +1353,25 @@ def main() -> None:
         for factor in factors:
             print(f"bpe factor {factor}:", flush=True)
             results[str(factor)] = run_bpe_scale(spark, args.sf_dir, factor)
+        print(json.dumps(results, indent=2))
+        return
+
+    if args.compaction:
+        for factor in factors:
+            print(f"compaction factor {factor}:", flush=True)
+            results[str(factor)] = run_compaction_scale(
+                spark, args.sf_dir, factor,
+                shingle_buckets=args.compaction_buckets or None,
+            )
+        print(json.dumps(results, indent=2))
+        return
+
+    if args.bpe_budget:
+        for factor in factors:
+            print(f"bpe-budget factor {factor} (budget {args.bpe_budget}):", flush=True)
+            results[str(factor)] = run_bpe_budget_scale(
+                spark, args.sf_dir, factor, budget=args.bpe_budget
+            )
         print(json.dumps(results, indent=2))
         return
 
