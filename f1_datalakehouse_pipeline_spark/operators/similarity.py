@@ -13,6 +13,13 @@
 At real scale the brute-force scorer would move to a vectorized Pandas UDF
 over Arrow batches (numpy matmul per batch); the native-expression fold is
 kept as the oracle-matching reference implementation.
+
+The fold is also the FASTEST native form, not just the cleanest (measured
+r6, Spark 4.1, 2M rows × 64-dim): aggregate(zip_with(...)) 0.71 s vs a
+dim-unrolled element_at chain 6.09 s, getItem 5.07 s; against a literal
+array 0.52 s vs literal-unrolled 4.12 s. Spark's vectorized HOF evaluation
+walks the UnsafeArrayData once; per-element getter expressions re-enter the
+codegen call path per term. Do NOT "optimize" these into flat expressions.
 """
 
 from __future__ import annotations

@@ -59,11 +59,15 @@ _VERIFY_FIRST = [
     # (b) dedup_semantic — its REGISTRY query changes in r6 (persisted
     #     assignment replaces the lazy literal-centroid double-compute,
     #     VERDICT r5 item 2) and must re-prove on the driver gate;
-    # (c) the two queries NEW in r6 — t_corpus_manifest (end-to-end
+    # (c) the four queries NEW in r6 — t_corpus_manifest (end-to-end
     #     incremental corpus pipeline manifest vs a DuckDB reconstruction,
-    #     VERDICT r5 item 8) and t_bpe_table_encode (corpus-scale
-    #     bpe_word_table encode with a ≥1K-merge model, VERDICT r5 item 7)
-    #     — each needs a FIRST driver row;
+    #     VERDICT r5 item 8), t_bpe_table_encode (corpus-scale
+    #     bpe_word_table encode with a 1024-merge model, VERDICT r5 item 7),
+    #     and the late-r6 TPC-H shapes tpch_q6_forecast_revenue (pure
+    #     predicate-pushdown scan) and tpch_q15_top_supplier (max-over-
+    #     aggregate scalar join-back) — each needs a FIRST driver row
+    #     (q6/q15 took the slots of t_pack_sequences / t_profile_columns,
+    #     both r4-green simple plans, disclosed as r7-window leads);
     # (d) 21 of the 46 r4-green queries, complex plans first (SCD2 splice,
     #     dedup pipeline/containment/contamination, star + as-of/range/
     #     interval joins, decorrelated subqueries, ANN family, TableStore
@@ -115,6 +119,8 @@ _VERIFY_FIRST = [
     # (c) new in r6
     "t_corpus_manifest",
     "t_bpe_table_encode",
+    "tpch_q6_forecast_revenue",
+    "tpch_q15_top_supplier",
     # (d) r4-green refresh, complex plans first
     "scd2_splice_backdated",
     "dedup_docs_pipeline",
@@ -135,8 +141,6 @@ _VERIFY_FIRST = [
     "tpch_q18_large_orders",
     "tpch_q19_disjunctive_revenue",
     "ts_rollup_gapfill",
-    "t_pack_sequences",
-    "t_profile_columns",
 ]
 
 
