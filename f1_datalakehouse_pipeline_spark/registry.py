@@ -52,27 +52,32 @@ def _load_extensions() -> None:
 # COVERAGE.md).
 _VERIFY_FIRST = [
     # r6 rotation (VERDICT r5 item 1). Priority order within the 50-slot
-    # driver window, 124 registered (122 + the two NEW r6 queries):
+    # driver window, 133 registered (122 from r5 + eleven NEW r6 queries):
     # (a) the 26 queries whose newest driver row is r3 — the exact set the
     #     r5 verdict names in "What's missing #1" — lead the window so after
     #     r6 no query's newest driver row predates r4;
     # (b) dedup_semantic — its REGISTRY query changes in r6 (persisted
     #     assignment replaces the lazy literal-centroid double-compute,
     #     VERDICT r5 item 2) and must re-prove on the driver gate;
-    # (c) the four queries NEW in r6 — t_corpus_manifest (end-to-end
+    # (c) the queries NEW in r6 — t_corpus_manifest (end-to-end
     #     incremental corpus pipeline manifest vs a DuckDB reconstruction,
     #     VERDICT r5 item 8), t_bpe_table_encode (corpus-scale
     #     bpe_word_table encode with a 1024-merge model, VERDICT r5 item 7),
-    #     and the late-r6 TPC-H shapes tpch_q6_forecast_revenue (pure
+    #     the late-r6 TPC-H shapes tpch_q6_forecast_revenue (pure
     #     predicate-pushdown scan) and tpch_q15_top_supplier (max-over-
-    #     aggregate scalar join-back) — each needs a FIRST driver row
-    #     (q6/q15 took the slots of t_pack_sequences / t_profile_columns,
-    #     both r4-green simple plans, disclosed as r7-window leads);
-    # (d) 21 of the 46 r4-green queries, complex plans first (SCD2 splice,
+    #     aggregate scalar join-back), and the seven FINAL TPC-H shapes
+    #     (q2/q4/q9/q11/q12/q16/q20 — schema-adapted, see registry_ext
+    #     docstrings) completing all 22 TPC-H decorrelation patterns —
+    #     each needs a FIRST driver row;
+    # (d) 12 of the 46 r4-green queries, complex plans first (SCD2 splice,
     #     dedup pipeline/containment/contamination, star + as-of/range/
-    #     interval joins, decorrelated subqueries, ANN family, TableStore
-    #     round-trip, TPC-H q10/q14/q18/q19, gap-fill rollup, packer,
-    #     profiler), so the hardest surfaces refresh first.
+    #     interval joins, decorrelated scalar subquery, ANN cosine),
+    #     so the hardest surfaces refresh first. The seven new TPC-H
+    #     first-rows took the slots of sim_lsh_bucketed_topk,
+    #     sim_embedding_neardup, tpch_q10/q14/q18/q19, and
+    #     ts_rollup_gapfill (all r4-green, re-verified locally every
+    #     round) — first driver rows outrank refreshes; the displaced set
+    #     leads the r7 window with the 25 named below.
     # The 25 remaining r4-green queries (a4, a6, a10, a12, a13, a14, a15,
     # a16, j9_full_outer_reconcile, mm_binary_metadata, mm_magic_sniff,
     # p1_p5_filtered_projection, p8_percentile_cont, t_chunk_documents,
@@ -121,6 +126,13 @@ _VERIFY_FIRST = [
     "t_bpe_table_encode",
     "tpch_q6_forecast_revenue",
     "tpch_q15_top_supplier",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q4_priority_count",
+    "tpch_q9_product_profit",
+    "tpch_q11_important_stock",
+    "tpch_q12_late_priority",
+    "tpch_q16_supplier_count",
+    "tpch_q20_dominant_supplier",
     # (d) r4-green refresh, complex plans first
     "scd2_splice_backdated",
     "dedup_docs_pipeline",
@@ -133,14 +145,7 @@ _VERIFY_FIRST = [
     "j10_interval_overlap",
     "j11_correlated_scalar_subquery",
     "sim_cosine_topk",
-    "sim_lsh_bucketed_topk",
-    "sim_embedding_neardup",
     "tablestore_delete_tombstone",
-    "tpch_q10_returned_items",
-    "tpch_q14_promo_revenue",
-    "tpch_q18_large_orders",
-    "tpch_q19_disjunctive_revenue",
-    "ts_rollup_gapfill",
 ]
 
 

@@ -3281,3 +3281,425 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("total_rev").cast("double").alias("total_revenue"),
         )
     )
+
+
+# --- late-r6: the remaining TPC-H decorrelation shapes (Q2/Q4/Q9/Q11/Q12/
+# Q16/Q20), adapted to the testdata's reduced schema. The testdata has no
+# partsupp table and lineitem carries no commitdate/receiptdate/shipmode, so
+# each query below substitutes an available column/derivation for the missing
+# one while preserving the ORIGINAL query's distinctive plan shape (the thing
+# the optimizer work is about): Q2's correlated-min join-back, Q4's
+# EXISTS-semi-join into a priority count, Q9's 5-way join with a LIKE-filtered
+# part dim, Q11's HAVING-vs-global-scalar, Q12's join + CASE aggregation,
+# Q16's NOT-IN anti-join under a multi-attribute distinct count, and Q20's
+# nested two-granularity aggregate comparison. Adaptations are disclosed per
+# docstring.
+
+
+@query(
+    "tpch_q2_min_cost_supplier",
+    """
+    WITH offers AS (
+      SELECT l_partkey, l_suppkey,
+             MIN(l_extendedprice / l_quantity) AS unit_cost
+      FROM lineitem
+      WHERE l_quantity > 0
+      GROUP BY l_partkey, l_suppkey
+    ),
+    eu AS (
+      SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+      FROM supplier s
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'EUROPE'
+    ),
+    best AS (
+      SELECT o.l_partkey, MIN(o.unit_cost) AS min_cost
+      FROM offers o JOIN eu ON o.l_suppkey = eu.s_suppkey
+      GROUP BY o.l_partkey
+    )
+    SELECT eu.s_acctbal, eu.s_name, eu.n_name,
+           p.p_partkey, p.p_name,
+           CAST(o.unit_cost AS DOUBLE) AS unit_cost
+    FROM part p
+    JOIN offers o ON o.l_partkey = p.p_partkey
+    JOIN eu ON o.l_suppkey = eu.s_suppkey
+    JOIN best b ON b.l_partkey = p.p_partkey AND o.unit_cost = b.min_cost
+    WHERE p.p_size = 15 AND p.p_type = 'STANDARD'
+    """,
+)
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier): the correlated scalar-min
+    subquery ("cost = (SELECT MIN(cost) ... WHERE same part, same region)")
+    decorrelated the Spark way — NOT as the textbook aggregate-and-join-back
+    (which planned two SortMergeJoins over the same derived offer table) but
+    as a per-part MIN window over the already part-keyed offers: one
+    exchange on partkey, no second scan, ties surface exactly as the
+    join-back would (the oracle keeps the join-back form, proving the
+    rewrite). Adapted: the
+    testdata has no partsupp, so the offer table is derived from lineitem as
+    each (part, supplier)'s minimum observed unit price; region/nation/
+    supplier dims all broadcast, and the per-part min aggregates map-side.
+    No LIMIT: the driver gate hash-compares full sorted output, so the
+    spec's top-100 presentation cut is dropped rather than made
+    tie-nondeterministic."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    offers = (
+        li.filter(F.col("l_quantity") > 0)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+    )
+    eu = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r.filter(F.col("r_name") == "EUROPE")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    eu_offers = offers.join(F.broadcast(eu), offers.l_suppkey == eu.s_suppkey)
+    target = p.filter((F.col("p_size") == 15) & (F.col("p_type") == "STANDARD"))
+    # per-part min as a window over the part-keyed offers: the dim filter
+    # lands BEFORE the window (broadcast join prunes rows first), and the
+    # min is unaffected by it (p_size/p_type are part attributes, constant
+    # within each partkey partition)
+    w = Window.partitionBy("l_partkey")
+    return (
+        eu_offers.join(F.broadcast(target), F.col("l_partkey") == F.col("p_partkey"))
+        .withColumn("min_cost", F.min("unit_cost").over(w))
+        .filter(F.col("unit_cost") == F.col("min_cost"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            F.col("unit_cost").cast("double").alias("unit_cost"),
+        )
+    )
+
+
+@query(
+    "tpch_q4_priority_count",
+    """
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY o_orderpriority
+    """,
+)
+def tpch_q4_priority_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order-priority checking): a correlated EXISTS against
+    the fact table feeding a priority histogram. Decorrelated as a LEFT SEMI
+    join on orderkey — Spark never re-scans lineitem per order, and the semi
+    join keeps at most one match per order so the count is exact without a
+    DISTINCT. Adapted: lineitem has no commitdate/receiptdate, so "late
+    line" is l_shipdate more than 60 days after the order date (same
+    correlated-predicate shape: the EXISTS references BOTH sides' columns,
+    which forces the join-condition decorrelation rather than a bare
+    key-semi-join)."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    window = o.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01"))
+    )
+    late = window.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+@query(
+    "tpch_q9_product_profit",
+    """
+    SELECT n.n_name AS nation,
+           CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INT) AS o_year,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(4,2)))
+                    - CAST(p.p_retailprice AS DECIMAL(12,2))
+                      * CAST(0.4 AS DECIMAL(2,1))
+                      * CAST(l.l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+             AS sum_profit
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE p.p_name LIKE '%red%'
+    GROUP BY 1, 2
+    """,
+)
+def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit): the biggest join tree in the
+    suite — fact × part(LIKE-filtered) × supplier × nation × orders, profit
+    aggregated by supplier nation and order year. The LIKE filter prunes the
+    part dim BEFORE the broadcast (the classic Q9 optimization: the
+    selective dim filter cuts the fact early via the broadcast hash join),
+    supplier/nation broadcast, and orders joins on the fact's orderkey —
+    the only shuffle is the final group-by. Adapted: no partsupp, so
+    supply cost is proxied as 40% of p_retailprice per unit (exact decimal
+    arithmetic keeps the sum order-independent)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders")
+    profit = (
+        F.col("l_extendedprice").cast("decimal(12,2)")
+        * (1 - F.col("l_discount").cast("decimal(4,2)"))
+        - F.col("p_retailprice").cast("decimal(12,2)")
+        * F.lit("0.4").cast("decimal(2,1)")
+        * F.col("l_quantity").cast("decimal(12,2)")
+    )
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.sum(profit).cast("double").alias("sum_profit"))
+    )
+
+
+@query(
+    "tpch_q11_important_stock",
+    """
+    WITH val AS (
+      SELECT l.l_partkey AS partkey,
+             SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                 * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS part_value
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      WHERE n.n_name = 'NATION_3'
+      GROUP BY 1
+    )
+    SELECT partkey, CAST(part_value AS DOUBLE) AS part_value
+    FROM val
+    WHERE part_value * (SELECT COUNT(*) * 2 FROM val)
+          > (SELECT SUM(part_value) * 5 FROM val)
+    """,
+)
+def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock identification): a grouped value
+    table filtered by HAVING value > fraction × (global scalar subquery over
+    the SAME aggregate). The Spark decorrelation: compute the per-part value
+    once, localCheckpoint-free — re-aggregate the grouped result to one row,
+    broadcast it, and filter; Catalyst reuses nothing across the two
+    branches but the second aggregate input is the already-shuffled grouped
+    table, not the fact. Adapted: no partsupp, so "stock value" is the
+    nation's suppliers' shipped value per part from lineitem; and where the
+    spec's FRACTION is scale-dependent (0.0001/SF), the threshold here is
+    scale-free — parts worth > 2.5× the average part value — compared via
+    integer-scaled cross-multiplication (value × 2N > total × 5) so both
+    engines compare exact decimals, never a quotient."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    val = (
+        li.join(F.broadcast(s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+                            .select("s_suppkey")),
+                F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(12,2)")
+                * (1 - F.col("l_discount").cast("decimal(4,2)"))
+            ).alias("part_value")
+        )
+    )
+    total = val.agg(
+        (F.sum("part_value") * F.lit(5)).alias("__tot5"),
+        (F.count(F.lit(1)) * F.lit(2)).alias("__n2"),
+    )
+    return (
+        val.join(F.broadcast(total))
+        .filter(F.col("part_value") * F.col("__n2") > F.col("__tot5"))
+        .select("partkey", F.col("part_value").cast("double").alias("part_value"))
+    )
+
+
+@query(
+    "tpch_q12_late_priority",
+    """
+    SELECT l.l_returnflag,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+    GROUP BY 1
+    """,
+)
+def tpch_q12_late_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping modes / order priority): fact-to-orders
+    join with a cross-side date predicate, aggregated as paired CASE counts.
+    The ship-window filter pushes to the lineitem scan; the cross-side
+    lateness predicate (shipdate vs orderdate) evaluates inside the join,
+    and the CASE pair aggregates map-side. Adapted: no l_shipmode column, so
+    the group key is l_returnflag and "late receipt" is shipdate more than
+    90 days after the order date."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(
+            li,
+            (F.col("o_orderkey") == F.col("l_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")),
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "tpch_q16_supplier_count",
+    """
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#5'
+      AND p.p_type NOT LIKE 'PROMO%'
+      AND p.p_size IN (1, 9, 15, 23, 36, 45, 49, 50)
+      AND l.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY 1, 2, 3
+    """,
+)
+def tpch_q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship): a NOT IN subquery
+    excluding flagged suppliers under a multi-attribute COUNT(DISTINCT
+    suppkey). The NOT IN decorrelates to a broadcast LEFT ANTI join (safe
+    here: s_suppkey is non-null, disclosed — the null-propagating NOT IN
+    edge case doesn't arise); the negated brand/type/size predicates all
+    push to the part scan before its broadcast. Adapted: no partsupp (the
+    part-supplier pairs come from lineitem) and no supplier comment column,
+    so the "customer complaints" exclusion is proxied by negative account
+    balance."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & (~F.col("p_type").like("PROMO%"))
+        & (F.col("p_size").isin(1, 9, 15, 23, 36, 45, 49, 50))
+    )
+    bad = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    return (
+        li.join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "tpch_q20_dominant_supplier",
+    """
+    WITH sp AS (
+      SELECT l_suppkey, l_partkey,
+             SUM(CAST(l_quantity AS DECIMAL(12,2))) AS qty_96
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY 1, 2
+    ),
+    pt AS (
+      SELECT l_partkey AS pk, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS total_96
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY 1
+    )
+    SELECT s.s_name, n.n_name
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'EUROPE'
+      AND EXISTS (
+        SELECT 1 FROM sp
+        JOIN pt ON pt.pk = sp.l_partkey
+        JOIN part p ON p.p_partkey = sp.l_partkey
+        WHERE sp.l_suppkey = s.s_suppkey
+          AND p.p_name LIKE 'small%'
+          AND sp.qty_96 * 10 > total_96
+      )
+    """,
+)
+def tpch_q20_dominant_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (potential part promotion): the deepest nesting in
+    the suite — an EXISTS over an IN over a correlated scalar aggregate.
+    Decorrelated bottom-up: the inner correlated SUM becomes a grouped
+    aggregate at (supplier, part) granularity; the comparison threshold —
+    the same fact at part granularity — is NOT a second scan-and-join (the
+    oracle keeps that textbook form) but a SUM window over the already
+    part-keyed grouped table, so the two granularities cost one extra
+    exchange instead of a SortMergeJoin; the part-name IN becomes a
+    broadcast join, and the outer EXISTS becomes a LEFT SEMI join into the
+    region-filtered supplier dim. Adapted: no partsupp availqty, so
+    "dominant" is a supplier shipping >10% of a part's 1996 volume
+    (compared as qty × 10 > total — exact-decimal cross-multiplication,
+    never a quotient)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    n = load_table(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    y96 = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    )
+    sp = y96.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("qty_96")
+    )
+    # part-granularity total as a window over sp (sum of the per-supplier
+    # sums); the part-name filter joins BEFORE the window — it keeps or
+    # drops whole partkey partitions, so each surviving part's total is
+    # exactly the oracle's unfiltered per-part total
+    dominant = (
+        sp.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .withColumn("total_96", F.sum("qty_96").over(Window.partitionBy("l_partkey")))
+        .filter(F.col("qty_96") * F.lit(10) > F.col("total_96"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    # the distinct dominant-supplier set is bounded by |supplier| (a dim
+    # this engine broadcasts everywhere), so the EXISTS semi-join
+    # broadcasts it instead of shuffling the supplier dim into an SMJ
+    return (
+        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(dominant), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_name", "n_name")
+    )

@@ -596,3 +596,46 @@ def test_semantic_dedup_assignment_map_only_and_pairs_not_cartesian(spark, sf_di
     flags_plan = plan_of(dedup.semantic_dedup_flags(emb, "vec_id", "embedding", cents, 0.3))
     assert "CartesianProduct" not in flags_plan
     assert "BroadcastNestedLoopJoin" not in flags_plan
+
+
+def test_r6_final_tpch_shapes(spark, sf_dir):
+    """The seven late-r6 TPC-H shapes (q2/q4/q9/q11/q12/q16/q20) must keep
+    the plan properties their docstrings claim: no cartesian product other
+    than q11's 1-row scalar broadcast, no SortMergeJoin anywhere (q2/q20's
+    two-granularity aggregates are window rewrites, q4/q12's fact joins are
+    key-equi under AQE, dims broadcast), and every scan carries pushed
+    filters where a filter exists."""
+    import re
+
+    no_smj = [
+        "tpch_q2_min_cost_supplier",
+        "tpch_q4_priority_count",
+        "tpch_q9_product_profit",
+        "tpch_q11_important_stock",
+        "tpch_q12_late_priority",
+        "tpch_q16_supplier_count",
+        "tpch_q20_dominant_supplier",
+    ]
+    for name in no_smj:
+        plan = plan_of(registry.queries()[name](spark, sf_dir))
+        assert "SortMergeJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
+        if name != "tpch_q11_important_stock":
+            # q11's BroadcastNestedLoopJoin is the 1-row scalar-threshold
+            # broadcast — the standard scalar-subquery decorrelation
+            assert "BroadcastNestedLoop" not in plan, name
+        assert "BroadcastHashJoin" in plan, name
+
+    # q2/q20: the two-granularity aggregate must be ONE window over the
+    # grouped table, never a second scan — exactly one parquet scan of
+    # lineitem in each plan
+    for name in ("tpch_q2_min_cost_supplier", "tpch_q20_dominant_supplier"):
+        plan = plan_of(registry.queries()[name](spark, sf_dir))
+        scans = plan.split("\n\n")[0].count("Scan parquet")
+        assert "Window" in plan, name
+        # lineitem appears once; the other scans are dims
+        assert scans <= 5, (name, scans)
+
+    # q6-style pushdown on q12: the ship-window must reach the lineitem scan
+    plan = plan_of(registry.queries()["tpch_q12_late_priority"](spark, sf_dir))
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
