@@ -51,101 +51,92 @@ def _load_extensions() -> None:
 # driver-green in a prior round and untouched since (rotation documented in
 # COVERAGE.md).
 _VERIFY_FIRST = [
-    # r6 rotation (VERDICT r5 item 1). Priority order within the 50-slot
-    # driver window, 133 registered (122 from r5 + eleven NEW r6 queries):
-    # (a) the 26 queries whose newest driver row is r3 — the exact set the
-    #     r5 verdict names in "What's missing #1" — lead the window so after
-    #     r6 no query's newest driver row predates r4;
-    # (b) dedup_semantic — its REGISTRY query changes in r6 (persisted
-    #     assignment replaces the lazy literal-centroid double-compute,
-    #     VERDICT r5 item 2) and must re-prove on the driver gate;
-    # (c) the queries NEW in r6 — t_corpus_manifest (end-to-end
-    #     incremental corpus pipeline manifest vs a DuckDB reconstruction,
-    #     VERDICT r5 item 8), t_bpe_table_encode (corpus-scale
-    #     bpe_word_table encode with a 1024-merge model, VERDICT r5 item 7),
-    #     the late-r6 TPC-H shapes tpch_q6_forecast_revenue (pure
-    #     predicate-pushdown scan) and tpch_q15_top_supplier (max-over-
-    #     aggregate scalar join-back), and the seven FINAL TPC-H shapes
-    #     (q2/q4/q9/q11/q12/q16/q20 — schema-adapted, see registry_ext
-    #     docstrings) completing all 22 TPC-H decorrelation patterns —
-    #     each needs a FIRST driver row;
-    # (d) 12 of the 46 r4-green queries, complex plans first (SCD2 splice,
-    #     dedup pipeline/containment/contamination, star + as-of/range/
-    #     interval joins, decorrelated scalar subquery, ANN cosine),
-    #     so the hardest surfaces refresh first. The seven new TPC-H
-    #     first-rows took the slots of sim_lsh_bucketed_topk,
-    #     sim_embedding_neardup, tpch_q10/q14/q18/q19, and
-    #     ts_rollup_gapfill (all r4-green, re-verified locally every
-    #     round) — first driver rows outrank refreshes; the displaced set
-    #     leads the r7 window with the 25 named below.
-    # The 25 remaining r4-green queries (a4, a6, a10, a12, a13, a14, a15,
-    # a16, j9_full_outer_reconcile, mm_binary_metadata, mm_magic_sniff,
-    # p1_p5_filtered_projection, p8_percentile_cont, t_chunk_documents,
-    # t_corpus_curation, t_pii_redact, t_repetition_quality,
-    # t_shuffle_shards, t_train_test_split, t_weighted_sample,
-    # ts_interpolate_linear, w8_dense_rank_rounds, w15_range_frame,
-    # w16_percent_rank_cume, w17_session_window_native — mostly
-    # single-exchange aggregates, pure projections, and single-window
-    # plans, untouched since registration) re-verify locally every round
-    # (the local gate has no cap) and lead the r7 window. With 124
-    # registered > 100 slots across two rounds, a ≤2-round-fresh guarantee
-    # for every query is arithmetically impossible; the rotation instead
-    # guarantees no query ages past 3 rounds and complex plans never age
-    # past 2.
-    # (a) the 26 r3-aged queries
-    "w10_recent_form",
-    "w11_lag_delta",
-    "w12_teammate_compare",
-    "w13_constructor_window_agg",
-    "o1_latest_event",
-    "o2_topk_per_group",
-    "u1_union_distinct",
-    "u3_intersect",
-    "f_normalize_name",
-    "f_status_buckets",
-    "f_points_when_chain",
-    "f_time_format",
-    "f_datetime_ops",
-    "f_array_q_split",
-    "f_string_battery",
-    "a2_latest_attr",
-    "a11_share_of_total",
-    "a18_bool_aggs",
-    "a19_histogram_fixed_width",
-    "a20_multi_distinct",
-    "t_text_quality",
-    "t_lang_id",
-    "t_fingerprint",
-    "w18_first_last_value",
-    "ts_resample_ohlc",
-    "t_token_doc_frequency",
-    # (b) registry query changed in r6
-    "dedup_semantic",
-    # (c) new in r6
-    "t_corpus_manifest",
-    "t_bpe_table_encode",
-    "tpch_q6_forecast_revenue",
-    "tpch_q15_top_supplier",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q4_priority_count",
-    "tpch_q9_product_profit",
-    "tpch_q11_important_stock",
-    "tpch_q12_late_priority",
+    # r7 rotation (VERDICT r6 item 1). Priority order within the 50-slot
+    # driver window, 135 registered (133 from r6 + two NEW r7 queries):
+    # (a) the 34 queries whose newest driver row is r4 — the exact set the
+    #     r6 verdict names in "What's missing #1" (computed from
+    #     CORRECTNESS_r01..r06: every query whose latest green row is r4) —
+    #     lead the window, so after r7 no registered query's newest driver
+    #     row predates r5;
+    # (b) the queries NEW in r7, each needing a FIRST driver row:
+    #     t_corpus_manifest_stream (the streaming corpus-ingest front-end
+    #     driven over the same two id-ordered batches as t_corpus_manifest,
+    #     VERDICT r6 item 3) and t_psi_buckets (the PSI drift reference's
+    #     integer bucket-count layer — exact by construction, VERDICT r6
+    #     item 5);
+    # (c) tpch_q16_supplier_count — r6-green but its implementation changed
+    #     in r7 (explicit l_suppkey null guard on both engine and oracle
+    #     sides, ADVICE r6) and must re-prove on the driver gate;
+    # (d) 13 of the 49 r5-green queries, complex plans first (the LSH/
+    #     jaccard/simhash/exact/novelty dedup family, SCD2 historical
+    #     build, the four heaviest remaining TPC-H shapes, BPE encode,
+    #     budgeted mixture, and the flagship championship window).
+    # The 36 remaining r5-green queries (a1, a3, a5, a8, a9, a17,
+    # f_json_extract, f_levenshtein_pairs, f_map_ops, f_posexplode_tokens,
+    # f_regex_extract_all, f_time_parse, f_url_parse, j1_j5, j2, j3, j6,
+    # j8, j12, t_model_quality_score, t_repeat_mixture, t_token_histogram,
+    # t_token_ids, tpch_q3, tpch_q5, tpch_q13, tpch_q17, u2, u5, w1, w2,
+    # w3, w5, w9, w14, w_sessionize_events — mostly single-exchange
+    # aggregates, scalar-function batteries, and single-window plans,
+    # untouched since their r5 rows) re-verify locally every round (the
+    # local gate has no cap) and lead the r8 window. With 135 registered >
+    # 100 slots across two rounds, a <=2-round-fresh guarantee for every
+    # query is arithmetically impossible; the rotation instead guarantees
+    # no query ages past 3 rounds and complex plans never age past 2.
+    # (a) the 34 r4-aged queries
+    "a4_conditional_counts",
+    "a6_pricing_summary",
+    "a10_approx_distinct",
+    "a12_grouping_sets",
+    "a13_approx_percentile",
+    "a14_salted_aggregate",
+    "a15_corr_decimal",
+    "a16_mode_per_group",
+    "j9_full_outer_reconcile",
+    "mm_binary_metadata",
+    "mm_magic_sniff",
+    "p1_p5_filtered_projection",
+    "p8_percentile_cont",
+    "sim_embedding_neardup",
+    "sim_lsh_bucketed_topk",
+    "t_chunk_documents",
+    "t_corpus_curation",
+    "t_pack_sequences",
+    "t_pii_redact",
+    "t_profile_columns",
+    "t_repetition_quality",
+    "t_shuffle_shards",
+    "t_train_test_split",
+    "t_weighted_sample",
+    "tpch_q10_returned_items",
+    "tpch_q14_promo_revenue",
+    "tpch_q18_large_orders",
+    "tpch_q19_disjunctive_revenue",
+    "ts_interpolate_linear",
+    "ts_rollup_gapfill",
+    "w8_dense_rank_rounds",
+    "w15_range_frame",
+    "w16_percent_rank_cume",
+    "w17_session_window_native",
+    # (b) new in r7
+    "t_corpus_manifest_stream",
+    "t_psi_buckets",
+    # (c) implementation changed in r7
     "tpch_q16_supplier_count",
-    "tpch_q20_dominant_supplier",
-    # (d) r4-green refresh, complex plans first
-    "scd2_splice_backdated",
-    "dedup_docs_pipeline",
-    "dedup_containment",
-    "contamination_pairs",
-    "j4_star_join_revenue",
-    "asof_purchase_to_view",
-    "asof_tolerance_join",
-    "range_join_ship_window",
-    "j10_interval_overlap",
-    "j11_correlated_scalar_subquery",
-    "sim_cosine_topk",
-    "tablestore_delete_tombstone",
+    # (d) r5-green refresh, complex plans first
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_incremental_novelty",
+    "dedup_exact",
+    "dedup_simhash",
+    "scd2_historical_build",
+    "tpch_q21_last_shipper",
+    "tpch_q22_rich_inactive",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "t_bpe_encode",
+    "t_domain_mix",
+    "w4_w6_w7_championship",
 ]
 
 

@@ -3590,6 +3590,7 @@ def tpch_q12_late_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE p.p_brand <> 'Brand#5'
       AND p.p_type NOT LIKE 'PROMO%'
       AND p.p_size IN (1, 9, 15, 23, 36, 45, 49, 50)
+      AND l.l_suppkey IS NOT NULL
       AND l.l_suppkey NOT IN (
         SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
       )
@@ -3599,9 +3600,14 @@ def tpch_q12_late_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpch_q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q16 shape (parts/supplier relationship): a NOT IN subquery
     excluding flagged suppliers under a multi-attribute COUNT(DISTINCT
-    suppkey). The NOT IN decorrelates to a broadcast LEFT ANTI join (safe
-    here: s_suppkey is non-null, disclosed — the null-propagating NOT IN
-    edge case doesn't arise); the negated brand/type/size predicates all
+    suppkey). The NOT IN decorrelates to a broadcast LEFT ANTI join, made
+    UNCONDITIONALLY equivalent by null-guarding BOTH sides: s_suppkey is
+    non-null in this dataset (disclosed), and l_suppkey carries an explicit
+    isNotNull filter below — a NULL lhs would be KEPT by an anti-join yet
+    DROPPED by NOT IN's three-valued logic when the exclusion set is
+    non-empty, yet KEPT by it when the set is empty (ADVICE r6) — so the
+    query is defined over non-null suppkeys in both engines. The guard
+    pushes to the lineitem scan; the negated brand/type/size predicates all
     push to the part scan before its broadcast. Adapted: no partsupp (the
     part-supplier pairs come from lineitem) and no supplier comment column,
     so the "customer complaints" exclusion is proxied by negative account
@@ -3616,7 +3622,8 @@ def tpch_q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_acctbal") < 0
     ).select("s_suppkey")
     return (
-        li.join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        li.filter(F.col("l_suppkey").isNotNull())
+        .join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
         .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))

@@ -605,8 +605,6 @@ def test_r6_final_tpch_shapes(spark, sf_dir):
     two-granularity aggregates are window rewrites, q4/q12's fact joins are
     key-equi under AQE, dims broadcast), and every scan carries pushed
     filters where a filter exists."""
-    import re
-
     no_smj = [
         "tpch_q2_min_cost_supplier",
         "tpch_q4_priority_count",
@@ -628,13 +626,22 @@ def test_r6_final_tpch_shapes(spark, sf_dir):
 
     # q2/q20: the two-granularity aggregate must be ONE window over the
     # grouped table, never a second scan — exactly one parquet scan of
-    # lineitem in each plan
+    # lineitem in each plan (counted per-table, not an aggregate cap:
+    # a duplicated fact scan must fail even if a dim scan is elided,
+    # ADVICE r6)
     for name in ("tpch_q2_min_cost_supplier", "tpch_q20_dominant_supplier"):
         plan = plan_of(registry.queries()[name](spark, sf_dir))
-        scans = plan.split("\n\n")[0].count("Scan parquet")
         assert "Window" in plan, name
-        # lineitem appears once; the other scans are dims
-        assert scans <= 5, (name, scans)
+        # the formatted plan's detail blocks name each scan's Location —
+        # count the blocks that are a parquet scan OF lineitem
+        li_scans = sum(
+            1
+            for block in (b.strip() for b in plan.split("\n\n"))
+            if block
+            and "Scan parquet" in block.splitlines()[0]
+            and "lineitem" in block
+        )
+        assert li_scans == 1, (name, li_scans)
 
     # q6-style pushdown on q12: the ship-window must reach the lineitem scan
     plan = plan_of(registry.queries()["tpch_q12_late_priority"](spark, sf_dir))

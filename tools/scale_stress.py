@@ -265,7 +265,12 @@ def run_semantic_scale(spark: SparkSession, sf_dir: str, factor: int) -> dict:
         r["removed"] = agg["removed"]
         r["sec_per_1k_vectors"] = round(r["flags_sec"] / (n / 1000), 4)
     else:
-        r["flags_sec"] = None  # lazy leg skipped; staged legs below are the measure
+        # lazy leg skipped; staged legs below are the measure. Keep the key
+        # set uniform across rungs so cross-rung tabulation never has to
+        # special-case the top rung (ADVICE r6).
+        r["flags_sec"] = None
+        r["removed"] = None
+        r["sec_per_1k_vectors"] = None
 
     # production shape: stage the assignment ONCE, then flag from the staged
     # table — isolates the pair stage and lets the banded form show its
