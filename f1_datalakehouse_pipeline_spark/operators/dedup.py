@@ -1140,6 +1140,112 @@ def semantic_cluster_assign_two_level(
     )
 
 
+def semantic_assignment(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: "list[list[float]] | DataFrame | None",
+    coarse_centroids: "list[list[float]] | None" = None,
+    nprobe: int = 1,
+) -> DataFrame:
+    """Resolve the centroid-assignment tier for the semantic-dedup family
+    and return the normalized ``(id_col, _v array<double>, cluster_id)``
+    projection. The three tiers (literal map-only / broadcast-table /
+    IVF two-level) and the ``centroids=None`` pre-assigned passthrough are
+    exactly :func:`semantic_dedup_flags`'s dispatch, factored out so the
+    incremental corpus pipeline's history probe
+    (:func:`semantic_history_hits`) routes batch vectors with the SAME
+    rule that produced the persisted members' cluster ids."""
+    if centroids is None:
+        return df.select(
+            F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v"),
+            F.col("cluster_id").cast("long").alias("cluster_id"),
+        )
+    if coarse_centroids is not None:
+        if not isinstance(centroids, DataFrame):
+            raise ValueError(
+                "two-level assignment needs centroids as an indexed DataFrame "
+                "(semantic_index_two_level output), got a literal list"
+            )
+        return semantic_cluster_assign_two_level(
+            df, id_col, vec_col, centroids, coarse_centroids, nprobe
+        ).select(F.col(id_col), F.col(vec_col).alias("_v"), "cluster_id")
+    if isinstance(centroids, DataFrame):
+        return semantic_cluster_assign_table(df, id_col, vec_col, centroids).select(
+            F.col(id_col), F.col(vec_col).alias("_v"), "cluster_id"
+        )
+    return semantic_cluster_assign(df, id_col, vec_col, centroids).select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v"), "cluster_id"
+    )
+
+
+def semantic_history_hits(
+    batch_asg: DataFrame,
+    history: DataFrame,
+    id_col: str,
+    eps: float,
+    lsh_planes: "list[list[list[float]]] | None" = None,
+) -> DataFrame:
+    """Batch ids semantically duplicated by an already-admitted corpus: a
+    batch vector is hit iff SOME history member of its cluster sits within
+    cosine ``eps`` — history always wins, the embedding-space twin of the
+    first-arrival-wins rule every other incremental gate uses, so no id
+    comparison is needed.
+
+    ``batch_asg`` is a :func:`semantic_assignment` result; ``history`` is
+    the persisted member table ``(id, cluster_id, _v)`` (ids are never
+    read — only cluster routing and vectors). Output: distinct ``id_col``
+    rows, anti-join them off the batch.
+
+    100 TB shape: the join is keyed on ``cluster_id`` (plus band/bucket
+    under ``lsh_planes``, the same skew escape hatch as
+    :func:`semantic_dedup_flags`), so probe cost is
+
+        Σ_clusters |batch ∩ cluster| × |history ∩ cluster|
+
+    — batch-proportional while cluster populations stay bounded (size k
+    proportionally to the corpus, the SemDeDup regime). Never a history
+    self-join: history pairs were already resolved when those batches were
+    admitted."""
+    from f1_datalakehouse_pipeline_spark.operators import similarity as sim
+
+    b = batch_asg.select(
+        F.col(id_col), F.col("_v").alias("_vb"), "cluster_id"
+    )
+    h = history.select(
+        F.col("_v").cast("array<double>").alias("_vh"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+    )
+    if lsh_planes is not None:
+        if not lsh_planes:
+            raise ValueError("lsh_planes must contain at least one band")
+
+        def banded(df: DataFrame, vcol: str) -> DataFrame:
+            sigs = [
+                df.select(
+                    "*",
+                    F.lit(bi).alias("_band"),
+                    sim.hyperplane_bucket(F.col(vcol), planes).alias("_bucket"),
+                )
+                for bi, planes in enumerate(lsh_planes)
+            ]
+            out = sigs[0]
+            for s in sigs[1:]:
+                out = out.unionByName(s)
+            return out
+
+        b, h = banded(b, "_vb"), banded(h, "_vh")
+        keys = ["cluster_id", "_band", "_bucket"]
+    else:
+        keys = ["cluster_id"]
+    return (
+        b.join(h, keys)
+        .filter(sim.cosine(F.col("_vb"), F.col("_vh")) >= eps)
+        .select(id_col)
+        .distinct()
+    )
+
+
 def semantic_dedup_flags(
     df: DataFrame,
     id_col: str,
@@ -1189,28 +1295,10 @@ def semantic_dedup_flags(
     """
     from f1_datalakehouse_pipeline_spark.operators import similarity as sim
 
-    if centroids is None:
-        asg = df.select(
-            F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v"),
-            F.col("cluster_id").cast("long").alias("cluster_id"),
-        )
-    elif coarse_centroids is not None:
-        if not isinstance(centroids, DataFrame):
-            raise ValueError(
-                "two-level assignment needs centroids as an indexed DataFrame "
-                "(semantic_index_two_level output), got a literal list"
-            )
-        asg = semantic_cluster_assign_two_level(
-            df, id_col, vec_col, centroids, coarse_centroids, nprobe
-        ).select(F.col(id_col), F.col(vec_col).alias("_v"), "cluster_id")
-    elif isinstance(centroids, DataFrame):
-        asg = semantic_cluster_assign_table(df, id_col, vec_col, centroids).select(
-            F.col(id_col), F.col(vec_col).alias("_v"), "cluster_id"
-        )
-    else:
-        asg = semantic_cluster_assign(df, id_col, vec_col, centroids).select(
-            F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v"), "cluster_id"
-        )
+    asg = semantic_assignment(
+        df, id_col, vec_col, centroids,
+        coarse_centroids=coarse_centroids, nprobe=nprobe,
+    )
     if lsh_planes is not None:
         if not lsh_planes:
             raise ValueError("lsh_planes must contain at least one band")

@@ -122,6 +122,67 @@ def _require_integral_id(df: DataFrame, id_col: str) -> None:
         )
 
 
+def _semantic_centroid_fingerprint(centroids) -> str:
+    """Order-independent identity of a centroid set. Literal lists hash
+    their exact float values; a ``(cluster_id, centroid)`` DataFrame is
+    reduced by ONE bounded aggregate (count + sum of row hashes — no
+    collect of the table itself, which at the 100 TB regime is k ≥ 10⁵
+    rows)."""
+    if isinstance(centroids, DataFrame):
+        row = centroids.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.xxhash64(
+                    F.col("cluster_id").cast("string"),
+                    F.to_json(F.col("centroid").cast("array<double>")),
+                )
+            ).alias("h"),
+        ).collect()[0]
+        return "df-%d-%016x" % (row["n"], (row["h"] or 0) & 0xFFFFFFFFFFFFFFFF)
+    import hashlib
+    import json
+
+    payload = json.dumps([[float(x) for x in c] for c in centroids])
+    return "lit-" + hashlib.sha256(payload.encode()).hexdigest()[:24]
+
+
+def _check_centroid_fingerprint(semantic_dir: str, centroids) -> None:
+    """The persisted semantic members' cluster ids are meaningful ONLY under
+    the centroid set that produced them, so the set is part of the state
+    contract: its fingerprint is written on first use (a leading-underscore
+    file, invisible to Spark's parquet reader) and every later batch must
+    present the same set — a silent swap would route new vectors into
+    clusters whose members were assigned under different geometry, quietly
+    breaking the probe in BOTH directions (missed dups and false hits).
+    Raises before any state is touched."""
+    fp = _semantic_centroid_fingerprint(centroids)
+    path = os.path.join(semantic_dir, "_centroid_fingerprint")
+    if os.path.exists(path):
+        with open(path) as fh:
+            stored = fh.read().strip()
+        if stored != fp:
+            raise ValueError(
+                "semantic_centroids do not match the set this state root was "
+                f"built with (stored fingerprint {stored}, got {fp}) — the "
+                "persisted cluster ids are only meaningful under the original "
+                "centroids; pass the same set, or start a new state_root to "
+                "re-cluster"
+            )
+    else:
+        os.makedirs(semantic_dir, exist_ok=True)
+        with open(path, "w") as fh:
+            fh.write(fp)
+
+
+def _has_member_partitions(state_dir: str) -> bool:
+    """True when a batch_token-partitioned state dir holds at least one
+    member partition (the dir may exist holding only the fingerprint file,
+    which Spark ignores but cannot infer a schema from)."""
+    if not os.path.isdir(state_dir):
+        return False
+    return any(d.startswith("batch_token=") for d in os.listdir(state_dir))
+
+
 def compose_chunk_id(id_col: str, idx_col: str, shift: int = 12):
     """``(doc_id << shift) | chunk_idx`` with loud execution-time guards.
 
@@ -352,6 +413,12 @@ def run_corpus_pipeline_incremental(
     audit: bool = True,
     drift_reference=None,
     drift_threshold: float = 0.25,
+    embeddings: DataFrame | None = None,
+    semantic_eps: float | None = None,
+    semantic_centroids: "list[list[float]] | DataFrame | None" = None,
+    semantic_vec_id_col: str = "vec_id",
+    semantic_vec_col: str = "embedding",
+    semantic_lsh_planes: "list[list[list[float]]] | None" = None,
 ) -> CorpusReport:
     """Admit ONE NEW BATCH into an already-built corpus — the ingestion form
     of :func:`run_corpus_pipeline`.
@@ -375,9 +442,25 @@ def run_corpus_pipeline_incremental(
     (within-batch LSH self-join over the BATCH only, then a
     :func:`dedup.novelty_pairs` probe of the persisted band index — never a
     self-join over history ∪ batch, so per-batch cost tracks the batch) →
+    semantic dedup (optional — see below) →
     decontamination → chunking → :func:`append_training_shards` into the
     existing shard set, manifest updated by summation. Admitted docs then
-    extend both state stores so the NEXT batch sees them.
+    extend the state stores so the NEXT batch sees them.
+
+    ``embeddings`` + ``semantic_eps`` + ``semantic_centroids`` (same trio
+    coupling as the batch form) enable the SemDeDup stage for INGESTION
+    (VERDICT r6 item 2): the batch's surviving embeddings are
+    centroid-assigned once, then (a) within-batch greedy-by-id dedup via
+    :func:`dedup.semantic_dedup_flags` and (b) a cluster-keyed probe of the
+    PERSISTED member vectors (:func:`dedup.semantic_history_hits` —
+    history always wins, never a history self-join, probe cost ∝ batch).
+    Admitted docs' ``(id, cluster_id, vector)`` rows extend
+    ``semantic/`` so later rewordings of an admitted doc are rejected.
+    ``semantic_centroids`` must be IDENTICAL across an ingest's life — the
+    persisted cluster ids are only meaningful under the centroids that
+    produced them — and this is enforced by an order-independent centroid
+    fingerprint written on first use (a mismatch raises before any state
+    is touched). A doc with NO embedding row passes through untouched.
 
     State lives under ``state_root``:
       ``exact_hashes/``  admitted content hashes (8 B/doc), one
@@ -387,7 +470,10 @@ def run_corpus_pipeline_incremental(
       ``lsh/``           the band/shingles/sizes index
                          (``streaming/novelty`` layout; ``shingle_buckets``
                          selects the bucketed 100 TB form);
-      ``_commits/<t>``   marker touched only after BOTH state appends.
+      ``semantic/``      admitted ``(id, cluster_id, _v)`` member vectors,
+                         ``batch_token=`` partitioned like exact_hashes
+                         (present only when the semantic stage is enabled);
+      ``_commits/<t>``   marker touched only after ALL state appends.
 
     Crash-replay contract (ADVICE r5): the two state extensions (exact-hash
     partition, then LSH index append) are not one atomic write, so a crash
@@ -405,7 +491,12 @@ def run_corpus_pipeline_incremental(
     the one-shot pipeline over B1∪B2 up to first-arrival-wins keeper choice
     — identical when earlier batches carry smaller ids (the one-shot keeper
     is min(id)) and no near-dup cluster chains across batches through a
-    rejected middle member. One more caveat when ``max_doc_frequency`` is
+    rejected middle member. The semantic stage inherits the same
+    chained-middle-member caveat in embedding space: the one-shot
+    greedy-by-id rule removes a doc when ANY lower-id neighbor is within
+    ``semantic_eps`` (even a neighbor that was itself removed), while the
+    incremental probe sees only ADMITTED history members — a B2 doc whose
+    only eps-neighbor is a REJECTED B1 doc diverges. One more caveat when ``max_doc_frequency`` is
     set: the df-cap is VIEW-RELATIVE — the one-shot form counts shingle
     document frequency over the whole corpus, this form over each batch
     (and, in the probe, over the admitted history), so a shingle can cross
@@ -428,8 +519,21 @@ def run_corpus_pipeline_incremental(
         _read_index,
     )
 
+    semantic_args = (embeddings is not None, semantic_eps is not None,
+                     semantic_centroids is not None)
+    if any(semantic_args) and not all(semantic_args):
+        raise ValueError(
+            "embeddings, semantic_eps and semantic_centroids enable the "
+            "semantic-dedup stage TOGETHER; passing a subset would silently "
+            f"skip it (got embeddings={'set' if semantic_args[0] else 'None'}, "
+            f"semantic_eps={semantic_eps!r}, semantic_centroids="
+            f"{'set' if semantic_args[2] else 'None'})"
+        )
     exact_dir = os.path.join(state_root, "exact_hashes")
     lsh_dir = os.path.join(state_root, "lsh")
+    semantic_dir = os.path.join(state_root, "semantic")
+    if semantic_eps is not None:
+        _check_centroid_fingerprint(semantic_dir, semantic_centroids)
     rep = CorpusReport()
 
     # Batch identity from the RAW input (order-independent sums, one small
@@ -528,6 +632,51 @@ def run_corpus_pipeline_incremental(
         kept = checkpoint_stage(kept)
         rep.counts["after_near_dedup"] = kept.count()
 
+        if semantic_eps is not None:
+            # Assignment computed ONCE per batch (cached: the within-batch
+            # pair join reads it twice and the history probe once);
+            # embeddings restricted to survivors first, so rows the text
+            # gates already dropped never reach the cosine work.
+            emb_kept = (
+                embeddings.select(
+                    F.col(semantic_vec_id_col).cast("long").alias(id_col),
+                    F.col(semantic_vec_col).alias(semantic_vec_col),
+                )
+                .join(kept.select(id_col), id_col, "left_semi")
+            )
+            asg = checkpoint_stage(
+                dedup.semantic_assignment(
+                    emb_kept, id_col, semantic_vec_col, semantic_centroids
+                )
+            )
+            within_removed = (
+                dedup.semantic_dedup_flags(
+                    asg.withColumnRenamed("_v", semantic_vec_col),
+                    id_col, semantic_vec_col, None, semantic_eps,
+                    lsh_planes=semantic_lsh_planes,
+                )
+                .filter(~F.col("kept"))
+                .select(id_col)
+            )
+            sem_removed = within_removed
+            if _has_member_partitions(semantic_dir):
+                hist = spark.read.parquet(semantic_dir)
+                if replaying_partial:
+                    # same partition-pruned exclusion as the exact gate:
+                    # the batch's own half-committed members never probe
+                    # against themselves
+                    hist = hist.filter(F.col("batch_token") != batch_token)
+                sem_removed = within_removed.unionByName(
+                    dedup.semantic_history_hits(
+                        asg, hist, id_col, semantic_eps,
+                        lsh_planes=semantic_lsh_planes,
+                    )
+                )
+            kept = checkpoint_stage(
+                kept.join(sem_removed.distinct(), id_col, "left_anti")
+            )
+            rep.counts["after_semantic_dedup"] = kept.count()
+
         if benchmark is not None:
             leaks = dedup.contamination_pairs(
                 kept, benchmark, id_col, content_col,
@@ -579,7 +728,10 @@ def run_corpus_pipeline_incremental(
         # nothing, silently truncating the LSH index to batch 1
         # (regression-tested: it takes THREE batches to observe).
         n_admitted = rep.counts.get(
-            "after_decontamination", rep.counts["after_near_dedup"]
+            "after_decontamination",
+            rep.counts.get(
+                "after_semantic_dedup", rep.counts["after_near_dedup"]
+            ),
         )
         if n_admitted > 0:
             import shutil
@@ -593,6 +745,33 @@ def run_corpus_pipeline_incremental(
             kept_s.select(
                 portable_hash48(F.col(content_col)).alias("content_hash")
             ).write.mode("overwrite").parquet(tok_dir)
+            if semantic_eps is not None:
+                # Admitted members' (id, cluster_id, vector) extend the
+                # semantic history. Recomputed from the lineage-free staged
+                # ids + the caller's embeddings table (NOT from `asg`, whose
+                # plan reads exact_dir — by this point that store already
+                # holds this batch's own hashes, and a recache-triggered
+                # re-evaluation would anti-join the batch against itself
+                # and write an empty member set; same hazard as the LSH
+                # append below). One assignment pass over the admitted
+                # embeddings, own-token partition, overwrite = replay-safe.
+                emb_admitted = (
+                    embeddings.select(
+                        F.col(semantic_vec_id_col).cast("long").alias(id_col),
+                        F.col(semantic_vec_col).alias(semantic_vec_col),
+                    )
+                    .join(kept_s.select(id_col), id_col, "left_semi")
+                )
+                asg_admitted = dedup.semantic_assignment(
+                    emb_admitted, id_col, semantic_vec_col, semantic_centroids
+                )
+                sem_tok_dir = os.path.join(
+                    semantic_dir, f"batch_token={batch_token}"
+                )
+                # A zero-row partition write would leave a schema-less dir;
+                # only materialize when some admitted doc has an embedding.
+                if asg_admitted.limit(1).count() > 0:
+                    asg_admitted.write.mode("overwrite").parquet(sem_tok_dir)
             _append_index(
                 lsh_dir,
                 dedup.minhash_band_index(
@@ -641,52 +820,81 @@ def compact_corpus_state(
     replay finds no own-token partition, runs the normal gates, and is
     rejected by the compacted hashes.
 
+    ``semantic/`` (when present) folds the same way: it too is consumed
+    only via an existence-test probe (a batch doc is removed iff SOME
+    member is within eps), so duplicate member rows change no verdict and
+    the copy-then-delete sequence is superset-monotonic.
+
     ``lsh/`` delegates to
     :func:`~f1_datalakehouse_pipeline_spark.streaming.novelty.
     compact_novelty_index` — that store needs the exact multiset (duplicate
     shingles would inflate the count-based Jaccard verify), hence its
     recoverable rename dance.
     """
-    import hashlib
-    import shutil
-
     from f1_datalakehouse_pipeline_spark.streaming.novelty import (
-        _count_files,
         compact_novelty_index,
     )
 
     stats: dict = {"lsh": compact_novelty_index(
         spark, os.path.join(state_root, "lsh"), target_files=target_files
     )}
-    exact_dir = os.path.join(state_root, "exact_hashes")
-    if not os.path.isdir(exact_dir):
-        return stats
     commits_dir = os.path.join(state_root, "_commits")
     committed = set(os.listdir(commits_dir)) if os.path.isdir(commits_dir) else set()
-    parts = [d for d in os.listdir(exact_dir) if d.startswith("batch_token=")]
+    for store, cols in (
+        ("exact_hashes", ["content_hash"]),
+        ("semantic", None),  # keep every member column (id, cluster_id, _v)
+    ):
+        res = _fold_token_partitions(
+            spark, os.path.join(state_root, store), committed, cols, target_files
+        )
+        if res is not None:
+            stats[store] = res
+    return stats
+
+
+def _fold_token_partitions(
+    spark: SparkSession,
+    store_dir: str,
+    committed: set,
+    cols: "list[str] | None",
+    target_files: int,
+) -> "dict | None":
+    """Fold a batch_token-partitioned, duplicate-tolerant state store's
+    COMMITTED partitions (plus previous folds) into one
+    ``batch_token=__compacted_<digest>__`` partition — the shared mechanics
+    of the exact-hash and semantic-member stores (see
+    :func:`compact_corpus_state` for the crash-safety argument). Returns
+    None when the store does not exist."""
+    import hashlib
+    import shutil
+
+    from f1_datalakehouse_pipeline_spark.streaming.novelty import _count_files
+
+    if not os.path.isdir(store_dir):
+        return None
+    parts = [d for d in os.listdir(store_dir) if d.startswith("batch_token=")]
     foldable = sorted(
         d for d in parts
         if d.removeprefix("batch_token=") in committed
         or d.startswith("batch_token=__compacted_")
     )
-    before = _count_files(exact_dir)
+    before = _count_files(store_dir)
     if len(foldable) < 2:
-        stats["exact_hashes"] = {
+        return {
             "files_before": before, "files_after": before, "folded_partitions": 0,
         }
-        return stats
     digest = hashlib.md5("|".join(foldable).encode()).hexdigest()[:16]
-    dest = os.path.join(exact_dir, f"batch_token=__compacted_{digest}__")
-    spark.read.parquet(*[os.path.join(exact_dir, d) for d in foldable]).select(
-        "content_hash"
-    ).coalesce(target_files).write.mode("overwrite").parquet(dest)
+    dest = os.path.join(store_dir, f"batch_token=__compacted_{digest}__")
+    folded = spark.read.parquet(*[os.path.join(store_dir, d) for d in foldable])
+    if cols is not None:
+        folded = folded.select(*cols)
+    folded.coalesce(target_files).write.mode("overwrite").parquet(dest)
     for d in foldable:
-        p = os.path.join(exact_dir, d)
+        p = os.path.join(store_dir, d)
         if os.path.realpath(p) != os.path.realpath(dest):
             shutil.rmtree(p, ignore_errors=True)
-    stats["exact_hashes"] = {
+    return {
         "files_before": before,
-        "files_after": _count_files(exact_dir),
+        "files_after": _count_files(store_dir),
         "folded_partitions": len(foldable),
     }
-    return stats

@@ -3190,6 +3190,182 @@ def test_corpus_pipeline_semantic_stage(spark, tmp_path):
     assert "straight" in words     # no-embedding doc passed through
 
 
+def test_incremental_corpus_semantic_stage_equals_one_shot(spark, tmp_path):
+    """VERDICT r6 item 2: the semantic-dedup stage wired into the INGESTION
+    path. B1-then-B2 with embeddings must (a) reject a B2 doc whose text is
+    novel but whose embedding sits within eps of an ADMITTED B1 doc (the
+    cross-batch rewording the shingle family cannot see), (b) apply the
+    within-batch greedy-by-id rule inside B2, (c) deliver manifest- and
+    chunk-identical output to the one-shot pipeline over B1∪B2, and (d)
+    refuse a later batch presenting DIFFERENT centroids (the persisted
+    cluster ids are only meaningful under the originals)."""
+    from f1_datalakehouse_pipeline_spark.plans.corpus import (
+        run_corpus_pipeline,
+        run_corpus_pipeline_incremental,
+    )
+    from f1_datalakehouse_pipeline_spark.sources.shards import (
+        read_shard_manifest,
+        read_training_shards,
+    )
+
+    b1_rows = [
+        (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (2, "an ordinary clean document describing parquet row group statistics"),
+        (3, "!!! ??? ... ;;; ///" * 30),                     # low quality
+    ]
+    b2_rows = [
+        (10, "a fast auburn fox leaps above a sleepy hound beside the water"),  # rewording of 1
+        (11, "a genuinely novel piece about broadcast joins and executor sizing"),
+        (12, "first of a same-meaning pair arriving together in batch number two"),
+        (13, "second of a same-meaning pair inside this batch worded differently"),
+        (14, "a document with no embedding row that must pass straight through"),
+    ]
+    emb_rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (10, [0.999, 0.01, 0.0]),    # cross-batch twin of admitted doc 1
+        (11, [0.0, 0.0, 1.0]),
+        (12, [0.6, 0.8, 0.0]),       # within-B2 twin pair: 12 (min id) kept,
+        (13, [0.61, 0.79, 0.0]),     # 13 removed
+        # doc 14 deliberately absent
+    ]
+    b1 = spark.createDataFrame(b1_rows, ["doc_id", "text"])
+    b2 = spark.createDataFrame(b2_rows, ["doc_id", "text"])
+    union = spark.createDataFrame(b1_rows + b2_rows, ["doc_id", "text"])
+    emb = spark.createDataFrame(emb_rows, ["vec_id", "embedding"])
+    centroids = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]
+    kw = dict(
+        quality_min=0.5, near_threshold=0.5, chunk_tokens=8, overlap_tokens=2,
+        n_shards=4, seed="sem-e0",
+        embeddings=emb, semantic_eps=0.99, semantic_centroids=centroids,
+    )
+
+    inc_out, state = str(tmp_path / "inc_out"), str(tmp_path / "state")
+    r1 = run_corpus_pipeline_incremental(spark, b1, inc_out, state, **kw)
+    assert r1.counts["after_near_dedup"] == 2
+    assert r1.counts["after_semantic_dedup"] == 2   # 1 and 2 are far apart
+
+    r2 = run_corpus_pipeline_incremental(spark, b2, inc_out, state, **kw)
+    assert r2.counts["after_near_dedup"] == 5       # all B2 texts are novel
+    # 10 removed by the HISTORY probe (twin of admitted 1), 13 removed by
+    # the within-batch rule (twin of 12, higher id); 14 (no embedding) kept
+    assert r2.counts["after_semantic_dedup"] == 3
+    assert r2.audit_violations == 0
+
+    one_out = str(tmp_path / "one_out")
+    run_corpus_pipeline(spark, union, one_out, **kw)
+    m_inc = {r.shard_id: (r.n_rows, r.n_tokens, r.checksum)
+             for r in read_shard_manifest(spark, inc_out).collect()}
+    m_one = {r.shard_id: (r.n_rows, r.n_tokens, r.checksum)
+             for r in read_shard_manifest(spark, one_out).collect()}
+    assert m_inc == m_one and m_inc
+    inc_chunks = {(r.chunk_id, r.chunk_text)
+                  for r in read_training_shards(spark, inc_out).collect()}
+    one_chunks = {(r.chunk_id, r.chunk_text)
+                  for r in read_training_shards(spark, one_out).collect()}
+    assert inc_chunks == one_chunks
+    words = set(" ".join(t for _, t in inc_chunks).split())
+    assert "quick" in words and "auburn" not in words     # cross-batch twin gone
+    assert "first" in words and "second" not in words     # within-batch rule
+    assert "straight" in words                            # no-embedding doc kept
+
+    # a half-configured stage fails loudly, like the batch form
+    with pytest.raises(ValueError, match="TOGETHER"):
+        run_corpus_pipeline_incremental(
+            spark, b2, inc_out, state,
+            quality_min=0.5, near_threshold=0.5, embeddings=emb,
+        )
+    # different centroids against the same state root are refused BEFORE
+    # any state is touched
+    with pytest.raises(ValueError, match="fingerprint"):
+        run_corpus_pipeline_incremental(
+            spark, b2, inc_out, state,
+            **{**kw, "semantic_centroids": [[0.0, 0.0, 1.0], [0.0, 1.0, 0.0]]},
+        )
+
+
+def test_incremental_semantic_state_compaction_and_replay(
+    spark, tmp_path, monkeypatch
+):
+    """The semantic member store participates in the same maintenance and
+    crash contracts as the other state stores: compact_corpus_state folds
+    its committed batch_token partitions (probe verdicts unchanged — the
+    store is duplicate-tolerant), and a crash between the semantic write
+    and the LSH append replays to identical verdicts (own-token partitions
+    excluded from BOTH the exact and semantic probes)."""
+    import os as _os
+
+    from f1_datalakehouse_pipeline_spark.plans.corpus import (
+        compact_corpus_state,
+        run_corpus_pipeline_incremental,
+    )
+    from f1_datalakehouse_pipeline_spark.streaming import novelty as novelty_mod
+
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog near the river bank",
+        2: "an ordinary clean document describing parquet row group statistics",
+        10: "a genuinely novel piece about broadcast joins and executor sizing",
+        20: "a rewording in embedding space of the very first admitted document",
+        21: "a fresh unrelated note on columnar compression codecs and encodings",
+    }
+    vecs = {
+        1: [1.0, 0.0, 0.0],
+        2: [0.0, 1.0, 0.0],
+        10: [0.0, 0.0, 1.0],
+        20: [0.999, 0.01, 0.0],   # twin of doc 1, admitted two batches ago
+        21: [0.5, -0.8, 0.1],
+    }
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], ["vec_id", "embedding"]
+    )
+    centroids = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]]
+    kw = dict(
+        quality_min=0.5, near_threshold=0.5, chunk_tokens=8, overlap_tokens=2,
+        n_shards=4, seed="sem-e0",
+        embeddings=emb, semantic_eps=0.99, semantic_centroids=centroids,
+    )
+    out, state = str(tmp_path / "out"), str(tmp_path / "state")
+
+    def batch(*ids):
+        return spark.createDataFrame(
+            [(i, texts[i]) for i in ids], ["doc_id", "text"]
+        )
+
+    run_corpus_pipeline_incremental(spark, batch(1, 2), out, state, **kw)
+    run_corpus_pipeline_incremental(spark, batch(10), out, state, **kw)
+    sem_dir = _os.path.join(state, "semantic")
+    parts = [d for d in _os.listdir(sem_dir) if d.startswith("batch_token=")]
+    assert len(parts) == 2
+
+    stats = compact_corpus_state(spark, state)
+    assert stats["semantic"]["folded_partitions"] == 2
+    parts = [d for d in _os.listdir(sem_dir) if d.startswith("batch_token=")]
+    assert len(parts) == 1 and parts[0].startswith("batch_token=__compacted_")
+
+    # crash between the semantic member write and the LSH append: exact AND
+    # semantic own-token partitions are on disk, uncommitted
+    real_append = novelty_mod._append_index
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated crash before LSH append")
+
+    monkeypatch.setattr(novelty_mod, "_append_index", boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        run_corpus_pipeline_incremental(spark, batch(20, 21), out, state, **kw)
+    monkeypatch.setattr(novelty_mod, "_append_index", real_append)
+    assert len([d for d in _os.listdir(sem_dir) if d.startswith("batch_token=")]) == 2
+
+    # replay: 20 must STILL be rejected by the folded history (not by its
+    # own half-committed members, which are excluded), 21 admitted
+    r = run_corpus_pipeline_incremental(spark, batch(20, 21), out, state, **kw)
+    assert r.counts["after_near_dedup"] == 2
+    assert r.counts["after_semantic_dedup"] == 1
+    # and a post-commit replay is rejected whole at the exact gate
+    r2 = run_corpus_pipeline_incremental(spark, batch(20, 21), out, state, **kw)
+    assert r2.counts["after_exact_dedup"] == 1   # 20's text was never delivered
+    assert r2.counts["after_semantic_dedup"] == 0
+
+
 def test_kmeans_table_assignment_equals_literal(spark, sf_dir):
     """assign='table' (broadcast-centroid iterations, the large-k trainer)
     must reproduce assign='literal' EXACTLY — same dot fold, same
