@@ -3084,6 +3084,189 @@ def t_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+@query("t_corpus_manifest_stream", _duck_corpus_manifest_sql())
+def t_corpus_manifest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING corpus-ingest front-end on the driver's hash signal
+    (VERDICT r6 item 3): the same two id-ordered batches as
+    t_corpus_manifest, but delivered through streaming/corpus_ingest —
+    readStream over a staged source dir, foreachBatch →
+    run_corpus_pipeline_incremental behind the exactly-once ledger, one
+    availableNow drain per batch (the second drain is a RESTART, so the
+    checkpoint + ledger frontier is exercised, not just the upsert) — then
+    the shard manifest is returned against the identical DuckDB one-shot
+    reconstruction. The pytest byte-equality argument
+    (test_corpus_ingest_stream_matches_batch_incremental) becomes a direct
+    driver row. Same exactness preconditions as t_corpus_manifest; the
+    staged batch files are written one per drain, so FileStreamSource
+    ordering cannot interleave them."""
+    import shutil
+    import tempfile
+
+    from f1_datalakehouse_pipeline_spark.sources.shards import read_shard_manifest
+    from f1_datalakehouse_pipeline_spark.streaming.corpus_ingest import (
+        corpus_ingest_stream,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    mid = docs.agg(F.max("doc_id")).collect()[0][0] // 2  # bounded: one row
+    tmp = tempfile.mkdtemp(prefix="t_corpus_manifest_stream_")
+    src, out = f"{tmp}/src", f"{tmp}/out"
+    state, ckpt = f"{tmp}/state", f"{tmp}/ckpt"
+    kw = dict(
+        quality_min=0.5, near_threshold=0.7, chunk_tokens=32,
+        overlap_tokens=8, n_shards=8, seed="corpus-e0",
+        max_doc_frequency=None,
+    )
+    schema = docs.select("doc_id", "text").schema
+
+    def drain() -> None:
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = corpus_ingest_stream(stream, out, state, ckpt, **kw)
+        q.awaitTermination(600)
+
+    try:
+        docs.filter(F.col("doc_id") <= mid).select("doc_id", "text") \
+            .coalesce(1).write.mode("append").parquet(src)
+        drain()
+        docs.filter(F.col("doc_id") > mid).select("doc_id", "text") \
+            .coalesce(1).write.mode("append").parquet(src)
+        drain()
+        manifest = read_shard_manifest(spark, out).select(
+            F.col("shard_id").cast("int").alias("shard_id"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("checksum").cast("long").alias("checksum"),
+            "seed",
+            "checksum_algo",
+            F.col("n_shards").cast("int").alias("n_shards"),
+        )
+        return manifest.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _duck_psi_buckets_sql(n_buckets: int = 10, top_k: int = 20) -> str:
+    """DuckDB replication of the PSI drift monitor's EXACT layers
+    (quality.psi_reference / psi_drift_from_reference): fixed-width numeric
+    bucketing over reference min/max with __null__/__lo__/__hi__/__noref__
+    guard buckets, top-k categorical keep-list, full-outer zero-filled
+    (column, bucket) counts, and the share ratios. Everything here is
+    integer counts plus SINGLE IEEE-754 divisions of exactly-representable
+    integers — bit-reproducible across engines; only the ln() inside
+    psi_term is libm-dependent, so that one column is excluded (VERDICT r6
+    item 5: the drift gate's value layer on the hash signal, PSI itself
+    tolerance-checked in tests/test_drift.py)."""
+
+    def bucket_case(c: str, lo: str, hi: str) -> str:
+        x = f"CAST({c} AS DOUBLE)"
+        width = f"(({hi}) - ({lo})) / {float(n_buckets)!r}"
+        idx = f"floor(({x} - ({lo})) / ({width}))"
+        return (
+            f"CASE WHEN {c} IS NULL THEN '__null__' "
+            f"WHEN ({lo}) IS NULL OR ({hi}) IS NULL THEN '__noref__' "
+            f"WHEN {x} < ({lo}) THEN '__lo__' "
+            f"WHEN {x} > ({hi}) THEN '__hi__' "
+            f"WHEN ({hi}) <= ({lo}) THEN 'b0' "
+            f"ELSE 'b' || CAST(LEAST({idx}, {n_buckets - 1}) AS BIGINT) END"
+        )
+
+    label_q = bucket_case("l_quantity", "b.lo_q", "b.hi_q")
+    label_e = bucket_case("l_extendedprice", "b.lo_e", "b.hi_e")
+    side = """
+      SELECT 'l_quantity' AS col, {lq} AS bucket FROM {src} CROSS JOIN bounds b
+      UNION ALL
+      SELECT 'l_extendedprice', {le} FROM {src} CROSS JOIN bounds b
+      UNION ALL
+      SELECT 'l_returnflag',
+             CASE WHEN s.l_returnflag IS NULL THEN '__null__'
+                  WHEN k.__val IS NOT NULL THEN CAST(s.l_returnflag AS VARCHAR)
+                  ELSE '__other__' END
+      FROM {src} s LEFT JOIN keep k ON CAST(s.l_returnflag AS VARCHAR) = k.__val
+    """
+    return f"""
+    WITH ref AS (
+      SELECT * FROM lineitem WHERE l_shipdate < TIMESTAMP '1996-07-01 00:00:00'
+    ),
+    newb AS (
+      SELECT * FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-07-01 00:00:00'
+    ),
+    bounds AS (
+      SELECT MIN(CAST(l_quantity AS DOUBLE)) AS lo_q,
+             MAX(CAST(l_quantity AS DOUBLE)) AS hi_q,
+             MIN(CAST(l_extendedprice AS DOUBLE)) AS lo_e,
+             MAX(CAST(l_extendedprice AS DOUBLE)) AS hi_e
+      FROM ref
+    ),
+    keep AS (
+      SELECT __val FROM (
+        SELECT CAST(l_returnflag AS VARCHAR) AS __val, COUNT(*) AS n
+        FROM ref WHERE l_returnflag IS NOT NULL GROUP BY 1
+      ) QUALIFY ROW_NUMBER() OVER (ORDER BY n DESC, __val) <= {top_k}
+    ),
+    refc AS (
+      SELECT col, bucket, COUNT(*) AS n_ref
+      FROM ({side.format(lq=label_q, le=label_e, src='ref')}) GROUP BY 1, 2
+    ),
+    newc AS (
+      SELECT col, bucket, COUNT(*) AS n_new
+      FROM ({side.format(lq=label_q, le=label_e, src='newb')}) GROUP BY 1, 2
+    ),
+    joined AS (
+      SELECT COALESCE(r.col, n.col) AS col,
+             COALESCE(r.bucket, n.bucket) AS bucket,
+             COALESCE(r.n_ref, 0) AS n_ref,
+             COALESCE(n.n_new, 0) AS n_new
+      FROM refc r FULL OUTER JOIN newc n
+        ON r.col = n.col AND r.bucket = n.bucket
+    ),
+    tot AS (
+      SELECT col, SUM(n_ref) AS tr, SUM(n_new) AS tn FROM joined GROUP BY 1
+    )
+    SELECT b.col AS "column", b.bucket,
+           CAST(b.n_ref AS BIGINT) AS n_ref,
+           CAST(b.n_new AS BIGINT) AS n_new,
+           CAST(b.n_ref AS DOUBLE) / CAST(GREATEST(t.tr, 1) AS DOUBLE) AS ref_share,
+           CAST(b.n_new AS DOUBLE) / CAST(GREATEST(t.tn, 1) AS DOUBLE) AS new_share
+    FROM joined b JOIN tot t ON b.col = t.col
+    """
+
+
+@query("t_psi_buckets", _duck_psi_buckets_sql())
+def t_psi_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PSI drift monitor's exact layers on the driver's hash signal:
+    a reference built from the first half-year of lineitem shipments
+    (quality.psi_reference — fixed-width numeric buckets over reference
+    min/max with guard buckets, top-k categorical keep-list) scores the
+    second half-year (psi_drift_from_reference), and the detail rows'
+    integer counts + share ratios are hash-compared against a full DuckDB
+    replication. psi_term is dropped — its ln() is evaluated by each
+    engine's libm (documented; the float PSI layer is tolerance-verified at
+    1e-9 in tests/test_drift.py) — everything returned here is exact by
+    construction: integer bucket counts and single IEEE divisions of
+    exactly-representable integers."""
+    from f1_datalakehouse_pipeline_spark.quality import (
+        psi_drift_from_reference,
+        psi_reference,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    split = F.lit("1996-07-01 00:00:00").cast("timestamp")
+    ref = li.filter(F.col("l_shipdate") < split)
+    new = li.filter(F.col("l_shipdate") >= split)
+    r = psi_reference(
+        ref, ["l_quantity", "l_extendedprice"], ["l_returnflag"],
+        n_buckets=10, top_k=20,
+    )
+    return psi_drift_from_reference(r, new).select(
+        "column",
+        "bucket",
+        F.col("n_ref").cast("long").alias("n_ref"),
+        F.col("n_new").cast("long").alias("n_new"),
+        "ref_share",
+        "new_share",
+    )
+
+
 def _duck_bpe_table_encode_sql(chunk: int = 64) -> str:
     """DuckDB mirror of the corpus-scale BPE encode (bpe_word_table +
     bpe_encode_with_table) under the 1024-merge model: the replace chain is
