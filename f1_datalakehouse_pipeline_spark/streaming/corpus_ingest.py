@@ -39,6 +39,7 @@ from f1_datalakehouse_pipeline_spark.plans.corpus import (
 from f1_datalakehouse_pipeline_spark.streaming.incremental import (
     exactly_once_batch_writer,
 )
+from f1_datalakehouse_pipeline_spark.streaming.novelty import should_compact
 
 
 def corpus_ingest_stream(
@@ -48,6 +49,8 @@ def corpus_ingest_stream(
     checkpoint_dir: str,
     available_now: bool = True,
     compact_every_batches: int | None = None,
+    compact_max_files: int | None = None,
+    compact_max_bytes_per_file: int | None = None,
     **pipeline_kw,
 ) -> StreamingQuery:
     """Start the full-pipeline admission gate over a streaming DataFrame of
@@ -62,7 +65,14 @@ def corpus_ingest_stream(
     ingest — without it a long-lived stream accumulates one small parquet
     file per state component per admitted batch (the probe-scan degradation
     the compaction hook exists for). Compaction changes no verdict, so a
-    ledger replay skipping it loses only the maintenance."""
+    ledger replay skipping it loses only the maintenance.
+
+    ``compact_max_files=N`` (optionally ``compact_max_bytes_per_file``) is
+    the observable-driven alternative (VERDICT r6 item 7): after each batch
+    the state root's data-file count is measured (one walk, skipping
+    ``_``-prefixed staging/marker dirs) and the fold runs only when it
+    crosses N — no cadence to tune against uneven batch sizes. Either
+    trigger firing runs the fold."""
     spark = stream_docs.sparkSession
     pipeline_kw.setdefault("audit", False)
 
@@ -70,7 +80,17 @@ def corpus_ingest_stream(
         run_corpus_pipeline_incremental(
             spark, batch_df, out_root, state_root, **pipeline_kw
         )
-        if compact_every_batches and (batch_id + 1) % compact_every_batches == 0:
+        cadence_due = bool(
+            compact_every_batches
+            and (batch_id + 1) % compact_every_batches == 0
+        )
+        threshold_due = should_compact(
+            state_root,
+            max_files=compact_max_files,
+            max_bytes_per_file=compact_max_bytes_per_file,
+            components=None,
+        )
+        if cadence_due or threshold_due:
             from f1_datalakehouse_pipeline_spark.plans.corpus import (
                 compact_corpus_state,
             )

@@ -126,6 +126,74 @@ def _count_files(path: str) -> int:
     return n
 
 
+def _index_footprint(
+    index_path: str, components: tuple[str, ...] | None = _INDEX_COMPONENTS
+) -> tuple[int, int]:
+    """(data-file count, data-file bytes) across the state's data dirs.
+
+    ``components=None`` walks the whole tree instead, skipping ``_``/``.``
+    prefixed directories (staging, commit markers) — the layout-agnostic
+    form for state roots whose component set varies (the corpus state adds
+    ``semantic/`` only when embeddings are wired in). One directory walk —
+    the same LIST an object store bills for once per maintenance decision,
+    vs once per file per probe when the small-file pileup is left to grow
+    (PERF_NOTES r6 compaction rung)."""
+    n = b = 0
+    roots = (
+        [os.path.join(index_path, c) for c in components]
+        if components is not None
+        else [index_path]
+    )
+    for root in roots:
+        for dirpath, dirnames, files in os.walk(root):
+            dirnames[:] = [d for d in dirnames if not d.startswith(("_", "."))]
+            for f in files:
+                if f.startswith(("_", ".")):
+                    continue
+                n += 1
+                try:
+                    b += os.path.getsize(os.path.join(dirpath, f))
+                except OSError:
+                    pass
+    return n, b
+
+
+def should_compact(
+    index_path: str,
+    *,
+    max_files: int | None = None,
+    max_bytes_per_file: int | None = None,
+    components: tuple[str, ...] | None = _INDEX_COMPONENTS,
+) -> bool:
+    """Observable-driven compaction policy (VERDICT r6 item 7).
+
+    A fixed ``compact_every_batches`` cadence needs hand-tuning to the
+    stream's batch size: too sparse and the probe wall grows with the file
+    count (measured 1.27→3.54 s over 384→6144 files, PERF_NOTES r6); too
+    dense and the fold cost (≤6 s) is paid for nothing. This predicate keys
+    the decision on what actually degrades the probe — the index's FILE
+    COUNT — with an optional mean-file-size floor so a large index made of
+    few big files is never churned:
+
+    - ``max_files``: compact when the component dirs hold more data files
+      than this (the probe opens every one of them);
+    - ``max_bytes_per_file``: additionally require the MEAN file size to sit
+      below this — above it, files are already chunky and rewriting them
+      buys nothing (0 disables the floor).
+
+    Pure function of the directory state; callable from any scheduler, not
+    just the in-stream hook.
+    """
+    if max_files is None:
+        return False
+    n, b = _index_footprint(index_path, components)
+    if n <= max_files:
+        return False
+    if max_bytes_per_file and n and (b / n) >= max_bytes_per_file:
+        return False
+    return True
+
+
 def compact_novelty_index(
     spark: SparkSession, index_path: str, *, target_files: int = 1
 ) -> dict:
@@ -363,6 +431,8 @@ def novelty_ingest_stream(
     available_now: bool = True,
     shingle_buckets: int | None = None,
     compact_every_batches: int | None = None,
+    compact_max_files: int | None = None,
+    compact_max_bytes_per_file: int | None = None,
 ) -> StreamingQuery:
     """Start the admission gate over a streaming DataFrame of documents.
 
@@ -380,6 +450,12 @@ def novelty_ingest_stream(
     index read, and a ledger replay skips the whole batch (admission AND
     maintenance) — compaction changes no probe verdict, so skipping it on
     replay loses nothing but the maintenance itself.
+
+    ``compact_max_files=N`` (optionally with ``compact_max_bytes_per_file``)
+    is the self-tuning alternative (VERDICT r6 item 7): compact whenever
+    :func:`should_compact` says the index's data-file count crossed N — no
+    cadence to match to the stream's (possibly uneven) batch sizes. Both
+    triggers may be set; either firing runs the fold.
     """
     spark = stream_docs.sparkSession
 
@@ -390,11 +466,18 @@ def novelty_ingest_stream(
             k=k, n_hashes=n_hashes, bands=bands, threshold=threshold,
             max_doc_frequency=max_doc_frequency, shingle_buckets=shingle_buckets,
         )
-        if (
+        if not os.path.isdir(os.path.join(index_path, "bands")):
+            return
+        cadence_due = bool(
             compact_every_batches
             and (batch_id + 1) % compact_every_batches == 0
-            and os.path.isdir(os.path.join(index_path, "bands"))
-        ):
+        )
+        threshold_due = should_compact(
+            index_path,
+            max_files=compact_max_files,
+            max_bytes_per_file=compact_max_bytes_per_file,
+        )
+        if cadence_due or threshold_due:
             compact_novelty_index(spark, index_path)
 
     wrapped = exactly_once_batch_writer(

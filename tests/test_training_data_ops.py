@@ -1795,6 +1795,83 @@ def test_novelty_ingest_stream_with_inline_compaction(spark, tmp_path, shingle_b
     assert _count_files(os.path.join(idx, "bands")) <= 4
 
 
+def test_should_compact_policy(tmp_path):
+    """should_compact keys on the observable that degrades the probe (data
+    file count) with a mean-file-size floor so chunky indexes never churn
+    (VERDICT r6 item 7)."""
+    from f1_datalakehouse_pipeline_spark.streaming.novelty import should_compact
+
+    idx = tmp_path / "idx"
+    for comp in ("bands", "shingles", "sizes"):
+        d = idx / comp
+        d.mkdir(parents=True)
+        for i in range(4):
+            (d / f"part-{i}.parquet").write_bytes(b"x" * 100)
+        (d / "_SUCCESS").write_bytes(b"")  # marker files never counted
+
+    # no threshold configured → never fires
+    assert not should_compact(str(idx))
+    # 12 data files: above 10 fires, at/below 12 does not
+    assert should_compact(str(idx), max_files=10)
+    assert not should_compact(str(idx), max_files=12)
+    # mean file size (100 B) under the floor → still fires; above it → held
+    assert should_compact(str(idx), max_files=10, max_bytes_per_file=1000)
+    assert not should_compact(str(idx), max_files=10, max_bytes_per_file=50)
+
+    # layout-agnostic walk (components=None): staging/marker dirs skipped
+    (idx / "_commits").mkdir()
+    (idx / "_commits" / "token1").write_bytes(b"y" * 10_000)
+    assert should_compact(str(idx), max_files=10, components=None)
+    assert not should_compact(str(idx), max_files=12, components=None)
+
+
+def test_novelty_ingest_threshold_triggered_compaction(spark, tmp_path):
+    """compact_max_files folds the index when its FILE COUNT crosses the
+    threshold — no cadence to hand-tune against uneven batch sizes
+    (VERDICT r6 item 7). Admission verdicts must be identical to the
+    untriggered gate, including cross-batch rejections probed against a
+    just-compacted index."""
+    from f1_datalakehouse_pipeline_spark.streaming.novelty import (
+        _count_files,
+        novelty_ingest_stream,
+    )
+
+    a = "the quick brown fox jumps over the lazy dog again and again"
+    b = "completely different prose describing shuffle partitions in spark"
+    land = tmp_path / "landing"
+    land.mkdir()
+    # deliberately UNEVEN batch sizes: 1, 3, 1
+    batches = [
+        [(1, a)],
+        [(10, b), (11, b + " indeed"),
+         (12, "a third unrelated text about parquet footers and statistics")],
+        [(20, a + " truly")],  # near dup of 1 across a compacted index
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, ["doc_id", "text"]).coalesce(1).write.parquet(
+            str(land / f"f{i}")
+        )
+    stream = (
+        spark.readStream.format("parquet")
+        .schema("doc_id BIGINT, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(land / "*"))
+    )
+    idx, out, ckpt = str(tmp_path / "idx"), str(tmp_path / "out"), str(tmp_path / "ck")
+    novelty_ingest_stream(
+        stream, "doc_id", "text", idx, out, ckpt, threshold=0.5,
+        compact_max_files=8,
+    ).awaitTermination(180)
+    # first-arrival-wins admissions unchanged: 11 is a within-batch near dup
+    # of 10, 20 a cross-batch near dup of 1
+    assert {r.doc_id for r in spark.read.parquet(out).collect()} == {1, 10, 12}
+    import os
+
+    # the threshold fired after the multi-batch pileup: components folded
+    assert _count_files(os.path.join(idx, "sizes")) <= 2
+    assert _count_files(os.path.join(idx, "bands")) <= 8
+
+
 def test_novelty_ingest_survives_shingle_less_first_batch(spark, tmp_path):
     """A first batch of sub-k-token docs appends an EMPTY index; the next
     drain must treat that as 'no history yet' instead of failing parquet
@@ -2653,16 +2730,24 @@ def test_incremental_corpus_pipeline_empty_batches(spark, tmp_path):
         )
 
 
-@pytest.mark.parametrize("compact_every", [None, 1])
-def test_corpus_ingest_stream_matches_batch_incremental(spark, tmp_path, compact_every):
+@pytest.mark.parametrize(
+    "compact_every,compact_max_files",
+    [(None, None), (1, None), (None, 1)],
+    ids=["no-compaction", "cadence", "threshold"],
+)
+def test_corpus_ingest_stream_matches_batch_incremental(
+    spark, tmp_path, compact_every, compact_max_files
+):
     """The streaming front-end (corpus_ingest_stream: readStream →
     foreachBatch → run_corpus_pipeline_incremental) must deliver BYTE-EQUAL
     shards to the batch incremental path over the same two batches —
     including across a stream restart (the checkpoint + ledger carry the
     frontier), with the out-of-band audit clean. The per-batch audit is
     skipped by default in the stream (corpus-sized scan per micro-batch).
-    Parametrized over compact_every_batches: in-stream state compaction is
-    pure maintenance, so equality must survive it (r6)."""
+    Parametrized over the compaction triggers: in-stream state compaction is
+    pure maintenance, so equality must survive both the fixed cadence (r6)
+    and the file-count threshold (compact_max_files=1 fires after every
+    batch — the maximal-churn case; r7)."""
     from f1_datalakehouse_pipeline_spark.plans.corpus import (
         run_corpus_pipeline_incremental,
     )
@@ -2703,7 +2788,8 @@ def test_corpus_ingest_stream_matches_batch_incremental(spark, tmp_path, compact
         stream = spark.readStream.schema(b1.schema).parquet(src)
         q = corpus_ingest_stream(
             stream, s_out, s_state, ckpt,
-            compact_every_batches=compact_every, **kw,
+            compact_every_batches=compact_every,
+            compact_max_files=compact_max_files, **kw,
         )
         q.awaitTermination(120)
 
