@@ -11,6 +11,14 @@ transform minus their duplicate count-then-write anti-pattern, SURVEY
 spread is reported alongside so round-over-round deltas can be judged
 against observed variance instead of guessed noise floors. The extra /
 scale sections stay single-run to bound total bench time.
+
+r7: the composition-cost corpus queries (t_corpus_manifest and its
+streaming twin — each invocation is a full multi-batch pipeline with
+state IO) moved to a SINGLE-RUN section (``queries_single_run``), and a
+``scale_sf1_extras`` leg times the scheduler-bound heavy extras once at a
+10x-scaled input dir where their compute actually shows (VERDICT r6
+item 8). t_corpus_manifest's r1-r6 home was queries_extra (median-of-3);
+compare r7+ readings against the single-run + sf1 legs.
 """
 
 from __future__ import annotations
@@ -136,7 +144,18 @@ def main() -> None:
         "t_bpe_encode",
         # r6 additions
         "t_bpe_table_encode",
+        # r7 additions
+        "t_psi_buckets",
+    ]
+
+    # Composition-cost queries: each invocation runs a FULL multi-batch
+    # pipeline with real state IO in a temp dir (dozens of sequential Spark
+    # jobs — cost is composition, not a plan; VERDICT r6 blemish 1), so they
+    # are timed ONCE to bound total bench wall. Round-over-round deltas on
+    # these are judged at the compute-bound sf1 leg below, not here.
+    SINGLE_RUN = [
         "t_corpus_manifest",
+        "t_corpus_manifest_stream",  # r7: the streaming twin on the gate
     ]
     # r4 (VERDICT r3 item 7): extras get the same median-of-3 + spread
     # treatment as the headline, so regressions on dedup_docs_pipeline-class
@@ -157,6 +176,15 @@ def main() -> None:
         extra_timings[name] = round(statistics.median(samples), 3)
         extra_spread[name] = [round(min(samples), 3), round(max(samples), 3)]
 
+    single_timings: dict[str, float] = {}
+    for name in SINGLE_RUN:
+        if name not in qs:
+            continue
+        t0 = time.time()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        single_timings[name] = round(time.time() - t0, 3)
+        spark.catalog.clearCache()
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_query_wall_time",
@@ -169,6 +197,7 @@ def main() -> None:
         "queries_spread_min_max": spread,
         "queries_extra": extra_timings,
         "queries_extra_spread_min_max": extra_spread,
+        "queries_single_run": single_timings,
     }
 
     # Scale section (VERDICT r1 item 6): dedup at an sf1-equivalent document
@@ -195,6 +224,27 @@ def main() -> None:
             out["scale_sf1_dedup"] = scale
         except Exception as e:  # noqa: BLE001 — diagnostic, not fatal
             out["scale_sf1_dedup"] = {"error": f"{type(e).__name__}: {e}"[:200]}
+
+        # sf1 heavy-extras leg (VERDICT r6 item 8): the corpus/dedup extras
+        # that matter at scale are scheduler-bound at sf0.1 (fixed multi-job
+        # overhead dwarfs their ~1-2 s of real compute), so round-over-round
+        # regressions on their COMPUTE are judged here instead: the SAME
+        # registry callables, single-run, against a cached 10x-scaled
+        # documents+embeddings dir (full base schema, load_table-compatible).
+        try:
+            from tools.scale_stress import sf_equiv_dir
+
+            sf1_dir = sf_equiv_dir(spark, sf_dir, factor=10)
+            spark.catalog.clearCache()
+            leg: dict[str, float | int] = {}
+            for name in ("dedup_semantic", "dedup_docs_pipeline", "t_corpus_manifest"):
+                t0 = time.time()
+                qs[name](spark, sf1_dir).write.format("noop").mode("overwrite").save()
+                leg[name] = round(time.time() - t0, 3)
+                spark.catalog.clearCache()
+            out["scale_sf1_extras"] = leg
+        except Exception as e:  # noqa: BLE001 — diagnostic, not fatal
+            out["scale_sf1_extras"] = {"error": f"{type(e).__name__}: {e}"[:200]}
 
     print(json.dumps(out))
     # The driver captures only the LAST 2000 chars of bench output; the full

@@ -86,6 +86,60 @@ def scaled_docs(
     return spark.read.parquet(path)
 
 
+def sf_equiv_dir(spark: SparkSession, sf_dir: str, factor: int = 10) -> str:
+    """Materialize a ``load_table``-compatible directory holding factor-x
+    ``documents`` and ``embeddings`` tables (base schema preserved), so
+    registry queries run UNCHANGED at a compute-bound scale — the bench's
+    sf1 heavy-extras leg (VERDICT r6 item 8): queries like dedup_semantic
+    and t_corpus_manifest are scheduler-bound at sf0.1, so regressions on
+    their COMPUTE must be judged at 10×. Same deterministic salting as
+    :func:`scaled_docs` (near-dup clusters capped at 2) and the same
+    per-replica perturbation as :func:`scaled_embeddings`; cached under
+    ``.scale_cache/`` like every other rung input."""
+    root = os.path.join(CACHE, f"sfdir_x{factor}")
+    docs_path = os.path.join(root, "documents.parquet")
+    if not os.path.isdir(docs_path):
+        base = load_table(spark, sf_dir, "documents")
+        reps = spark.range(factor).repartition(
+            min(max(32, factor // 8), 512)
+        ).select(F.col("id").alias("rep"))
+        out = reps.crossJoin(F.broadcast(base))
+        salt = (F.col("rep") / 2).cast("long").cast("string")
+        words = F.split(F.col("text"), " ")
+        salted = F.concat_ws(
+            " ",
+            F.transform(
+                words,
+                lambda w, i: F.when(i % 3 == 0, F.concat(w, F.lit("q"), salt)).otherwise(w),
+            ),
+        )
+        text = F.when(
+            F.col("rep") % 2 == 1, F.concat(salted, F.lit(" zzvariant"))
+        ).otherwise(salted)
+        out.select(
+            (F.col("doc_id") + F.col("rep") * F.lit(1_000_000)).alias("doc_id"),
+            text.alias("text"),
+            "lang",
+            "source",
+            F.length(text).alias("n_chars"),
+        ).repartition(max(32, factor // 8)).write.mode("overwrite").parquet(docs_path)
+    emb_path = os.path.join(root, "embeddings.parquet")
+    if not os.path.isdir(emb_path):
+        base = load_table(spark, sf_dir, "embeddings")
+        reps = spark.range(factor).select(F.col("id").alias("rep"))
+        base.crossJoin(F.broadcast(reps)).select(
+            (F.col("vec_id") + F.col("rep") * F.lit(1_000_000)).alias("vec_id"),
+            F.transform(
+                F.col("embedding"),
+                lambda x, i: (
+                    x + (F.col("rep") % 7).cast("double") * 0.001 * (i % 5).cast("double")
+                ).cast("float"),
+            ).alias("embedding"),
+            "label",
+        ).repartition(max(32, factor)).write.mode("overwrite").parquet(emb_path)
+    return root
+
+
 def scaled_lineitem(spark: SparkSession, sf_dir: str, factor: int) -> DataFrame:
     """factor x the sf_dir lineitem table (orderkeys preserved so dim joins
     keep their selectivity; linenumber offset keeps rows unique)."""
