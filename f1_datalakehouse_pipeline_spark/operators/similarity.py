@@ -259,6 +259,148 @@ def kmeans_distributed(
     return cent
 
 
+def kmeans_hierarchical(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 1024,
+    coarse_train: str = "sample",
+    coarse_iters: int = 4,
+    fine_iters: int = 8,
+    sample_per_list: int = 32,
+    seed: int = 13,
+) -> tuple[list[list[float]], list[list[float]]]:
+    """Two-level trainer for the SemDeDup k ∝ N regime; returns
+    ``(fine_centroids, coarse_centroids)``.
+
+    Why it exists (PERF_NOTES r6): at k = N/100 the two affordable trainers
+    both break down — driver-side sample training caps the sample at
+    ~2/centroid so dense regions collapse onto duplicate centroids
+    (13,957 of 50,000 lists live at 5M vectors, pair mass 3.6× the ideal
+    N·cluster/2 line), while FLAT distributed Lloyd's is O(N·k·dim) per
+    iteration (5M × 50K × 64 ≈ 1.6e13 multiplies — hours per sweep on 32
+    cores, and no partitioning saves a dense all-centroids argmax).
+
+    The hierarchical shape fixes both at once, using only machinery that
+    scales: a √k-list COARSE quantizer splits the corpus into ~√k cells
+    (``coarse_train="distributed"`` runs whole-corpus Lloyd's — affordable
+    because k_coarse = √k — else the bounded-sample trainer), each vector
+    is routed to its cell in ONE O(√k) map pass, and every cell then trains
+    its own fine sub-codebook with the PER-CELL numpy Lloyd's inside ONE
+    ``applyInPandas`` pass — embarrassingly parallel, Arrow-batched, no
+    further shuffles. The fine budget is allocated ∝ cell population
+    (largest-remainder rounding, clamped at the cell's distinct-vector
+    supply and re-distributed), which is exactly the fill guarantee the
+    flat sample trainer lacks: a cell holding 4% of the corpus gets 4% of
+    the codebook, and its trainer sees ``sample_per_list`` vectors per
+    centroid instead of 2. Total driver traffic: k×dim doubles (the
+    returned codebook) + √k cell counts — independent of corpus size.
+
+    The output pairs naturally with ``dedup.semantic_index_two_level``:
+    fine centroids are born grouped under the same coarse geometry the
+    router probes.
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    if coarse_train not in ("sample", "distributed"):
+        raise ValueError(
+            f"coarse_train must be 'sample' or 'distributed', got {coarse_train!r}"
+        )
+    n = embeddings.count()
+    if n == 0:
+        raise ValueError("cannot train on an empty embeddings table")
+    n_lists = min(n_lists, n)
+    k_coarse = max(1, min(int(math.isqrt(n_lists)) or 1, n_lists))
+    if coarse_train == "distributed":
+        coarse = kmeans_distributed(
+            embeddings, id_col, vec_col,
+            n_lists=k_coarse, iters=coarse_iters, assign="table",
+        )
+    else:
+        coarse = ivf_train(
+            embeddings, id_col, vec_col, n_lists=k_coarse,
+            train_sample=max(4096, sample_per_list * k_coarse),
+            seed=seed, kmeans_iters=coarse_iters, train="sample",
+        )
+
+    v = embeddings.select(
+        F.col(id_col).alias("__id"), _as_double(F.col(vec_col)).alias("__v")
+    )
+    nrm = F.greatest(norm(F.col("__v")), F.lit(1e-12))
+    v = v.select("__id", F.transform(F.col("__v"), lambda x: x / nrm).alias("__nv"))
+    # O(√k) literal argmax per vector — one map pass, k_coarse is small
+    scores = F.array(*[dot(F.col("__nv"), cc) for cc in _centroid_exprs(coarse)])
+    cell = (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
+    assigned = v.select(F.col("__id"), F.col("__nv"), cell.alias("__cell"))
+
+    counts = {
+        r["__cell"]: r["cnt"]
+        for r in assigned.groupBy("__cell").agg(F.count("*").alias("cnt")).collect()
+    }
+    # population-proportional allocation, largest-remainder rounding,
+    # clamped at each cell's supply with the excess re-distributed
+    quota = {c: n_lists * cnt / n for c, cnt in counts.items()}
+    alloc = {c: max(1, int(q)) for c, q in quota.items()}
+    alloc = {c: min(a, counts[c]) for c, a in alloc.items()}
+    while sum(alloc.values()) < n_lists:
+        room = [c for c in alloc if alloc[c] < counts[c]]
+        if not room:
+            break
+        c = max(room, key=lambda c: (quota[c] - alloc[c], counts[c], -c))
+        alloc[c] += 1
+    while sum(alloc.values()) > n_lists:
+        c = max(alloc, key=lambda c: (alloc[c] - quota[c], -counts[c], c))
+        if alloc[c] <= 1:
+            break
+        alloc[c] -= 1
+
+    cap = {c: max(sample_per_list * a, 256) for c, a in alloc.items()}
+
+    def train_cell(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        cell_id = int(key[0])
+        kc = alloc.get(cell_id, 0)
+        if kc <= 0:
+            return pd.DataFrame({"cell": [], "centroid": []})
+        x = np.stack(pdf["__nv"].to_numpy())
+        # deterministic subsample + init: order by a cheap integer hash of
+        # the id so reruns and repartitions see the same training set
+        ids = pdf["__id"].to_numpy().astype(np.int64)
+        order = np.argsort(
+            (ids * np.int64(-7046029254386353131)) ^ np.int64(seed), kind="stable"
+        )
+        x = x[order][: cap[cell_id]]
+        kc = min(kc, len(x))
+        cent = x[:kc].copy()
+        for _ in range(fine_iters):
+            assign = np.empty(len(x), dtype=np.int64)
+            block = max(1, min(len(x), (1 << 27) // max(len(cent), 1)))
+            for s in range(0, len(x), block):
+                assign[s : s + block] = np.argmax(x[s : s + block] @ cent.T, axis=1)
+            sums = np.zeros_like(cent)
+            cnts = np.zeros(len(cent), dtype=np.int64)
+            np.add.at(sums, assign, x)
+            np.add.at(cnts, assign, 1)
+            nz = cnts > 0
+            cent[nz] = sums[nz] / cnts[nz, None]
+            cent = cent / np.maximum(
+                np.linalg.norm(cent, axis=1, keepdims=True), 1e-12
+            )
+        return pd.DataFrame(
+            {"cell": [cell_id] * len(cent), "centroid": [list(map(float, c)) for c in cent]}
+        )
+
+    fine_rows = (
+        assigned.groupBy("__cell")
+        .applyInPandas(train_cell, schema="cell int, centroid array<double>")
+        .collect()
+    )
+    fine = [list(r["centroid"]) for r in fine_rows]
+    return fine, coarse
+
+
 def ivf_train(
     embeddings: DataFrame,
     id_col: str = "vec_id",
@@ -276,9 +418,20 @@ def ivf_train(
     independent of table size). ``train="distributed"`` trains with
     :func:`kmeans_distributed` — Lloyd's iterations as DataFrame
     aggregations, so the quantizer sees the WHOLE corpus and only k×dim
-    centroid rows touch the driver (the 100 TB path)."""
+    centroid rows touch the driver; the 100 TB path for MODERATE k (its
+    per-iteration cost is O(N·k·dim) — at the SemDeDup k ∝ N regime that
+    is quadratic in N, so there use ``train="hierarchical"``:
+    :func:`kmeans_hierarchical`'s √k-cell split + per-cell parallel fine
+    training, O(N·√k·dim) total with population-proportional codebook
+    fill)."""
     import numpy as np
 
+    if train == "hierarchical":
+        fine, _coarse = kmeans_hierarchical(
+            embeddings, id_col, vec_col, n_lists=n_lists,
+            fine_iters=kmeans_iters, seed=seed,
+        )
+        return fine
     if train == "distributed":
         cent = np.array(
             kmeans_distributed(
@@ -317,7 +470,9 @@ def ivf_train(
                 np.linalg.norm(cent, axis=1, keepdims=True), 1e-12
             )
     else:
-        raise ValueError(f"train must be 'sample' or 'distributed', got {train!r}")
+        raise ValueError(
+            f"train must be 'sample', 'distributed' or 'hierarchical', got {train!r}"
+        )
     return [[float(v) for v in row] for row in cent]
 
 

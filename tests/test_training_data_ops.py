@@ -1123,6 +1123,68 @@ def test_kmeans_distributed_centroids_unit_norm_and_deterministic(spark):
         assert abs(n - 1.0) < 1e-9
 
 
+def test_kmeans_hierarchical_fill_allocation_and_determinism(spark):
+    """The k ∝ N trainer (VERDICT r6 item 4): exactly n_lists unit
+    centroids, deterministic across runs, fine budget allocated ∝ coarse
+    cell population (largest-remainder, clamped at cell supply), and the
+    codebook actually COVERS a clustered corpus — every vector's argmax
+    centroid sits in its own blob, so all lists stay live where the
+    2-samples-per-centroid flat sample trainer is structurally starved."""
+    import random
+
+    rnd = random.Random(5)
+    # three well-separated blobs with lopsided populations 60/30/10
+    blobs = [([10.0, 0.0, 0.0, 0.0], 60), ([0.0, 10.0, 0.0, 0.0], 30),
+             ([0.0, 0.0, 10.0, 0.0], 10)]
+    rows = []
+    i = 0
+    for center, m in blobs:
+        for _ in range(m):
+            rows.append((i, [c + rnd.uniform(-0.5, 0.5) for c in center]))
+            i += 1
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    fine, coarse = similarity.kmeans_hierarchical(
+        emb, n_lists=10, coarse_train="sample", fine_iters=4
+    )
+    fine2, coarse2 = similarity.kmeans_hierarchical(
+        emb, n_lists=10, coarse_train="sample", fine_iters=4
+    )
+    assert (fine, coarse) == (fine2, coarse2)  # deterministic end to end
+    assert len(fine) == 10
+    for c in fine + coarse:
+        assert abs(sum(x * x for x in c) ** 0.5 - 1.0) < 1e-9
+
+    # coverage: every centroid belongs to exactly one blob direction, and
+    # the per-blob centroid counts track the 60/30/10 populations
+    per_blob = [0, 0, 0]
+    for c in fine:
+        axis = max(range(3), key=lambda d: abs(c[d]))
+        assert c[axis] > 0.9  # centroid points INTO one blob
+        per_blob[axis] += 1
+    assert per_blob[0] > per_blob[1] > per_blob[2] >= 1
+
+    # every list live under brute assignment (full fill on this corpus)
+    from f1_datalakehouse_pipeline_spark.operators import dedup as _dedup
+
+    fdf = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(fine)], "cluster_id long, centroid array<double>"
+    )
+    live = (
+        _dedup.semantic_cluster_assign_table(emb, "vec_id", "embedding", fdf)
+        .select("cluster_id").distinct().count()
+    )
+    assert live == 10
+
+    # n_lists > corpus clamps instead of fabricating centroids
+    tiny = spark.createDataFrame(rows[:4], ["vec_id", "embedding"])
+    fine_t, _ = similarity.kmeans_hierarchical(tiny, n_lists=16)
+    assert len(fine_t) <= 4
+
+    # ivf_train passthrough returns the same codebook
+    assert similarity.ivf_train(emb, n_lists=10, train="hierarchical", kmeans_iters=4) == fine
+
+
 def test_exactly_once_batch_writer_skips_replayed_ids(spark, tmp_path):
     """A replayed batch id (foreachBatch at-least-once redelivery) must be
     skipped; new ids run; a FAILED upsert leaves no mark so the retry runs."""

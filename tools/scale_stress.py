@@ -385,6 +385,115 @@ def run_semantic_scale(spark: SparkSession, sf_dir: str, factor: int) -> dict:
     return r
 
 
+def run_semantic_train_scale(
+    spark: SparkSession, sf_dir: str, factor: int, flat_distributed: bool = False
+) -> dict:
+    """Quantizer-training rung (VERDICT r6 item 4): the r6 ladder disclosed
+    that at k ∝ N the SAMPLE-trained codebook under-fills (13,957 of 50,000
+    lists live at 5M; pair mass ~3.6× the ideal N·cluster/2 line) because
+    the bounded sample affords ~2 vectors per centroid. This rung measures
+    the fix: for each trainer, train wall, live-list fill, max cluster and
+    pair mass under the SAME two-level routed assignment (nprobe=1) the
+    semantic ladder uses.
+
+    Trainers: ``sample`` (r6 baseline), ``hierarchical``
+    (:func:`similarity.kmeans_hierarchical` — distributed √k-cell coarse
+    split + per-cell parallel numpy fine training, population-proportional
+    allocation). FLAT distributed Lloyd's (``train="distributed"``) is
+    O(N·k·dim) PER ITERATION — at 2M vectors × 20K lists × 64 dims that is
+    2.6e12 multiplies per sweep through the HOF fold, hours on 32 cores —
+    so it is measured only when ``flat_distributed`` is set and the rung is
+    small enough (the crossover evidence), never at the top rungs.
+    """
+    import math
+
+    from f1_datalakehouse_pipeline_spark.operators import dedup, similarity
+
+    emb = scaled_embeddings(spark, sf_dir, factor).cache()
+    n = emb.count()
+    k = max(8, n // 100)
+    k_coarse = max(4, int(math.isqrt(k)))
+    ideal_cluster = n / k
+    r: dict = {
+        "vectors": n,
+        "k": k,
+        "k_coarse": k_coarse,
+        # every cluster at its ideal population: k * C(n/k, 2)
+        "pair_mass_ideal": int(k * (ideal_cluster * (ideal_cluster - 1) / 2)),
+        "trainers": {},
+    }
+
+    def measure(name: str, fine: list, coarse: list, train_sec: float) -> None:
+        fdf = spark.createDataFrame(
+            [(i, c) for i, c in enumerate(fine)],
+            "cluster_id long, centroid array<double>",
+        )
+        idx = dedup.semantic_index_two_level(fdf, coarse).cache()
+        idx.count()
+        t0 = time.perf_counter()
+        asg = dedup.semantic_cluster_assign_two_level(
+            emb, "vec_id", "embedding", idx, coarse, nprobe=1
+        )
+        stats = (
+            asg.groupBy("cluster_id")
+            .count()
+            .agg(
+                F.count("*"),
+                F.max("count"),
+                F.sum(F.col("count") * F.col("count")),
+            )
+            .collect()[0]
+        )
+        leg = {
+            "train_sec": round(train_sec, 2),
+            "assign2l_sec": round(time.perf_counter() - t0, 2),
+            "live_lists": stats[0],
+            "fill_pct": round(100.0 * stats[0] / k, 1),
+            "max_cluster": stats[1],
+            "pair_mass": int(stats[2] // 2),
+            "pair_mass_vs_ideal": round(
+                (stats[2] // 2) / max(r["pair_mass_ideal"], 1), 2
+            ),
+        }
+        idx.unpersist()
+        r["trainers"][name] = leg
+        print(f"  {name}: {leg}", flush=True)
+
+    # r6 baseline: driver-side sample training (+ its own sampled coarse)
+    t0 = time.perf_counter()
+    fine_s = similarity.ivf_train(
+        emb, n_lists=k, train_sample=max(4096, 2 * k), train="sample"
+    )
+    coarse_s = similarity.ivf_train(
+        emb, n_lists=k_coarse, train_sample=4096, seed=29, train="sample"
+    )
+    measure("sample", fine_s, coarse_s, time.perf_counter() - t0)
+
+    # the k ∝ N answer: hierarchical (distributed coarse so the cell split
+    # sees the whole corpus; per-cell fine training parallel in one pass)
+    t0 = time.perf_counter()
+    fine_h, coarse_h = similarity.kmeans_hierarchical(
+        emb, n_lists=k, coarse_train="distributed", coarse_iters=3
+    )
+    measure("hierarchical", fine_h, coarse_h, time.perf_counter() - t0)
+
+    if flat_distributed:
+        # assign="table" — the literal mode's O(k·dim) expression tree is
+        # un-analyzable at this k (similarity.kmeans_distributed docstring)
+        t0 = time.perf_counter()
+        fine_d = similarity.kmeans_distributed(
+            emb, n_lists=k, iters=3, assign="table"
+        )
+        coarse_d = similarity.ivf_train(
+            emb, n_lists=k_coarse, train_sample=4096, seed=29, train="sample"
+        )
+        measure("flat_distributed", fine_d, coarse_d, time.perf_counter() - t0)
+
+    emb.unpersist()
+    print(f"  {r['vectors']} vectors done", flush=True)
+    return r
+
+
 def run_semantic_skew_scale(spark: SparkSession, sf_dir: str, factor: int) -> dict:
     """The banding win, in the regime it exists for: DELIBERATELY coarse
     k=16 produces giant (~N/16-doc) clusters — the skewed-corpus shape
@@ -1375,6 +1484,8 @@ def main() -> None:
     ap.add_argument("--novelty", action="store_true", help="measure incremental-probe amortization vs full self-join")
     ap.add_argument("--semantic", action="store_true", help="SemDeDup rung: two-level routed assignment + within-cluster pair cost up the ladder")
     ap.add_argument("--semantic-skew", action="store_true", help="banding win on deliberately-giant clusters (k=16)")
+    ap.add_argument("--semantic-train", action="store_true", help="quantizer-training rung: sample vs hierarchical codebook fill / pair mass / wall at k = N/100")
+    ap.add_argument("--flat-distributed", action="store_true", help="with --semantic-train: also time FLAT distributed Lloyd's (crossover evidence; only sane at small factors)")
     ap.add_argument("--lsh-banded", action="store_true", help="disk-budgeted band-at-a-time LSH rung (pair parity vs one-shot where it fits)")
     ap.add_argument("--no-oneshot", action="store_true", help="skip the one-shot comparison leg (factors where it exceeds the disk budget)")
     ap.add_argument("--corpus", action="store_true", help="run the full corpus pipeline (plans/corpus.py) at scale")
@@ -1445,6 +1556,16 @@ def main() -> None:
         for factor in factors:
             print(f"semantic-skew factor {factor}:", flush=True)
             results[str(factor)] = run_semantic_skew_scale(spark, args.sf_dir, factor)
+        print(json.dumps(results, indent=2))
+        return
+
+    if args.semantic_train:
+        for factor in factors:
+            print(f"semantic-train factor {factor}:", flush=True)
+            results[str(factor)] = run_semantic_train_scale(
+                spark, args.sf_dir, factor,
+                flat_distributed=args.flat_distributed,
+            )
         print(json.dumps(results, indent=2))
         return
 
