@@ -918,7 +918,8 @@ def semantic_cluster_assign(
 ) -> DataFrame:
     """Assign each embedding to its max-cosine centroid (ties → lowest
     centroid id). Pure projection: the centroid matrix is a small literal
-    (trained out-of-band, e.g. ``similarity.kmeans_distributed``), so the
+    (trained out-of-band — ``similarity.kmeans_distributed`` for moderate
+    k, ``similarity.kmeans_hierarchical`` in the k ∝ N regime), so the
     assignment is map-only — no shuffle, no UDF, and the sequential-fold
     cosine is bit-reproducible in the DuckDB oracle.
 
