@@ -125,6 +125,44 @@ def _gif_dims(b: bytes) -> tuple[int, int] | None:
     return None
 
 
+def _gif_frames(b: bytes) -> int | None:
+    """Count a GIF's image descriptors (frames) by walking the block
+    stream — extensions are label + sub-blocks, images are descriptor +
+    optional local color table + LZW sub-blocks. Returns None on anything
+    that is not a well-formed GIF."""
+    if len(b) < 13 or b[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    pos = 13
+    if b[10] & 0x80:
+        pos += 3 * (2 << (b[10] & 0x07))
+    frames = 0
+    try:
+        while pos < len(b):
+            block = b[pos]
+            if block == 0x21:
+                pos += 2
+                while b[pos] != 0:
+                    pos += 1 + b[pos]
+                pos += 1
+            elif block == 0x2C:
+                frames += 1
+                ipacked = b[pos + 9]
+                pos += 10
+                if ipacked & 0x80:
+                    pos += 3 * (2 << (ipacked & 0x07))
+                pos += 1  # LZW min code size
+                while b[pos] != 0:
+                    pos += 1 + b[pos]
+                pos += 1
+            elif block == 0x3B:
+                break
+            else:
+                return frames or None
+    except IndexError:  # truncated stream: report what was walked
+        pass
+    return frames or None
+
+
 def _jpeg_dims(b: bytes) -> tuple[int, int] | None:
     # scan marker segments for SOFn (C0-CF except C4/C8/CC):
     # marker(2) length(2 BE) precision(1) height(2 BE) width(2 BE)
@@ -178,8 +216,10 @@ def header_decoder(payload: bytes, modality: str) -> dict:
     """Real (no-media-libs) decoder: parses container headers in pure Python
     to produce true dimensions / sample counts.
 
-    - image: PNG IHDR, GIF logical screen, JPEG SOFn → (width, height),
-      n_frames = 1
+    - image: PNG IHDR, GIF logical screen, JPEG SOFn → (width, height);
+      n_frames = 1, except GIF where the image descriptors are counted
+      (animated GIFs report their true frame count, so ``sample_frames``
+      with this decoder picks real frame indices)
     - audio: WAV fmt/data chunks → n_frames = sample-frame count
     - video / unrecognized containers: metadata stays NULL (an ffmpeg-backed
       decoder injects here where installed)
@@ -193,7 +233,7 @@ def header_decoder(payload: bytes, modality: str) -> dict:
     dims = _png_dims(b) or _gif_dims(b) or _jpeg_dims(b)
     if dims:
         width, height = dims
-        n_frames = 1
+        n_frames = _gif_frames(b) or 1
     else:
         frames = _wav_frames(b)
         if frames is not None:

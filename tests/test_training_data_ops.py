@@ -702,6 +702,24 @@ def test_gif_decoder_handles_interlace_and_palette_overflow():
         multimodal.gif_encode_pixels(300, 1, 3, big)
 
 
+def test_header_decoder_counts_animated_gif_frames():
+    """An animated GIF (two image blocks) reports n_frames=2 through the
+    default header decoder — sample_frames then picks real frame indices."""
+    px = bytes([10, 20, 30] * 4)
+    single = multimodal.gif_encode_pixels(2, 2, 3, px)
+    # splice a second image section (descriptor → sub-block terminator)
+    # before the trailer; the descriptor offset is structural (no GCE)
+    desc_at = 13 + 3 * (2 << (single[10] & 0x07))
+    animated = single[:-1] + single[desc_at:-1] + b"\x3b"
+    feats = multimodal.header_decoder(animated, "image")
+    assert feats["n_frames"] == 2
+    assert (feats["width"], feats["height"]) == (2, 2)
+    # the single-frame form still reports 1, and PNG stays 1
+    assert multimodal.header_decoder(single, "image")["n_frames"] == 1
+    png = multimodal.png_encode_pixels(2, 2, 3, px)
+    assert multimodal.header_decoder(png, "image")["n_frames"] == 1
+
+
 def test_resize_images_default_resizes_gif_payloads(spark):
     """The DEFAULT resizer now covers GIF end-to-end: real GIFs come back as
     valid GIFs at the target size whose pixels are the exact nearest-neighbor
