@@ -315,9 +315,15 @@ def kmeans_hierarchical(
     n_lists = min(n_lists, n)
     k_coarse = max(1, min(int(math.isqrt(n_lists)) or 1, n_lists))
     if coarse_train == "distributed":
+        # k_coarse = √k stays far below the literal-assignment ceiling
+        # (a few thousand lists), and literal mode is MAP-ONLY — table
+        # mode's per-iteration groupBy(__id) re-keys the whole corpus
+        # (measured at the 5M rung: ~30 min per Lloyd's stage vs minutes).
+        # Fall back to the broadcast-table tier only past the ceiling.
         coarse = kmeans_distributed(
             embeddings, id_col, vec_col,
-            n_lists=k_coarse, iters=coarse_iters, assign="table",
+            n_lists=k_coarse, iters=coarse_iters,
+            assign="literal" if k_coarse <= 1024 else "table",
         )
     else:
         coarse = ivf_train(

@@ -377,7 +377,14 @@ def psi_drift_from_reference(
     :func:`psi_drift` (which is now this, composed with
     :func:`psi_reference`). The streaming monitor builds the reference once
     with ``materialize=True`` and calls this per micro-batch, so per-batch
-    cost is O(batch) regardless of reference size (ADVICE r5)."""
+    cost is O(batch) regardless of reference size (ADVICE r5).
+
+    Plan note: the ref↔new bucket alignment is a FULL OUTER join (a bucket
+    may exist on either side alone), which Spark's BroadcastHashJoin does
+    not support — it plans as a SortMergeJoin. That is fine by
+    construction: both inputs are post-aggregation bucket tables of
+    O(columns × buckets) rows (tens), not data-sized relations; the
+    batch-sized work is the single `_psi_bucketed` aggregation above it."""
     nc = _psi_bucketed(
         new, r.numeric_cols, r.categorical_cols, r.n_buckets, r.bounds, r.topk
     ).withColumnRenamed("n", "n_new")

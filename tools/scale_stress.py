@@ -386,7 +386,11 @@ def run_semantic_scale(spark: SparkSession, sf_dir: str, factor: int) -> dict:
 
 
 def run_semantic_train_scale(
-    spark: SparkSession, sf_dir: str, factor: int, flat_distributed: bool = False
+    spark: SparkSession,
+    sf_dir: str,
+    factor: int,
+    flat_distributed: bool = False,
+    trainers: tuple[str, ...] = ("sample", "hierarchical"),
 ) -> dict:
     """Quantizer-training rung (VERDICT r6 item 4): the r6 ladder disclosed
     that at k ∝ N the SAMPLE-trained codebook under-fills (13,957 of 50,000
@@ -459,23 +463,25 @@ def run_semantic_train_scale(
         r["trainers"][name] = leg
         print(f"  {name}: {leg}", flush=True)
 
-    # r6 baseline: driver-side sample training (+ its own sampled coarse)
-    t0 = time.perf_counter()
-    fine_s = similarity.ivf_train(
-        emb, n_lists=k, train_sample=max(4096, 2 * k), train="sample"
-    )
-    coarse_s = similarity.ivf_train(
-        emb, n_lists=k_coarse, train_sample=4096, seed=29, train="sample"
-    )
-    measure("sample", fine_s, coarse_s, time.perf_counter() - t0)
+    if "sample" in trainers:
+        # r6 baseline: driver-side sample training (+ its own sampled coarse)
+        t0 = time.perf_counter()
+        fine_s = similarity.ivf_train(
+            emb, n_lists=k, train_sample=max(4096, 2 * k), train="sample"
+        )
+        coarse_s = similarity.ivf_train(
+            emb, n_lists=k_coarse, train_sample=4096, seed=29, train="sample"
+        )
+        measure("sample", fine_s, coarse_s, time.perf_counter() - t0)
 
-    # the k ∝ N answer: hierarchical (distributed coarse so the cell split
-    # sees the whole corpus; per-cell fine training parallel in one pass)
-    t0 = time.perf_counter()
-    fine_h, coarse_h = similarity.kmeans_hierarchical(
-        emb, n_lists=k, coarse_train="distributed", coarse_iters=3
-    )
-    measure("hierarchical", fine_h, coarse_h, time.perf_counter() - t0)
+    if "hierarchical" in trainers:
+        # the k ∝ N answer: hierarchical (distributed coarse so the cell
+        # split sees the whole corpus; per-cell fine training in one pass)
+        t0 = time.perf_counter()
+        fine_h, coarse_h = similarity.kmeans_hierarchical(
+            emb, n_lists=k, coarse_train="distributed", coarse_iters=3
+        )
+        measure("hierarchical", fine_h, coarse_h, time.perf_counter() - t0)
 
     if flat_distributed:
         # assign="table" — the literal mode's O(k·dim) expression tree is
@@ -1486,6 +1492,7 @@ def main() -> None:
     ap.add_argument("--semantic-skew", action="store_true", help="banding win on deliberately-giant clusters (k=16)")
     ap.add_argument("--semantic-train", action="store_true", help="quantizer-training rung: sample vs hierarchical codebook fill / pair mass / wall at k = N/100")
     ap.add_argument("--flat-distributed", action="store_true", help="with --semantic-train: also time FLAT distributed Lloyd's (crossover evidence; only sane at small factors)")
+    ap.add_argument("--trainers", default="sample,hierarchical", help="with --semantic-train: comma list of trainers to run")
     ap.add_argument("--lsh-banded", action="store_true", help="disk-budgeted band-at-a-time LSH rung (pair parity vs one-shot where it fits)")
     ap.add_argument("--no-oneshot", action="store_true", help="skip the one-shot comparison leg (factors where it exceeds the disk budget)")
     ap.add_argument("--corpus", action="store_true", help="run the full corpus pipeline (plans/corpus.py) at scale")
@@ -1565,6 +1572,7 @@ def main() -> None:
             results[str(factor)] = run_semantic_train_scale(
                 spark, args.sf_dir, factor,
                 flat_distributed=args.flat_distributed,
+                trainers=tuple(args.trainers.split(",")),
             )
         print(json.dumps(results, indent=2))
         return
