@@ -269,6 +269,7 @@ def kmeans_hierarchical(
     fine_iters: int = 8,
     sample_per_list: int = 32,
     seed: int = 13,
+    prefilter: bool = True,
 ) -> tuple[list[list[float]], list[list[float]]]:
     """Two-level trainer for the SemDeDup k ∝ N regime; returns
     ``(fine_centroids, coarse_centroids)``.
@@ -287,8 +288,10 @@ def kmeans_hierarchical(
     because k_coarse = √k — else the bounded-sample trainer), each vector
     is routed to its cell in ONE O(√k) map pass, and every cell then trains
     its own fine sub-codebook with the PER-CELL numpy Lloyd's inside ONE
-    ``applyInPandas`` pass — embarrassingly parallel, Arrow-batched, no
-    further shuffles. The fine budget is allocated ∝ cell population
+    ``applyInPandas`` pass — embarrassingly parallel, Arrow-batched, one
+    shuffle on the cell key (the ``prefilter`` rank window clusters on the
+    same key, so capping the per-cell training sample BEFORE the Arrow
+    transfer adds no Exchange). The fine budget is allocated ∝ cell population
     (largest-remainder rounding, clamped at the cell's distinct-vector
     supply and re-distributed), which is exactly the fill guarantee the
     flat sample trainer lacks: a cell holding 4% of the corpus gets 4% of
@@ -364,6 +367,35 @@ def kmeans_hierarchical(
         alloc[c] -= 1
 
     cap = {c: max(sample_per_list * a, 256) for c, a in alloc.items()}
+
+    if prefilter:
+        # Ship only each cell's training sample through the Python
+        # boundary: rank rows inside their cell by the SAME deterministic
+        # id hash the in-pandas trainer sorts by (int64 wraparound multiply
+        # + xor — Java long and numpy int64 agree bit-for-bit) and drop
+        # everything past the cell's cap BEFORE the Arrow transfer. The
+        # window and the group-by cluster on the same key, so this adds no
+        # extra Exchange; at the 5M/k=50K rung it cuts fine-pass Python
+        # traffic from N rows to Σ caps (~3×). train_cell still sorts and
+        # truncates internally (idempotent on the prefiltered set), so
+        # prefilter=False is bit-identical — the tested contract.
+        hash_col = (
+            F.col("__id").cast("long") * F.lit(-7046029254386353131)
+        ).bitwiseXOR(F.lit(seed).cast("long"))
+        cap_df = embeddings.sparkSession.createDataFrame(
+            [(c, m) for c, m in cap.items()], "__cell int, __cap int"
+        )
+        assigned = (
+            assigned.withColumn(
+                "__rk",
+                F.row_number().over(
+                    Window.partitionBy("__cell").orderBy(hash_col, F.col("__id"))
+                ),
+            )
+            .join(F.broadcast(cap_df), "__cell")
+            .filter(F.col("__rk") <= F.col("__cap"))
+            .drop("__rk", "__cap")
+        )
 
     def train_cell(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         cell_id = int(key[0])

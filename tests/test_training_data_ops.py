@@ -1203,6 +1203,30 @@ def test_kmeans_hierarchical_fill_allocation_and_determinism(spark):
     assert similarity.ivf_train(emb, n_lists=10, train="hierarchical", kmeans_iters=4) == fine
 
 
+def test_kmeans_hierarchical_prefilter_is_bit_identical(spark):
+    """The fine-training prefilter (per-cell rank window capping the Arrow
+    transfer) must be invisible: the in-pandas trainer sorts by the same
+    int64 wraparound hash (Java long and numpy int64 agree bit-for-bit) and
+    truncates to the same cap, so prefilter on/off yields the same
+    codebook. Corpus sized so the cap actually bites (cells > 256 rows with
+    sample_per_list=1)."""
+    import random
+
+    rnd = random.Random(9)
+    rows = []
+    i = 0
+    for center in ([20.0, 0.0, 0.0], [0.0, 20.0, 0.0]):
+        for _ in range(400):  # two cells of 400 > cap 256
+            rows.append((i, [c + rnd.uniform(-1, 1) for c in center]))
+            i += 1
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    kw = dict(n_lists=6, coarse_train="sample", fine_iters=3, sample_per_list=1)
+    on = similarity.kmeans_hierarchical(emb, prefilter=True, **kw)
+    off = similarity.kmeans_hierarchical(emb, prefilter=False, **kw)
+    assert on == off
+    assert len(on[0]) == 6
+
+
 def test_exactly_once_batch_writer_skips_replayed_ids(spark, tmp_path):
     """A replayed batch id (foreachBatch at-least-once redelivery) must be
     skipped; new ids run; a FAILED upsert leaves no mark so the retry runs."""
