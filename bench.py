@@ -247,13 +247,30 @@ def main() -> None:
             out["scale_sf1_extras"] = {"error": f"{type(e).__name__}: {e}"[:200]}
 
     print(json.dumps(out))
-    # The driver captures only the LAST 2000 chars of bench output; the full
-    # JSON object above can exceed that, losing the leading "value" field
-    # (VERDICT r4 item 2). Print a compact trailer so the headline always
-    # survives tail capture.
+    # The driver captures only the LAST 2000 chars of bench output and
+    # parses the tail as JSON; the full object above exceeds that window, so
+    # BENCH_r05–r07 recorded `parsed: null` (VERDICT r7 item 5). Emit a
+    # compact, fully-valid JSON object as the LAST line — same required
+    # shape (metric/value/unit/queries/sf), headline queries only, ~700
+    # chars — so the tail capture always holds one parseable line. The
+    # human-readable BENCH_SUMMARY trailer stays for grep, BEFORE the JSON.
     print(
         "BENCH_SUMMARY "
         + json.dumps({"headline_s": out["value"], "sf": out["sf"], "n_queries": len(out["queries"])})
+    )
+    print(
+        json.dumps(
+            {
+                "metric": out["metric"],
+                "value": out["value"],
+                "unit": out["unit"],
+                "queries": timings,
+                "sf": out["sf"],
+                "runs_per_query": RUNS,
+                "aggregation": "median",
+                "full_json": "first line of this output",
+            }
+        )
     )
 
 

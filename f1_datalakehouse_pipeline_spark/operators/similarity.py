@@ -259,6 +259,41 @@ def kmeans_distributed(
     return cent
 
 
+def _allocate_fine_budget(counts: dict[int, int], n_lists: int) -> dict[int, int]:
+    """Population-proportional fine-codebook allocation for the hierarchical
+    trainer: largest-remainder rounding, clamped at each cell's
+    distinct-vector supply, floor of 1 per occupied cell (every cell must
+    stay probe-able), excess re-distributed.
+
+    Returns exactly ``min(n_lists, sum(counts))`` per-cell allocations when
+    feasible. Over-allocation can only come from the 1-per-cell floor on
+    skewed splits (cells with quota < 1); the trim loop takes centroids back
+    from cells that CAN yield — ``alloc > 1``, largest overshoot
+    ``alloc - quota`` first (ADVICE r7: the old trim maxed over ALL cells,
+    always selected an untouchable ``alloc == 1`` floor cell and broke
+    immediately, returning > ``n_lists`` centroids on skewed corpora)."""
+    n = max(1, sum(counts.values()))
+    quota = {c: n_lists * cnt / n for c, cnt in counts.items()}
+    alloc = {c: max(1, int(q)) for c, q in quota.items()}
+    alloc = {c: min(a, counts[c]) for c, a in alloc.items()}
+    while sum(alloc.values()) < n_lists:
+        room = [c for c in alloc if alloc[c] < counts[c]]
+        if not room:
+            break
+        c = max(room, key=lambda c: (quota[c] - alloc[c], counts[c], -c))
+        alloc[c] += 1
+    while sum(alloc.values()) > n_lists:
+        room = [c for c in alloc if alloc[c] > 1]
+        if not room:
+            # all cells at the floor: #occupied <= k_coarse <= n_lists, so
+            # this state implies sum == #cells <= n_lists — unreachable with
+            # the loop condition, kept as a defensive stop
+            break
+        c = max(room, key=lambda c: (alloc[c] - quota[c], -counts[c], c))
+        alloc[c] -= 1
+    return alloc
+
+
 def kmeans_hierarchical(
     embeddings: DataFrame,
     id_col: str = "vec_id",
@@ -298,6 +333,14 @@ def kmeans_hierarchical(
     the codebook, and its trainer sees ``sample_per_list`` vectors per
     centroid instead of 2. Total driver traffic: k×dim doubles (the
     returned codebook) + √k cell counts — independent of corpus size.
+
+    Driver-residency boundary: the returned codebook is DELIBERATELY
+    driver-resident — k×dim float64 (k=50K, dim=64 ≈ 26 MB; k=1M,
+    dim=1024 ≈ 8 GB). That is not an accident of ``collect()``: every
+    assignment tier (literal / broadcast-table / two-level) must
+    broadcast the codebook to executors anyway, so this function's driver
+    budget is exactly ``k·dim·8`` bytes — size driver memory (or cap
+    ``n_lists``) accordingly at true 100 TB k ∝ N scale.
 
     The output pairs naturally with ``dedup.semantic_index_two_level``:
     fine centroids are born grouped under the same coarse geometry the
@@ -343,45 +386,45 @@ def kmeans_hierarchical(
     # O(√k) literal argmax per vector — one map pass, k_coarse is small
     scores = F.array(*[dot(F.col("__nv"), cc) for cc in _centroid_exprs(coarse)])
     cell = (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
-    assigned = v.select(F.col("__id"), F.col("__nv"), cell.alias("__cell"))
+    # Persist the routed corpus so the coarse argmax projection runs ONCE:
+    # both consumers below (the cell-population collect and the fine-training
+    # applyInPandas pass) read the materialized assignment instead of each
+    # recomputing the full-corpus O(N·√k) routing (ADVICE r7).
+    routed = v.select(
+        F.col("__id"), F.col("__nv"), cell.alias("__cell")
+    ).persist()
+    assigned = routed
 
     counts = {
         r["__cell"]: r["cnt"]
         for r in assigned.groupBy("__cell").agg(F.count("*").alias("cnt")).collect()
     }
-    # population-proportional allocation, largest-remainder rounding,
-    # clamped at each cell's supply with the excess re-distributed
-    quota = {c: n_lists * cnt / n for c, cnt in counts.items()}
-    alloc = {c: max(1, int(q)) for c, q in quota.items()}
-    alloc = {c: min(a, counts[c]) for c, a in alloc.items()}
-    while sum(alloc.values()) < n_lists:
-        room = [c for c in alloc if alloc[c] < counts[c]]
-        if not room:
-            break
-        c = max(room, key=lambda c: (quota[c] - alloc[c], counts[c], -c))
-        alloc[c] += 1
-    while sum(alloc.values()) > n_lists:
-        c = max(alloc, key=lambda c: (alloc[c] - quota[c], -counts[c], c))
-        if alloc[c] <= 1:
-            break
-        alloc[c] -= 1
+    alloc = _allocate_fine_budget(counts, n_lists)
 
     cap = {c: max(sample_per_list * a, 256) for c, a in alloc.items()}
 
     if prefilter:
         # Ship only each cell's training sample through the Python
         # boundary: rank rows inside their cell by the SAME deterministic
-        # id hash the in-pandas trainer sorts by (int64 wraparound multiply
-        # + xor — Java long and numpy int64 agree bit-for-bit) and drop
-        # everything past the cell's cap BEFORE the Arrow transfer. The
-        # window and the group-by cluster on the same key, so this adds no
-        # extra Exchange; at the 5M/k=50K rung it cuts fine-pass Python
-        # traffic from N rows to Σ caps (~3×). train_cell still sorts and
-        # truncates internally (idempotent on the prefiltered set), so
+        # id hash the in-pandas trainer sorts by, and drop everything past
+        # the cell's cap BEFORE the Arrow transfer. The hash is built from
+        # ANSI-SAFE ops only (ADVICE r7: the old wraparound multiply threw
+        # ARITHMETIC_OVERFLOW under spark.sql.ansi.enabled=true — Spark 4's
+        # default, which only this repo's session helper pins off): mask to
+        # 31 bits, multiply by a 31-bit odd constant (product <= ~2^62,
+        # never overflows int64), fold the high bits back with xor. Java
+        # long and numpy int64 agree bit-for-bit on every op. The window
+        # and the group-by cluster on the same key, so this adds no extra
+        # Exchange; at the 5M/k=50K rung it cuts fine-pass Python traffic
+        # from N rows to Σ caps (~3×). train_cell still sorts and truncates
+        # internally (idempotent on the prefiltered set), so
         # prefilter=False is bit-identical — the tested contract.
+        idl = F.col("__id").cast("long")
         hash_col = (
-            F.col("__id").cast("long") * F.lit(-7046029254386353131)
-        ).bitwiseXOR(F.lit(seed).cast("long"))
+            (idl.bitwiseAND(F.lit(0x7FFFFFFF)) * F.lit(1640531527))
+            .bitwiseXOR(F.shiftright(idl, 31))
+            .bitwiseXOR(F.lit(seed).cast("long"))
+        )
         cap_df = embeddings.sparkSession.createDataFrame(
             [(c, m) for c, m in cap.items()], "__cell int, __cap int"
         )
@@ -403,12 +446,17 @@ def kmeans_hierarchical(
         if kc <= 0:
             return pd.DataFrame({"cell": [], "centroid": []})
         x = np.stack(pdf["__nv"].to_numpy())
-        # deterministic subsample + init: order by a cheap integer hash of
-        # the id so reruns and repartitions see the same training set
+        # deterministic subsample + init: order by the same ANSI-safe
+        # integer hash the prefilter ranks by (masked multiply + xor — no
+        # int64 overflow on either runtime), id tiebreak, so reruns and
+        # repartitions see the same training set
         ids = pdf["__id"].to_numpy().astype(np.int64)
-        order = np.argsort(
-            (ids * np.int64(-7046029254386353131)) ^ np.int64(seed), kind="stable"
+        h = (
+            ((ids & np.int64(0x7FFFFFFF)) * np.int64(1640531527))
+            ^ (ids >> np.int64(31))
+            ^ np.int64(seed)
         )
+        order = np.lexsort((ids, h))
         x = x[order][: cap[cell_id]]
         kc = min(kc, len(x))
         cent = x[:kc].copy()
@@ -430,11 +478,14 @@ def kmeans_hierarchical(
             {"cell": [cell_id] * len(cent), "centroid": [list(map(float, c)) for c in cent]}
         )
 
-    fine_rows = (
-        assigned.groupBy("__cell")
-        .applyInPandas(train_cell, schema="cell int, centroid array<double>")
-        .collect()
-    )
+    try:
+        fine_rows = (
+            assigned.groupBy("__cell")
+            .applyInPandas(train_cell, schema="cell int, centroid array<double>")
+            .collect()
+        )
+    finally:
+        routed.unpersist()
     fine = [list(r["centroid"]) for r in fine_rows]
     return fine, coarse
 

@@ -51,92 +51,91 @@ def _load_extensions() -> None:
 # driver-green in a prior round and untouched since (rotation documented in
 # COVERAGE.md).
 _VERIFY_FIRST = [
-    # r7 rotation (VERDICT r6 item 1). Priority order within the 50-slot
-    # driver window, 135 registered (133 from r6 + two NEW r7 queries):
-    # (a) the 34 queries whose newest driver row is r4 — the exact set the
-    #     r6 verdict names in "What's missing #1" (computed from
-    #     CORRECTNESS_r01..r06: every query whose latest green row is r4) —
-    #     lead the window, so after r7 no registered query's newest driver
-    #     row predates r5;
-    # (b) the queries NEW in r7, each needing a FIRST driver row:
-    #     t_corpus_manifest_stream (the streaming corpus-ingest front-end
-    #     driven over the same two id-ordered batches as t_corpus_manifest,
-    #     VERDICT r6 item 3) and t_psi_buckets (the PSI drift reference's
-    #     integer bucket-count layer — exact by construction, VERDICT r6
-    #     item 5);
-    # (c) tpch_q16_supplier_count — r6-green but its implementation changed
-    #     in r7 (explicit l_suppkey null guard on both engine and oracle
-    #     sides, ADVICE r6) and must re-prove on the driver gate;
-    # (d) 13 of the 49 r5-green queries, complex plans first (the LSH/
-    #     jaccard/simhash/exact/novelty dedup family, SCD2 historical
-    #     build, the four heaviest remaining TPC-H shapes, BPE encode,
-    #     budgeted mixture, and the flagship championship window).
-    # The 36 remaining r5-green queries (a1, a3, a5, a8, a9, a17,
-    # f_json_extract, f_levenshtein_pairs, f_map_ops, f_posexplode_tokens,
-    # f_regex_extract_all, f_time_parse, f_url_parse, j1_j5, j2, j3, j6,
-    # j8, j12, t_model_quality_score, t_repeat_mixture, t_token_histogram,
-    # t_token_ids, tpch_q3, tpch_q5, tpch_q13, tpch_q17, u2, u5, w1, w2,
-    # w3, w5, w9, w14, w_sessionize_events — mostly single-exchange
-    # aggregates, scalar-function batteries, and single-window plans,
-    # untouched since their r5 rows) re-verify locally every round (the
-    # local gate has no cap) and lead the r8 window. With 135 registered >
-    # 100 slots across two rounds, a <=2-round-fresh guarantee for every
-    # query is arithmetically impossible; the rotation instead guarantees
-    # no query ages past 3 rounds and complex plans never age past 2.
-    # (a) the 34 r4-aged queries
-    "a4_conditional_counts",
-    "a6_pricing_summary",
-    "a10_approx_distinct",
-    "a12_grouping_sets",
-    "a13_approx_percentile",
-    "a14_salted_aggregate",
-    "a15_corr_decimal",
-    "a16_mode_per_group",
-    "j9_full_outer_reconcile",
-    "mm_binary_metadata",
-    "mm_magic_sniff",
-    "p1_p5_filtered_projection",
-    "p8_percentile_cont",
-    "sim_embedding_neardup",
-    "sim_lsh_bucketed_topk",
-    "t_chunk_documents",
-    "t_corpus_curation",
-    "t_pack_sequences",
-    "t_pii_redact",
-    "t_profile_columns",
-    "t_repetition_quality",
-    "t_shuffle_shards",
-    "t_train_test_split",
-    "t_weighted_sample",
-    "tpch_q10_returned_items",
-    "tpch_q14_promo_revenue",
-    "tpch_q18_large_orders",
-    "tpch_q19_disjunctive_revenue",
-    "ts_interpolate_linear",
-    "ts_rollup_gapfill",
-    "w8_dense_rank_rounds",
-    "w15_range_frame",
-    "w16_percent_rank_cume",
-    "w17_session_window_native",
-    # (b) new in r7
-    "t_corpus_manifest_stream",
-    "t_psi_buckets",
-    # (c) implementation changed in r7
-    "tpch_q16_supplier_count",
-    # (d) r5-green refresh, complex plans first
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_incremental_novelty",
-    "dedup_exact",
-    "dedup_simhash",
-    "scd2_historical_build",
-    "tpch_q21_last_shipper",
-    "tpch_q22_rich_inactive",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "t_bpe_encode",
-    "t_domain_mix",
-    "w4_w6_w7_championship",
+    # r8 rotation (VERDICT r7 item 1). Priority order within the 50-slot
+    # driver window, 136 registered (135 from r7 + one NEW r8 query):
+    # (a) the 36 queries whose newest driver row is r5 — audited against
+    #     CORRECTNESS_r01..r07 this round (every query whose latest green
+    #     row is r5: the r5-refresh cohort not re-touched since) — lead the
+    #     window, so after r8 no registered query's newest driver row
+    #     predates r6 (the standing COVERAGE.md invariant: no query ages
+    #     past 3 rounds);
+    # (b) the query NEW in r8, needing a FIRST driver row:
+    #     t_corpus_manifest_semantic — the incremental corpus pipeline run
+    #     WITH the r7 semantic-dedup stage (persisted per-cluster member
+    #     store, cross-batch embedding-twin rejection) over two batches,
+    #     manifest hash-matched against a one-shot DuckDB reconstruction —
+    #     putting r7's flagship addition on the driver's hard signal;
+    # (c) 13 of the 49 r6-green queries, complex plans first (the semantic
+    #     dedup + corpus manifest + corpus-scale BPE composition queries,
+    #     SCD2 splice, the docs dedup pipeline, containment + contamination,
+    #     the star join, as-of join, brute ANN, the TableStore round-trip,
+    #     and the two heaviest remaining TPC-H shapes q9/q20).
+    # The 36 remaining r6-green queries (a2, a11, a18, a19, a20,
+    # asof_tolerance_join, f_array_q_split, f_datetime_ops,
+    # f_normalize_name, f_points_when_chain, f_status_buckets,
+    # f_string_battery, f_time_format, j10, j11, o1, o2,
+    # range_join_ship_window, t_fingerprint, t_lang_id, t_text_quality,
+    # t_token_doc_frequency, tpch_q2/q4/q6/q11/q12/q15, ts_resample_ohlc,
+    # u1, u3, w10, w11, w12, w13, w18 — mostly single-exchange aggregates,
+    # scalar-function batteries, and single-window plans, untouched since
+    # their r6 rows) re-verify locally every round (the local gate has no
+    # cap) and lead the r9 window. With 136 registered > 100 slots across
+    # two rounds, a <=2-round-fresh guarantee for every query is
+    # arithmetically impossible; the rotation instead guarantees no query
+    # ages past 3 rounds and complex plans never age past 2.
+    # (a) the 36 r5-aged queries
+    "a1_distinct",
+    "a3_count_distinct",
+    "a5_stats_agg",
+    "a8_rollup_revenue",
+    "a9_pivot_doc_counts",
+    "a17_unpivot_metrics",
+    "f_json_extract",
+    "f_levenshtein_pairs",
+    "f_map_ops",
+    "f_posexplode_tokens",
+    "f_regex_extract_all",
+    "f_time_parse",
+    "f_url_parse",
+    "j1_j5_lookup_join",
+    "j2_left_change_detection",
+    "j3_left_backfill_fillna",
+    "j6_window_group_share",
+    "j8_semi_join",
+    "j12_not_exists_anti",
+    "t_model_quality_score",
+    "t_repeat_mixture",
+    "t_token_histogram",
+    "t_token_ids",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier",
+    "tpch_q13_custdist",
+    "tpch_q17_small_qty_revenue",
+    "u2_except_antijoin",
+    "u5_union_schema_drift",
+    "w1_gap_to_best",
+    "w2_personal_best_flag",
+    "w3_best_row_tiebreak",
+    "w5_running_avg",
+    "w9_lead_validity",
+    "w14_ntile_quartiles",
+    "w_sessionize_events",
+    # (b) new in r8
+    "t_corpus_manifest_semantic",
+    # (c) r6-green refresh, complex plans first
+    "dedup_semantic",
+    "t_corpus_manifest",
+    "t_bpe_table_encode",
+    "scd2_splice_backdated",
+    "dedup_docs_pipeline",
+    "dedup_containment",
+    "contamination_pairs",
+    "j4_star_join_revenue",
+    "asof_purchase_to_view",
+    "sim_cosine_topk",
+    "tablestore_delete_tombstone",
+    "tpch_q9_product_profit",
+    "tpch_q20_dominant_supplier",
 ]
 
 

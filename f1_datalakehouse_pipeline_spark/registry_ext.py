@@ -2905,6 +2905,8 @@ def _duck_corpus_manifest_sql(
     step: int = 24,
     n_shards: int = 8,
     seed: str = "corpus-e0",
+    semantic_eps: float | None = None,
+    semantic_k: int = 8,
 ) -> str:
     """DuckDB reconstruction of the WHOLE incremental corpus pipeline as the
     equivalent ONE-SHOT computation: quality gate (raw text) → PII scrub →
@@ -2917,6 +2919,25 @@ def _duck_corpus_manifest_sql(
     dedup_minhash_lsh/dedup_docs_pipeline, t_chunk_documents,
     t_shuffle_shards); this query puts their COMPOSITION — the thing a
     training-data pipeline actually ships — on the driver's hash-compare.
+
+    ``semantic_eps`` (r8) inserts the SemDeDup stage between the LSH
+    closure and chunking, replicating run_corpus_pipeline_incremental's
+    semantic gate under the SAME two-batch split the Spark query runs
+    (B1 = doc_id <= max/2, B2 = rest): survivors' embeddings (joined by
+    doc_id = vec_id; docs without an embedding row pass through) are
+    assigned to their max-cosine centroid among the first ``semantic_k``
+    embeddings (ties → lowest centroid id — same rule as dedup_semantic);
+    a B1 doc is removed iff some lower-id same-cluster B1 doc sits within
+    ``semantic_eps`` (within-batch greedy-by-id); a B2 doc is removed iff
+    some lower-id same-cluster B2 doc is within eps (within-batch) OR some
+    ADMITTED B1 member of its cluster is within eps (history-wins probe).
+    This is deliberately the INCREMENTAL contract, not the one-shot greedy
+    rule: the two differ exactly on chained middle members (a one-shot
+    removal caused by a vector that was itself rejected), measured on this
+    corpus at 5.5% of one-shot removals (eps=0.3, sf0.001 — PERF_NOTES r8,
+    tools/scale_stress.py --semantic-divergence), so the one-shot form
+    CANNOT be the hash oracle at any eps where the stage bites; the
+    one-shot-equality side is t_corpus_manifest's job.
     """
     from f1_datalakehouse_pipeline_spark.functions.pii import (
         EMAIL_RE,
@@ -2933,6 +2954,130 @@ def _duck_corpus_manifest_sql(
         f"'{PHONE_RE}', '<PHONE>', 'g'), "
         f"'{IPV4_RE}', '<IP>', 'g')"
     )
+    chunk_src = "kept"
+    sem_ctes = ""
+    if semantic_eps is not None:
+        chunk_src = "kept_sem"
+        # Full INCREMENTAL reconstruction. The semantic stage entangles the
+        # near stage across batches: B1's semantic removals shrink the LSH
+        # index B2 probes, so a B2 near-dup of a semantically-rejected B1
+        # doc is ADMITTED by the engine — the one-shot near closure cannot
+        # model that (observed: doc 263 at sf0.001). So with semantic on,
+        # every cross-batch interaction is reconstructed per the ingestion
+        # contract: per-batch near closures (apply_dedup's min-component
+        # keeper), cross-batch near probe vs FINAL-admitted B1 docs only,
+        # per-batch semantic greedy, history probe vs admitted members.
+        sem_cos_ab = _DUCK_COS.replace("qv", "a.embedding").replace(
+            "cv", "b.embedding"
+        )
+        sem_ctes = f""",
+    sem_mid AS (SELECT MAX(doc_id) // 2 AS mid FROM documents),
+    sem_seeds AS (
+      SELECT vec_id AS cid, embedding AS cv FROM embeddings
+      WHERE vec_id < {semantic_k}
+    ),
+    sem_emb AS (
+      SELECT x.doc_id, e.embedding
+      FROM exact x JOIN embeddings e ON e.vec_id = x.doc_id
+    ),
+    sem_scored AS (
+      SELECT s.doc_id, s.embedding, d.cid,
+             {_DUCK_COS.replace('qv', 's.embedding').replace('cv', 'd.cv')} AS cos
+      FROM sem_emb s CROSS JOIN sem_seeds d
+    ),
+    sem_asg AS (
+      SELECT doc_id, embedding, cid AS cluster_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                     ORDER BY cos DESC, cid ASC) AS rn
+        FROM sem_scored
+      ) WHERE rn = 1
+    ),
+    sem_edges1 AS (
+      SELECT p.doc_a AS src, p.doc_b AS dst FROM pairs p, sem_mid
+      WHERE p.doc_b <= mid
+      UNION
+      SELECT p.doc_b, p.doc_a FROM pairs p, sem_mid WHERE p.doc_b <= mid
+    ),
+    sem_reach1(doc, r) AS (
+      SELECT src, dst FROM sem_edges1
+      UNION
+      SELECT e.src, r.r FROM sem_edges1 e JOIN sem_reach1 r ON e.dst = r.doc
+    ),
+    sem_b1_near_removed AS (
+      SELECT doc FROM (
+        SELECT doc, LEAST(doc, MIN(r)) AS k FROM sem_reach1 GROUP BY doc
+      ) WHERE k < doc
+    ),
+    sem_b1_text AS (
+      SELECT x.doc_id FROM exact x, sem_mid
+      WHERE x.doc_id <= mid
+        AND x.doc_id NOT IN (SELECT doc FROM sem_b1_near_removed)
+    ),
+    sem_b1_sem_removed AS (
+      SELECT DISTINCT b.doc_id
+      FROM sem_asg a JOIN sem_asg b
+        ON a.cluster_id = b.cluster_id AND a.doc_id < b.doc_id
+      WHERE a.doc_id IN (SELECT doc_id FROM sem_b1_text)
+        AND b.doc_id IN (SELECT doc_id FROM sem_b1_text)
+        AND {sem_cos_ab} >= {semantic_eps}
+    ),
+    sem_b1_admitted AS (
+      SELECT doc_id FROM sem_b1_text
+      WHERE doc_id NOT IN (SELECT doc_id FROM sem_b1_sem_removed)
+    ),
+    sem_edges2 AS (
+      SELECT p.doc_a AS src, p.doc_b AS dst FROM pairs p, sem_mid
+      WHERE p.doc_a > mid
+      UNION
+      SELECT p.doc_b, p.doc_a FROM pairs p, sem_mid WHERE p.doc_a > mid
+    ),
+    sem_reach2(doc, r) AS (
+      SELECT src, dst FROM sem_edges2
+      UNION
+      SELECT e.src, r.r FROM sem_edges2 e JOIN sem_reach2 r ON e.dst = r.doc
+    ),
+    sem_b2_near_within AS (
+      SELECT doc FROM (
+        SELECT doc, LEAST(doc, MIN(r)) AS k FROM sem_reach2 GROUP BY doc
+      ) WHERE k < doc
+    ),
+    sem_b2_near_hist AS (
+      SELECT DISTINCT p.doc_b AS doc_id FROM pairs p, sem_mid
+      WHERE p.doc_b > mid
+        AND p.doc_a IN (SELECT doc_id FROM sem_b1_admitted)
+    ),
+    sem_b2_text AS (
+      SELECT x.doc_id FROM exact x, sem_mid
+      WHERE x.doc_id > mid
+        AND x.doc_id NOT IN (SELECT doc FROM sem_b2_near_within)
+        AND x.doc_id NOT IN (SELECT doc_id FROM sem_b2_near_hist)
+    ),
+    sem_b2_sem_within AS (
+      SELECT DISTINCT b.doc_id
+      FROM sem_asg a JOIN sem_asg b
+        ON a.cluster_id = b.cluster_id AND a.doc_id < b.doc_id
+      WHERE a.doc_id IN (SELECT doc_id FROM sem_b2_text)
+        AND b.doc_id IN (SELECT doc_id FROM sem_b2_text)
+        AND {sem_cos_ab} >= {semantic_eps}
+    ),
+    sem_b2_sem_hist AS (
+      SELECT DISTINCT b.doc_id
+      FROM sem_asg a JOIN sem_asg b ON a.cluster_id = b.cluster_id
+      WHERE a.doc_id IN (SELECT doc_id FROM sem_b1_admitted)
+        AND b.doc_id IN (SELECT doc_id FROM sem_b2_text)
+        AND {sem_cos_ab} >= {semantic_eps}
+    ),
+    sem_admitted AS (
+      SELECT doc_id FROM sem_b1_admitted
+      UNION
+      SELECT doc_id FROM sem_b2_text
+      WHERE doc_id NOT IN (SELECT doc_id FROM sem_b2_sem_within)
+        AND doc_id NOT IN (SELECT doc_id FROM sem_b2_sem_hist)
+    ),
+    kept_sem AS (
+      SELECT t.doc_id, t.toks FROM tokd t
+      WHERE t.doc_id IN (SELECT doc_id FROM sem_admitted)
+    )"""
     return f"""
     WITH RECURSIVE raw AS (
       SELECT doc_id, text, {toks_raw} AS rtoks FROM documents
@@ -2998,11 +3143,11 @@ def _duck_corpus_manifest_sql(
     kept AS (
       SELECT t.doc_id, t.toks FROM tokd t
       WHERE t.doc_id NOT IN (SELECT doc FROM dropped)
-    ),
+    ){sem_ctes},
     chunk_base AS (
       SELECT doc_id, toks,
              CAST(1 + (greatest(len(toks) - {chunk_tokens}, 0) + {step - 1}) // {step} AS INTEGER) AS n_chunks
-      FROM kept
+      FROM {chunk_src}
     ),
     chunk_idx AS (
       SELECT doc_id, toks,
@@ -3135,6 +3280,89 @@ def t_corpus_manifest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("doc_id") > mid).select("doc_id", "text") \
             .coalesce(1).write.mode("append").parquet(src)
         drain()
+        manifest = read_shard_manifest(spark, out).select(
+            F.col("shard_id").cast("int").alias("shard_id"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("checksum").cast("long").alias("checksum"),
+            "seed",
+            "checksum_algo",
+            F.col("n_shards").cast("int").alias("n_shards"),
+        )
+        return manifest.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+_SEM_MANIFEST_EPS = 0.3
+
+
+@query(
+    "t_corpus_manifest_semantic",
+    _duck_corpus_manifest_sql(semantic_eps=_SEM_MANIFEST_EPS),
+)
+def t_corpus_manifest_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental corpus pipeline WITH the r7 semantic-dedup stage on
+    the driver's hash signal (VERDICT r7: r7's flagship addition — persisted
+    per-cluster member store, centroid fingerprint guard, history-wins
+    probe — was e2e-argued only): the same two id-ordered batches as
+    t_corpus_manifest run through run_corpus_pipeline_incremental with
+    embeddings + semantic_eps + semantic_centroids, and the shard manifest
+    is matched against DuckDB's reconstruction of quality → scrub → exact →
+    LSH closure → the INCREMENTAL SemDeDup contract under the same batch
+    split (B1 within-batch greedy, B2 within-batch greedy + history-wins
+    probe of ADMITTED B1 members) → chunk → shard → manifest.
+
+    The oracle deliberately encodes the incremental (first-arrival /
+    history-wins) semantics, NOT the one-shot greedy rule: the two diverge
+    exactly on chained middle members (plans/corpus.py equivalence
+    contract — a one-shot removal caused by a vector that was itself
+    rejected), and on this corpus the divergence is REAL wherever the
+    stage bites (measured: 9 of 165 one-shot removals at eps=0.3,
+    sf0.001 — the full eps curve is in PERF_NOTES r8 via
+    tools/scale_stress.py --semantic-divergence). So the hash gate here
+    proves the persisted-member machinery implements its documented
+    contract exactly — state partitions, fingerprint guard, cross-batch
+    probe — while the one-shot-equality side stays t_corpus_manifest's
+    job. eps=0.3 removes ~33% of survivors at sf0.001 (the stage bites
+    hard); other preconditions as t_corpus_manifest. Centroids are the
+    first 8 embeddings (bounded collect), identical across both batch
+    calls — the fingerprint guard's happy path.
+    """
+    import shutil
+    import tempfile
+
+    from f1_datalakehouse_pipeline_spark.plans.corpus import (
+        run_corpus_pipeline_incremental,
+    )
+    from f1_datalakehouse_pipeline_spark.sources.shards import read_shard_manifest
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    seeds = (
+        emb.filter(F.col("vec_id") < 8)
+        .orderBy("vec_id")
+        .select(F.col("embedding").cast("array<double>"))
+        .collect()
+    )
+    centroids = [list(r[0]) for r in seeds]
+    mid = docs.agg(F.max("doc_id")).collect()[0][0] // 2  # bounded: one row
+    tmp = tempfile.mkdtemp(prefix="t_corpus_manifest_semantic_")
+    out, state = f"{tmp}/out", f"{tmp}/state"
+    kw = dict(
+        quality_min=0.5, near_threshold=0.7, chunk_tokens=32,
+        overlap_tokens=8, n_shards=8, seed="corpus-e0",
+        max_doc_frequency=None, audit=False,
+        embeddings=emb, semantic_eps=_SEM_MANIFEST_EPS,
+        semantic_centroids=centroids,
+    )
+    try:
+        run_corpus_pipeline_incremental(
+            spark, docs.filter(F.col("doc_id") <= mid), out, state, **kw
+        )
+        run_corpus_pipeline_incremental(
+            spark, docs.filter(F.col("doc_id") > mid), out, state, **kw
+        )
         manifest = read_shard_manifest(spark, out).select(
             F.col("shard_id").cast("int").alias("shard_id"),
             F.col("n_rows").cast("long").alias("n_rows"),

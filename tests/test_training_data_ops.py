@@ -1206,9 +1206,10 @@ def test_kmeans_hierarchical_fill_allocation_and_determinism(spark):
 def test_kmeans_hierarchical_prefilter_is_bit_identical(spark):
     """The fine-training prefilter (per-cell rank window capping the Arrow
     transfer) must be invisible: the in-pandas trainer sorts by the same
-    int64 wraparound hash (Java long and numpy int64 agree bit-for-bit) and
-    truncates to the same cap, so prefilter on/off yields the same
-    codebook. Corpus sized so the cap actually bites (cells > 256 rows with
+    ANSI-safe integer hash (masked multiply + xor — Java long and numpy
+    int64 agree bit-for-bit, no overflow on either runtime) and truncates
+    to the same cap, so prefilter on/off yields the same codebook. Corpus
+    sized so the cap actually bites (cells > 256 rows with
     sample_per_list=1)."""
     import random
 
@@ -1225,6 +1226,72 @@ def test_kmeans_hierarchical_prefilter_is_bit_identical(spark):
     off = similarity.kmeans_hierarchical(emb, prefilter=False, **kw)
     assert on == off
     assert len(on[0]) == 6
+
+
+def test_kmeans_hierarchical_prefilter_survives_ansi_mode(spark):
+    """ADVICE r7 (medium): the old prefilter rank hash multiplied raw int64
+    ids by a 64-bit constant and relied on silent wraparound — under
+    spark.sql.ansi.enabled=true (Spark 4's DEFAULT; only this repo's
+    session helper pins it off) that threw ARITHMETIC_OVERFLOW for any
+    id >= 2. The rebuilt hash uses only ANSI-safe ops (31-bit mask, 31-bit
+    odd-constant multiply bounded at ~2^62, xor fold), so the prefiltered
+    trainer must run AND stay bit-identical to prefilter=False with ANSI
+    enforcement on."""
+    import random
+
+    rnd = random.Random(31)
+    rows = [
+        (i, [c + rnd.uniform(-1, 1) for c in center])
+        for i, center in enumerate(
+            [[20.0, 0.0, 0.0]] * 300 + [[0.0, 20.0, 0.0]] * 300
+        )
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    kw = dict(n_lists=4, coarse_train="sample", fine_iters=2, sample_per_list=1)
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        on = similarity.kmeans_hierarchical(emb, prefilter=True, **kw)
+        off = similarity.kmeans_hierarchical(emb, prefilter=False, **kw)
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", "false")
+    assert on == off
+    assert len(on[0]) == 4
+
+
+def test_allocate_fine_budget_skewed_floors_respect_budget():
+    """ADVICE r7 (low): on a skewed coarse split the max(1,...) quota floors
+    can push the total allocation past n_lists, and the old trim loop could
+    never decrement (it always selected an untouchable alloc==1 floor cell
+    and broke — verified: counts 998/1/1 with n_lists=10 returned 11
+    centroids). The fixed trim takes centroids back from alloc>1 cells, so
+    the codebook honors the documented n_lists budget exactly."""
+    from f1_datalakehouse_pipeline_spark.operators.similarity import (
+        _allocate_fine_budget,
+    )
+
+    # the exact ADVICE reproduction: two floor cells push the sum to 11
+    alloc = _allocate_fine_budget({0: 998, 1: 1, 2: 1}, n_lists=10)
+    assert sum(alloc.values()) == 10
+    assert alloc[1] == 1 and alloc[2] == 1  # floors untouched
+    assert alloc[0] == 8  # the big cell yields the overshoot
+
+    # heavier skew: many singleton cells, still exact
+    counts = {0: 10_000, **{c: 1 for c in range(1, 8)}}
+    alloc = _allocate_fine_budget(counts, n_lists=16)
+    assert sum(alloc.values()) == 16
+    assert all(alloc[c] == 1 for c in range(1, 8))
+
+    # no skew: proportional fill is exact and unchanged
+    alloc = _allocate_fine_budget({0: 600, 1: 300, 2: 100}, n_lists=10)
+    assert alloc == {0: 6, 1: 3, 2: 1}
+
+    # supply clamp: a cell can never get more centroids than vectors
+    alloc = _allocate_fine_budget({0: 2, 1: 500}, n_lists=10)
+    assert alloc[0] <= 2 and sum(alloc.values()) == 10
+
+    # infeasible budget (n_lists > supply) clamps to total supply
+    alloc = _allocate_fine_budget({0: 3, 1: 2}, n_lists=16)
+    assert sum(alloc.values()) == 5
 
 
 def test_exactly_once_batch_writer_skips_replayed_ids(spark, tmp_path):
@@ -3270,6 +3337,65 @@ def test_semantic_dedup_matches_numpy_brute_force(spark, sf_dir):
         assert got[int(vid)][1] == (int(vid) not in removed), int(vid)
     # sanity: this corpus actually exercises both branches
     assert 0 < len(removed) < len(ids)
+
+
+def test_semantic_chained_middle_member_divergence_planted(spark):
+    """Pin the documented chained-middle-member divergence (plans/corpus.py
+    equivalence contract; measured at scale by tools/scale_stress.py
+    --semantic-divergence) on a PLANTED minimal chain: unit vectors a(id 1),
+    b(id 2) ∈ B1 and c(id 10) ∈ B2 in one cluster with cos(a,b) = cos(b,c)
+    = 0.9 ≥ eps = 0.8 but cos(a,c) = 0.62 < eps. One-shot greedy removes b
+    (via a) AND c (via the REJECTED b); the incremental contract removes b
+    within B1, admits c — its only eps-remover was never admitted. This is
+    the one-sided over-admission the divergence rung counts, and why
+    t_corpus_manifest_semantic's oracle encodes the incremental contract
+    rather than the one-shot rule."""
+    import math
+
+    th = math.acos(0.9)
+    a = [1.0, 0.0, 0.0]
+    b = [math.cos(th), math.sin(th), 0.0]
+    c = [math.cos(2 * th), math.sin(2 * th), 0.0]
+    eps, cents = 0.8, [[1.0, 0.0, 0.0]]
+
+    full = spark.createDataFrame(
+        [(1, a), (2, b), (10, c)], ["vec_id", "embedding"]
+    )
+    oneshot_removed = {
+        r.vec_id
+        for r in dedup.semantic_dedup_flags(
+            full, "vec_id", "embedding", cents, eps
+        ).collect()
+        if not r.kept
+    }
+    assert oneshot_removed == {2, 10}  # the chain removes c through rejected b
+
+    # incremental: B1 within-batch, members = admitted only, B2 history probe
+    b1 = spark.createDataFrame([(1, a), (2, b)], ["vec_id", "embedding"])
+    b1_removed = {
+        r.vec_id
+        for r in dedup.semantic_dedup_flags(
+            b1, "vec_id", "embedding", cents, eps
+        ).collect()
+        if not r.kept
+    }
+    assert b1_removed == {2}
+    members = dedup.semantic_assignment(
+        b1.filter(F.col("vec_id") == 1), "vec_id", "embedding", cents
+    )
+    b2 = spark.createDataFrame([(10, c)], ["vec_id", "embedding"])
+    b2_asg = dedup.semantic_assignment(b2, "vec_id", "embedding", cents)
+    hist_hits = {
+        r.vec_id
+        for r in dedup.semantic_history_hits(
+            b2_asg, members, "vec_id", eps
+        ).collect()
+    }
+    assert hist_hits == set()  # admitted member a is outside eps of c
+    # divergence = exactly the chained tail, one-sided (inc ⊆ one-shot)
+    inc_removed = b1_removed | hist_hits
+    assert oneshot_removed - inc_removed == {10}
+    assert inc_removed <= oneshot_removed
 
 
 def test_semantic_assign_tie_breaks_to_lowest_centroid(spark):

@@ -31,7 +31,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from f1_datalakehouse_pipeline_spark import get_spark
@@ -454,9 +454,13 @@ def run_semantic_train_scale(
             "live_lists": stats[0],
             "fill_pct": round(100.0 * stats[0] / k, 1),
             "max_cluster": stats[1],
-            "pair_mass": int(stats[2] // 2),
+            # C(c,2) per cluster = (sum c^2 - sum c) / 2 — the SAME formula
+            # shape as pair_mass_ideal's k*C(n/k,2) (ADVICE r7: the old
+            # sum(c^2)//2 biased the ratio upward by ~n/2 pairs, ~1% at
+            # ideal cluster population 100)
+            "pair_mass": int((stats[2] - n) // 2),
             "pair_mass_vs_ideal": round(
-                (stats[2] // 2) / max(r["pair_mass_ideal"], 1), 2
+                ((stats[2] - n) // 2) / max(r["pair_mass_ideal"], 1), 2
             ),
         }
         idx.unpersist()
@@ -545,6 +549,208 @@ def run_semantic_skew_scale(spark: SparkSession, sf_dir: str, factor: int) -> di
     r["removed_plain"] = removed_plain
     r["banded_recall"] = round(removed_banded / max(removed_plain, 1), 4)
     r["speedup"] = round(r["flags_plain_sec"] / max(r["flags_banded_sec"], 1e-9), 2)
+    print(f"  {r}", flush=True)
+    return r
+
+
+def run_semantic_divergence_scale(
+    spark: SparkSession,
+    sf_dir: str,
+    factor: int,
+    eps_list: tuple = (0.3, 0.4, 0.5, 0.55, 0.6, 0.7),
+) -> dict:
+    """Measure the embedding-space chained-middle-member divergence
+    (VERDICT r7 item 4): the incremental semantic gate's one documented
+    deviation from the one-shot greedy-by-id rule is that a one-shot
+    removal can be caused by a vector that was ITSELF removed, while the
+    incremental probe sees only ADMITTED members — so a B2 doc whose only
+    eps-remover is a rejected B1 doc is admitted incrementally but dropped
+    one-shot. plans/corpus.py discloses the caveat; this rung puts a
+    NUMBER next to it, per eps, on the real (scaled) embedding corpus.
+
+    Method: assign every vector once (first-k-vectors centroid table,
+    k = N/100 — the SemDeDup regime), materialize the within-cluster pair
+    list ONCE at the loosest eps with its exact cosine, then derive both
+    removal sets per eps by pure filters:
+
+      one-shot removed  = {b : ∃ a<b same-cluster, cos >= eps}
+      incremental (B1 = ids <= mid, B2 = ids > mid, history-wins probe):
+        B1-removed      = pairs with b <= mid  (a < b <= mid ⇒ a ∈ B1)
+        B2-within       = pairs with a > mid   (mid < a < b ⇒ both ∈ B2)
+        B2-history      = pairs a <= mid < b where a is an ADMITTED member
+                          (a not in B1-removed)
+
+    Every incremental removal corresponds to a qualifying pair, so
+    inc ⊆ one-shot and the divergence is one-sided: docs the incremental
+    path over-admits. Reported per eps as a count and as a share of the
+    one-shot removal set — the honest denominator (divergence can only
+    happen where removal happens)."""
+    from f1_datalakehouse_pipeline_spark.operators import dedup, similarity
+
+    emb = scaled_embeddings(spark, sf_dir, factor).cache()
+    n = emb.count()
+    k = max(8, n // 100)
+    mid = emb.agg(F.max("vec_id")).collect()[0][0] // 2
+    r: dict = {"vectors": n, "k": k, "mid": mid, "eps": {}}
+
+    w = Window.orderBy("vec_id")
+    cent = (
+        emb.orderBy("vec_id").limit(k)
+        .select(
+            (F.row_number().over(w) - 1).cast("long").alias("cluster_id"),
+            F.col("embedding").cast("array<double>").alias("centroid"),
+        )
+    )
+    staged_path = os.path.join(CACHE, f"semantic_div_asg_x{factor}")
+    dedup.semantic_cluster_assign_table(emb, "vec_id", "embedding", cent).select(
+        "vec_id", F.col("embedding").alias("_v"), "cluster_id"
+    ).write.mode("overwrite").parquet(staged_path)
+    asg = spark.read.parquet(staged_path)
+
+    eps_min = min(eps_list)
+    a = asg.select(
+        F.col("vec_id").alias("id_a"), F.col("_v").alias("_va"), "cluster_id"
+    )
+    b = asg.select(
+        F.col("vec_id").alias("id_b"), F.col("_v").alias("_vb"), "cluster_id"
+    )
+    t0 = time.perf_counter()
+    pairs = (
+        a.join(b, "cluster_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            similarity.cosine(F.col("_va"), F.col("_vb")).alias("cos"),
+        )
+        .filter(F.col("cos") >= eps_min)
+        .persist()
+    )
+    r["pairs_at_loosest_eps"] = pairs.count()
+    r["pairs_sec"] = round(time.perf_counter() - t0, 2)
+    print(f"  pairs: {r['pairs_at_loosest_eps']} in {r['pairs_sec']}s", flush=True)
+
+    for eps in eps_list:
+        pe = pairs.filter(F.col("cos") >= eps)
+        oneshot = pe.select(F.col("id_b").alias("id")).distinct()
+        b1_removed = (
+            pe.filter(F.col("id_b") <= mid).select(F.col("id_b").alias("id")).distinct()
+        )
+        b2_within = (
+            pe.filter(F.col("id_a") > mid).select(F.col("id_b").alias("id")).distinct()
+        )
+        b2_hist = (
+            pe.filter((F.col("id_a") <= mid) & (F.col("id_b") > mid))
+            .join(
+                b1_removed.withColumnRenamed("id", "id_a"), "id_a", "left_anti"
+            )
+            .select(F.col("id_b").alias("id"))
+            .distinct()
+        )
+        inc = b1_removed.unionByName(b2_within).unionByName(b2_hist).distinct()
+        n_one = oneshot.count()
+        n_inc = inc.count()
+        n_div = oneshot.join(inc, "id", "left_anti").count()
+        assert n_inc + n_div == n_one  # inc ⊆ one-shot, divergence one-sided
+        leg = {
+            "removed_oneshot": n_one,
+            "removed_incremental": n_inc,
+            "divergent_docs": n_div,
+            "divergent_pct_of_removed": round(100.0 * n_div / max(n_one, 1), 3),
+            "divergent_pct_of_corpus": round(100.0 * n_div / n, 4),
+        }
+        r["eps"][str(eps)] = leg
+        print(f"  eps={eps}: {leg}", flush=True)
+    pairs.unpersist()
+    emb.unpersist()
+    print(f"  {r}", flush=True)
+    return r
+
+
+def run_semantic_ingest_scale(
+    spark: SparkSession,
+    sf_dir: str,
+    factor: int,
+    n_batches: int = 10,
+    compact_every: int = 4,
+) -> dict:
+    """Give the r7 incremental SEMANTIC state the same measured-ladder
+    treatment the LSH state got in r5/r6 (VERDICT r7 item 3): admit the
+    scaled corpus as ``n_batches`` batches through
+    run_corpus_pipeline_incremental WITH the semantic trio enabled, twice —
+    once never folding, once folding via compact_corpus_state every
+    ``compact_every`` batches — recording per-batch admission wall, the
+    ``semantic/`` store's data-file count, and (the claim under test) that
+    per-batch cost stays ~flat because the history probe is cluster-keyed
+    against persisted members, cost ∝ batch. Verdict parity: both ladders
+    must deliver identical chunk counts (compaction changes no verdict).
+
+    Batches split on the replica axis like run_corpus_incremental_scale
+    (earlier batches carry smaller ids). Centroids: the first 64 base
+    embeddings as a literal list — fixed across batches, the fingerprint
+    guard's happy path. eps=0.55 (the t_corpus_manifest_semantic setting)."""
+    import shutil
+
+    from f1_datalakehouse_pipeline_spark.plans.corpus import (
+        compact_corpus_state,
+        run_corpus_pipeline_incremental,
+    )
+
+    docs = scaled_docs(spark, sf_dir, factor)
+    emb = scaled_embeddings(spark, sf_dir, factor)
+    seeds = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 64).orderBy("vec_id")
+        .select(F.col("embedding").cast("array<double>")).collect()
+    )
+    centroids = [list(x[0]) for x in seeds]
+    rep_ax = F.col("doc_id") / F.lit(1_000_000)
+    bounds = sorted(
+        {round(i * factor / n_batches) & ~1 for i in range(n_batches + 1)} | {factor}
+    )
+    params = dict(
+        quality_min=0.0, near_threshold=0.5, chunk_tokens=64,
+        overlap_tokens=8, n_shards=64, seed="scale",
+        max_doc_frequency=64, audit=False,
+        embeddings=emb, semantic_eps=0.55, semantic_centroids=centroids,
+    )
+
+    def sem_files(state: str) -> int:
+        sem = os.path.join(state, "semantic")
+        cnt = 0
+        for root, dirs, files in os.walk(sem):
+            dirs[:] = [d for d in dirs if not d.startswith("_")]
+            cnt += sum(
+                1 for f in files
+                if not f.startswith(("_", ".")) and f.endswith(".parquet")
+            )
+        return cnt
+
+    r: dict = {"docs": docs.count(), "ladders": {}}
+    for label, fold in (("no_compaction", 0), ("compacted", compact_every)):
+        out = os.path.join(CACHE, f"sem_ing_out_{label}_x{factor}")
+        state = os.path.join(CACHE, f"sem_ing_state_{label}_x{factor}")
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(state, ignore_errors=True)
+        leg: dict = {"batch_sec": [], "sem_files": [], "fold_sec": [], "chunks": 0}
+        for i in range(len(bounds) - 1):
+            batch = docs.filter((rep_ax >= bounds[i]) & (rep_ax < bounds[i + 1]))
+            t0 = time.perf_counter()
+            rep_i = run_corpus_pipeline_incremental(spark, batch, out, state, **params)
+            leg["batch_sec"].append(round(time.perf_counter() - t0, 1))
+            leg["chunks"] += rep_i.counts["chunks"]
+            leg["sem_files"].append(sem_files(state))
+            if fold and (i + 1) % fold == 0:
+                t0 = time.perf_counter()
+                compact_corpus_state(spark, state)
+                leg["fold_sec"].append(round(time.perf_counter() - t0, 1))
+            print(f"  {label} batch {i}: {leg['batch_sec'][-1]}s "
+                  f"sem_files={leg['sem_files'][-1]} {rep_i.counts}", flush=True)
+        r["ladders"][label] = leg
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(state, ignore_errors=True)
+    assert (
+        r["ladders"]["no_compaction"]["chunks"] == r["ladders"]["compacted"]["chunks"]
+    ), r
     print(f"  {r}", flush=True)
     return r
 
@@ -1490,6 +1696,8 @@ def main() -> None:
     ap.add_argument("--novelty", action="store_true", help="measure incremental-probe amortization vs full self-join")
     ap.add_argument("--semantic", action="store_true", help="SemDeDup rung: two-level routed assignment + within-cluster pair cost up the ladder")
     ap.add_argument("--semantic-skew", action="store_true", help="banding win on deliberately-giant clusters (k=16)")
+    ap.add_argument("--semantic-divergence", action="store_true", help="chained-middle-member divergence of the incremental semantic gate vs one-shot, per eps (VERDICT r7 item 4)")
+    ap.add_argument("--semantic-ingest", action="store_true", help="multi-batch semantic-state ladder: per-batch wall + semantic/ file growth with and without compaction folds (VERDICT r7 item 3)")
     ap.add_argument("--semantic-train", action="store_true", help="quantizer-training rung: sample vs hierarchical codebook fill / pair mass / wall at k = N/100")
     ap.add_argument("--flat-distributed", action="store_true", help="with --semantic-train: also time FLAT distributed Lloyd's (crossover evidence; only sane at small factors)")
     ap.add_argument("--trainers", default="sample,hierarchical", help="with --semantic-train: comma list of trainers to run")
@@ -1563,6 +1771,20 @@ def main() -> None:
         for factor in factors:
             print(f"semantic-skew factor {factor}:", flush=True)
             results[str(factor)] = run_semantic_skew_scale(spark, args.sf_dir, factor)
+        print(json.dumps(results, indent=2))
+        return
+
+    if args.semantic_divergence:
+        for factor in factors:
+            print(f"semantic-divergence factor {factor}:", flush=True)
+            results[str(factor)] = run_semantic_divergence_scale(spark, args.sf_dir, factor)
+        print(json.dumps(results, indent=2))
+        return
+
+    if args.semantic_ingest:
+        for factor in factors:
+            print(f"semantic-ingest factor {factor}:", flush=True)
+            results[str(factor)] = run_semantic_ingest_scale(spark, args.sf_dir, factor)
         print(json.dumps(results, indent=2))
         return
 
