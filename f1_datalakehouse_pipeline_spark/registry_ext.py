@@ -2955,44 +2955,85 @@ def _duck_corpus_manifest_sql(
         f"'{IPV4_RE}', '<IP>', 'g')"
     )
     chunk_src = "kept"
+    tok_src = "exact"
+    pb_ctes = ""
     sem_ctes = ""
+    # The incremental-semantic variant references the shared CTEs many more
+    # times (per-batch closures, hash gates, NOT-IN member filters); DuckDB
+    # inlines non-materialized CTEs per reference, which multiplies the
+    # parquet scan tree combinatorially (observed: fd exhaustion at 20000
+    # open handles on a 500-doc table). MATERIALIZED pins each shared stage
+    # to one evaluation; the plain variant keeps DuckDB's default.
+    mat = "MATERIALIZED " if semantic_eps is not None else ""
     if semantic_eps is not None:
+        tok_src = "exact_pb"
+        # Injected right after `exact`: the per-batch exact-keeper base the
+        # whole shingle machinery runs over in the semantic variant. B1's
+        # within-batch keepers equal the global keepers restricted to B1
+        # (ids are batch-ordered); B2's are recomputed within the batch —
+        # the cross-batch hash gate (vs FINAL-admitted B1 hashes only) is
+        # applied later as sem_b2_hashgate, because its victims still must
+        # NOT participate in B2's near closure while docs whose B1 twin was
+        # never admitted MUST.
+        pb_ctes = f""",
+    sem_mid AS (SELECT MAX(doc_id) // 2 AS mid FROM documents),
+    exact_pb AS {mat}(
+      SELECT x.doc_id, x.text FROM exact x, sem_mid WHERE x.doc_id <= mid
+      UNION ALL
+      SELECT doc_id, text FROM (
+        SELECT q2.doc_id, q2.text,
+               ROW_NUMBER() OVER (
+                 PARTITION BY {_DUCK_HASH.format(x='q2.text')}
+                 ORDER BY q2.doc_id
+               ) AS rn
+        FROM q q2, sem_mid WHERE q2.doc_id > mid
+      ) WHERE rn = 1
+    )"""
         chunk_src = "kept_sem"
-        # Full INCREMENTAL reconstruction. The semantic stage entangles the
-        # near stage across batches: B1's semantic removals shrink the LSH
-        # index B2 probes, so a B2 near-dup of a semantically-rejected B1
-        # doc is ADMITTED by the engine — the one-shot near closure cannot
-        # model that (observed: doc 263 at sf0.001). So with semantic on,
-        # every cross-batch interaction is reconstructed per the ingestion
-        # contract: per-batch near closures (apply_dedup's min-component
-        # keeper), cross-batch near probe vs FINAL-admitted B1 docs only,
-        # per-batch semantic greedy, history probe vs admitted members.
+        # Full INCREMENTAL reconstruction. The semantic stage entangles
+        # EVERY downstream cross-batch gate, because the state stores hold
+        # only FINALLY-admitted docs:
+        #  - near: B1's semantic removals shrink the LSH index B2 probes, so
+        #    a B2 near-dup of a semantically-rejected B1 doc is ADMITTED by
+        #    the engine (observed: doc 263 at sf0.001);
+        #  - exact: a B2 exact-twin of a never-admitted B1 doc passes the
+        #    hash gate AND then participates in B2's within-batch near
+        #    closure (observed at sf0.1: doc 2875 survives and near-removes
+        #    3394, which the one-shot pair base never sees because 2875 is
+        #    globally exact-removed).
+        # So with semantic on, the whole gate stack is rebuilt per the
+        # ingestion contract: per-batch exact keepers (exact_pb, injected
+        # after `exact` in the main body) feed the shingle machinery, the
+        # B2 hash gate anti-joins FINAL-admitted B1 hashes only, per-batch
+        # near closures (apply_dedup's min-component keeper) run over
+        # hash-gate survivors, the cross-batch near probe sees
+        # FINAL-admitted B1 docs only, and the semantic greedy + history
+        # probe run per batch vs admitted members.
         sem_cos_ab = _DUCK_COS.replace("qv", "a.embedding").replace(
             "cv", "b.embedding"
         )
         sem_ctes = f""",
-    sem_mid AS (SELECT MAX(doc_id) // 2 AS mid FROM documents),
     sem_seeds AS (
       SELECT vec_id AS cid, embedding AS cv FROM embeddings
       WHERE vec_id < {semantic_k}
     ),
-    sem_emb AS (
+    sem_emb AS {mat}(
       SELECT x.doc_id, e.embedding
-      FROM exact x JOIN embeddings e ON e.vec_id = x.doc_id
+      FROM exact_pb x JOIN embeddings e ON e.vec_id = x.doc_id
     ),
-    sem_scored AS (
+    sem_scored AS {mat}(
       SELECT s.doc_id, s.embedding, d.cid,
              {_DUCK_COS.replace('qv', 's.embedding').replace('cv', 'd.cv')} AS cos
       FROM sem_emb s CROSS JOIN sem_seeds d
     ),
-    sem_asg AS (
+    sem_asg AS {mat}(
       SELECT doc_id, embedding, cid AS cluster_id FROM (
         SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
                                      ORDER BY cos DESC, cid ASC) AS rn
         FROM sem_scored
       ) WHERE rn = 1
     ),
-    sem_edges1 AS (
+    sem_edges1 AS {mat}(
       SELECT p.doc_a AS src, p.doc_b AS dst FROM pairs p, sem_mid
       WHERE p.doc_b <= mid
       UNION
@@ -3003,17 +3044,17 @@ def _duck_corpus_manifest_sql(
       UNION
       SELECT e.src, r.r FROM sem_edges1 e JOIN sem_reach1 r ON e.dst = r.doc
     ),
-    sem_b1_near_removed AS (
+    sem_b1_near_removed AS {mat}(
       SELECT doc FROM (
         SELECT doc, LEAST(doc, MIN(r)) AS k FROM sem_reach1 GROUP BY doc
       ) WHERE k < doc
     ),
-    sem_b1_text AS (
-      SELECT x.doc_id FROM exact x, sem_mid
+    sem_b1_text AS {mat}(
+      SELECT x.doc_id FROM exact_pb x, sem_mid
       WHERE x.doc_id <= mid
         AND x.doc_id NOT IN (SELECT doc FROM sem_b1_near_removed)
     ),
-    sem_b1_sem_removed AS (
+    sem_b1_sem_removed AS {mat}(
       SELECT DISTINCT b.doc_id
       FROM sem_asg a JOIN sem_asg b
         ON a.cluster_id = b.cluster_id AND a.doc_id < b.doc_id
@@ -3021,38 +3062,53 @@ def _duck_corpus_manifest_sql(
         AND b.doc_id IN (SELECT doc_id FROM sem_b1_text)
         AND {sem_cos_ab} >= {semantic_eps}
     ),
-    sem_b1_admitted AS (
+    sem_b1_admitted AS {mat}(
       SELECT doc_id FROM sem_b1_text
       WHERE doc_id NOT IN (SELECT doc_id FROM sem_b1_sem_removed)
     ),
-    sem_edges2 AS (
+    sem_b1_admitted_hash AS {mat}(
+      SELECT {_DUCK_HASH.format(x='x.text')} AS h
+      FROM exact_pb x JOIN sem_b1_admitted a ON a.doc_id = x.doc_id
+    ),
+    sem_b2_hashgate AS {mat}(
+      SELECT x.doc_id FROM exact_pb x, sem_mid
+      WHERE x.doc_id > mid
+        AND {_DUCK_HASH.format(x='x.text')} IN (SELECT h FROM sem_b1_admitted_hash)
+    ),
+    sem_edges2 AS {mat}(
       SELECT p.doc_a AS src, p.doc_b AS dst FROM pairs p, sem_mid
       WHERE p.doc_a > mid
+        AND p.doc_a NOT IN (SELECT doc_id FROM sem_b2_hashgate)
+        AND p.doc_b NOT IN (SELECT doc_id FROM sem_b2_hashgate)
       UNION
-      SELECT p.doc_b, p.doc_a FROM pairs p, sem_mid WHERE p.doc_a > mid
+      SELECT p.doc_b, p.doc_a FROM pairs p, sem_mid
+      WHERE p.doc_a > mid
+        AND p.doc_a NOT IN (SELECT doc_id FROM sem_b2_hashgate)
+        AND p.doc_b NOT IN (SELECT doc_id FROM sem_b2_hashgate)
     ),
     sem_reach2(doc, r) AS (
       SELECT src, dst FROM sem_edges2
       UNION
       SELECT e.src, r.r FROM sem_edges2 e JOIN sem_reach2 r ON e.dst = r.doc
     ),
-    sem_b2_near_within AS (
+    sem_b2_near_within AS {mat}(
       SELECT doc FROM (
         SELECT doc, LEAST(doc, MIN(r)) AS k FROM sem_reach2 GROUP BY doc
       ) WHERE k < doc
     ),
-    sem_b2_near_hist AS (
+    sem_b2_near_hist AS {mat}(
       SELECT DISTINCT p.doc_b AS doc_id FROM pairs p, sem_mid
       WHERE p.doc_b > mid
         AND p.doc_a IN (SELECT doc_id FROM sem_b1_admitted)
     ),
-    sem_b2_text AS (
-      SELECT x.doc_id FROM exact x, sem_mid
+    sem_b2_text AS {mat}(
+      SELECT x.doc_id FROM exact_pb x, sem_mid
       WHERE x.doc_id > mid
+        AND x.doc_id NOT IN (SELECT doc_id FROM sem_b2_hashgate)
         AND x.doc_id NOT IN (SELECT doc FROM sem_b2_near_within)
         AND x.doc_id NOT IN (SELECT doc_id FROM sem_b2_near_hist)
     ),
-    sem_b2_sem_within AS (
+    sem_b2_sem_within AS {mat}(
       SELECT DISTINCT b.doc_id
       FROM sem_asg a JOIN sem_asg b
         ON a.cluster_id = b.cluster_id AND a.doc_id < b.doc_id
@@ -3060,14 +3116,14 @@ def _duck_corpus_manifest_sql(
         AND b.doc_id IN (SELECT doc_id FROM sem_b2_text)
         AND {sem_cos_ab} >= {semantic_eps}
     ),
-    sem_b2_sem_hist AS (
+    sem_b2_sem_hist AS {mat}(
       SELECT DISTINCT b.doc_id
       FROM sem_asg a JOIN sem_asg b ON a.cluster_id = b.cluster_id
       WHERE a.doc_id IN (SELECT doc_id FROM sem_b1_admitted)
         AND b.doc_id IN (SELECT doc_id FROM sem_b2_text)
         AND {sem_cos_ab} >= {semantic_eps}
     ),
-    sem_admitted AS (
+    sem_admitted AS {mat}(
       SELECT doc_id FROM sem_b1_admitted
       UNION
       SELECT doc_id FROM sem_b2_text
@@ -3082,10 +3138,10 @@ def _duck_corpus_manifest_sql(
     WITH RECURSIVE raw AS (
       SELECT doc_id, text, {toks_raw} AS rtoks FROM documents
     ),
-    q AS (
+    q AS {mat}(
       SELECT doc_id, {scrub} AS text FROM raw WHERE {q} >= {quality_min}
     ),
-    exact AS (
+    exact AS {mat}(
       SELECT doc_id, text FROM (
         SELECT doc_id, text,
                ROW_NUMBER() OVER (
@@ -3093,10 +3149,10 @@ def _duck_corpus_manifest_sql(
                ) AS rn
         FROM q
       ) WHERE rn = 1
-    ),
-    tokd AS (SELECT doc_id, {_DUCK_TOKS.format(x='text')} AS toks FROM exact),
-    thash AS (SELECT doc_id, {_DUCK_TOKEN_HASHES.format(toks='toks')} AS hs FROM tokd),
-    sh AS (
+    ){pb_ctes},
+    tokd AS {mat}(SELECT doc_id, {_DUCK_TOKS.format(x='text')} AS toks FROM {tok_src}),
+    thash AS {mat}(SELECT doc_id, {_DUCK_TOKEN_HASHES.format(toks='toks')} AS hs FROM tokd),
+    sh AS {mat}(
       SELECT DISTINCT doc_id AS doc, h FROM (
         SELECT doc_id,
                unnest(list_transform(generate_series(1, greatest(len(hs) - 2, 1)),
@@ -3104,27 +3160,27 @@ def _duck_corpus_manifest_sql(
         FROM thash
       ) WHERE h IS NOT NULL
     ),
-    sizes AS (SELECT doc, COUNT(*) AS n FROM sh GROUP BY doc),
-    inter AS (
+    sizes AS {mat}(SELECT doc, COUNT(*) AS n FROM sh GROUP BY doc),
+    inter AS {mat}(
       SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS i
       FROM sh a JOIN sh b ON a.h = b.h AND a.doc < b.doc
       GROUP BY 1, 2
     ),
-    jac AS (
+    jac AS {mat}(
       SELECT doc_a, doc_b,
              CAST(i AS DOUBLE) / CAST(na.n + nb.n - i AS DOUBLE) AS jaccard
       FROM inter
       JOIN sizes na ON na.doc = doc_a
       JOIN sizes nb ON nb.doc = doc_b
     ),
-    mh AS (SELECT doc, {mins} FROM sh GROUP BY doc),
+    mh AS {mat}(SELECT doc, {mins} FROM sh GROUP BY doc),
     bands AS ({bands}),
-    cand AS (
+    cand AS {mat}(
       SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
       FROM bands a JOIN bands b
         ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc < b.doc
     ),
-    pairs AS (
+    pairs AS {mat}(
       SELECT c.doc_a, c.doc_b, j.jaccard
       FROM cand c JOIN jac j ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
       WHERE j.jaccard >= {near_threshold}
