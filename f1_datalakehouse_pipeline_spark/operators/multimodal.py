@@ -10,12 +10,12 @@ The 100 TB pattern for image/audio/video in a lakehouse:
 - the DEFAULT decoder (``header_decoder``) is a real pure-Python container
   header parser — PNG IHDR, GIF logical screen, JPEG SOFn, WAV fmt/data
   chunks — returning true dimensions / sample counts with no media
-  libraries needed; PNG (zlib, r6) and GIF (pure-Python LZW, r7) also get
-  full stdlib PIXEL codecs (decode / re-encode / resize) wired into the
-  default resizer. JPEG stays the codec-seam boundary — a DCT/huffman
-  pipeline is out of stdlib scope — so it and the video/audio formats
-  raise loudly until a PIL/librosa/ffmpeg codec injects via ``decoder=`` /
-  ``resizer=``.
+  libraries needed; PNG (zlib, r6), GIF (pure-Python LZW, r7) and baseline
+  JPEG (Huffman + exact numpy IDCT/FDCT, r8) get full PIXEL codecs
+  (decode / re-encode / resize) wired into the default resizer. The
+  remaining codec seam: progressive/arithmetic JPEG and the video/audio
+  formats raise loudly until a PIL/librosa/ffmpeg codec injects via
+  ``decoder=`` / ``resizer=``.
 """
 
 from __future__ import annotations
@@ -457,10 +457,10 @@ def png_resize_pixels(payload: bytes, width: int, height: int) -> bytes:
 # --------------------------------------------------------------------------
 # Pure-stdlib GIF pixel codec (VERDICT r6 item 6): LZW inflate/deflate in
 # plain Python the way the PNG path uses zlib — first-frame decode to
-# RGB/RGBA samples, palette re-encode, nearest-neighbor resize. JPEG remains
-# the documented codec-seam boundary: a spec DCT/huffman pipeline is out of
-# stdlib scope, so non-PNG/GIF containers still raise loudly through
-# ``_default_resize`` and a PIL/ffmpeg codec injects via ``resizer=``.
+# RGB/RGBA samples, palette re-encode, nearest-neighbor resize. (r8: the
+# baseline JPEG codec below closed the third container; the remaining seam
+# is progressive/arithmetic JPEG and the video/audio codecs, which still
+# raise loudly through ``_default_resize`` — inject via ``resizer=``.)
 # --------------------------------------------------------------------------
 
 
@@ -754,17 +754,586 @@ def gif_resize_pixels(payload: bytes, width: int, height: int) -> bytes:
     )
 
 
+# --------------------------------------------------------------------------
+# Pure stdlib+numpy baseline JPEG codec (VERDICT r7 item 8 — the stretch
+# that closes the THIRD container): marker parse → Huffman entropy decode →
+# dequantize → de-zigzag → exact float IDCT (numpy 8×8 basis product) →
+# chroma upsample → YCbCr→RGB, and the full reverse for encode (FDCT,
+# Annex-K tables, canonical Huffman, byte stuffing). Baseline DCT only:
+# progressive (SOF2), arithmetic coding, 12-bit precision and hierarchical
+# modes raise loudly — those are the remaining documented seam, alongside
+# the video/audio codecs.
+# --------------------------------------------------------------------------
+
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# JPEG spec (ITU T.81) Annex K "typical" tables — the interchange defaults.
+_JPEG_QT_LUMA = [
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+]
+_JPEG_QT_CHROMA = [
+    17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+]
+_JPEG_DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_JPEG_DC_CHROMA = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_JPEG_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+_JPEG_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+        0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+        0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+        0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+        0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+        0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+        0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+        0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+        0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+        0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+        0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+
+
+def _jpeg_idct_basis():
+    """8×8 DCT-III basis A with A[u, x] = c(u)/2 · cos((2x+1)uπ/16);
+    spatial = Aᵀ·F·A, frequency = A·s·Aᵀ — one matrix serves both ways."""
+    import math
+
+    import numpy as np
+
+    a = np.empty((8, 8), dtype=np.float64)
+    for u in range(8):
+        cu = (1.0 / math.sqrt(2.0)) if u == 0 else 1.0
+        for x in range(8):
+            a[u, x] = 0.5 * cu * math.cos((2 * x + 1) * u * math.pi / 16.0)
+    return a
+
+
+def _jpeg_build_huff_decode(counts: list, symbols: list) -> dict:
+    """Canonical Huffman → {(bit_length, code): symbol} (T.81 C.2)."""
+    lut: dict = {}
+    code, k = 0, 0
+    for ln in range(1, 17):
+        for _ in range(counts[ln - 1]):
+            lut[(ln, code)] = symbols[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return lut
+
+
+def _jpeg_build_huff_encode(counts: list, symbols: list) -> dict:
+    """Canonical Huffman → {symbol: (code, bit_length)}."""
+    enc: dict = {}
+    code, k = 0, 0
+    for ln in range(1, 17):
+        for _ in range(counts[ln - 1]):
+            enc[symbols[k]] = (code, ln)
+            k += 1
+            code += 1
+        code <<= 1
+    return enc
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over an entropy segment (already unstuffed)."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0  # bit position
+
+    def bit(self) -> int:
+        byte_i = self.pos >> 3
+        if byte_i >= len(self.data):
+            raise NotImplementedError("JPEG entropy stream truncated")
+        b = (self.data[byte_i] >> (7 - (self.pos & 7))) & 1
+        self.pos += 1
+        return b
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def decode(self, lut: dict) -> int:
+        code, ln = 0, 0
+        while ln < 16:
+            code = (code << 1) | self.bit()
+            ln += 1
+            sym = lut.get((ln, code))
+            if sym is not None:
+                return sym
+        raise NotImplementedError("invalid JPEG Huffman code")
+
+
+def _jpeg_extend(v: int, t: int) -> int:
+    """T.81 F.12: map a t-bit magnitude to its signed value."""
+    return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def jpeg_decode_pixels(payload: bytes) -> tuple[int, int, int, "bytearray"]:
+    """Decode a BASELINE JPEG (SOF0/SOF1, 8-bit, Huffman) to
+    ``(width, height, channels, row-major samples)`` — channels 1
+    (grayscale) or 3 (RGB from YCbCr, JFIF/BT.601 matrix). Handles 4:4:4 /
+    4:2:2 / 4:2:0 chroma sampling (nearest upsample), restart intervals,
+    byte stuffing, and in-stream quant/Huffman tables. Progressive (SOF2),
+    arithmetic coding (SOF9+), 12-bit precision and hierarchical modes
+    raise ``NotImplementedError`` loudly — the remaining codec seam."""
+    import numpy as np
+
+    b = bytes(payload)
+    if b[:2] != b"\xff\xd8":
+        raise NotImplementedError("not a JPEG payload (missing SOI)")
+    qt: dict = {}
+    huff_dc: dict = {}
+    huff_ac: dict = {}
+    comps: list = []
+    w = h = 0
+    dri = 0
+    scan: list = []
+    entropy = b""
+    pos = 2
+    while pos + 4 <= len(b):
+        if b[pos] != 0xFF:
+            raise NotImplementedError("JPEG marker desync")
+        marker = b[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        seg_len = int.from_bytes(b[pos + 2 : pos + 4], "big")
+        seg = b[pos + 4 : pos + 2 + seg_len]
+        if marker == 0xDB:  # DQT (possibly several tables)
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 0xF
+                i += 1
+                if pq == 0:
+                    qt[tq] = list(seg[i : i + 64])
+                    i += 64
+                else:
+                    qt[tq] = [
+                        int.from_bytes(seg[i + 2 * j : i + 2 * j + 2], "big")
+                        for j in range(64)
+                    ]
+                    i += 128
+        elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 ext. sequential
+            if seg[0] != 8:
+                raise NotImplementedError("only 8-bit JPEG precision supported")
+            h = int.from_bytes(seg[1:3], "big")
+            w = int.from_bytes(seg[3:5], "big")
+            n = seg[5]
+            comps = [
+                {
+                    "id": seg[6 + 3 * i],
+                    "h": seg[7 + 3 * i] >> 4,
+                    "v": seg[7 + 3 * i] & 0xF,
+                    "tq": seg[8 + 3 * i],
+                }
+                for i in range(n)
+            ]
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"non-baseline JPEG (SOF marker 0xFF{marker:02X}: progressive/"
+                "arithmetic/hierarchical) — the documented codec seam; inject "
+                "a full codec via resize_images(resizer=...)"
+            )
+        elif marker == 0xC4:  # DHT (possibly several tables)
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 0xF
+                counts = list(seg[i + 1 : i + 17])
+                nsym = sum(counts)
+                symbols = list(seg[i + 17 : i + 17 + nsym])
+                (huff_dc if tc == 0 else huff_ac)[th] = _jpeg_build_huff_decode(
+                    counts, symbols
+                )
+                i += 17 + nsym
+        elif marker == 0xDD:  # DRI
+            dri = int.from_bytes(seg[:2], "big")
+        elif marker == 0xDA:  # SOS — entropy data follows
+            ns = seg[0]
+            scan = [
+                {"id": seg[1 + 2 * i], "td": seg[2 + 2 * i] >> 4,
+                 "ta": seg[2 + 2 * i] & 0xF}
+                for i in range(ns)
+            ]
+            data_start = pos + 2 + seg_len
+            j = data_start
+            while j + 1 < len(b):
+                if b[j] == 0xFF and b[j + 1] not in (0x00,) and not (
+                    0xD0 <= b[j + 1] <= 0xD7
+                ):
+                    break
+                j += 1
+            entropy = b[data_start:j]
+            pos = j
+            continue
+        pos += 2 + seg_len
+    if not comps or not scan:
+        raise NotImplementedError("JPEG missing SOF/SOS segments")
+
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+    basis = _jpeg_idct_basis()
+    planes = {
+        c["id"]: np.zeros((mcus_y * c["v"] * 8, mcus_x * c["h"] * 8),
+                          dtype=np.float64)
+        for c in comps
+    }
+    by_id = {c["id"]: c for c in comps}
+    sel = {s["id"]: s for s in scan}
+
+    # restart-interval segments: split on RSTn, unstuff each independently
+    segments = []
+    cur = bytearray()
+    i = 0
+    while i < len(entropy):
+        if entropy[i] == 0xFF and i + 1 < len(entropy):
+            nxt = entropy[i + 1]
+            if nxt == 0x00:
+                cur.append(0xFF)
+                i += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                segments.append(bytes(cur))
+                cur = bytearray()
+                i += 2
+                continue
+        cur.append(entropy[i])
+        i += 1
+    segments.append(bytes(cur))
+
+    seg_i = 0
+    reader = _JpegBitReader(segments[0])
+    pred = {c["id"]: 0 for c in comps}
+    mcu_count = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if dri and mcu_count and mcu_count % dri == 0:
+                seg_i += 1
+                reader = _JpegBitReader(segments[seg_i])
+                pred = {c["id"]: 0 for c in comps}
+            for c in comps:
+                cid = c["id"]
+                dc_lut = huff_dc[sel[cid]["td"]]
+                ac_lut = huff_ac[sel[cid]["ta"]]
+                q = np.array(qt[c["tq"]], dtype=np.float64)
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        zz = np.zeros(64, dtype=np.float64)
+                        t = reader.decode(dc_lut)
+                        diff = _jpeg_extend(reader.bits(t), t) if t else 0
+                        pred[cid] += diff
+                        zz[0] = pred[cid]
+                        k = 1
+                        while k < 64:
+                            rs = reader.decode(ac_lut)
+                            r, sz = rs >> 4, rs & 0xF
+                            if sz == 0:
+                                if r == 15:
+                                    k += 16  # ZRL
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise NotImplementedError(
+                                    "JPEG AC coefficient overrun"
+                                )
+                            zz[k] = _jpeg_extend(reader.bits(sz), sz)
+                            k += 1
+                        block = np.zeros(64, dtype=np.float64)
+                        block[_JPEG_ZIGZAG] = zz * q
+                        spatial = basis.T @ block.reshape(8, 8) @ basis + 128.0
+                        py = (my * c["v"] + by) * 8
+                        px = (mx * c["h"] + bx) * 8
+                        planes[cid][py : py + 8, px : px + 8] = spatial
+            mcu_count += 1
+
+    # crop/upsample each component to full resolution (nearest)
+    full = []
+    for c in comps:
+        p = planes[c["id"]]
+        cw = (w * c["h"] + hmax - 1) // hmax
+        ch_ = (h * c["v"] + vmax - 1) // vmax
+        p = p[:ch_, :cw]
+        if c["h"] != hmax or c["v"] != vmax:
+            yi = (np.arange(h) * c["v"] // vmax).clip(0, p.shape[0] - 1)
+            xi = (np.arange(w) * c["h"] // hmax).clip(0, p.shape[1] - 1)
+            p = p[yi][:, xi]
+        else:
+            p = p[:h, :w]
+        full.append(p)
+
+    if len(full) == 1:
+        out = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+        return w, h, 1, bytearray(out.tobytes())
+    if len(full) != 3:
+        raise NotImplementedError(
+            f"JPEG with {len(full)} components unsupported (CMYK/Adobe)"
+        )
+    y, cb, cr = full
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    bch = y + 1.772 * (cb - 128.0)
+    rgb = np.stack(
+        [np.clip(np.round(x), 0, 255) for x in (r, g, bch)], axis=-1
+    ).astype(np.uint8)
+    return w, h, 3, bytearray(rgb.tobytes())
+
+
+class _JpegBitWriter:
+    """MSB-first bit writer with 0xFF byte stuffing (T.81 F.1.2.3)."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, ln: int) -> None:
+        self.acc = (self.acc << ln) | (code & ((1 << ln) - 1))
+        self.nbits += ln
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)
+            self.nbits -= 8
+            self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1s
+        return bytes(self.out)
+
+
+def _jpeg_scale_qt(base: list, quality: int) -> list:
+    """libjpeg's public quality→scale mapping (quality 50 = Annex K)."""
+    quality = max(1, min(100, quality))
+    s = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return [max(1, min(255, (v * s + 50) // 100)) for v in base]
+
+
+def jpeg_encode_pixels(
+    width: int, height: int, channels: int, pixels,
+    quality: int = 90, subsample: bool = False,
+) -> bytes:
+    """Encode row-major samples to a BASELINE JFIF JPEG — 8-bit, Huffman,
+    Annex-K tables scaled by ``quality`` via the public libjpeg mapping,
+    canonical Huffman codes, byte stuffing. ``subsample=False`` (default)
+    writes 4:4:4; ``subsample=True`` writes 4:2:0 (2×2 luma sampling, box-
+    mean chroma downsample) — the common wild-file layout, which also gives
+    the decoder's interleaved-MCU + upsample path a real roundtrip test.
+    ``channels`` 1 (grayscale) or 3 (RGB → YCbCr); alpha has no JPEG
+    representation, so 2/4-channel input raises (strip alpha or re-encode
+    as PNG)."""
+    import numpy as np
+
+    if channels not in (1, 3):
+        raise NotImplementedError(
+            f"JPEG cannot carry {channels}-channel pixels (no alpha); "
+            "strip alpha or use png_encode_pixels"
+        )
+    px = np.frombuffer(bytes(pixels), dtype=np.uint8).astype(np.float64)
+    px = px.reshape(height, width, channels)
+    if channels == 3:
+        r, g, bch = px[..., 0], px[..., 1], px[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * bch
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * bch + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * bch + 128.0
+        comps = [y, cb, cr]
+        qts = [0, 1, 1]
+        hts = [0, 1, 1]
+        samp = [(2, 2), (1, 1), (1, 1)] if subsample else [(1, 1)] * 3
+    else:
+        comps = [px[..., 0]]
+        qts = [0]
+        hts = [0]
+        samp = [(1, 1)]
+
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    if subsample and channels == 3:
+        # box-mean 2× downsample of the chroma planes (pad odd dims first)
+        for i in (1, 2):
+            p = comps[i]
+            ph = np.pad(p, ((0, p.shape[0] % 2), (0, p.shape[1] % 2)),
+                        mode="edge")
+            comps[i] = (
+                ph[0::2, 0::2] + ph[1::2, 0::2] + ph[0::2, 1::2] + ph[1::2, 1::2]
+            ) / 4.0
+
+    qt0 = _jpeg_scale_qt(_JPEG_QT_LUMA, quality)
+    qt1 = _jpeg_scale_qt(_JPEG_QT_CHROMA, quality)
+    qt_spatial = []
+    for t in (qt0, qt1):
+        m = np.zeros(64, dtype=np.float64)
+        m[_JPEG_ZIGZAG] = np.array(t, dtype=np.float64)
+        qt_spatial.append(m.reshape(8, 8))
+    basis = _jpeg_idct_basis()
+    enc_dc = [_jpeg_build_huff_encode(*_JPEG_DC_LUMA),
+              _jpeg_build_huff_encode(*_JPEG_DC_CHROMA)]
+    enc_ac = [_jpeg_build_huff_encode(*_JPEG_AC_LUMA),
+              _jpeg_build_huff_encode(*_JPEG_AC_CHROMA)]
+
+    bw = _JpegBitWriter()
+    pred = [0] * len(comps)
+    mcus_x = (width + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (height + 8 * vmax - 1) // (8 * vmax)
+    # pad each component plane to its MCU-grid multiple by edge replication
+    padded = []
+    for ci, p in enumerate(comps):
+        ph_, pw_ = mcus_y * samp[ci][1] * 8, mcus_x * samp[ci][0] * 8
+        padded.append(
+            np.pad(p, ((0, ph_ - p.shape[0]), (0, pw_ - p.shape[1])),
+                   mode="edge")
+        )
+    inv_zz = np.array(_JPEG_ZIGZAG)
+
+    def size_cat(v: int) -> int:
+        return 0 if v == 0 else int(abs(v)).bit_length()
+
+    def emit_block(block, ci: int) -> None:
+        f = basis @ (block - 128.0) @ basis.T
+        qz = np.round(f / qt_spatial[qts[ci]]).astype(np.int64)
+        zz = qz.reshape(64)[inv_zz]
+        dc_e, ac_e = enc_dc[hts[ci]], enc_ac[hts[ci]]
+        diff = int(zz[0]) - pred[ci]
+        pred[ci] = int(zz[0])
+        t = size_cat(diff)
+        code, ln = dc_e[t]
+        bw.write(code, ln)
+        if t:
+            mag = diff if diff >= 0 else diff + (1 << t) - 1
+            bw.write(mag, t)
+        run = 0
+        for k in range(1, 64):
+            v = int(zz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = ac_e[0xF0]
+                bw.write(code, ln)
+                run -= 16
+            sz = size_cat(v)
+            code, ln = ac_e[(run << 4) | sz]
+            bw.write(code, ln)
+            mag = v if v >= 0 else v + (1 << sz) - 1
+            bw.write(mag, sz)
+            run = 0
+        if run:
+            code, ln = ac_e[0x00]
+            bw.write(code, ln)
+
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, p in enumerate(padded):
+                ch_, cw_ = samp[ci][1], samp[ci][0]
+                for by in range(ch_):
+                    for bx in range(cw_):
+                        py = (my * ch_ + by) * 8
+                        pxo = (mx * cw_ + bx) * 8
+                        emit_block(p[py : py + 8, pxo : pxo + 8], ci)
+    data = bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, bytes([0x00]) + bytes(qt0))
+    if channels == 3:
+        out += seg(0xDB, bytes([0x01]) + bytes(qt1))
+    sof = bytes([8]) + height.to_bytes(2, "big") + width.to_bytes(2, "big")
+    sof += bytes([len(comps)])
+    for i in range(len(comps)):
+        sof += bytes([i + 1, (samp[i][0] << 4) | samp[i][1], qts[i]])
+    out += seg(0xC0, sof)
+    for tc, th, (counts, symbols) in (
+        (0, 0, _JPEG_DC_LUMA), (1, 0, _JPEG_AC_LUMA),
+        (0, 1, _JPEG_DC_CHROMA), (1, 1, _JPEG_AC_CHROMA),
+    ):
+        if th == 1 and channels == 1:
+            continue
+        out += seg(0xC4, bytes([(tc << 4) | th]) + bytes(counts) + bytes(symbols))
+    sos = bytes([len(comps)])
+    for i in range(len(comps)):
+        sos += bytes([i + 1, (hts[i] << 4) | hts[i]])
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, sos)
+    out += data
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def jpeg_resize_pixels(payload: bytes, width: int, height: int) -> bytes:
+    """Decode → nearest-neighbor resample → re-encode (lossy, like any JPEG
+    rewrite; quality 90, 4:4:4)."""
+    sw, sh, ch, px = jpeg_decode_pixels(payload)
+    return jpeg_encode_pixels(
+        width, height, ch, _resample_nearest(px, sw, sh, ch, width, height)
+    )
+
+
 def _default_resize(payload: bytes, modality: str, width: int, height: int) -> bytes:
-    """Default resizer: the stdlib PNG pixel path for PNG payloads and the
-    stdlib GIF/LZW path for GIF payloads; every other container (JPEG — a
-    DCT/huffman pipeline is out of stdlib scope — and the video/audio
-    formats) needs a real codec and raises loudly (PIL where installed —
-    this sandbox ships none; inject through ``resize_images(resizer=...)``,
+    """Default resizer: the stdlib PNG pixel path for PNG payloads, the
+    stdlib GIF/LZW path for GIF payloads, and the stdlib+numpy baseline
+    JPEG path for JPEG payloads (r8 — the third container); every other
+    container (progressive/arithmetic JPEG and the video/audio formats)
+    needs a real codec and raises loudly (PIL where installed — this
+    sandbox ships none; inject through ``resize_images(resizer=...)``,
     proven end-to-end by the fake-codec seam test)."""
     if bytes(payload[:8]) == b"\x89PNG\r\n\x1a\n":
         return png_resize_pixels(payload, width, height)
     if bytes(payload[:6]) in (b"GIF87a", b"GIF89a"):
         return gif_resize_pixels(payload, width, height)
+    if bytes(payload[:3]) == b"\xff\xd8\xff":
+        return jpeg_resize_pixels(payload, width, height)
     try:
         from PIL import Image  # noqa: F401
     except ImportError as exc:  # pragma: no cover - env-dependent

@@ -483,12 +483,20 @@ def test_resize_seam_feeds_header_decoder_end_to_end(spark):
     assert len({bytes(out[i].payload) for i in range(1, 4)}) == 3
 
 
-def test_default_resizer_raises_without_media_libs_for_non_png():
+def test_default_resizer_raises_without_media_libs_for_non_image():
+    """r8: JPEG left the seam (stdlib+numpy baseline codec below), so the
+    loud-raise contract is now carried by containers that genuinely need a
+    media library (video/audio)."""
     import pytest as _pytest
 
     with _pytest.raises((NotImplementedError,)) as ei:
-        multimodal._default_resize(b"\xff\xd8\xff\xe0fakejpeg", "image", 8, 8)
+        multimodal._default_resize(
+            b"\x00\x00\x00\x18ftypmp42fakevideo", "video", 8, 8
+        )
     assert "resizer" in str(ei.value)
+    # malformed JPEG-magic payloads still raise loudly THROUGH the codec
+    with _pytest.raises(NotImplementedError):
+        multimodal._default_resize(b"\xff\xd8\xff\xe0fakejpeg", "image", 8, 8)
 
 
 def test_png_codec_roundtrip_all_color_types():
@@ -780,6 +788,145 @@ def test_resize_images_default_does_real_pixel_resample(spark):
         for x in range(8):
             src = ((y * 2 // 4) * w + (x * 4 // 8)) * ch
             assert upx[(y * 8 + x) * ch : (y * 8 + x) * ch + ch] == px[src : src + ch]
+
+
+def _jpeg_seg(marker: int, body: bytes) -> bytes:
+    return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+
+def test_jpeg_decoder_against_hand_crafted_stream():
+    """INDEPENDENT cross-check (the GIF literal-LZW pattern): a minimal
+    baseline JPEG assembled byte-by-byte from the T.81 spec — single 8×8
+    grayscale block, custom 1-bit Huffman tables (DC cat-0 = '0',
+    AC EOB = '0'), flat quant 16 — must decode to EXACTLY 128 everywhere
+    (DC diff 0 → dequant 0 → IDCT 0 → +128). No shared code with the
+    encoder: this pins marker parse, canonical-Huffman build, entropy read,
+    dequant/zigzag/IDCT and level shift all at once."""
+    b = bytearray(b"\xff\xd8")
+    b += _jpeg_seg(0xDB, bytes([0x00]) + bytes([16] * 64))
+    b += _jpeg_seg(0xC0, bytes([8]) + (8).to_bytes(2, "big")
+                   + (8).to_bytes(2, "big") + bytes([1, 1, 0x11, 0]))
+    b += _jpeg_seg(0xC4, bytes([0x00, 1] + [0] * 15 + [0]))  # DC: sym 0 = '0'
+    b += _jpeg_seg(0xC4, bytes([0x10, 1] + [0] * 15 + [0x00]))  # AC: EOB = '0'
+    b += _jpeg_seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    b += bytes([0b00111111])  # DC '0' + EOB '0' + 1-pad
+    b += b"\xff\xd9"
+    w, h, ch, px = multimodal.jpeg_decode_pixels(bytes(b))
+    assert (w, h, ch) == (8, 8, 1)
+    assert bytes(px) == bytes([128] * 64)
+
+
+def test_jpeg_decoder_restart_interval_resets_dc_prediction():
+    """Hand-crafted 16×8 two-MCU stream with DRI=1 and an RST0 between:
+    each MCU codes DC diff +3 (category-2 code '01' + magnitude '11' under
+    a custom table). With the spec's predictor reset at the restart both
+    blocks read flat 128 + 3·16/8 = 134; a decoder that carries the
+    predictor across RST0 would read the second block at 140."""
+    b = bytearray(b"\xff\xd8")
+    b += _jpeg_seg(0xDB, bytes([0x00]) + bytes([16] * 64))
+    b += _jpeg_seg(0xDD, (1).to_bytes(2, "big"))  # DRI = 1 MCU
+    b += _jpeg_seg(0xC0, bytes([8]) + (8).to_bytes(2, "big")
+                   + (16).to_bytes(2, "big") + bytes([1, 1, 0x11, 0]))
+    # DC: two 2-bit codes — '00'→cat 0, '01'→cat 2
+    b += _jpeg_seg(0xC4, bytes([0x00, 0, 2] + [0] * 14 + [0, 2]))
+    b += _jpeg_seg(0xC4, bytes([0x10, 1] + [0] * 15 + [0x00]))  # AC: EOB='0'
+    b += _jpeg_seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    mcu = 0b01110111  # '01' + '11' (=+3) + EOB '0' + '111' pad
+    b += bytes([mcu]) + b"\xff\xd0" + bytes([mcu])
+    b += b"\xff\xd9"
+    w, h, ch, px = multimodal.jpeg_decode_pixels(bytes(b))
+    assert (w, h, ch) == (16, 8, 1)
+    assert set(px) == {134}  # both MCUs flat 134: predictor was reset
+
+
+def test_jpeg_codec_roundtrip_gray_and_rgb():
+    """Encoder→decoder fidelity: constant gray is EXACT (DC-only path);
+    a smooth RGB field round-trips within small tolerance at both 4:4:4
+    and 4:2:0 (the subsampled form also exercises the decoder's
+    interleaved-MCU layout and nearest chroma upsample); odd (non-multiple
+    -of-8) dimensions crop correctly."""
+    import numpy as np
+
+    flat = bytes([77] * (16 * 8))
+    enc = multimodal.jpeg_encode_pixels(16, 8, 1, flat, quality=90)
+    w, h, ch, out = multimodal.jpeg_decode_pixels(enc)
+    assert (w, h, ch) == (16, 8, 1)
+    assert max(abs(v - 77) for v in out) <= 1  # DC quantization only
+
+    w, h = 37, 22
+    img = np.zeros((h, w, 3), np.uint8)
+    for y in range(h):
+        for x in range(w):
+            img[y, x] = (
+                int(100 + 50 * np.sin(x / 8)),
+                int(120 + 40 * np.cos(y / 6)),
+                int(90 + 30 * np.sin((x + y) / 10)),
+            )
+    for subsample, tol_mean, tol_max in ((False, 2.0, 12), (True, 3.0, 24)):
+        enc = multimodal.jpeg_encode_pixels(
+            w, h, 3, img.tobytes(), quality=92, subsample=subsample
+        )
+        dw, dh, dch, out = multimodal.jpeg_decode_pixels(enc)
+        assert (dw, dh, dch) == (w, h, 3)
+        o = np.frombuffer(bytes(out), np.uint8).reshape(h, w, 3).astype(int)
+        err = np.abs(o - img.astype(int))
+        assert err.mean() < tol_mean and err.max() <= tol_max, (
+            subsample, err.mean(), err.max())
+        # the emitted container is spec-valid for the header parser too
+        assert multimodal._jpeg_dims(enc) == (w, h)
+
+    g = np.arange(13 * 9, dtype=np.uint8).reshape(9, 13)
+    enc = multimodal.jpeg_encode_pixels(13, 9, 1, g.tobytes(), quality=95)
+    dw, dh, dch, out = multimodal.jpeg_decode_pixels(enc)
+    assert (dw, dh, dch) == (13, 9, 1)
+    o = np.frombuffer(bytes(out), np.uint8).reshape(9, 13).astype(int)
+    assert np.abs(o - g.astype(int)).max() <= 2
+
+
+def test_jpeg_codec_seam_raises_stay_loud():
+    """The remaining seam: progressive JPEG (SOF2), alpha channels, and
+    malformed streams raise NotImplementedError with actionable messages."""
+    import pytest as _pytest
+
+    prog = bytearray(b"\xff\xd8")
+    prog += _jpeg_seg(0xDB, bytes([0x00]) + bytes([16] * 64))
+    prog += _jpeg_seg(0xC2, bytes([8]) + (8).to_bytes(2, "big")
+                      + (8).to_bytes(2, "big") + bytes([1, 1, 0x11, 0]))
+    with _pytest.raises(NotImplementedError, match="progressive"):
+        multimodal.jpeg_decode_pixels(bytes(prog))
+    with _pytest.raises(NotImplementedError, match="alpha"):
+        multimodal.jpeg_encode_pixels(2, 2, 4, bytes(16))
+    with _pytest.raises(NotImplementedError):
+        multimodal.jpeg_decode_pixels(b"\xff\xd8\xff\xe0garbage")
+
+
+def test_resize_images_default_resizes_jpeg_payloads(spark):
+    """The DEFAULT resizer now covers JPEG end-to-end (r8, the third
+    container): real JPEGs come back as valid JPEGs at the target size,
+    pixel values within JPEG tolerance of the exact nearest-neighbor
+    resample, and header metadata recomputed from the rewritten bytes."""
+    import numpy as np
+
+    w, h = 16, 8
+    img = np.zeros((h, w, 3), np.uint8)
+    img[:, : w // 2] = (200, 60, 60)
+    img[:, w // 2 :] = (60, 60, 200)
+    payload = multimodal.jpeg_encode_pixels(w, h, 3, img.tobytes(), quality=95)
+    raw = spark.createDataFrame([(1, payload)], ["id", "payload"])
+    media = multimodal.attach_metadata(raw, "id", "payload", "image")
+
+    out = multimodal.resize_images(media, 8, 4).collect()[0]
+    assert multimodal._jpeg_dims(bytes(out.payload)) == (8, 4)
+    rw, rh, rch, rpx = multimodal.jpeg_decode_pixels(bytes(out.payload))
+    assert (rw, rh, rch) == (8, 4, 3)
+    o = np.frombuffer(bytes(rpx), np.uint8).reshape(4, 8, 3).astype(int)
+    # two flat half-fields survive the resample within JPEG tolerance
+    assert np.abs(o[:, :3] - np.array([200, 60, 60])).max() <= 12
+    assert np.abs(o[:, 5:] - np.array([60, 60, 200])).max() <= 12
+    feats = multimodal.extract_features(
+        multimodal.resize_images(media, 8, 4)
+    ).collect()[0]
+    assert (feats.width, feats.height) == (8, 4)
 
 
 def test_connected_keepers_long_chain_pointer_jumping(spark):
