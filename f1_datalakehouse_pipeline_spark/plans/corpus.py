@@ -496,7 +496,17 @@ def run_corpus_pipeline_incremental(
     greedy-by-id rule removes a doc when ANY lower-id neighbor is within
     ``semantic_eps`` (even a neighbor that was itself removed), while the
     incremental probe sees only ADMITTED history members — a B2 doc whose
-    only eps-neighbor is a REJECTED B1 doc diverges. One more caveat when ``max_doc_frequency`` is
+    only eps-neighbor is a REJECTED B1 doc diverges. MEASURED (r8,
+    ``tools/scale_stress.py --semantic-divergence`` + PERF_NOTES r8): on
+    the real embeddings the over-admission is 4–6.5% of the one-shot
+    removal set where the stage bites (e.g. 9 of 165 removals at eps=0.3,
+    sf0.001) and always one-sided — the incremental path never removes a
+    doc the one-shot rule keeps. Note the entanglement CASCADES through
+    the text gates (state stores hold only finally-admitted docs): a B2
+    exact-twin or near-dup of a never-admitted B1 doc passes the
+    cross-batch gates — the driver query ``t_corpus_manifest_semantic``
+    hash-pins this whole incremental contract against a DuckDB
+    reconstruction. One more caveat when ``max_doc_frequency`` is
     set: the df-cap is VIEW-RELATIVE — the one-shot form counts shingle
     document frequency over the whole corpus, this form over each batch
     (and, in the probe, over the admitted history), so a shingle can cross

@@ -687,7 +687,10 @@ def run_semantic_ingest_scale(
     Batches split on the replica axis like run_corpus_incremental_scale
     (earlier batches carry smaller ids). Centroids: the first 64 base
     embeddings as a literal list — fixed across batches, the fingerprint
-    guard's happy path. eps=0.55 (the t_corpus_manifest_semantic setting)."""
+    guard's happy path. eps=0.55: the scaled corpus's replicas are small
+    perturbations of 2000 base vectors, so same-cluster replicas sit near
+    cosine 1 and the stage removes hard — the regime the member store and
+    its probe must survive."""
     import shutil
 
     from f1_datalakehouse_pipeline_spark.plans.corpus import (
