@@ -156,6 +156,7 @@ def main() -> None:
     SINGLE_RUN = [
         "t_corpus_manifest",
         "t_corpus_manifest_stream",  # r7: the streaming twin on the gate
+        "t_corpus_manifest_semantic",  # r8: the semantic-stage twin
     ]
     # r4 (VERDICT r3 item 7): extras get the same median-of-3 + spread
     # treatment as the headline, so regressions on dedup_docs_pipeline-class
