@@ -716,3 +716,365 @@ def ivf_topk(
     return ivf_query(
         assigned, centroids, queries, id_col, vec_col, k=k, n_probe=n_probe
     )
+
+
+# ---------------------------------------------------------------------------
+# Quantized vector search: SQ8 (scalar) and PQ (product quantization)
+# ---------------------------------------------------------------------------
+#
+# The 100 TB embedding problem is a MEMORY problem before it is a compute
+# problem: 64-dim float32 vectors are 256 B/row, so a 1e11-vector corpus is
+# ~25 TB of raw vectors — too big to keep hot. Quantization is the standard
+# answer (Jégou et al., "Product Quantization for Nearest Neighbor Search",
+# IEEE TPAMI 2011):
+#   - SQ8: per-dimension uniform 8-bit codes → 4× smaller, trivially
+#     SQL-expressible, distance on dequantized values.
+#   - PQ:  m subspaces × 8-bit codeword each → 64-dim float32 collapses to
+#     m bytes (m=8 → 32× smaller); queries stay full-precision and score
+#     candidates via ADC (asymmetric distance computation) — a per-query
+#     lookup table of m×n_codes partial distances, so a candidate costs m
+#     table adds instead of a dim-length dot product.
+# Both quantizers here come in two tiers, mirroring ivf_assign:
+#   - a NATIVE-expression tier whose arithmetic is a strictly sequential
+#     fold, bit-reproducible in the DuckDB oracle (codebook pinned to the
+#     first n_codes rows — the same deterministic stand-in for an
+#     out-of-band k-means that dedup_semantic's oracle uses);
+#   - a VECTORIZED Arrow/numpy tier (pq_train/pq_encode/pq_adc_topk) — the
+#     production path: k-means codebooks from a bounded driver-side sample,
+#     one argmin matmul per Arrow batch, codes stored as array<tinyint>.
+
+
+def sq8_minmax(
+    embeddings: DataFrame, vec_col: str = "embedding", dim: int | None = None
+) -> tuple[list[float], list[float]]:
+    """Per-dimension (min, max) over the corpus in ONE scan: 2·dim
+    map-combinable aggregates, no posexplode shuffle of N·dim rows. The
+    collect is bounded at 2·dim doubles (the quantizer params a 100 TB run
+    broadcasts anyway). For dim ≳ 1k switch to posexplode+groupBy(pos) —
+    the expression count, not the data, becomes the limit."""
+    if dim is None:
+        dim = int(embeddings.select(F.size(vec_col)).first()[0])
+    v = _as_double(F.col(vec_col))
+    aggs = [F.min(F.element_at(v, i + 1)).alias(f"mn{i}") for i in range(dim)]
+    aggs += [F.max(F.element_at(v, i + 1)).alias(f"mx{i}") for i in range(dim)]
+    row = embeddings.agg(*aggs).first()
+    return (
+        [float(row[f"mn{i}"]) for i in range(dim)],
+        [float(row[f"mx{i}"]) for i in range(dim)],
+    )
+
+
+def sq8_dequantize(vec: Column, mins: list[float], maxs: list[float]) -> Column:
+    """Quantize to the 8-bit grid and immediately dequantize (double array).
+
+    code  = round((x - mn) / (mx - mn) * 255), clamped to [0, 255]
+    deq   = mn + code / 255 * (mx - mn)
+    Constant dimensions (mx == mn) dequantize to mn exactly. The whole
+    expression is a zip_with chain (vectorized HOF evaluation — see module
+    header: do NOT unroll into element_at chains), and every FP step has a
+    fixed order, so the DuckDB oracle reproduces it bit-for-bit. A stored
+    index would persist the uint8 codes (4× smaller than float32) and keep
+    (mins, maxs) as broadcast metadata; scoring dequantizes on the fly."""
+    mn_arr = F.array(*[F.lit(float(v)) for v in mins])
+    mx_arr = F.array(*[F.lit(float(v)) for v in maxs])
+    paired = F.zip_with(
+        _as_double(vec), mn_arr, lambda x, m: F.struct(x.alias("x"), m.alias("m"))
+    )
+    def deq(s: Column, mx: Column) -> Column:
+        x, mn = s["x"], s["m"]
+        rng = mx - mn
+        code = F.least(
+            F.greatest(F.round((x - mn) / rng * F.lit(255.0), 0), F.lit(0.0)),
+            F.lit(255.0),
+        )
+        return F.when(mx == mn, mn).otherwise(mn + code / F.lit(255.0) * rng)
+    return F.zip_with(paired, mx_arr, deq)
+
+
+def sq8_quantized_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    mins: list[float],
+    maxs: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """brute_force_topk over the SQ8-dequantized corpus AND queries — the
+    memory-quantized twin of the exact scorer. Same join/window shape:
+    broadcast query side, map-side scoring, one per-query top-k window."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        sq8_dequantize(F.col(vec_col), mins, maxs).alias("qv"),
+    )
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        sq8_dequantize(F.col(vec_col), mins, maxs).alias("cv"),
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cosine_q")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_q").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rnk", F.row_number().over(w).cast("long")).filter(
+        F.col("rnk") <= k
+    )
+
+
+def _l2sq(a: Column, b: Column) -> Column:
+    """Sequential-fold squared L2 distance (deterministic, oracle-matching)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_codebook_pinned(
+    embeddings: DataFrame,
+    n_codes: int = 16,
+    m: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Deterministic PQ codebook: codeword c of subspace s is the s-th
+    subvector of the c-th embedding (id < n_codes) — the bounded-collect
+    stand-in for pq_train's k-means, chosen so the DuckDB oracle can derive
+    the identical codebook from the table itself. Returns
+    codebooks[s][c] = list[dsub floats]."""
+    rows = (
+        embeddings.filter(F.col(id_col) < n_codes)
+        .orderBy(id_col)
+        .select(_as_double(F.col(vec_col)).alias("v"))
+        .collect()
+    )
+    dim = len(rows[0]["v"])
+    dsub = dim // m
+    return [
+        [[float(x) for x in r["v"][s * dsub : (s + 1) * dsub]] for r in rows]
+        for s in range(m)
+    ]
+
+
+def pq_encode_native(
+    embeddings: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Map-only PQ encode in native expressions: per subspace, the argmin-L2
+    codeword (ties → lowest code id via array_position on the exact min).
+    Output (id, codes array<int>) — the m-byte row a 100 TB index persists.
+    One scan, zero shuffles, zero Python; the codebook rides along as
+    literal arrays (m·n_codes·dsub doubles — broadcast-sized by design)."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    v = _as_double(F.col(vec_col))
+    codes = []
+    for s in range(m):
+        sub = F.slice(v, s * dsub + 1, dsub)
+        dists = F.array(
+            *[_l2sq(sub, F.array(*[F.lit(x) for x in cw])) for cw in codebooks[s]]
+        )
+        codes.append((F.array_position(dists, F.array_min(dists)) - 1).cast("int"))
+    return embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.array(*codes).alias("codes")
+    )
+
+
+def pq_adc_topk_native(
+    encoded: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """ADC top-k over PQ codes, native-expression tier: the full-precision
+    query meets each candidate only through its m code ids — distance is a
+    left-fold sum over subspaces of L2²(query_sub, codeword[code_s]), every
+    add in fixed order (oracle-reproducible). Candidates stream map-side
+    against the broadcast query set; the only shuffle is the top-k window.
+    (The vectorized tier precomputes the m×n_codes lookup table per query —
+    same math, LUT adds instead of dim-length folds.)"""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    )
+    per_sub = []
+    for s in range(m):
+        qsub = F.slice(F.col("qv"), s * dsub + 1, dsub)
+        cb = F.array(*[F.array(*[F.lit(x) for x in cw]) for cw in codebooks[s]])
+        cw = F.element_at(cb, F.col("codes")[s] + 1)
+        per_sub.append(_l2sq(qsub, cw))
+    adc = F.aggregate(F.array(*per_sub), F.lit(0.0), lambda acc, x: acc + x)
+    scored = (
+        encoded.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", adc.alias("adc"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rnk", F.row_number().over(w).cast("long")).filter(
+        F.col("rnk") <= k
+    )
+
+
+def pq_train(
+    embeddings: DataFrame,
+    n_codes: int = 256,
+    m: int = 8,
+    vec_col: str = "embedding",
+    train_sample: int = 4096,
+    seed: int = 13,
+    iters: int = 10,
+) -> list[list[list[float]]]:
+    """Production PQ codebooks: per-subspace Lloyd's k-means on a bounded
+    deterministic sample (seeded hash order, ≤ train_sample rows collected —
+    the same driver-budget contract as ivf_train's sample tier; the
+    codebook itself is m·n_codes·dsub doubles, broadcast everywhere it is
+    used). Empty clusters re-seed to the farthest point of the largest
+    cluster, so the codebook always fills."""
+    import numpy as np
+
+    sample = (
+        embeddings.select(_as_double(F.col(vec_col)).alias("v"))
+        .withColumn("__r", F.xxhash64(F.col("v").cast("string"), F.lit(seed)))
+        .orderBy("__r")
+        .limit(train_sample)
+        .collect()
+    )
+    x = np.array([r["v"] for r in sample], dtype=np.float64)
+    n, dim = x.shape
+    dsub = dim // m
+    k = min(n_codes, n)
+    books = []
+    for s in range(m):
+        xs = x[:, s * dsub : (s + 1) * dsub]
+        rng = np.random.default_rng(seed + s)
+        cent = xs[rng.choice(n, size=k, replace=False)].copy()
+        for _ in range(iters):
+            d = ((xs[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            asg = d.argmin(axis=1)
+            for c in range(k):
+                mask = asg == c
+                if mask.any():
+                    cent[c] = xs[mask].mean(axis=0)
+                else:
+                    big = np.bincount(asg, minlength=k).argmax()
+                    far = d[asg == big, big].argmax()
+                    cent[c] = xs[asg == big][far]
+        books.append([[float(v) for v in row] for row in cent])
+    return books
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Vectorized PQ encode: one (batch × n_codes) argmin matmul per
+    subspace per Arrow batch. Output (id, codes array<smallint>) — logically
+    m bytes of payload per vector (code ids < 256; Spark has no unsigned
+    8-bit type, and parquet dictionary+RLE encoding stores the smallint
+    column at ~1 B/code anyway), the 32× compression the index persists.
+    Ties pick the lowest code id (numpy argmin), matching pq_encode_native."""
+    import numpy as np
+    import pandas as pd
+
+    cent = [np.array(b, dtype=np.float64) for b in codebooks]
+    m = len(cent)
+    dsub = cent[0].shape[1]
+    out_schema = "neighbor_id long, codes array<smallint>"
+
+    def encode(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            xmat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            codes = np.empty((len(pdf), m), dtype=np.int16)
+            for s in range(m):
+                xs = xmat[:, s * dsub : (s + 1) * dsub]
+                # ||x-c||^2 = ||x||^2 - 2x·c + ||c||^2; ||x||^2 constant per row
+                d = -2.0 * (xs @ cent[s].T) + (cent[s] ** 2).sum(axis=1)[None, :]
+                codes[:, s] = d.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": pdf[id_col].to_numpy(dtype=np.int64),
+                    "codes": list(codes),
+                }
+            )
+
+    return embeddings.select(id_col, vec_col).mapInPandas(encode, schema=out_schema)
+
+
+def pq_adc_topk(
+    encoded: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Vectorized ADC: per task, build each query's m×n_codes lookup table
+    once (LUT[s][c] = L2²(q_sub_s, codeword_c)), then every candidate costs
+    m int-indexed adds — the classic IVFADC inner loop, here as one numpy
+    gather per (batch × query). Scores differ from the native tier only by
+    float summation order."""
+    import numpy as np
+    import pandas as pd
+
+    cent = [np.array(b, dtype=np.float64) for b in codebooks]
+    m = len(cent)
+    dsub = cent[0].shape[1]
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
+    # luts[q][s][c]
+    luts = np.stack(
+        [
+            np.stack(
+                [
+                    ((q[s * dsub : (s + 1) * dsub] - cent[s]) ** 2).sum(axis=1)
+                    for s in range(m)
+                ]
+            )
+            for q in q_mat
+        ]
+    )
+    out_schema = "query_id long, neighbor_id long, adc double"
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            c_ids = pdf["neighbor_id"].to_numpy(dtype=np.int64)
+            codes = np.array(list(pdf["codes"]), dtype=np.int64)  # (n, m)
+            n = len(pdf)
+            # gather: adc[q, i] = sum_s luts[q, s, codes[i, s]]
+            adc = np.zeros((len(q_ids), n), dtype=np.float64)
+            for s in range(m):
+                adc += luts[:, s, codes[:, s]]
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(q_ids, n),
+                    "neighbor_id": np.tile(c_ids, len(q_ids)),
+                    "adc": adc.ravel(),
+                }
+            )
+
+    scored = encoded.mapInPandas(score, schema=out_schema).filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rnk", F.row_number().over(w).cast("long")).filter(
+        F.col("rnk") <= k
+    )

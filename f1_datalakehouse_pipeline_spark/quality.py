@@ -414,3 +414,66 @@ def psi_drift_from_reference(
 def psi_summary(detail: DataFrame) -> DataFrame:
     """(column, psi) rollup of :func:`psi_drift` detail."""
     return detail.groupBy("column").agg(F.sum("psi_term").alias("psi"))
+
+
+def expectations_for_table(
+    df: DataFrame, tbl: str, checks: dict[str, "F.Column"]
+) -> DataFrame:
+    """Declarative data-quality battery over ONE table in ONE scan.
+
+    ``checks`` maps check_name → a boolean VIOLATION predicate; every check
+    becomes a conditional count in a single aggregate (map-combinable, no
+    per-check rescan — at 100 TB the scan is the cost, so the whole battery
+    rides the one pass), then the single agg row explodes into one
+    (check_name, tbl, violations, total, passed) row per check."""
+    names = sorted(checks)
+    agg = df.agg(
+        F.count(F.lit(1)).alias("total"),
+        *[F.count(F.when(checks[n], 1)).alias(f"__v{i}") for i, n in enumerate(names)],
+    )
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(n).alias("check_name"), F.col(f"__v{i}").alias("violations")
+            )
+            for i, n in enumerate(names)
+        ]
+    )
+    return agg.select(F.col("total"), F.explode(pairs).alias("c")).select(
+        F.col("c.check_name").alias("check_name"),
+        F.lit(tbl).alias("tbl"),
+        F.col("c.violations").alias("violations"),
+        F.col("total"),
+        (F.col("c.violations") == 0).alias("passed"),
+    )
+
+
+def expectation_ri(
+    child: DataFrame,
+    parent: DataFrame,
+    child_key: str,
+    parent_key: str,
+    check_name: str,
+    tbl: str,
+) -> DataFrame:
+    """Referential-integrity expectation: count child rows whose key has no
+    parent. Shaped as one LEFT join against the parent's keys-only distinct
+    projection (broadcast here — dims are broadcast-sized by this engine's
+    contract; a fact-to-fact RI check would flip to a shuffled left-anti
+    count) plus the same conditional-count aggregate as the scan battery."""
+    keys = F.broadcast(
+        parent.select(F.col(parent_key).alias("__pk")).distinct()
+    )
+    joined = child.select(F.col(child_key).alias("__ck")).join(
+        keys, F.col("__ck") == F.col("__pk"), "left"
+    )
+    return joined.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.count(F.when(F.col("__pk").isNull(), 1)).alias("violations"),
+    ).select(
+        F.lit(check_name).alias("check_name"),
+        F.lit(tbl).alias("tbl"),
+        F.col("violations"),
+        F.col("total"),
+        (F.col("violations") == 0).alias("passed"),
+    )

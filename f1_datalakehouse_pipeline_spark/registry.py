@@ -52,24 +52,33 @@ def _load_extensions() -> None:
 # COVERAGE.md).
 _VERIFY_FIRST = [
     # r8 rotation (VERDICT r7 item 1). Priority order within the 50-slot
-    # driver window, 136 registered (135 from r7 + one NEW r8 query):
+    # driver window, 140 registered (135 from r7 + five NEW r8 queries):
     # (a) the 36 queries whose newest driver row is r5 — audited against
     #     CORRECTNESS_r01..r07 this round (every query whose latest green
     #     row is r5: the r5-refresh cohort not re-touched since) — lead the
     #     window, so after r8 no registered query's newest driver row
     #     predates r6 (the standing COVERAGE.md invariant: no query ages
     #     past 3 rounds);
-    # (b) the query NEW in r8, needing a FIRST driver row:
+    # (b) the queries NEW in r8, needing a FIRST driver row:
+    #     sim_sq8_quantized_topk / sim_pq_adc_topk (quantized vector search
+    #     — SQ8 grid + product-quantization ADC, both oracle-exact),
+    #     ts_mad_outliers (median/MAD robust flags), dq_expectations (the
+    #     one-scan data-quality battery), and from earlier in r8:
     #     t_corpus_manifest_semantic — the incremental corpus pipeline run
     #     WITH the r7 semantic-dedup stage (persisted per-cluster member
     #     store, cross-batch embedding-twin rejection) over two batches,
     #     manifest hash-matched against a one-shot DuckDB reconstruction —
     #     putting r7's flagship addition on the driver's hard signal;
-    # (c) 13 of the 49 r6-green queries, complex plans first (the semantic
+    # (c) the r6-green refresh cohort, complex plans first (the semantic
     #     dedup + corpus manifest + corpus-scale BPE composition queries,
     #     SCD2 splice, the docs dedup pipeline, containment + contamination,
     #     the star join, as-of join, brute ANN, the TableStore round-trip,
-    #     and the two heaviest remaining TPC-H shapes q9/q20).
+    #     and the two heaviest remaining TPC-H shapes q9/q20). With the
+    #     four late-r8 additions in (b), slots go 36 + 5 + 9: the last four
+    #     (c) entries (sim_cosine_topk, tablestore_delete_tombstone,
+    #     tpch_q9, tpch_q20) fall past the 50-slot window and instead LEAD
+    #     the r9 window with the rest of the r6 cohort (their rows reach
+    #     age 3 exactly at r9 — the invariant's edge, not a breach).
     # The 36 remaining r6-green queries (a2, a11, a18, a19, a20,
     # asof_tolerance_join, f_array_q_split, f_datetime_ops,
     # f_normalize_name, f_points_when_chain, f_status_buckets,
@@ -122,6 +131,10 @@ _VERIFY_FIRST = [
     "w_sessionize_events",
     # (b) new in r8
     "t_corpus_manifest_semantic",
+    "sim_sq8_quantized_topk",
+    "sim_pq_adc_topk",
+    "ts_mad_outliers",
+    "dq_expectations",
     # (c) r6-green refresh, complex plans first
     "dedup_semantic",
     "t_corpus_manifest",

@@ -4181,3 +4181,321 @@ def tpch_q20_dominant_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(dominant), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
         .select("s_name", "n_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# r8 additions: quantized vector search, robust outliers, data expectations
+# ---------------------------------------------------------------------------
+
+_SQ8_DEQ = """
+    WITH dims AS (
+      SELECT i, min(embedding[i]::DOUBLE) AS mn, max(embedding[i]::DOUBLE) AS mx
+      FROM embeddings CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) t
+      GROUP BY i
+    ), arrs AS (
+      SELECT list(mn ORDER BY i) AS mn_arr, list(mx ORDER BY i) AS mx_arr FROM dims
+    ), deq AS (
+      SELECT vec_id,
+             list_transform(generate_series(1, len(embedding)), j ->
+               CASE WHEN mx_arr[j] = mn_arr[j] THEN mn_arr[j]
+                    ELSE mn_arr[j]
+                         + least(greatest(round((embedding[j]::DOUBLE - mn_arr[j])
+                                   / (mx_arr[j] - mn_arr[j]) * 255.0), 0), 255)
+                           / 255.0 * (mx_arr[j] - mn_arr[j])
+               END) AS dv
+      FROM embeddings CROSS JOIN arrs
+    )
+"""
+
+
+@query(
+    "sim_sq8_quantized_topk",
+    f"""
+    {_SQ8_DEQ},
+    q AS (SELECT vec_id AS query_id, dv AS qv FROM deq WHERE vec_id < 10),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             {_DUCK_COS.replace('cv', 'c.dv')} AS cosine_q
+      FROM deq c CROSS JOIN q
+      WHERE q.query_id != c.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine_q, CAST(rn AS BIGINT) AS rnk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine_q DESC, neighbor_id ASC) AS rn
+      FROM scored
+    ) WHERE rn <= 5
+    """,
+)
+def sim_sq8_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized (SQ8) ANN: per-dimension 8-bit codes — 4× memory —
+    with cosine on the dequantized grid; quantizer params from ONE
+    min/max scan (operators/similarity.sq8_minmax: 2·dim map-combinable
+    aggs, a 128-double bounded collect). Every FP step is a fixed-order
+    fold, so even the quantization error is hash-verified by the oracle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    mins, maxs = similarity.sq8_minmax(emb, dim=64)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.sq8_quantized_topk(emb, queries, mins, maxs, k=5)
+
+
+_PQ_M, _PQ_DSUB, _PQ_CODES = 8, 8, 16
+
+
+@query(
+    "sim_pq_adc_topk",
+    f"""
+    WITH cbarr AS (
+      SELECT list(embedding ORDER BY vec_id) AS cws
+      FROM embeddings WHERE vec_id < {_PQ_CODES}
+    ), dists AS (
+      SELECT e.vec_id, s.s, c.code,
+             list_sum(list_transform(generate_series(1, {_PQ_DSUB}), j ->
+               (e.embedding[s.s*{_PQ_DSUB} + j]::DOUBLE
+                  - cws[c.code + 1][s.s*{_PQ_DSUB} + j]::DOUBLE)
+               * (e.embedding[s.s*{_PQ_DSUB} + j]::DOUBLE
+                  - cws[c.code + 1][s.s*{_PQ_DSUB} + j]::DOUBLE)
+             )) AS d
+      FROM embeddings e
+      CROSS JOIN (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS s) s
+      CROSS JOIN (SELECT unnest(generate_series(0, {_PQ_CODES - 1})) AS code) c
+      CROSS JOIN cbarr
+    ), enc AS (
+      SELECT vec_id, s, code FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                     ORDER BY d ASC, code ASC) AS rn
+        FROM dists
+      ) WHERE rn = 1
+    ), codes AS (
+      SELECT vec_id AS neighbor_id, list(code ORDER BY s) AS codes
+      FROM enc GROUP BY vec_id
+    ), q AS (
+      SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10
+    ), scored AS (
+      SELECT q.query_id, c.neighbor_id,
+             list_sum(list_transform(generate_series(0, {_PQ_M - 1}), s ->
+               list_sum(list_transform(generate_series(1, {_PQ_DSUB}), j ->
+                 (qe[s*{_PQ_DSUB} + j]::DOUBLE
+                    - cws[codes[s + 1] + 1][s*{_PQ_DSUB} + j]::DOUBLE)
+                 * (qe[s*{_PQ_DSUB} + j]::DOUBLE
+                    - cws[codes[s + 1] + 1][s*{_PQ_DSUB} + j]::DOUBLE)
+               ))
+             )) AS adc
+      FROM codes c CROSS JOIN q CROSS JOIN cbarr
+      WHERE q.query_id != c.neighbor_id
+    )
+    SELECT query_id, neighbor_id, adc, CAST(rn AS BIGINT) AS rnk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY adc ASC, neighbor_id ASC) AS rn
+      FROM scored
+    ) WHERE rn <= 5
+    """,
+)
+def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k (Jégou et al., TPAMI 2011): 64-dim
+    vectors collapse to m=8 code ids (32× compression — THE way a 100 TB
+    embedding index fits storage), full-precision queries score candidates
+    through the codebook only. Native-expression tier: encode is a map-only
+    argmin over literal codewords (operators/similarity.pq_encode_native),
+    ADC a fixed-order fold — both bit-reproduced by the oracle, which
+    derives the identical pinned codebook (first 16 rows' subvectors, the
+    dedup_semantic stand-in pattern) from the table itself. The production
+    tier (pq_train k-means + Arrow-vectorized pq_encode/pq_adc_topk) is
+    recall-gated in tests/test_pq.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = similarity.pq_codebook_pinned(emb, n_codes=_PQ_CODES, m=_PQ_M)
+    encoded = similarity.pq_encode_native(emb, books)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.pq_adc_topk_native(encoded, queries, books, k=5)
+
+
+@query(
+    "ts_mad_outliers",
+    """
+    WITH med AS (
+      SELECT event_type, quantile_cont(CAST(value AS DOUBLE), 0.5) AS med
+      FROM events GROUP BY event_type
+    ), dev AS (
+      SELECT e.event_id, e.event_type, CAST(e.value AS DOUBLE) AS value, m.med,
+             abs(CAST(e.value AS DOUBLE) - m.med) AS absdev
+      FROM events e JOIN med m USING (event_type)
+    ), mad AS (
+      SELECT event_type, quantile_cont(absdev, 0.5) AS mad
+      FROM dev GROUP BY event_type
+    )
+    SELECT d.event_id, d.event_type, d.value, d.med, a.mad,
+           (d.absdev > 3.0 * a.mad) AS is_outlier
+    FROM dev d JOIN mad a USING (event_type)
+    """,
+)
+def ts_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-series outlier flags: median / MAD (median absolute
+    deviation) per event_type, flag |x − med| > 3·MAD. Two grouped exact
+    percentiles (the p8-proven bit-exact machinery) + two broadcast joins
+    of tiny per-type stats — never a self-join. At 100 TB the exact
+    medians swap for approx_percentile sketches (a13's pattern); the
+    flagging pass is unchanged map-side work."""
+    e = load_table(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(
+        F.expr("percentile(CAST(value AS DOUBLE), 0.5)").alias("med")
+    )
+    dev = (
+        e.join(F.broadcast(med), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            F.col("value").cast("double").alias("value"),
+            "med",
+        )
+        .withColumn("absdev", F.abs(F.col("value") - F.col("med")))
+    )
+    mad = dev.groupBy("event_type").agg(F.expr("percentile(absdev, 0.5)").alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            "med",
+            "mad",
+            (F.col("absdev") > F.lit(3.0) * F.col("mad")).alias("is_outlier"),
+        )
+    )
+
+
+@query(
+    "dq_expectations",
+    """
+    SELECT * FROM (
+      SELECT 'orders_custkey_ri' AS check_name, 'orders' AS tbl,
+             COUNT(*) FILTER (WHERE c.c_custkey IS NULL) AS violations,
+             COUNT(*) AS total,
+             COUNT(*) FILTER (WHERE c.c_custkey IS NULL) = 0 AS passed
+      FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+        ON o.o_custkey = c.c_custkey
+      UNION ALL
+      SELECT 'lineitem_orderkey_ri', 'lineitem',
+             COUNT(*) FILTER (WHERE k.o_orderkey IS NULL), COUNT(*),
+             COUNT(*) FILTER (WHERE k.o_orderkey IS NULL) = 0
+      FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) k
+        ON l.l_orderkey = k.o_orderkey
+      UNION ALL
+      SELECT 'customer_custkey_unique', 'customer',
+             COUNT(*) - COUNT(DISTINCT c_custkey), COUNT(*),
+             COUNT(*) - COUNT(DISTINCT c_custkey) = 0
+      FROM customer
+      UNION ALL
+      SELECT 'part_partkey_unique', 'part',
+             COUNT(*) - COUNT(DISTINCT p_partkey), COUNT(*),
+             COUNT(*) - COUNT(DISTINCT p_partkey) = 0
+      FROM part
+      UNION ALL
+      SELECT 'lineitem_quantity_range', 'lineitem',
+             COUNT(*) FILTER (WHERE l_quantity IS NULL
+                              OR l_quantity < 1 OR l_quantity > 50),
+             COUNT(*),
+             COUNT(*) FILTER (WHERE l_quantity IS NULL
+                              OR l_quantity < 1 OR l_quantity > 50) = 0
+      FROM lineitem
+      UNION ALL
+      SELECT 'orders_status_enum', 'orders',
+             COUNT(*) FILTER (WHERE o_orderstatus IS NULL
+                              OR o_orderstatus NOT IN ('O', 'F', 'P')),
+             COUNT(*),
+             COUNT(*) FILTER (WHERE o_orderstatus IS NULL
+                              OR o_orderstatus NOT IN ('O', 'F', 'P')) = 0
+      FROM orders
+      UNION ALL
+      SELECT 'events_ts_not_null', 'events',
+             COUNT(*) FILTER (WHERE ts IS NULL), COUNT(*),
+             COUNT(*) FILTER (WHERE ts IS NULL) = 0
+      FROM events
+      UNION ALL
+      SELECT 'documents_text_not_null', 'documents',
+             COUNT(*) FILTER (WHERE text IS NULL), COUNT(*),
+             COUNT(*) FILTER (WHERE text IS NULL) = 0
+      FROM documents
+    ) ORDER BY check_name
+    """,
+)
+def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectation battery (Great-Expectations-shaped, native):
+    referential integrity, key uniqueness, range, enum-membership and
+    not-null checks, each emitted as one (check_name, tbl, violations,
+    total, passed) row. Per-table checks share ONE scan via conditional
+    counts (quality.expectations_for_table); RI checks are keys-only
+    broadcast left joins (quality.expectation_ri). At 100 TB the battery
+    cost is exactly one pass per fact table — the shape a lakehouse quality
+    gate must have to run on every ingest."""
+    from f1_datalakehouse_pipeline_spark import quality
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    events = load_table(spark, sf_dir, "events")
+    documents = load_table(spark, sf_dir, "documents")
+
+    batteries = [
+        quality.expectation_ri(
+            orders, customer, "o_custkey", "c_custkey", "orders_custkey_ri", "orders"
+        ),
+        quality.expectation_ri(
+            lineitem, orders, "l_orderkey", "o_orderkey",
+            "lineitem_orderkey_ri", "lineitem",
+        ),
+        customer.agg(
+            F.count(F.lit(1)).alias("total"),
+            (F.count(F.lit(1)) - F.countDistinct("c_custkey")).alias("violations"),
+        ).select(
+            F.lit("customer_custkey_unique").alias("check_name"),
+            F.lit("customer").alias("tbl"),
+            "violations",
+            "total",
+            (F.col("violations") == 0).alias("passed"),
+        ),
+        part.agg(
+            F.count(F.lit(1)).alias("total"),
+            (F.count(F.lit(1)) - F.countDistinct("p_partkey")).alias("violations"),
+        ).select(
+            F.lit("part_partkey_unique").alias("check_name"),
+            F.lit("part").alias("tbl"),
+            "violations",
+            "total",
+            (F.col("violations") == 0).alias("passed"),
+        ),
+        quality.expectations_for_table(
+            lineitem,
+            "lineitem",
+            {
+                "lineitem_quantity_range": (
+                    F.col("l_quantity").isNull()
+                    | (F.col("l_quantity") < 1)
+                    | (F.col("l_quantity") > 50)
+                )
+            },
+        ),
+        quality.expectations_for_table(
+            orders,
+            "orders",
+            {
+                "orders_status_enum": (
+                    F.col("o_orderstatus").isNull()
+                    | ~F.col("o_orderstatus").isin("O", "F", "P")
+                )
+            },
+        ),
+        quality.expectations_for_table(
+            events, "events", {"events_ts_not_null": F.col("ts").isNull()}
+        ),
+        quality.expectations_for_table(
+            documents,
+            "documents",
+            {"documents_text_not_null": F.col("text").isNull()},
+        ),
+    ]
+    out = batteries[0]
+    for b in batteries[1:]:
+        out = out.unionByName(b)
+    return out.orderBy("check_name")
