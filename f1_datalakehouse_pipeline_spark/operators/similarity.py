@@ -1078,3 +1078,126 @@ def pq_adc_topk(
     return scored.withColumn("rnk", F.row_number().over(w).cast("long")).filter(
         F.col("rnk") <= k
     )
+
+
+def ivfpq_build(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVFADC index build in ONE Arrow pass: every vector gets its coarse
+    list id (argmax dot against the broadcast centroid matrix) AND its m PQ
+    codes (per-subspace argmin) in the same mapInPandas batch — no join
+    between the two halves, no second scan. Output
+    (neighbor_id, list_id, codes): ~(8 + 4 + m) bytes of index per vector
+    regardless of dim. Persist partitioned by list_id (ivf_write_index) and
+    the probe-side partition pruning story carries over unchanged."""
+    import numpy as np
+    import pandas as pd
+
+    cent = np.array(centroids, dtype=np.float64)
+    books = [np.array(b, dtype=np.float64) for b in codebooks]
+    m = len(books)
+    dsub = books[0].shape[1]
+    out_schema = "neighbor_id long, list_id int, codes array<smallint>"
+
+    def build(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.array(list(pdf[vec_col]), dtype=np.float64)
+            lists = np.argmax(x @ cent.T, axis=1).astype(np.int32)
+            codes = np.empty((len(pdf), m), dtype=np.int16)
+            for s in range(m):
+                xs = x[:, s * dsub : (s + 1) * dsub]
+                d = -2.0 * (xs @ books[s].T) + (books[s] ** 2).sum(axis=1)[None, :]
+                codes[:, s] = d.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": pdf[id_col].to_numpy(dtype=np.int64),
+                    "list_id": lists,
+                    "codes": list(codes),
+                }
+            )
+
+    return embeddings.select(id_col, vec_col).mapInPandas(build, schema=out_schema)
+
+
+def ivfpq_topk(
+    index: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVFADC serve (Jégou et al., TPAMI 2011, the FAISS default at this
+    scale): each query probes its n_probe nearest coarse lists (broadcast
+    join on list_id → candidates are corpus·n_probe/n_lists, and against a
+    list-partitioned on-disk index the unprobed partitions are never read),
+    then candidates are scored through the query's m×n_codes LUT — m
+    gather-adds per candidate, never a dim-length product. Smaller adc =
+    closer (squared-L2 surrogate)."""
+    import numpy as np
+    import pandas as pd
+
+    books = [np.array(b, dtype=np.float64) for b in codebooks]
+    m = len(books)
+    dsub = books[0].shape[1]
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = [int(r[0]) for r in q_rows]
+    q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
+    luts = {
+        qid: np.stack(
+            [((q[s * dsub : (s + 1) * dsub] - books[s]) ** 2).sum(axis=1) for s in range(m)]
+        )
+        for qid, q in zip(q_ids, q_mat)
+    }
+
+    spark = index.sparkSession
+    probe_rows = []
+    cent = np.array(centroids, dtype=np.float64)
+    for qid, q in zip(q_ids, q_mat):
+        top = np.argsort(-(cent @ q), kind="stable")[:n_probe]
+        probe_rows += [(qid, int(l)) for l in top]
+    probes = spark.createDataFrame(probe_rows, "query_id long, list_id int")
+
+    cands = index.join(F.broadcast(probes), "list_id").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    out_schema = "query_id long, neighbor_id long, adc double"
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.array(list(pdf["codes"]), dtype=np.int64)
+            qids = pdf["query_id"].to_numpy(dtype=np.int64)
+            adc = np.zeros(len(pdf), dtype=np.float64)
+            # group rows by query so each LUT gathers once per batch
+            for qid in np.unique(qids):
+                mask = qids == qid
+                lut = luts[int(qid)]
+                c = codes[mask]
+                adc[mask] = sum(lut[s, c[:, s]] for s in range(m))
+            yield pd.DataFrame(
+                {
+                    "query_id": qids,
+                    "neighbor_id": pdf["neighbor_id"].to_numpy(dtype=np.int64),
+                    "adc": adc,
+                }
+            )
+
+    scored = cands.select("query_id", "neighbor_id", "codes").mapInPandas(
+        score, schema=out_schema
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rnk", F.row_number().over(w).cast("long")).filter(
+        F.col("rnk") <= k
+    )

@@ -646,3 +646,35 @@ def test_r6_final_tpch_shapes(spark, sf_dir):
     # q6-style pushdown on q12: the ship-window must reach the lineitem scan
     plan = plan_of(registry.queries()["tpch_q12_late_priority"](spark, sf_dir))
     assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+
+
+def test_quantized_search_plans_broadcast_only(spark, sf_dir):
+    """The r8 quantized-search queries must keep the brute-force family's
+    join discipline: the query side broadcasts (BNLJ for the != cross, the
+    same shape sim_cosine_topk pins), and nothing degenerates into a
+    SortMergeJoin."""
+    for name in ("sim_sq8_quantized_topk", "sim_pq_adc_topk"):
+        plan = plan_of(registry.queries()[name](spark, sf_dir))
+        assert "SortMergeJoin" not in plan, name
+        assert "BroadcastNestedLoopJoin" in plan, name
+
+
+def test_mad_outliers_stats_broadcast_never_smj(spark, sf_dir):
+    plan = plan_of(registry.queries()["ts_mad_outliers"](spark, sf_dir))
+    # the per-type median/MAD stats are tiny: both joins must broadcast
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_dq_expectations_one_scan_per_battery_table(spark, sf_dir):
+    """Each expectations_for_table battery shares ONE scan regardless of
+    check count (conditional counts in one aggregate), and the RI joins
+    broadcast the keys-only parent projection."""
+    plan = plan_of(registry.queries()["dq_expectations"](spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    # lineitem appears exactly twice: the RI child scan + its battery scan
+    assert plan.count("lineitem.parquet") == 2
+    # events/documents: battery scan only
+    assert plan.count("events.parquet") == 1
+    assert plan.count("documents.parquet") == 1

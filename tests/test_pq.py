@@ -175,3 +175,70 @@ def test_mad_outliers_flags_planted_spike(spark, sf_dir):
     if pdf.is_outlier.astype(bool).any():
         o = pdf[pdf.is_outlier.astype(bool)]
         assert ((o.value - o.med).abs() > 3.0 * o.mad).all()
+
+
+def test_ivfpq_build_one_pass_schema_and_fill(emb):
+    cent = similarity.ivf_train(emb, n_lists=8)
+    books = similarity.pq_train(emb, n_codes=16, m=8)
+    idx = similarity.ivfpq_build(emb, cent, books)
+    rows = idx.collect()
+    assert len(rows) == emb.count()
+    assert {len(r.codes) for r in rows} == {8}
+    assert all(0 <= c < 16 for r in rows for c in r.codes)
+    assert all(0 <= r.list_id < 8 for r in rows)
+    # codes must agree with the standalone encoder (same codebooks)
+    standalone = {
+        r.neighbor_id: list(r.codes) for r in similarity.pq_encode(emb, books).collect()
+    }
+    assert all(standalone[r.neighbor_id] == list(r.codes) for r in rows)
+
+
+def test_ivfpq_probed_recall_approaches_full_scan(emb, emb_np):
+    ids, x = emb_np
+    cent = similarity.ivf_train(emb, n_lists=8)
+    books = similarity.pq_train(emb, n_codes=32, m=8)
+    idx = similarity.ivfpq_build(emb, cent, books).cache()
+    queries = emb.filter(F.col("vec_id") < 5)
+
+    def exact_top(qi, k=5):
+        d = ((x - x[qi]) ** 2).sum(axis=1)
+        d[qi] = np.inf
+        return set(ids[np.argsort(d, kind="stable")[:k]].tolist())
+
+    truth = {int(ids[i]): exact_top(i) for i in range(5)}
+
+    def recall(df) -> float:
+        got: dict[int, set] = {}
+        for r in df.collect():
+            got.setdefault(r.query_id, set()).add(r.neighbor_id)
+        return float(np.mean([len(got.get(k, set()) & v) / 5 for k, v in truth.items()]))
+
+    full = recall(similarity.pq_adc_topk(idx.select("neighbor_id", "codes"), queries, books, k=5))
+    probed_all = recall(similarity.ivfpq_topk(idx, queries, cent, books, k=5, n_probe=8))
+    probed_half = recall(similarity.ivfpq_topk(idx, queries, cent, books, k=5, n_probe=4))
+    # probing every list must reproduce the full ADC scan exactly
+    assert probed_all == full
+    # probing half the lists can only lose recall, never gain
+    assert probed_half <= probed_all
+    idx.unpersist()
+
+
+def test_ivfpq_probe_restricts_candidates(emb):
+    cent = similarity.ivf_train(emb, n_lists=8)
+    books = similarity.pq_train(emb, n_codes=16, m=8)
+    idx = similarity.ivfpq_build(emb, cent, books).cache()
+    queries = emb.filter(F.col("vec_id") < 3)
+    out = similarity.ivfpq_topk(idx, queries, cent, books, k=5, n_probe=1)
+    # with one probed list, every returned neighbor must live in a probed list
+    import numpy as np
+
+    cent_m = np.array(cent)
+    q_rows = queries.collect()
+    probed = {
+        int(r.vec_id): int(np.argsort(-(cent_m @ np.array(r.embedding, dtype=np.float64)), kind="stable")[0])
+        for r in q_rows
+    }
+    lists = {r.neighbor_id: r.list_id for r in idx.collect()}
+    for r in out.collect():
+        assert lists[r.neighbor_id] == probed[r.query_id]
+    idx.unpersist()

@@ -252,6 +252,109 @@ def run_ann_scale(spark: SparkSession, sf_dir: str, factor: int) -> dict:
     return r
 
 
+def _du_bytes(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if not f.startswith(("_", ".")):
+                total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def run_pq_scale(spark: SparkSession, sf_dir: str, factor: int) -> dict:
+    """Product-quantization rung: train/build walls, ON-DISK compression of
+    the IVFADC index vs the raw vectors, and recall@5 of (a) full-scan ADC
+    and (b) probed IVFADC against exact-L2 truth. The claim under test: the
+    index a 100 TB corpus actually stores is ~(8+4+m) B/vector instead of
+    dim·4 B, and probing n_probe/n_lists of it preserves most of the
+    full-scan ADC's recall."""
+    import numpy as np
+
+    from f1_datalakehouse_pipeline_spark.operators import similarity
+
+    emb = scaled_embeddings(spark, sf_dir, factor)
+    queries = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 10)
+    r: dict = {"vectors": emb.count()}
+
+    q_rows = queries.collect()
+    q = np.array([row.embedding for row in q_rows], dtype=np.float64)
+    q_ids = [int(row.vec_id) for row in q_rows]
+    # wall baseline: the full-precision distributed brute scorer
+    t0 = time.perf_counter()
+    similarity.brute_force_topk_vectorized(emb, queries, k=5).collect()
+    r["brute_cos_sec"] = round(time.perf_counter() - t0, 2)
+    # recall truth must be EXACT L2 (ADC is an L2 surrogate; cosine order
+    # differs on unnormalized vectors) — computed driver-side from the full
+    # matrix, which bounds this rung at ~1M vectors; past that the truth
+    # itself would come from a distributed exact pass
+    ids_rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([row.vec_id for row in ids_rows], dtype=np.int64)
+    x = np.array([row.embedding for row in ids_rows], dtype=np.float64)
+    truth = {}
+    for qid, qv in zip(q_ids, q):
+        d = ((x - qv) ** 2).sum(axis=1)
+        d[ids == qid] = np.inf
+        truth[qid] = set(ids[np.argsort(d, kind="stable")[:5]].tolist())
+
+    # The ladder corpus is ~factor near-identical twins per base vector
+    # (scaled_embeddings perturbs by ≤0.024/element — far inside a 256-code
+    # PQ cell), so exact-id recall collapses as factor grows: ADC ties
+    # across a query's hundreds of twins and the id tiebreak picks
+    # different twins than exact L2 does. Report BOTH: exact-id recall
+    # (pessimistic under twin flooding) and base-identity recall (did the
+    # search surface a twin of the true neighbor — the semantic question).
+    def recalls(df) -> tuple[float, float]:
+        got: dict[int, set] = {}
+        for row in df.collect():
+            got.setdefault(row.query_id, set()).add(row.neighbor_id)
+        exact = float(
+            np.mean([len(got.get(k, set()) & v) / 5 for k, v in truth.items()])
+        )
+        base = float(
+            np.mean(
+                [
+                    len({g % 1_000_000 for g in got.get(k, set())}
+                        & {t % 1_000_000 for t in v})
+                    / max(len({t % 1_000_000 for t in v}), 1)
+                    for k, v in truth.items()
+                ]
+            )
+        )
+        return round(exact, 3), round(base, 3)
+
+    t0 = time.perf_counter()
+    books = similarity.pq_train(emb, n_codes=256, m=8)
+    r["pq_train_sec"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    cent = similarity.ivf_train(emb, n_lists=16)
+    r["ivf_train_sec"] = round(time.perf_counter() - t0, 2)
+
+    idx_path = os.path.join(CACHE, f"ivfpq_x{factor}")
+    raw_path = os.path.join(CACHE, f"embeddings_x{factor}")
+    t0 = time.perf_counter()
+    idx = similarity.ivfpq_build(emb, cent, books)
+    idx.write.partitionBy("list_id").mode("overwrite").parquet(idx_path)
+    r["build_write_sec"] = round(time.perf_counter() - t0, 2)
+    r["raw_bytes"] = _du_bytes(raw_path)
+    r["index_bytes"] = _du_bytes(idx_path)
+    r["compression_x"] = round(r["raw_bytes"] / max(r["index_bytes"], 1), 1)
+    idx = spark.read.parquet(idx_path)
+
+    t0 = time.perf_counter()
+    enc = idx.select("neighbor_id", "codes")
+    adc_full = similarity.pq_adc_topk(enc, queries, books, k=5)
+    r["adc_full_recall"], r["adc_full_recall_base"] = recalls(adc_full)
+    r["adc_full_sec"] = round(time.perf_counter() - t0, 2)
+
+    for n_probe in (2, 4, 8):
+        t0 = time.perf_counter()
+        out = similarity.ivfpq_topk(idx, queries, cent, books, k=5, n_probe=n_probe)
+        r[f"ivfpq_p{n_probe}_recall"], r[f"ivfpq_p{n_probe}_recall_base"] = recalls(out)
+        r[f"ivfpq_p{n_probe}_sec"] = round(time.perf_counter() - t0, 2)
+    print(f"  {r}", flush=True)
+    return r
+
+
 def run_semantic_scale(spark: SparkSession, sf_dir: str, factor: int) -> dict:
     """SemDeDup at scale. Claims under test: (1) with k ∝ N (fixed target
     cluster size) the within-cluster pair mass is ~N·cluster_size/2 —
@@ -1695,6 +1798,7 @@ def main() -> None:
     ap.add_argument("--boilerplate", action="store_true")
     ap.add_argument("--facts", action="store_true", help="scale the lineitem fact side instead of documents")
     ap.add_argument("--ann", action="store_true", help="scale the embeddings table and measure ANN variants")
+    ap.add_argument("--pq", action="store_true", help="IVFADC rung: PQ train/build walls, on-disk index compression vs raw vectors, full-scan ADC + probed recall@5 vs exact-L2 truth")
     ap.add_argument("--pipeline", action="store_true", help="run the full F1 pipeline at ~2.5M lap rows")
     ap.add_argument("--novelty", action="store_true", help="measure incremental-probe amortization vs full self-join")
     ap.add_argument("--semantic", action="store_true", help="SemDeDup rung: two-level routed assignment + within-cluster pair cost up the ladder")
@@ -1741,6 +1845,13 @@ def main() -> None:
         for factor in factors:
             print(f"ann factor {factor}:", flush=True)
             results[str(factor)] = run_ann_scale(spark, args.sf_dir, factor)
+        print(json.dumps(results, indent=2))
+        return
+
+    if args.pq:
+        for factor in factors:
+            print(f"pq factor {factor}:", flush=True)
+            results[str(factor)] = run_pq_scale(spark, args.sf_dir, factor)
         print(json.dumps(results, indent=2))
         return
 
