@@ -4499,3 +4499,120 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     for b in batteries[1:]:
         out = out.unionByName(b)
     return out.orderBy("check_name")
+
+
+@query(
+    "w19_funnel_stages",
+    """
+    WITH t1s AS (
+      SELECT user_id, ts, event_type,
+             min(CASE WHEN event_type = 'view' THEN ts END)
+               OVER (PARTITION BY user_id) AS t1
+      FROM events
+    ), t2s AS (
+      SELECT user_id, ts, event_type, t1,
+             min(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END)
+               OVER (PARTITION BY user_id) AS t2
+      FROM t1s
+    ), t3s AS (
+      SELECT user_id, t1, t2,
+             min(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END)
+               OVER (PARTITION BY user_id) AS t3
+      FROM t2s
+    ), per_user AS (
+      SELECT user_id, max(t1 IS NOT NULL) AS s1,
+             max(t2 IS NOT NULL) AS s2, max(t3 IS NOT NULL) AS s3
+      FROM t3s GROUP BY user_id
+    )
+    SELECT stage, users FROM (
+      SELECT '1_view' AS stage,
+             COUNT(*) FILTER (WHERE s1) AS users FROM per_user
+      UNION ALL
+      SELECT '2_click_after_view', COUNT(*) FILTER (WHERE s2) FROM per_user
+      UNION ALL
+      SELECT '3_purchase_after_click', COUNT(*) FILTER (WHERE s3) FROM per_user
+    ) ORDER BY stage
+    """,
+)
+def w19_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis (view → click-after-view →
+    purchase-after-click): per-user stage timestamps as THREE stacked
+    min-over-user windows — all three share ONE exchange on user_id (the
+    plan shows a single shuffle; pinned in test_plan_shapes), never a
+    per-stage self-join (the textbook funnel query is an N-way self-join
+    that quadratically re-scans the fact at 100 TB). Timestamps and counts
+    only — integer-exact across engines."""
+    e = load_table(spark, sf_dir, "events")
+    w_user = Window.partitionBy("user_id")
+    t1 = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w_user)
+    staged = e.select("user_id", "ts", "event_type").withColumn("t1", t1)
+    t2 = F.min(
+        F.when((F.col("event_type") == "click") & (F.col("ts") > F.col("t1")), F.col("ts"))
+    ).over(w_user)
+    staged = staged.withColumn("t2", t2)
+    t3 = F.min(
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2")), F.col("ts")
+        )
+    ).over(w_user)
+    staged = staged.withColumn("t3", t3)
+    per_user = staged.groupBy("user_id").agg(
+        F.max(F.col("t1").isNotNull()).alias("s1"),
+        F.max(F.col("t2").isNotNull()).alias("s2"),
+        F.max(F.col("t3").isNotNull()).alias("s3"),
+    )
+    counts = per_user.agg(
+        F.count(F.when(F.col("s1"), 1)).alias("c1"),
+        F.count(F.when(F.col("s2"), 1)).alias("c2"),
+        F.count(F.when(F.col("s3"), 1)).alias("c3"),
+    )
+    stages = F.array(
+        F.struct(F.lit("1_view").alias("stage"), F.col("c1").alias("users")),
+        F.struct(F.lit("2_click_after_view").alias("stage"), F.col("c2").alias("users")),
+        F.struct(F.lit("3_purchase_after_click").alias("stage"), F.col("c3").alias("users")),
+    )
+    return (
+        counts.select(F.explode(stages).alias("s"))
+        .select("s.stage", "s.users")
+        .orderBy("stage")
+    )
+
+
+@query(
+    "a21_cohort_retention",
+    """
+    WITH firsts AS (
+      SELECT user_id, ts,
+             min(ts) OVER (PARTITION BY user_id) AS first_ts
+      FROM events
+    )
+    SELECT strftime(date_trunc('week', first_ts), '%Y-%m-%d') AS cohort_week,
+           CAST(date_diff('day', date_trunc('week', first_ts),
+                          date_trunc('week', ts)) / 7 AS BIGINT) AS week_offset,
+           COUNT(DISTINCT user_id) AS users
+    FROM firsts
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def a21_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users bucketed by first-activity ISO week
+    (both engines truncate weeks to Monday), counted distinct in each
+    subsequent week offset. The per-user first timestamp is a min-over-user
+    window (ONE exchange — never a groupBy+self-join back onto the fact);
+    week arithmetic is exact integer day differences, so the oracle match
+    is exact by construction."""
+    e = load_table(spark, sf_dir, "events")
+    w_user = Window.partitionBy("user_id")
+    firsts = e.select("user_id", "ts").withColumn("first_ts", F.min("ts").over(w_user))
+    cw = F.to_date(F.date_trunc("week", F.col("first_ts")))
+    ew = F.to_date(F.date_trunc("week", F.col("ts")))
+    return (
+        firsts.select(
+            "user_id",
+            F.date_format(cw, "yyyy-MM-dd").alias("cohort_week"),
+            (F.datediff(ew, cw) / 7).cast("long").alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("users"))
+        .orderBy("cohort_week", "week_offset")
+    )

@@ -678,3 +678,19 @@ def test_dq_expectations_one_scan_per_battery_table(spark, sf_dir):
     # events/documents: battery scan only
     assert plan.count("events.parquet") == 1
     assert plan.count("documents.parquet") == 1
+
+
+def test_funnel_windows_share_one_exchange(spark, sf_dir):
+    """The three stacked funnel windows AND the per-user aggregate must all
+    ride ONE user_id exchange (the textbook funnel is an N-way self-join;
+    this shape is a single shuffle + a 1-row reduce)."""
+    plan = plan_of(registry.queries()["w19_funnel_stages"](spark, sf_dir))
+    assert plan.count("Arguments: hashpartitioning(user_id") == 1
+    assert "SortMergeJoin" not in plan and "Join" not in plan
+
+
+def test_cohort_retention_single_user_exchange_no_join(spark, sf_dir):
+    plan = plan_of(registry.queries()["a21_cohort_retention"](spark, sf_dir))
+    # first-activity via window, not a groupBy+join back onto the fact
+    assert "Join" not in plan
+    assert plan.count("Arguments: hashpartitioning(user_id") == 1
