@@ -1,0 +1,163 @@
+"""Streaming write-audit-publish quality gate (SURVEY §2.9 extension; the
+reference has no streaming at all).
+
+The batch expectation battery (``quality.expectations_for_table`` — the
+oracle-gated ``dq_expectations`` shape) as a CONTINUOUS ingest gate: every
+micro-batch is audited against declared checks BEFORE publication. Rows
+that violate any check are routed to a quarantine sink with the names of
+the checks they broke; clean rows publish to the delivery sink; per-check
+violation counts append to a metrics sink the pipeline owners watch. If a
+CRITICAL check fails anywhere in a batch, the whole batch is quarantined —
+audit failed, nothing publishes (the Delta Live Tables / WAP "fail the
+commit" semantics, expressed on plain parquet sinks).
+
+Why foreachBatch: the gate is a per-row projection plus one conditional-
+count aggregate per batch — no cross-batch state at all, so streaming
+aggregation state would be structurally unnecessary (same argument as
+contamination.py). Exactly-once comes from the batch-id ledger
+(``incremental.exactly_once_batch_writer``): a replayed batch is skipped
+whole, so the three sinks stay mutually consistent.
+
+At 100 TB: the audit costs one pass over the batch (every check is a
+conditional count in ONE aggregate; the routing split re-reads the cached
+batch, not storage), quarantine is append-only and partitioned by batch,
+and the metrics sink grows one row per check per batch — the observability
+surface, not a data copy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from f1_datalakehouse_pipeline_spark.streaming.incremental import (
+    exactly_once_batch_writer,
+)
+
+
+def audit_split(
+    batch_df: DataFrame, checks: dict[str, Column]
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Split one (already cached) batch into (clean, quarantined, metrics).
+
+    ``checks`` maps check_name → boolean VIOLATION predicate (the
+    ``expectations_for_table`` contract). Quarantined rows carry a
+    ``violated_checks`` array naming every check they broke; metrics is one
+    (check_name, violations, total) row per check, computed as conditional
+    counts sharing one aggregate."""
+    names = sorted(checks)
+    flagged = batch_df.withColumn(
+        "violated_checks",
+        F.filter(
+            F.array(
+                *[
+                    F.when(checks[n], F.lit(n)).otherwise(F.lit(None))
+                    for n in names
+                ]
+            ),
+            lambda x: x.isNotNull(),
+        ),
+    )
+    clean = flagged.filter(F.size("violated_checks") == 0).drop("violated_checks")
+    quarantined = flagged.filter(F.size("violated_checks") > 0)
+    agg = batch_df.agg(
+        F.count(F.lit(1)).alias("total"),
+        *[F.count(F.when(checks[n], 1)).alias(f"__v{i}") for i, n in enumerate(names)],
+    )
+    pairs = F.array(
+        *[
+            F.struct(F.lit(n).alias("check_name"), F.col(f"__v{i}").alias("violations"))
+            for i, n in enumerate(names)
+        ]
+    )
+    metrics = agg.select(F.col("total"), F.explode(pairs).alias("c")).select(
+        F.col("c.check_name").alias("check_name"),
+        F.col("c.violations").alias("violations"),
+        F.col("total"),
+    )
+    return clean, quarantined, metrics
+
+
+def quality_gate_stream(
+    stream_df: DataFrame,
+    checks: dict[str, Column],
+    delivery_path: str,
+    quarantine_path: str,
+    metrics_path: str,
+    checkpoint_dir: str,
+    ledger_dir: str,
+    critical: set[str] | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Start the gate. Per micro-batch: audit → route → publish.
+
+    - rows violating any check append to ``quarantine_path`` with their
+      ``violated_checks``; clean rows append to ``delivery_path``;
+    - one (batch_id, check_name, violations, total, batch_quarantined) row
+      per check appends to ``metrics_path``;
+    - if any check named in ``critical`` has violations > 0, the ENTIRE
+      batch goes to quarantine (``violated_checks`` as audited, clean rows
+      with an empty array) and nothing publishes — the write-audit-publish
+      abort, so a bad upstream can never leak even its "clean" rows into
+      the delivery table before a human looks.
+
+    Replayed batches (checkpoint rollback) are skipped whole via the batch
+    ledger, keeping the three sinks mutually consistent. Place
+    ``ledger_dir`` beside ``checkpoint_dir`` (same filesystem) — the two
+    must survive together (see exactly_once_batch_writer)."""
+    critical = critical or set()
+    unknown = critical - set(checks)
+    if unknown:
+        raise ValueError(f"critical names not in checks: {sorted(unknown)}")
+
+    def gate(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.cache()
+        try:
+            clean, quarantined, metrics = audit_split(batch_df, checks)
+            mrows = metrics.collect()  # bounded: one row per declared check
+            crit_hit = any(
+                r["check_name"] in critical and r["violations"] > 0 for r in mrows
+            )
+            if crit_hit:
+                # audit failed: quarantine the WHOLE batch, publish nothing
+                flagged_all = quarantined.unionByName(
+                    clean.withColumn(
+                        "violated_checks",
+                        F.array().cast("array<string>"),
+                    )
+                )
+                flagged_all.withColumn("batch_id", F.lit(batch_id)).write.mode(
+                    "append"
+                ).parquet(quarantine_path)
+            else:
+                quarantined.withColumn("batch_id", F.lit(batch_id)).write.mode(
+                    "append"
+                ).parquet(quarantine_path)
+                clean.withColumn("batch_id", F.lit(batch_id)).write.mode(
+                    "append"
+                ).parquet(delivery_path)
+            spark = batch_df.sparkSession
+            spark.createDataFrame(
+                [
+                    (
+                        batch_id,
+                        r["check_name"],
+                        r["violations"],
+                        r["total"],
+                        crit_hit,
+                    )
+                    for r in mrows
+                ],
+                "batch_id long, check_name string, violations long, "
+                "total long, batch_quarantined boolean",
+            ).write.mode("append").parquet(metrics_path)
+        finally:
+            batch_df.unpersist()
+
+    writer = stream_df.writeStream.foreachBatch(
+        exactly_once_batch_writer(gate, ledger_dir)
+    ).option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
