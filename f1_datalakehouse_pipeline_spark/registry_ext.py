@@ -4616,3 +4616,52 @@ def a21_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("user_id").alias("users"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+@query(
+    "t_html_strip",
+    """
+    WITH html AS (
+      SELECT doc_id,
+             '<div class="doc"><p>' || text ||
+             '</p><br/>&amp; <a href="#">tail&nbsp;link</a></div>' AS raw
+      FROM documents
+    ), stripped AS (
+      SELECT doc_id, raw,
+             len(regexp_extract_all(raw, '<[^>]*>')) AS n_tags,
+             regexp_replace(raw, '<[^>]*>', ' ', 'g') AS no_tags
+      FROM html
+    )
+    SELECT doc_id, n_tags,
+           trim(regexp_replace(
+             replace(replace(replace(replace(replace(no_tags,
+               '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+               '&quot;', '"'), '&nbsp;', ' '),
+             '[ \t\n]+', ' ', 'g')) AS clean_text
+    FROM stripped
+    """,
+)
+def t_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML/boilerplate strip — the first stage of every web-scrape training
+    corpus: drop tags, decode the common entities, collapse whitespace. A
+    deterministic markup wrapper is synthesized in-query (the corpus table
+    is plain text) so the strip path is exercised and the oracle reproduces
+    it; tag counting and the conservative ASCII whitespace class keep the
+    regex semantics identical across Java (Spark) and RE2 (DuckDB). Pure
+    projection: zero shuffles, zero UDFs — at 100 TB this runs at scan
+    speed inside whole-stage codegen."""
+    d = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.lit('<div class="doc"><p>'),
+        F.col("text"),
+        F.lit('</p><br/>&amp; <a href="#">tail&nbsp;link</a></div>'),
+    )
+    no_tags = F.regexp_replace(raw, "<[^>]*>", " ")
+    decoded = no_tags
+    for ent, ch in (("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"), ('&quot;', '"'), ("&nbsp;", " ")):
+        decoded = F.replace(decoded, F.lit(ent), F.lit(ch))
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(raw, F.lit("<[^>]*>"), 0)).cast("long").alias("n_tags"),
+        F.trim(F.regexp_replace(decoded, "[ \t\n]+", " ")).alias("clean_text"),
+    )
