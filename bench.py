@@ -146,6 +146,15 @@ def main() -> None:
         "t_bpe_table_encode",
         # r7 additions
         "t_psi_buckets",
+        # r8 additions (quantized search, robust outliers, quality battery,
+        # funnel/cohort analytics, boilerplate strip)
+        "sim_sq8_quantized_topk",
+        "sim_pq_adc_topk",
+        "ts_mad_outliers",
+        "dq_expectations",
+        "w19_funnel_stages",
+        "a21_cohort_retention",
+        "t_html_strip",
     ]
 
     # Composition-cost queries: each invocation runs a FULL multi-batch

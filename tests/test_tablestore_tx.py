@@ -811,3 +811,58 @@ def test_stage_many_rejects_duplicate_tables(spark, tmp_path):
                 (_sessions(spark, 3), "sessions_silver"),
             ]
         )
+
+
+def _sess_mut(spark, rows):
+    """sessions rows keyed by session_key with a mutable meeting_name."""
+    return conform(
+        spark.createDataFrame(
+            [(k, name) for k, name in rows], "session_key long, meeting_name string"
+        ).select(
+            "session_key",
+            F.lit(2025).alias("year"),
+            F.lit("monaco").alias("grand_prix_name"),
+            F.lit("race").alias("session_type"),
+            "meeting_name",
+            F.lit(None).cast("long").alias("meeting_key"),
+            F.lit("2025-03-01 14:00:00").cast("timestamp").alias("date_start"),
+            F.lit("2025-03-01 16:00:00").cast("timestamp").alias("date_end"),
+            F.lit(False).alias("is_sprint_weekend"),
+        ),
+        "sessions_silver",
+        allow_missing=True,
+    )
+
+
+def test_table_changes_key_based_cdc(spark, tmp_path):
+    store = TableStore(spark, str(tmp_path / "wh"))
+    store.overwrite(_sess_mut(spark, [(1, "A"), (2, "B"), (3, "C")]), "sessions_silver")
+    # v2: 1 unchanged, 2 updated, 3 deleted, 4 inserted
+    store.overwrite(_sess_mut(spark, [(1, "A"), (2, "B2"), (4, "D")]), "sessions_silver")
+
+    ch = store.table_changes("sessions_silver", 1, 0, key_cols=["session_key"])
+    got = {(r.session_key, r._change_type, r.meeting_name) for r in ch.collect()}
+    assert got == {
+        (4, "insert", "D"),
+        (3, "delete", "C"),
+        (2, "update_preimage", "B"),
+        (2, "update_postimage", "B2"),
+    }
+
+
+def test_table_changes_multiset_mode_and_noop(spark, tmp_path):
+    store = TableStore(spark, str(tmp_path / "wh"))
+    store.overwrite(_sess_mut(spark, [(1, "A"), (2, "B")]), "sessions_silver")
+    store.overwrite(_sess_mut(spark, [(1, "A"), (3, "C")]), "sessions_silver")
+    ch = store.table_changes("sessions_silver", 1, 0)
+    got = {(r.session_key, r._change_type) for r in ch.collect()}
+    assert got == {(3, "insert"), (2, "delete")}
+    # comparing a version against itself is an empty change set
+    assert store.table_changes("sessions_silver", 0, 0).count() == 0
+
+
+def test_table_changes_past_retention_raises(spark, tmp_path):
+    store = TableStore(spark, str(tmp_path / "wh"))
+    store.overwrite(_sess_mut(spark, [(1, "A")]), "sessions_silver")
+    with pytest.raises(IndexError):
+        store.table_changes("sessions_silver", 5, 0, key_cols=["session_key"])
