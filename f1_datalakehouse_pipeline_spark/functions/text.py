@@ -212,3 +212,28 @@ def decode_token_ids(col: Column, vocab: dict[str, int], unk_token: str = "<unk>
     return F.transform(
         col, lambda i: F.coalesce(F.try_element_at(m, i.cast("int")), F.lit(unk_token))
     )
+
+
+def html_strip(col: Column) -> Column:
+    """Strip HTML markup to clean text: drop tags, decode the common
+    entities, collapse ASCII whitespace, trim. Pure native projection —
+    scan-speed inside whole-stage codegen. '&amp;' decodes LAST: a source
+    containing the escaped entity '&amp;lt;' means the visible characters
+    '&lt;', and amp-first order would double-decode it into '<'. Regexes
+    stay inside the dialect Java (Spark) and RE2 (DuckDB) share, so the
+    registry oracle reproduces this exactly."""
+    out = F.regexp_replace(col, "<[^>]*>", " ")
+    for ent, ch in (
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ('&quot;', '"'),
+        ("&nbsp;", " "),
+        ("&amp;", "&"),
+    ):
+        out = F.replace(out, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(out, "[ \t\n]+", " "))
+
+
+def html_tag_count(col: Column) -> Column:
+    """Number of HTML tags in the raw markup (size of the tag match set)."""
+    return F.size(F.regexp_extract_all(col, F.lit("<[^>]*>"), 0)).cast("long")

@@ -853,11 +853,24 @@ def pq_codebook_pinned(
         .collect()
     )
     dim = len(rows[0]["v"])
+    _check_pq_dims(dim, m)
     dsub = dim // m
     return [
         [[float(x) for x in r["v"][s * dsub : (s + 1) * dsub]] for r in rows]
         for s in range(m)
     ]
+
+
+def _check_pq_dims(dim: int, m: int) -> None:
+    """PQ requires dim % m == 0: a silent floor would drop the trailing
+    dim % m dimensions from every code and every ADC distance (two vectors
+    differing only there would become indistinguishable). FAISS raises on
+    d % M != 0 for the same reason."""
+    if dim % m != 0:
+        raise ValueError(
+            f"PQ subspaces must tile the vector exactly: dim={dim} % m={m} "
+            f"= {dim % m} trailing dimensions would be silently dropped"
+        )
 
 
 def pq_encode_native(
@@ -951,6 +964,7 @@ def pq_train(
     )
     x = np.array([r["v"] for r in sample], dtype=np.float64)
     n, dim = x.shape
+    _check_pq_dims(dim, m)
     dsub = dim // m
     k = min(n_codes, n)
     books = []
@@ -961,14 +975,21 @@ def pq_train(
         for _ in range(iters):
             d = ((xs[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
             asg = d.argmin(axis=1)
+            # re-seed empty cells AFTER the mean updates, each from a
+            # DISTINCT farthest point of the largest cluster — re-seeding
+            # every empty cell from the same frozen argmax would duplicate
+            # codewords and silently shrink the effective code count
+            empties = [c for c in range(k) if not (asg == c).any()]
             for c in range(k):
                 mask = asg == c
                 if mask.any():
                     cent[c] = xs[mask].mean(axis=0)
-                else:
-                    big = np.bincount(asg, minlength=k).argmax()
-                    far = d[asg == big, big].argmax()
-                    cent[c] = xs[asg == big][far]
+            if empties:
+                big = int(np.bincount(asg, minlength=k).argmax())
+                donors = np.flatnonzero(asg == big)
+                order = donors[np.argsort(-d[donors, big], kind="stable")]
+                for j, c in enumerate(empties):
+                    cent[c] = xs[order[j % len(order)]]
         books.append([[float(v) for v in row] for row in cent])
     return books
 
@@ -984,7 +1005,13 @@ def pq_encode(
     m bytes of payload per vector (code ids < 256; Spark has no unsigned
     8-bit type, and parquet dictionary+RLE encoding stores the smallint
     column at ~1 B/code anyway), the 32× compression the index persists.
-    Ties pick the lowest code id (numpy argmin), matching pq_encode_native."""
+    Ties pick the lowest code id (numpy argmin). Caveat vs
+    pq_encode_native: distances here use the expanded form
+    (−2x·c + ‖c‖², one BLAS call) whose rounding differs from the exact
+    fold, so a pair of codewords EXACTLY equidistant from x in true L2 can
+    break the other way — code parity with the native tier is exact on
+    real-valued data (asserted on the test corpus) but not guaranteed on
+    constructed ties; the native tier is the oracle-matching one."""
     import numpy as np
     import pandas as pd
 
@@ -998,6 +1025,11 @@ def pq_encode(
             if not len(pdf):
                 continue
             xmat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            if xmat.shape[1] != m * dsub:
+                raise ValueError(
+                    f"vector dim {xmat.shape[1]} != m*dsub = {m}*{dsub} "
+                    "of the codebook — trailing dimensions would be dropped"
+                )
             codes = np.empty((len(pdf), m), dtype=np.int16)
             for s in range(m):
                 xs = xmat[:, s * dsub : (s + 1) * dsub]
@@ -1108,6 +1140,11 @@ def ivfpq_build(
             if not len(pdf):
                 continue
             x = np.array(list(pdf[vec_col]), dtype=np.float64)
+            if x.shape[1] != m * dsub:
+                raise ValueError(
+                    f"vector dim {x.shape[1]} != m*dsub = {m}*{dsub} "
+                    "of the codebook — trailing dimensions would be dropped"
+                )
             lists = np.argmax(x @ cent.T, axis=1).astype(np.int32)
             codes = np.empty((len(pdf), m), dtype=np.int16)
             for s in range(m):

@@ -20,6 +20,8 @@ from f1_datalakehouse_pipeline_spark.functions.text import (
     MINHASH_B,
     MINHASH_P,
     bpe_ish_token_count,
+    html_strip,
+    html_tag_count,
     portable_hash48,
     punct_ratio,
     quality_score,
@@ -4635,8 +4637,8 @@ def a21_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, n_tags,
            trim(regexp_replace(
              replace(replace(replace(replace(replace(no_tags,
-               '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
-               '&quot;', '"'), '&nbsp;', ' '),
+               '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+               '&nbsp;', ' '), '&amp;', '&'),
              '[ \t\n]+', ' ', 'g')) AS clean_text
     FROM stripped
     """,
@@ -4658,7 +4660,10 @@ def t_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     no_tags = F.regexp_replace(raw, "<[^>]*>", " ")
     decoded = no_tags
-    for ent, ch in (("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"), ('&quot;', '"'), ("&nbsp;", " ")):
+    # '&amp;' decodes LAST: a source text containing the escaped entity
+    # '&amp;lt;' means the visible characters '&lt;', and amp-first order
+    # would double-decode it into '<'
+    for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ('&quot;', '"'), ("&nbsp;", " "), ("&amp;", "&")):
         decoded = F.replace(decoded, F.lit(ent), F.lit(ch))
     return d.select(
         "doc_id",

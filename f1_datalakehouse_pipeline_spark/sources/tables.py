@@ -762,6 +762,13 @@ class TableStore:
         full-outer join costs, and never touches the driver."""
         from pyspark.sql import functions as F
 
+        if n_back_from < n_back_to:
+            # swapped arguments would silently INVERT every change label
+            # (inserts reported as deletes, pre/post images flipped)
+            raise ValueError(
+                f"n_back_from={n_back_from} must be the OLDER version "
+                f"(>= n_back_to={n_back_to}): larger n_back = further back"
+            )
         old = self.read_version(table, n_back=n_back_from)
         new = self.read_version(table, n_back=n_back_to)
         cols = new.columns

@@ -14,15 +14,19 @@ commit" semantics, expressed on plain parquet sinks).
 Why foreachBatch: the gate is a per-row projection plus one conditional-
 count aggregate per batch — no cross-batch state at all, so streaming
 aggregation state would be structurally unnecessary (same argument as
-contamination.py). Exactly-once comes from the batch-id ledger
-(``incremental.exactly_once_batch_writer``): a replayed batch is skipped
-whole, so the three sinks stay mutually consistent.
+contamination.py). Exactly-once comes from two halves: every sink write is
+an idempotent dynamic partition overwrite of the batch's own ``batch_id=``
+partition (a mid-batch crash re-runs and REPLACES its partial output), and
+the batch-id ledger (``incremental.exactly_once_batch_writer``) skips
+replayed COMPLETED batches whole, so the three sinks stay mutually
+consistent.
 
 At 100 TB: the audit costs one pass over the batch (every check is a
-conditional count in ONE aggregate; the routing split re-reads the cached
-batch, not storage), quarantine is append-only and partitioned by batch,
-and the metrics sink grows one row per check per batch — the observability
-surface, not a data copy.
+conditional count in ONE aggregate — the same shared implementation as the
+oracle-gated batch battery; the routing split re-reads the cached batch,
+not storage), sinks are batch-partitioned parquet, and the metrics sink
+grows one row per check per batch — the observability surface, not a data
+copy.
 """
 
 from __future__ import annotations
@@ -31,9 +35,23 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+from f1_datalakehouse_pipeline_spark.quality import expectations_for_table
 from f1_datalakehouse_pipeline_spark.streaming.incremental import (
     exactly_once_batch_writer,
 )
+
+
+def _overwrite_batch(
+    df: DataFrame, batch_id: int, path: str, stamped: bool = False
+) -> None:
+    """Idempotent per-batch sink write: dynamic partition overwrite of the
+    batch's own ``batch_id=`` partition (the session pins
+    partitionOverwriteMode=dynamic). A crash-and-re-run of the same batch
+    REPLACES its partial output instead of appending a duplicate — the
+    idempotence exactly_once_batch_writer requires of its upsert."""
+    if not stamped:
+        df = df.withColumn("batch_id", F.lit(batch_id))
+    df.write.mode("overwrite").partitionBy("batch_id").parquet(path)
 
 
 def audit_split(
@@ -61,20 +79,11 @@ def audit_split(
     )
     clean = flagged.filter(F.size("violated_checks") == 0).drop("violated_checks")
     quarantined = flagged.filter(F.size("violated_checks") > 0)
-    agg = batch_df.agg(
-        F.count(F.lit(1)).alias("total"),
-        *[F.count(F.when(checks[n], 1)).alias(f"__v{i}") for i, n in enumerate(names)],
-    )
-    pairs = F.array(
-        *[
-            F.struct(F.lit(n).alias("check_name"), F.col(f"__v{i}").alias("violations"))
-            for i, n in enumerate(names)
-        ]
-    )
-    metrics = agg.select(F.col("total"), F.explode(pairs).alias("c")).select(
-        F.col("c.check_name").alias("check_name"),
-        F.col("c.violations").alias("violations"),
-        F.col("total"),
+    # the metrics battery IS the batch expectation battery — one shared
+    # implementation so the streaming gate can never drift from the
+    # oracle-gated dq_expectations counting semantics
+    metrics = expectations_for_table(batch_df, "batch", checks).select(
+        "check_name", "violations", "total"
     )
     return clean, quarantined, metrics
 
@@ -92,8 +101,8 @@ def quality_gate_stream(
 ) -> StreamingQuery:
     """Start the gate. Per micro-batch: audit → route → publish.
 
-    - rows violating any check append to ``quarantine_path`` with their
-      ``violated_checks``; clean rows append to ``delivery_path``;
+    - rows violating any check land in ``quarantine_path`` with their
+      ``violated_checks``; clean rows land in ``delivery_path``;
     - one (batch_id, check_name, violations, total, batch_quarantined) row
       per check appends to ``metrics_path``;
     - if any check named in ``critical`` has violations > 0, the ENTIRE
@@ -102,10 +111,14 @@ def quality_gate_stream(
       abort, so a bad upstream can never leak even its "clean" rows into
       the delivery table before a human looks.
 
-    Replayed batches (checkpoint rollback) are skipped whole via the batch
-    ledger, keeping the three sinks mutually consistent. Place
-    ``ledger_dir`` beside ``checkpoint_dir`` (same filesystem) — the two
-    must survive together (see exactly_once_batch_writer)."""
+    Exactly-once really holds: every sink write is a dynamic partition
+    OVERWRITE of the batch's own ``batch_id=`` partition (idempotent —
+    a crash mid-batch re-runs the batch and REPLACES its partial output
+    instead of appending beside it, satisfying exactly_once_batch_writer's
+    idempotent-upsert requirement), and replayed COMPLETED batches are
+    skipped whole via the batch ledger. Place ``ledger_dir`` beside
+    ``checkpoint_dir`` (same filesystem) — the two must survive together
+    (see exactly_once_batch_writer)."""
     critical = critical or set()
     unknown = critical - set(checks)
     if unknown:
@@ -127,18 +140,12 @@ def quality_gate_stream(
                         F.array().cast("array<string>"),
                     )
                 )
-                flagged_all.withColumn("batch_id", F.lit(batch_id)).write.mode(
-                    "append"
-                ).parquet(quarantine_path)
+                _overwrite_batch(flagged_all, batch_id, quarantine_path)
             else:
-                quarantined.withColumn("batch_id", F.lit(batch_id)).write.mode(
-                    "append"
-                ).parquet(quarantine_path)
-                clean.withColumn("batch_id", F.lit(batch_id)).write.mode(
-                    "append"
-                ).parquet(delivery_path)
+                _overwrite_batch(quarantined, batch_id, quarantine_path)
+                _overwrite_batch(clean, batch_id, delivery_path)
             spark = batch_df.sparkSession
-            spark.createDataFrame(
+            _overwrite_batch(spark.createDataFrame(
                 [
                     (
                         batch_id,
@@ -151,7 +158,7 @@ def quality_gate_stream(
                 ],
                 "batch_id long, check_name string, violations long, "
                 "total long, batch_quarantined boolean",
-            ).write.mode("append").parquet(metrics_path)
+            ), batch_id, metrics_path, stamped=True)
         finally:
             batch_df.unpersist()
 

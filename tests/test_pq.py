@@ -242,3 +242,26 @@ def test_ivfpq_probe_restricts_candidates(emb):
     for r in out.collect():
         assert lists[r.neighbor_id] == probed[r.query_id]
     idx.unpersist()
+
+
+def test_pq_rejects_untileable_dim(emb):
+    with pytest.raises(ValueError, match="tile"):
+        similarity.pq_codebook_pinned(emb, n_codes=8, m=7)  # 64 % 7 != 0
+    with pytest.raises(ValueError, match="tile"):
+        similarity.pq_train(emb, n_codes=8, m=7)
+
+
+def test_html_strip_decodes_amp_last(spark):
+    from f1_datalakehouse_pipeline_spark.functions.text import (
+        html_strip,
+        html_tag_count,
+    )
+
+    df = spark.createDataFrame(
+        [("<p>a &amp;lt; b</p>", ), ("x &lt; y &amp; z", )], "raw string"
+    )
+    got = [r.c for r in df.select(html_strip(F.col("raw")).alias("c")).collect()]
+    # '&amp;lt;' is the ESCAPED text '&lt;' — it must NOT double-decode to '<'
+    assert got == ["a &lt; b", "x < y & z"]
+    tags = [r.t for r in df.select(html_tag_count(F.col("raw")).alias("t")).collect()]
+    assert tags == [2, 0]

@@ -193,3 +193,44 @@ def test_gate_replay_skips_committed_batches(spark, tmp_path):
     assert spark.read.parquet(paths["metrics"]).count() == first_m
     metrics = spark.read.parquet(paths["metrics"]).collect()
     assert len({(r.batch_id, r.check_name) for r in metrics}) == len(metrics)
+
+
+def test_gate_rerun_overwrites_instead_of_duplicating(spark, tmp_path):
+    """A batch re-processed with the same batch_id (lost ledger + lost
+    checkpoint — the worst-case replay) must REPLACE its partition in every
+    sink, not append beside it: the sinks are dynamic partition overwrites
+    keyed by batch_id, which is the idempotence exactly_once_batch_writer
+    requires of its upsert."""
+    import shutil
+
+    src, a, b = _stage_batches(spark, tmp_path)
+    paths = {k: str(tmp_path / k) for k in ("delivery", "quarantine", "metrics")}
+
+    def run():
+        stream = (
+            spark.readStream.schema(
+                "o_orderkey long, o_custkey long, o_orderstatus string"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = quality_gate_stream(
+            stream,
+            CHECKS(),
+            delivery_path=paths["delivery"],
+            quarantine_path=paths["quarantine"],
+            metrics_path=paths["metrics"],
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            ledger_dir=str(tmp_path / "ledger"),
+        )
+        q.awaitTermination(180)
+
+    run()
+    first = {k: spark.read.parquet(p).count() for k, p in paths.items()}
+    # lose BOTH the checkpoint and the ledger: the whole drain re-delivers
+    # with the same batch ids 0,1
+    shutil.rmtree(str(tmp_path / "ckpt"))
+    shutil.rmtree(str(tmp_path / "ledger"))
+    run()
+    after = {k: spark.read.parquet(p).count() for k, p in paths.items()}
+    assert after == first
