@@ -155,6 +155,8 @@ def main() -> None:
         "w19_funnel_stages",
         "a21_cohort_retention",
         "t_html_strip",
+        "w20_event_transitions",
+        "a24_chisq_cells",
     ]
 
     # Composition-cost queries: each invocation runs a FULL multi-batch

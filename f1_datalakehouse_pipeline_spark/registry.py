@@ -52,7 +52,7 @@ def _load_extensions() -> None:
 # COVERAGE.md).
 _VERIFY_FIRST = [
     # r8 rotation (VERDICT r7 item 1). Priority order within the 50-slot
-    # driver window, 143 registered (135 from r7 + eight NEW r8 queries):
+    # driver window, 145 registered (135 from r7 + ten NEW r8 queries):
     # (a) the 36 queries whose newest driver row is r5 — audited against
     #     CORRECTNESS_r01..r07 this round (every query whose latest green
     #     row is r5: the r5-refresh cohort not re-touched since) — lead the
@@ -65,8 +65,9 @@ _VERIFY_FIRST = [
     #     ts_mad_outliers (median/MAD robust flags), dq_expectations (the
     #     one-scan data-quality battery), w19_funnel_stages (self-join-free
     #     ordered funnel), a21_cohort_retention (weekly retention triangle),
-    #     t_html_strip (tag/entity/whitespace boilerplate removal), and
-    #     from earlier in r8:
+    #     t_html_strip (tag/entity/whitespace boilerplate removal),
+    #     w20_event_transitions (Markov transition matrix), a24_chisq_cells
+    #     (bit-exact chi-square contingency cells), and from earlier in r8:
     #     t_corpus_manifest_semantic — the incremental corpus pipeline run
     #     WITH the r7 semantic-dedup stage (persisted per-cluster member
     #     store, cross-batch embedding-twin rejection) over two batches,
@@ -77,13 +78,14 @@ _VERIFY_FIRST = [
     #     SCD2 splice, the docs dedup pipeline, containment + contamination,
     #     the star join, as-of join, brute ANN, the TableStore round-trip,
     #     and the two heaviest remaining TPC-H shapes q9/q20). With the
-    #     seven late-r8 additions in (b), slots go 36 + 8 + 6: the last
-    #     seven (c) entries (contamination_pairs, j4_star_join_revenue,
+    #     nine late-r8 additions in (b), slots go 36 + 10 + 4: the (c)
+    #     entries past slot 50 (dedup_docs_pipeline onward —
+    #     dedup_containment, contamination_pairs, j4_star_join_revenue,
     #     asof_purchase_to_view, sim_cosine_topk,
     #     tablestore_delete_tombstone, tpch_q9, tpch_q20) fall past the
-    #     50-slot window and instead LEAD the r9 window with the rest of
-    #     the r6 cohort (their rows reach age 3 exactly at r9 — the
-    #     invariant's edge, not a breach).
+    #     window and instead LEAD the r9 window with the rest of the r6
+    #     cohort (their rows reach age 3 exactly at r9 — the invariant's
+    #     edge, not a breach).
     # The 36 remaining r6-green queries (a2, a11, a18, a19, a20,
     # asof_tolerance_join, f_array_q_split, f_datetime_ops,
     # f_normalize_name, f_points_when_chain, f_status_buckets,
@@ -143,6 +145,8 @@ _VERIFY_FIRST = [
     "w19_funnel_stages",
     "a21_cohort_retention",
     "t_html_strip",
+    "w20_event_transitions",
+    "a24_chisq_cells",
     # (c) r6-green refresh, complex plans first
     "dedup_semantic",
     "t_corpus_manifest",

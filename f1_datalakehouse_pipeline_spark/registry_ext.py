@@ -4670,3 +4670,132 @@ def t_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.regexp_extract_all(raw, F.lit("<[^>]*>"), 0)).cast("long").alias("n_tags"),
         F.trim(F.regexp_replace(decoded, "[ \t\n]+", " ")).alias("clean_text"),
     )
+
+
+@query(
+    "w20_event_transitions",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type AS from_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS to_type
+      FROM events
+    )
+    SELECT from_type, to_type, COUNT(*) AS transitions,
+           COUNT(DISTINCT user_id) AS users
+    FROM seq WHERE to_type IS NOT NULL
+    GROUP BY from_type, to_type ORDER BY from_type, to_type
+    """,
+)
+def w20_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event transition matrix (the Markov-chain view of user
+    behavior): consecutive event pairs per user via ONE lead window ordered
+    by (ts, event_id) — the id tiebreak makes simultaneous events
+    deterministic — then an integer count per (from, to) cell plus the
+    distinct-user reach of each transition. One user_id exchange feeds the
+    window; the cell aggregate reduces to |event_types|² rows. Integer-only
+    output, exact by construction."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    return (
+        seq.groupBy("from_type", "to_type")
+        .agg(
+            F.count(F.lit(1)).alias("transitions"),
+            F.countDistinct("user_id").alias("users"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+@query(
+    "a24_chisq_cells",
+    """
+    WITH q AS (
+      SELECT quantile_cont(CAST(value AS DOUBLE), 0.25) AS q1,
+             quantile_cont(CAST(value AS DOUBLE), 0.50) AS q2,
+             quantile_cont(CAST(value AS DOUBLE), 0.75) AS q3
+      FROM events
+    ), cells AS (
+      SELECT event_type,
+             1 + CAST(CAST(value AS DOUBLE) > q1 AS INT)
+               + CAST(CAST(value AS DOUBLE) > q2 AS INT)
+               + CAST(CAST(value AS DOUBLE) > q3 AS INT) AS bucket,
+             COUNT(*) AS obs
+      FROM events CROSS JOIN q
+      WHERE value IS NOT NULL
+      GROUP BY 1, 2
+    ), marg AS (
+      SELECT event_type, CAST(bucket AS BIGINT) AS bucket, obs,
+             SUM(obs) OVER (PARTITION BY event_type) AS row_tot,
+             SUM(obs) OVER (PARTITION BY bucket) AS col_tot,
+             SUM(obs) OVER () AS n
+      FROM cells
+    )
+    SELECT event_type, bucket, obs,
+           CAST(row_tot * col_tot AS DOUBLE) / CAST(n AS DOUBLE) AS expected,
+           (CAST(obs AS DOUBLE)
+              - CAST(row_tot * col_tot AS DOUBLE) / CAST(n AS DOUBLE))
+           * (CAST(obs AS DOUBLE)
+              - CAST(row_tot * col_tot AS DOUBLE) / CAST(n AS DOUBLE))
+           / (CAST(row_tot * col_tot AS DOUBLE) / CAST(n AS DOUBLE))
+             AS contribution
+    FROM marg ORDER BY event_type, bucket
+    """,
+)
+def a24_chisq_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test cells for event_type × value-quartile:
+    observed counts, expected under independence, and each cell's χ²
+    contribution. The summable statistic is left per-cell ON PURPOSE — the
+    marginals are integer sums (order-independent), expected is ONE IEEE
+    division and the contribution one fixed expression, so every emitted
+    double is bit-exact cross-engine; a float SUM over cells would
+    reintroduce summation-order nondeterminism for no analytical gain (the
+    caller folds 20 cells). Quartile edges reuse the exact-percentile
+    machinery; marginals are windows over the tiny cell table, not rescans
+    of the fact."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    v = F.col("value").cast("double")
+    qs = e.agg(
+        F.expr("percentile(CAST(value AS DOUBLE), 0.25)").alias("q1"),
+        F.expr("percentile(CAST(value AS DOUBLE), 0.50)").alias("q2"),
+        F.expr("percentile(CAST(value AS DOUBLE), 0.75)").alias("q3"),
+    )
+    bucket = (
+        F.lit(1)
+        + (v > F.col("q1")).cast("int")
+        + (v > F.col("q2")).cast("int")
+        + (v > F.col("q3")).cast("int")
+    )
+    cells = (
+        e.join(F.broadcast(qs))
+        .select("event_type", bucket.cast("long").alias("bucket"))
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).alias("obs"))
+    )
+    w_row = Window.partitionBy("event_type")
+    w_col = Window.partitionBy("bucket")
+    w_all = Window.partitionBy()
+    marg = cells.select(
+        "event_type",
+        "bucket",
+        "obs",
+        F.sum("obs").over(w_row).alias("row_tot"),
+        F.sum("obs").over(w_col).alias("col_tot"),
+        F.sum("obs").over(w_all).alias("n"),
+    )
+    expected = (F.col("row_tot") * F.col("col_tot")).cast("double") / F.col("n").cast(
+        "double"
+    )
+    dev = F.col("obs").cast("double") - expected
+    return marg.select(
+        "event_type",
+        "bucket",
+        "obs",
+        expected.alias("expected"),
+        (dev * dev / expected).alias("contribution"),
+    ).orderBy("event_type", "bucket")
