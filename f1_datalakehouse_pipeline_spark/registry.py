@@ -73,19 +73,17 @@ _VERIFY_FIRST = [
     #     store, cross-batch embedding-twin rejection) over two batches,
     #     manifest hash-matched against a one-shot DuckDB reconstruction —
     #     putting r7's flagship addition on the driver's hard signal;
-    # (c) the r6-green refresh cohort, complex plans first (the semantic
-    #     dedup + corpus manifest + corpus-scale BPE composition queries,
-    #     SCD2 splice, the docs dedup pipeline, containment + contamination,
-    #     the star join, as-of join, brute ANN, the TableStore round-trip,
-    #     and the two heaviest remaining TPC-H shapes q9/q20). With the
-    #     nine late-r8 additions in (b), slots go 36 + 10 + 4: the (c)
-    #     entries past slot 50 (dedup_docs_pipeline onward —
-    #     dedup_containment, contamination_pairs, j4_star_join_revenue,
-    #     asof_purchase_to_view, sim_cosine_topk,
-    #     tablestore_delete_tombstone, tpch_q9, tpch_q20) fall past the
-    #     window and instead LEAD the r9 window with the rest of the r6
-    #     cohort (their rows reach age 3 exactly at r9 — the invariant's
-    #     edge, not a breach).
+    # (c) the r6-green refresh cohort, complex plans first. The nine
+    #     late-r8 additions in (b) shrank this cohort's window share to 4
+    #     slots (36 + 10 + 4): dedup_semantic, t_corpus_manifest,
+    #     t_bpe_table_encode, scd2_splice_backdated. The nine displaced
+    #     refreshes (dedup_docs_pipeline, dedup_containment,
+    #     contamination_pairs, j4_star_join_revenue, asof_purchase_to_view,
+    #     sim_cosine_topk, tablestore_delete_tombstone, tpch_q9, tpch_q20)
+    #     are REMOVED from this list (the rotation-invariant test rejects
+    #     live entries past slot 50 as silently unverified) and must LEAD
+    #     the r9 window with the rest of the r6 cohort — their rows reach
+    #     age 3 exactly at r9, the invariant's edge, not a breach.
     # The 36 remaining r6-green queries (a2, a11, a18, a19, a20,
     # asof_tolerance_join, f_array_q_split, f_datetime_ops,
     # f_normalize_name, f_points_when_chain, f_status_buckets,
@@ -152,15 +150,6 @@ _VERIFY_FIRST = [
     "t_corpus_manifest",
     "t_bpe_table_encode",
     "scd2_splice_backdated",
-    "dedup_docs_pipeline",
-    "dedup_containment",
-    "contamination_pairs",
-    "j4_star_join_revenue",
-    "asof_purchase_to_view",
-    "sim_cosine_topk",
-    "tablestore_delete_tombstone",
-    "tpch_q9_product_profit",
-    "tpch_q20_dominant_supplier",
 ]
 
 
