@@ -4539,12 +4539,27 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
 def w19_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel analysis (view → click-after-view →
     purchase-after-click): per-user stage timestamps as THREE stacked
-    min-over-user windows — all three share ONE exchange on user_id (the
-    plan shows a single shuffle; pinned in test_plan_shapes), never a
-    per-stage self-join (the textbook funnel query is an N-way self-join
-    that quadratically re-scans the fact at 100 TB). Timestamps and counts
-    only — integer-exact across engines."""
-    e = load_table(spark, sf_dir, "events")
+    min-over-user windows sharing ONE user_id exchange (plan-pinned), with
+    only the three participating event types entering the window (the isin
+    filter pushes to the parquet scan; rows of other types can never set a
+    stage timestamp and users without participating events contribute zero
+    to every count, so the output is value-identical to the unfiltered
+    form — the oracle keeps the unfiltered shape and hash-matches).
+
+    Form choice is MEASURED, not assumed (scale_stress --funnel + an
+    interleaved hot-cache A/B at 50M events): the window form reads
+    3.0-3.5 s vs the per-stage aggregate/join form's 3.7-5.0 s. Two
+    earlier single-run readings that showed the aggregate form ahead were
+    order-confounded — the first-timed query pays the cold parquet read of
+    the 50M-row table. The aggregate form's theoretical advantage
+    (map-side partial combine before the shuffle) is real but here buys
+    three scans + three exchanges against the window's one filtered scan +
+    one exchange; at much higher events-per-user the trade can flip, which
+    is what the rung exists to re-measure. Timestamps and counts only —
+    integer-exact across engines."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "click", "purchase")
+    )
     w_user = Window.partitionBy("user_id")
     t1 = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w_user)
     staged = e.select("user_id", "ts", "event_type").withColumn("t1", t1)

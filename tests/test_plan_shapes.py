@@ -682,11 +682,13 @@ def test_dq_expectations_one_scan_per_battery_table(spark, sf_dir):
 
 def test_funnel_windows_share_one_exchange(spark, sf_dir):
     """The three stacked funnel windows AND the per-user aggregate must all
-    ride ONE user_id exchange (the textbook funnel is an N-way self-join;
-    this shape is a single shuffle + a 1-row reduce)."""
+    ride ONE user_id exchange (the 50M interleaved A/B picked this form
+    over the per-stage aggregate/join; docstring has the numbers), with
+    the participating-type isin filter pushed to the scan."""
     plan = plan_of(registry.queries()["w19_funnel_stages"](spark, sf_dir))
     assert plan.count("Arguments: hashpartitioning(user_id") == 1
     assert "SortMergeJoin" not in plan and "Join" not in plan
+    assert "In(event_type, [click,purchase,view])" in plan
 
 
 def test_cohort_retention_single_user_exchange_no_join(spark, sf_dir):

@@ -261,6 +261,117 @@ def _du_bytes(path: str) -> int:
     return total
 
 
+def scaled_events(spark: SparkSession, sf_dir: str, factor: int) -> DataFrame:
+    """factor × the events table: replicas shift user_id (disjoint user
+    populations per rep — funnel/cohort/transition semantics stay exact)
+    and event_id, keeping the timestamp distribution."""
+    path = os.path.join(CACHE, f"events_x{factor}")
+    if not os.path.isdir(path):
+        base = load_table(spark, sf_dir, "events")
+        reps = spark.range(factor).select(F.col("id").alias("rep"))
+        out = base.crossJoin(reps).select(
+            (F.col("event_id") + F.col("rep") * F.lit(100_000_000)).alias("event_id"),
+            "ts",
+            (F.col("user_id") + F.col("rep") * F.lit(1_000_000)).alias("user_id"),
+            "event_type",
+            "value",
+            "props",
+        )
+        out.repartition(max(32, factor)).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+def run_funnel_scale(spark: SparkSession, sf_dir: str, factor: int) -> dict:
+    """Behavioral-analytics rung: the r8 funnel/cohort/transition/MAD/chisq
+    queries on a factor-scaled events table, plus the per-stage
+    aggregate/join funnel as the alternative form. Caveat learned the hard
+    way: single-run readings here are ORDER-CONFOUNDED — the first-timed
+    query pays the cold parquet read of the scaled table — so form
+    comparisons must come from the interleaved hot-cache A/B (PERF_NOTES
+    r8 late: window 3.0-3.5 s vs aggregate 3.7-5.0 s at 50M), not from two
+    positions of this rung. funnel_agree asserts the two forms' stage
+    counts are identical."""
+    from f1_datalakehouse_pipeline_spark.registry_ext import (
+        a21_cohort_retention,
+        a24_chisq_cells,
+        ts_mad_outliers,
+        w19_funnel_stages,
+        w20_event_transitions,
+    )
+
+    ev = scaled_events(spark, sf_dir, factor)
+    ev.createOrReplaceTempView("__ev")
+    r: dict = {"events": ev.count()}
+
+    # monkey-read shim: run the registry callables against the scaled table
+    import f1_datalakehouse_pipeline_spark.registry_ext as rx
+
+    real_load = rx.load_table
+    rx.load_table = lambda s, d, t: ev if t == "events" else real_load(s, d, t)
+    try:
+        for name, fn in (
+            ("funnel_registry", w19_funnel_stages),
+            ("cohort", a21_cohort_retention),
+            ("transitions", w20_event_transitions),
+            ("mad_outliers", ts_mad_outliers),
+            ("chisq", a24_chisq_cells),
+        ):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            r[f"{name}_sec"] = round(time.perf_counter() - t0, 2)
+            spark.catalog.clearCache()
+    finally:
+        rx.load_table = real_load
+
+    # alternative form: per-stage aggregate/join (map-side partial combine
+    # before each shuffle, three pushed-filter scans) — the 50M interleaved
+    # A/B picked the window form for the shipped query; this leg keeps the
+    # comparison alive as scale/shape changes
+    t0 = time.perf_counter()
+    def _stage(t):
+        return ev.filter(F.col("event_type") == t).select("user_id", "ts")
+    views = _stage("view").groupBy("user_id").agg(F.min("ts").alias("t1"))
+    clicks = (
+        _stage("click").join(views, "user_id").filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id").agg(F.min("ts").alias("t2"))
+    )
+    purch = (
+        _stage("purchase").join(clicks, "user_id").filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id").agg(F.min("ts").alias("t3"))
+    )
+    win_counts = (
+        views.agg(F.count(F.lit(1)).alias("s1"))
+        .crossJoin(clicks.agg(F.count(F.lit(1)).alias("s2")))
+        .crossJoin(purch.agg(F.count(F.lit(1)).alias("s3")))
+    )
+    win_row = win_counts.collect()[0]
+    r["funnel_aggregate_form_sec"] = round(time.perf_counter() - t0, 2)
+    # cross-check: the registry (window-form) funnel must agree with the
+    # aggregate form exactly
+    reg = {
+        row["stage"]: row["users"]
+        for row in _run_with_events(spark, sf_dir, ev, w19_funnel_stages).collect()
+    }
+    r["funnel_agree"] = (
+        reg["1_view"] == win_row["s1"]
+        and reg["2_click_after_view"] == win_row["s2"]
+        and reg["3_purchase_after_click"] == win_row["s3"]
+    )
+    print(f"  {r}", flush=True)
+    return r
+
+
+def _run_with_events(spark, sf_dir, ev, fn):
+    import f1_datalakehouse_pipeline_spark.registry_ext as rx
+
+    real_load = rx.load_table
+    rx.load_table = lambda s, d, t: ev if t == "events" else real_load(s, d, t)
+    try:
+        return fn(spark, sf_dir)
+    finally:
+        rx.load_table = real_load
+
+
 def run_pq_scale(spark: SparkSession, sf_dir: str, factor: int) -> dict:
     """Product-quantization rung: train/build walls, ON-DISK compression of
     the IVFADC index vs the raw vectors, and recall@5 of (a) full-scan ADC
@@ -1799,6 +1910,7 @@ def main() -> None:
     ap.add_argument("--facts", action="store_true", help="scale the lineitem fact side instead of documents")
     ap.add_argument("--ann", action="store_true", help="scale the embeddings table and measure ANN variants")
     ap.add_argument("--pq", action="store_true", help="IVFADC rung: PQ train/build walls, on-disk index compression vs raw vectors, full-scan ADC + probed recall@5 vs exact-L2 truth")
+    ap.add_argument("--funnel", action="store_true", help="behavioral-analytics rung: r8 funnel/cohort/transition/MAD/chisq queries on factor-scaled events + the textbook self-join funnel baseline")
     ap.add_argument("--pipeline", action="store_true", help="run the full F1 pipeline at ~2.5M lap rows")
     ap.add_argument("--novelty", action="store_true", help="measure incremental-probe amortization vs full self-join")
     ap.add_argument("--semantic", action="store_true", help="SemDeDup rung: two-level routed assignment + within-cluster pair cost up the ladder")
@@ -1852,6 +1964,13 @@ def main() -> None:
         for factor in factors:
             print(f"pq factor {factor}:", flush=True)
             results[str(factor)] = run_pq_scale(spark, args.sf_dir, factor)
+        print(json.dumps(results, indent=2))
+        return
+
+    if args.funnel:
+        for factor in factors:
+            print(f"funnel factor {factor}:", flush=True)
+            results[str(factor)] = run_funnel_scale(spark, args.sf_dir, factor)
         print(json.dumps(results, indent=2))
         return
 
