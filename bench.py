@@ -157,6 +157,8 @@ def main() -> None:
         "t_html_strip",
         "w20_event_transitions",
         "a24_chisq_cells",
+        "w21_top_paths",
+        "a23_winsorize",
     ]
 
     # Composition-cost queries: each invocation runs a FULL multi-batch

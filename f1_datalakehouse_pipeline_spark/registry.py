@@ -52,7 +52,7 @@ def _load_extensions() -> None:
 # COVERAGE.md).
 _VERIFY_FIRST = [
     # r8 rotation (VERDICT r7 item 1). Priority order within the 50-slot
-    # driver window, 145 registered (135 from r7 + ten NEW r8 queries):
+    # driver window, 147 registered (135 from r7 + twelve NEW r8 queries):
     # (a) the 36 queries whose newest driver row is r5 — audited against
     #     CORRECTNESS_r01..r07 this round (every query whose latest green
     #     row is r5: the r5-refresh cohort not re-touched since) — lead the
@@ -67,17 +67,19 @@ _VERIFY_FIRST = [
     #     ordered funnel), a21_cohort_retention (weekly retention triangle),
     #     t_html_strip (tag/entity/whitespace boilerplate removal),
     #     w20_event_transitions (Markov transition matrix), a24_chisq_cells
-    #     (bit-exact chi-square contingency cells), and from earlier in r8:
+    #     (bit-exact chi-square contingency cells), w21_top_paths (top user
+    #     journeys), a23_winsorize (per-group p05/p95 clipping), and from
+    #     earlier in r8:
     #     t_corpus_manifest_semantic — the incremental corpus pipeline run
     #     WITH the r7 semantic-dedup stage (persisted per-cluster member
     #     store, cross-batch embedding-twin rejection) over two batches,
     #     manifest hash-matched against a one-shot DuckDB reconstruction —
     #     putting r7's flagship addition on the driver's hard signal;
-    # (c) the r6-green refresh cohort, complex plans first. The nine
-    #     late-r8 additions in (b) shrank this cohort's window share to 4
-    #     slots (36 + 10 + 4): dedup_semantic, t_corpus_manifest,
-    #     t_bpe_table_encode, scd2_splice_backdated. The nine displaced
-    #     refreshes (dedup_docs_pipeline, dedup_containment,
+    # (c) the r6-green refresh cohort, complex plans first. The eleven
+    #     late-r8 additions in (b) shrank this cohort's window share to 2
+    #     slots (36 + 12 + 2): dedup_semantic, t_corpus_manifest. The
+    #     eleven displaced refreshes (t_bpe_table_encode,
+    #     scd2_splice_backdated, dedup_docs_pipeline, dedup_containment,
     #     contamination_pairs, j4_star_join_revenue, asof_purchase_to_view,
     #     sim_cosine_topk, tablestore_delete_tombstone, tpch_q9, tpch_q20)
     #     are REMOVED from this list (the rotation-invariant test rejects
@@ -145,11 +147,11 @@ _VERIFY_FIRST = [
     "t_html_strip",
     "w20_event_transitions",
     "a24_chisq_cells",
+    "w21_top_paths",
+    "a23_winsorize",
     # (c) r6-green refresh, complex plans first
     "dedup_semantic",
     "t_corpus_manifest",
-    "t_bpe_table_encode",
-    "scd2_splice_backdated",
 ]
 
 

@@ -4814,3 +4814,93 @@ def a24_chisq_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         expected.alias("expected"),
         (dev * dev / expected).alias("contribution"),
     ).orderBy("event_type", "bucket")
+
+
+@query(
+    "w21_top_paths",
+    """
+    WITH ranked AS (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ), paths AS (
+      SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+      FROM ranked WHERE rn <= 3 GROUP BY user_id
+    )
+    SELECT path, COUNT(*) AS users
+    FROM paths GROUP BY path
+    ORDER BY users DESC, path ASC LIMIT 10
+    """,
+)
+def w21_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user journeys: each user's first three events (ordered by
+    ts, event_id — deterministic under simultaneous events) concatenated
+    into a path string, ranked by how many users share it. One user_id
+    window + one path aggregate; the top-10 is a total order (count desc,
+    path asc — paths are unique per group), so the LIMIT boundary is
+    deterministic and Spark executes it as TakeOrdered, never a full
+    result sort."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ranked = e.select(
+        "user_id", "event_type", F.row_number().over(w).alias("rn")
+    ).filter(F.col("rn") <= 3)
+    paths = ranked.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("rn"), F.col("event_type")))
+                ),
+                lambda s: s["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("users"))
+        .orderBy(F.col("users").desc(), F.col("path").asc())
+        .limit(10)
+    )
+
+
+@query(
+    "a23_winsorize",
+    """
+    WITH bounds AS (
+      SELECT event_type,
+             quantile_cont(CAST(value AS DOUBLE), 0.05) AS lo,
+             quantile_cont(CAST(value AS DOUBLE), 0.95) AS hi
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, CAST(e.value AS DOUBLE) AS value,
+           least(greatest(CAST(e.value AS DOUBLE), b.lo), b.hi) AS value_w,
+           (CAST(e.value AS DOUBLE) < b.lo OR CAST(e.value AS DOUBLE) > b.hi)
+             AS clipped
+    FROM events e JOIN bounds b USING (event_type)
+    """,
+)
+def a23_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorization: clip values to the exact [p05, p95] band of
+    their event_type — the standard robust-features step before model
+    training. One grouped exact-percentile scan (p8's bit-exact machinery)
+    broadcast back onto the fact; the clip is a pure projection. At 100 TB
+    the bounds swap for approx_percentile sketches and the projection is
+    unchanged."""
+    e = load_table(spark, sf_dir, "events")
+    bounds = e.groupBy("event_type").agg(
+        F.expr("percentile(CAST(value AS DOUBLE), 0.05)").alias("lo"),
+        F.expr("percentile(CAST(value AS DOUBLE), 0.95)").alias("hi"),
+    )
+    v = F.col("value").cast("double")
+    return (
+        e.join(F.broadcast(bounds), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            v.alias("value"),
+            F.least(F.greatest(v, F.col("lo")), F.col("hi")).alias("value_w"),
+            ((v < F.col("lo")) | (v > F.col("hi"))).alias("clipped"),
+        )
+    )
