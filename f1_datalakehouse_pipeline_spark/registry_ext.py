@@ -4879,16 +4879,19 @@ def w21_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
            (CAST(e.value AS DOUBLE) < b.lo OR CAST(e.value AS DOUBLE) > b.hi)
              AS clipped
     FROM events e JOIN bounds b USING (event_type)
+    WHERE e.value IS NOT NULL
     """,
 )
 def a23_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group winsorization: clip values to the exact [p05, p95] band of
     their event_type — the standard robust-features step before model
     training. One grouped exact-percentile scan (p8's bit-exact machinery)
-    broadcast back onto the fact; the clip is a pure projection. At 100 TB
-    the bounds swap for approx_percentile sketches and the projection is
-    unchanged."""
-    e = load_table(spark, sf_dir, "events")
+    broadcast back onto the fact; the clip is a pure projection. NULL
+    values are EXCLUDED, not imputed — least/greatest skip NULLs in both
+    engines, so an unguarded NULL row would silently winsorize missing
+    data to the group's 5th percentile. At 100 TB the bounds swap for
+    approx_percentile sketches and the projection is unchanged."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     bounds = e.groupBy("event_type").agg(
         F.expr("percentile(CAST(value AS DOUBLE), 0.05)").alias("lo"),
         F.expr("percentile(CAST(value AS DOUBLE), 0.95)").alias("hi"),

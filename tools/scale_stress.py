@@ -264,8 +264,11 @@ def _du_bytes(path: str) -> int:
 def scaled_events(spark: SparkSession, sf_dir: str, factor: int) -> DataFrame:
     """factor × the events table: replicas shift user_id (disjoint user
     populations per rep — funnel/cohort/transition semantics stay exact)
-    and event_id, keeping the timestamp distribution."""
-    path = os.path.join(CACHE, f"events_x{factor}")
+    and event_id, keeping the timestamp distribution. Cache is keyed by
+    (sf_dir, factor) — keying on factor alone would silently reuse a
+    different SF's scaled table across rung invocations."""
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(CACHE, f"events_{tag}_x{factor}")
     if not os.path.isdir(path):
         base = load_table(spark, sf_dir, "events")
         reps = spark.range(factor).select(F.col("id").alias("rep"))
@@ -300,28 +303,21 @@ def run_funnel_scale(spark: SparkSession, sf_dir: str, factor: int) -> dict:
     )
 
     ev = scaled_events(spark, sf_dir, factor)
-    ev.createOrReplaceTempView("__ev")
     r: dict = {"events": ev.count()}
 
-    # monkey-read shim: run the registry callables against the scaled table
-    import f1_datalakehouse_pipeline_spark.registry_ext as rx
-
-    real_load = rx.load_table
-    rx.load_table = lambda s, d, t: ev if t == "events" else real_load(s, d, t)
-    try:
-        for name, fn in (
-            ("funnel_registry", w19_funnel_stages),
-            ("cohort", a21_cohort_retention),
-            ("transitions", w20_event_transitions),
-            ("mad_outliers", ts_mad_outliers),
-            ("chisq", a24_chisq_cells),
-        ):
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            r[f"{name}_sec"] = round(time.perf_counter() - t0, 2)
-            spark.catalog.clearCache()
-    finally:
-        rx.load_table = real_load
+    for name, fn in (
+        ("funnel_registry", w19_funnel_stages),
+        ("cohort", a21_cohort_retention),
+        ("transitions", w20_event_transitions),
+        ("mad_outliers", ts_mad_outliers),
+        ("chisq", a24_chisq_cells),
+    ):
+        t0 = time.perf_counter()
+        _run_with_events(spark, sf_dir, ev, fn).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        r[f"{name}_sec"] = round(time.perf_counter() - t0, 2)
+        spark.catalog.clearCache()
 
     # alternative form: per-stage aggregate/join (map-side partial combine
     # before each shuffle, three pushed-filter scans) — the 50M interleaved
@@ -357,6 +353,11 @@ def run_funnel_scale(spark: SparkSession, sf_dir: str, factor: int) -> dict:
         and reg["2_click_after_view"] == win_row["s2"]
         and reg["3_purchase_after_click"] == win_row["s3"]
     )
+    if not r["funnel_agree"]:
+        raise RuntimeError(
+            f"funnel forms disagree at factor {factor}: window={reg} "
+            f"aggregate=({win_row['s1']}, {win_row['s2']}, {win_row['s3']})"
+        )
     print(f"  {r}", flush=True)
     return r
 
