@@ -938,6 +938,44 @@ def pq_adc_topk_native(
     )
 
 
+def _fill_empty_cells(xs, cent, asg, empties, k) -> None:
+    """Re-seed every empty k-means cell from a DISTINCT donor point.
+
+    Donors are pooled from clusters in descending-size order, each cluster's
+    members ranked farthest-first against the UPDATED centroid (the caller's
+    pre-update distance matrix is stale once means move). Donors that sit
+    exactly ON their cluster centroid are skipped in the first pass — seeding
+    from them would mint a codeword duplicating that centroid (the
+    effective-code-count shrink this function exists to avoid); they are the
+    whole cluster only when the cluster is all-duplicate points. A second
+    pass relaxes that filter for degenerate samples (fewer distinct points
+    than cells), where duplicates are information-theoretically unavoidable.
+    Mutates ``cent`` in place."""
+    import numpy as np
+
+    counts = np.bincount(asg, minlength=k)
+    order = np.argsort(-counts, kind="stable")
+    pool: list[int] = []
+    for allow_zero_dist in (False, True):
+        for big in order:
+            if counts[big] < 2:
+                break  # descending order: only singleton/empty cells remain
+            cand = np.flatnonzero(asg == big)
+            dd = ((xs[cand] - cent[big][None, :]) ** 2).sum(axis=1)
+            if not allow_zero_dist:
+                cand, dd = cand[dd > 0], dd[dd > 0]
+            else:
+                cand, dd = cand[dd == 0], dd[dd == 0]
+                cand = cand[1:]  # one copy already lives on as the centroid
+            pool.extend(cand[np.argsort(-dd, kind="stable")].tolist())
+            if len(pool) >= len(empties):
+                break
+        if len(pool) >= len(empties):
+            break
+    for j, c in enumerate(empties):
+        cent[c] = xs[pool[j]] if j < len(pool) else cent[asg[0]]
+
+
 def pq_train(
     embeddings: DataFrame,
     n_codes: int = 256,
@@ -951,8 +989,9 @@ def pq_train(
     deterministic sample (seeded hash order, ≤ train_sample rows collected —
     the same driver-budget contract as ivf_train's sample tier; the
     codebook itself is m·n_codes·dsub doubles, broadcast everywhere it is
-    used). Empty clusters re-seed to the farthest point of the largest
-    cluster, so the codebook always fills."""
+    used). Empty clusters re-seed to distinct farthest points pooled from
+    the largest clusters (size >= 2), so the codebook always fills with no
+    duplicated codewords."""
     import numpy as np
 
     sample = (
@@ -985,11 +1024,7 @@ def pq_train(
                 if mask.any():
                     cent[c] = xs[mask].mean(axis=0)
             if empties:
-                big = int(np.bincount(asg, minlength=k).argmax())
-                donors = np.flatnonzero(asg == big)
-                order = donors[np.argsort(-d[donors, big], kind="stable")]
-                for j, c in enumerate(empties):
-                    cent[c] = xs[order[j % len(order)]]
+                _fill_empty_cells(xs, cent, asg, empties, k)
         books.append([[float(v) for v in row] for row in cent])
     return books
 

@@ -51,107 +51,79 @@ def _load_extensions() -> None:
 # driver-green in a prior round and untouched since (rotation documented in
 # COVERAGE.md).
 _VERIFY_FIRST = [
-    # r8 rotation (VERDICT r7 item 1). Priority order within the 50-slot
-    # driver window, 147 registered (135 from r7 + twelve NEW r8 queries):
-    # (a) the 36 queries whose newest driver row is r5 — audited against
-    #     CORRECTNESS_r01..r07 this round (every query whose latest green
-    #     row is r5: the r5-refresh cohort not re-touched since) — lead the
-    #     window, so after r8 no registered query's newest driver row
-    #     predates r6 (the standing COVERAGE.md invariant: no query ages
-    #     past 3 rounds);
-    # (b) the queries NEW in r8, needing a FIRST driver row:
-    #     sim_sq8_quantized_topk / sim_pq_adc_topk (quantized vector search
-    #     — SQ8 grid + product-quantization ADC, both oracle-exact),
-    #     ts_mad_outliers (median/MAD robust flags), dq_expectations (the
-    #     one-scan data-quality battery), w19_funnel_stages (self-join-free
-    #     ordered funnel), a21_cohort_retention (weekly retention triangle),
-    #     t_html_strip (tag/entity/whitespace boilerplate removal),
-    #     w20_event_transitions (Markov transition matrix), a24_chisq_cells
-    #     (bit-exact chi-square contingency cells), w21_top_paths (top user
-    #     journeys), a23_winsorize (per-group p05/p95 clipping), and from
-    #     earlier in r8:
-    #     t_corpus_manifest_semantic — the incremental corpus pipeline run
-    #     WITH the r7 semantic-dedup stage (persisted per-cluster member
-    #     store, cross-batch embedding-twin rejection) over two batches,
-    #     manifest hash-matched against a one-shot DuckDB reconstruction —
-    #     putting r7's flagship addition on the driver's hard signal;
-    # (c) the r6-green refresh cohort, complex plans first. The eleven
-    #     late-r8 additions in (b) shrank this cohort's window share to 2
-    #     slots (36 + 12 + 2): dedup_semantic, t_corpus_manifest. The
-    #     eleven displaced refreshes (t_bpe_table_encode,
-    #     scd2_splice_backdated, dedup_docs_pipeline, dedup_containment,
-    #     contamination_pairs, j4_star_join_revenue, asof_purchase_to_view,
-    #     sim_cosine_topk, tablestore_delete_tombstone, tpch_q9, tpch_q20)
-    #     are REMOVED from this list (the rotation-invariant test rejects
-    #     live entries past slot 50 as silently unverified) and must LEAD
-    #     the r9 window with the rest of the r6 cohort — their rows reach
-    #     age 3 exactly at r9, the invariant's edge, not a breach.
-    # The 36 remaining r6-green queries (a2, a11, a18, a19, a20,
-    # asof_tolerance_join, f_array_q_split, f_datetime_ops,
-    # f_normalize_name, f_points_when_chain, f_status_buckets,
-    # f_string_battery, f_time_format, j10, j11, o1, o2,
-    # range_join_ship_window, t_fingerprint, t_lang_id, t_text_quality,
-    # t_token_doc_frequency, tpch_q2/q4/q6/q11/q12/q15, ts_resample_ohlc,
-    # u1, u3, w10, w11, w12, w13, w18 — mostly single-exchange aggregates,
-    # scalar-function batteries, and single-window plans, untouched since
-    # their r6 rows) re-verify locally every round (the local gate has no
-    # cap) and lead the r9 window. With 136 registered > 100 slots across
-    # two rounds, a <=2-round-fresh guarantee for every query is
-    # arithmetically impossible; the rotation instead guarantees no query
-    # ages past 3 rounds and complex plans never age past 2.
-    # (a) the 36 r5-aged queries
-    "a1_distinct",
-    "a3_count_distinct",
-    "a5_stats_agg",
-    "a8_rollup_revenue",
-    "a9_pivot_doc_counts",
-    "a17_unpivot_metrics",
-    "f_json_extract",
-    "f_levenshtein_pairs",
-    "f_map_ops",
-    "f_posexplode_tokens",
-    "f_regex_extract_all",
-    "f_time_parse",
-    "f_url_parse",
-    "j1_j5_lookup_join",
-    "j2_left_change_detection",
-    "j3_left_backfill_fillna",
-    "j6_window_group_share",
-    "j8_semi_join",
-    "j12_not_exists_anti",
-    "t_model_quality_score",
-    "t_repeat_mixture",
-    "t_token_histogram",
-    "t_token_ids",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier",
-    "tpch_q13_custdist",
-    "tpch_q17_small_qty_revenue",
-    "u2_except_antijoin",
-    "u5_union_schema_drift",
-    "w1_gap_to_best",
-    "w2_personal_best_flag",
-    "w3_best_row_tiebreak",
-    "w5_running_avg",
-    "w9_lead_validity",
-    "w14_ntile_quartiles",
-    "w_sessionize_events",
-    # (b) new in r8
-    "t_corpus_manifest_semantic",
-    "sim_sq8_quantized_topk",
-    "sim_pq_adc_topk",
-    "ts_mad_outliers",
-    "dq_expectations",
-    "w19_funnel_stages",
-    "a21_cohort_retention",
-    "t_html_strip",
-    "w20_event_transitions",
-    "a24_chisq_cells",
-    "w21_top_paths",
-    "a23_winsorize",
-    # (c) r6-green refresh, complex plans first
-    "dedup_semantic",
-    "t_corpus_manifest",
+    # r9 rotation (VERDICT r8 item 1, planned FIRST this round). Aggregating
+    # CORRECTNESS_r01..r08, newest-green-row ages on current 147 registered
+    # queries are exactly {r8: 50, r7: 50, r6: 47} (recomputed this session).
+    # The 47 r6-aged queries fill 47 of the 50 driver slots so that after r9
+    # no registered query's newest driver row predates r7 (the COVERAGE.md
+    # invariant: no query ages past 3 rounds; these rows reach age 3 exactly
+    # at r9 — the invariant's edge, not a breach). The remaining 3 slots go
+    # to the ONLY queries NEW in r9, each closing a VERDICT r8 item:
+    #   sim_ivfpq_residual_topk — IVFADC with canonical RESIDUAL encoding
+    #     (x − centroid[list]; Jégou et al. TPAMI 2011), item 2;
+    #   tablestore_cdf_read     — write-time change-data-feed read on
+    #     TableStore (per-commit change files, not snapshot diff), item 3;
+    #   w22_funnel_windowed     — time-bounded funnel (each hop within a
+    #     per-hop horizon of the previous), item 6.
+    # The 50 r7-aged queries (p1..p7 family, w4 flagship, TPC-H q1/q7/q8/
+    # q10/q14/q16/q18/q19/q21/q22, the t_* text/corpus family, scd2
+    # historical build, a12-a16, w15-w17, …) re-verify locally every round
+    # via tools/verify_local.py (no cap) and must lead the r10 window.
+    # With 150 registered > 100 slots across two rounds, a ≤2-round-fresh
+    # guarantee for every query is arithmetically impossible; the rotation
+    # guarantees no query ages past 3 rounds.
+    # (a) the 47 r6-aged queries, complex plans first
+    "t_bpe_table_encode",
+    "scd2_splice_backdated",
+    "dedup_docs_pipeline",
+    "dedup_containment",
+    "contamination_pairs",
+    "j4_star_join_revenue",
+    "asof_purchase_to_view",
+    "sim_cosine_topk",
+    "tablestore_delete_tombstone",
+    "tpch_q9_product_profit",
+    "tpch_q20_dominant_supplier",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q4_priority_count",
+    "tpch_q6_forecast_revenue",
+    "tpch_q11_important_stock",
+    "tpch_q12_late_priority",
+    "tpch_q15_top_supplier",
+    "asof_tolerance_join",
+    "range_join_ship_window",
+    "j10_interval_overlap",
+    "j11_correlated_scalar_subquery",
+    "a2_latest_attr",
+    "a11_share_of_total",
+    "a18_bool_aggs",
+    "a19_histogram_fixed_width",
+    "a20_multi_distinct",
+    "f_array_q_split",
+    "f_datetime_ops",
+    "f_normalize_name",
+    "f_points_when_chain",
+    "f_status_buckets",
+    "f_string_battery",
+    "f_time_format",
+    "o1_latest_event",
+    "o2_topk_per_group",
+    "t_fingerprint",
+    "t_lang_id",
+    "t_text_quality",
+    "t_token_doc_frequency",
+    "ts_resample_ohlc",
+    "u1_union_distinct",
+    "u3_intersect",
+    "w10_recent_form",
+    "w11_lag_delta",
+    "w12_teammate_compare",
+    "w13_constructor_window_agg",
+    "w18_first_last_value",
+    # (b) the 3 queries new in r9
+    "sim_ivfpq_residual_topk",
+    "tablestore_cdf_read",
+    "w22_funnel_windowed",
 ]
 
 

@@ -45,13 +45,24 @@ def _overwrite_batch(
     df: DataFrame, batch_id: int, path: str, stamped: bool = False
 ) -> None:
     """Idempotent per-batch sink write: dynamic partition overwrite of the
-    batch's own ``batch_id=`` partition (the session pins
-    partitionOverwriteMode=dynamic). A crash-and-re-run of the same batch
+    batch's own ``batch_id=`` partition. A crash-and-re-run of the same batch
     REPLACES its partial output instead of appending a duplicate — the
-    idempotence exactly_once_batch_writer requires of its upsert."""
+    idempotence exactly_once_batch_writer requires of its upsert.
+
+    The dynamic mode is pinned ON THE WRITER (not inherited from the
+    session): under Spark's default static partitionOverwriteMode a
+    mode('overwrite').partitionBy(...) write deletes ALL existing
+    partitions, which here would silently destroy every previously
+    published batch for any caller whose session doesn't set the conf —
+    the same per-writer pattern as sources/bronze.py."""
     if not stamped:
         df = df.withColumn("batch_id", F.lit(batch_id))
-    df.write.mode("overwrite").partitionBy("batch_id").parquet(path)
+    (
+        df.write.option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite")
+        .partitionBy("batch_id")
+        .parquet(path)
+    )
 
 
 def audit_split(

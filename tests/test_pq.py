@@ -265,3 +265,56 @@ def test_html_strip_decodes_amp_last(spark):
     assert got == ["a &lt; b", "x < y & z"]
     tags = [r.t for r in df.select(html_tag_count(F.col("raw")).alias("t")).collect()]
     assert tags == [2, 0]
+
+
+def test_fill_empty_cells_distinct_donors_across_clusters():
+    """ADVICE r8: when empty cells outnumber the largest cluster's donors,
+    the re-seed must pool DISTINCT points from the next clusters instead of
+    wrapping modulo over one cluster (which duplicated codewords)."""
+    rng = np.random.default_rng(7)
+    xs = rng.normal(size=(10, 2))
+    k = 10
+    asg = np.array([0] * 4 + [1] * 3 + [2] * 3)
+    cent = np.zeros((k, 2))
+    for c in range(3):
+        cent[c] = xs[asg == c].mean(axis=0)
+    empties = list(range(3, 10))  # 7 empties > largest cluster (4 members)
+    similarity._fill_empty_cells(xs, cent, asg, empties, k)
+    new = cent[3:]
+    # every re-seeded codeword is a real data point...
+    assert all(any(np.array_equal(row, x) for x in xs) for row in new)
+    # ...and all 10 codewords are pairwise distinct (no modulo wrap)
+    assert len({tuple(row) for row in cent}) == k
+
+
+def test_fill_empty_cells_skips_duplicate_point_donors():
+    """An all-duplicate largest cluster contributes no first-pass donors —
+    its points sit ON the centroid, and seeding from them would mint
+    duplicate codewords. Donors must come from the spread cluster."""
+    a = np.array([5.0, 5.0])
+    spread = np.array([[0.0, 0.0], [1.0, 0.0], [0.0, 1.0], [1.0, 1.0]])
+    xs = np.vstack([np.tile(a, (6, 1)), spread])
+    k = 5
+    asg = np.array([0] * 6 + [1] * 4)
+    cent = np.zeros((k, 2))
+    cent[0] = a
+    cent[1] = spread.mean(axis=0)
+    empties = [2, 3, 4]
+    similarity._fill_empty_cells(xs, cent, asg, empties, k)
+    new = cent[2:]
+    assert len({tuple(row) for row in new}) == 3  # three distinct codewords
+    assert not any(np.array_equal(row, a) for row in new)
+    assert all(any(np.array_equal(row, s) for s in spread) for row in new)
+
+
+def test_pq_train_duplicate_heavy_sample_fills_codebook(spark):
+    """pq_train on a duplicate-heavy corpus (the realistic empty-cell
+    trigger: duplicate sample points seed duplicate initial centroids) still
+    returns a full, shape-correct codebook."""
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(8, 8))
+    rows = [(int(i), [float(v) for v in base[i % 8] * (1 if i < 64 else 1e-3)]) for i in range(96)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    books = similarity.pq_train(df, n_codes=16, m=4, train_sample=96, iters=4)
+    assert len(books) == 4
+    assert all(len(b) == 16 and all(len(c) == 2 for c in b) for b in books)

@@ -80,7 +80,7 @@ def test_gate_stream_splits_match_batch_semantics(spark, tmp_path):
         checkpoint_dir=str(tmp_path / "ckpt"),
         ledger_dir=str(tmp_path / "ledger"),
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(180)
 
     both = a.unionByName(b)
     want_clean = {
@@ -140,7 +140,7 @@ def test_gate_critical_check_quarantines_whole_batch(spark, tmp_path):
         ledger_dir=str(tmp_path / "ledger"),
         critical={"status_enum"},
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(180)
 
     metrics = spark.read.parquet(paths["metrics"]).collect()
     aborted = {r.batch_id for r in metrics if r.batch_quarantined}
@@ -180,7 +180,7 @@ def test_gate_replay_skips_committed_batches(spark, tmp_path):
             checkpoint_dir=str(tmp_path / "ckpt"),
             ledger_dir=str(tmp_path / "ledger"),
         )
-        q.awaitTermination(180)
+        assert q.awaitTermination(180)
 
     run()
     first = spark.read.parquet(paths["delivery"]).count()
@@ -193,6 +193,41 @@ def test_gate_replay_skips_committed_batches(spark, tmp_path):
     assert spark.read.parquet(paths["metrics"]).count() == first_m
     metrics = spark.read.parquet(paths["metrics"]).collect()
     assert len({(r.batch_id, r.check_name) for r in metrics}) == len(metrics)
+
+
+def test_gate_sinks_survive_static_overwrite_mode(spark, tmp_path):
+    """The per-batch sink overwrite pins partitionOverwriteMode=dynamic ON
+    THE WRITER, so a caller whose session runs Spark's default STATIC mode
+    still keeps every previously published batch — under static semantics
+    batch 1's mode('overwrite') write would otherwise delete batch 0's
+    partition from all three sinks."""
+    src, a, b = _stage_batches(spark, tmp_path)
+    paths = {k: str(tmp_path / k) for k in ("delivery", "quarantine", "metrics")}
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        stream = (
+            spark.readStream.schema(
+                "o_orderkey long, o_custkey long, o_orderstatus string"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = quality_gate_stream(
+            stream,
+            CHECKS(),
+            delivery_path=paths["delivery"],
+            quarantine_path=paths["quarantine"],
+            metrics_path=paths["metrics"],
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            ledger_dir=str(tmp_path / "ledger"),
+        )
+        assert q.awaitTermination(180)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    for p in paths.values():
+        got = {r.batch_id for r in spark.read.parquet(p).select("batch_id").distinct().collect()}
+        assert got == {0, 1}, (p, got)
 
 
 def test_gate_rerun_overwrites_instead_of_duplicating(spark, tmp_path):
@@ -223,7 +258,7 @@ def test_gate_rerun_overwrites_instead_of_duplicating(spark, tmp_path):
             checkpoint_dir=str(tmp_path / "ckpt"),
             ledger_dir=str(tmp_path / "ledger"),
         )
-        q.awaitTermination(180)
+        assert q.awaitTermination(180)
 
     run()
     first = {k: spark.read.parquet(p).count() for k, p in paths.items()}

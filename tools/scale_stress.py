@@ -271,6 +271,19 @@ def scaled_events(spark: SparkSession, sf_dir: str, factor: int) -> DataFrame:
     path = os.path.join(CACHE, f"events_{tag}_x{factor}")
     if not os.path.isdir(path):
         base = load_table(spark, sf_dir, "events")
+        # ADVICE r8: the disjointness claim is only true while base ids stay
+        # below the replica stride — a bigger driver-provided events table
+        # would silently alias users across replicas and invalidate the
+        # funnel_agree baseline. Derive-or-die: assert before replicating.
+        mx = base.agg(
+            F.max("user_id").alias("u"), F.max("event_id").alias("e")
+        ).collect()[0]
+        if mx["u"] >= 1_000_000 or mx["e"] >= 100_000_000:
+            raise ValueError(
+                f"scaled_events stride too small: max user_id={mx['u']} "
+                f"(stride 1_000_000), max event_id={mx['e']} (stride "
+                "100_000_000) — replicas would alias ids"
+            )
         reps = spark.range(factor).select(F.col("id").alias("rep"))
         out = base.crossJoin(reps).select(
             (F.col("event_id") + F.col("rep") * F.lit(100_000_000)).alias("event_id"),
