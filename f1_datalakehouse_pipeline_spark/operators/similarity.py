@@ -499,8 +499,18 @@ def ivf_train(
     seed: int = 13,
     kmeans_iters: int = 5,
     train: str = "sample",
+    metric: str = "dot",
 ) -> list[list[float]]:
     """Train the IVF coarse quantizer; returns ``n_lists`` unit centroids.
+
+    ``metric="dot"`` (default) is spherical k-means — unit centroids, argmax
+    dot assignment — matching the cosine-flavored IVF serve path.
+    ``metric="l2"`` (sample tier only) is plain Lloyd's in L2: no
+    normalization, argmin squared-distance assignment — the coarse
+    quantizer canonical residual IVFADC needs, since residuals are only
+    small when the assignment minimizes the same metric ADC scores in
+    (measured: dot-assigned residuals LOSE recall vs raw encoding; L2
+    residuals win — PERF_NOTES r9).
 
     ``train="sample"`` (default) trains driver-side on a bounded sample
     (numpy k-means on ≤ ``train_sample`` vectors — O(sample·dim·lists),
@@ -515,6 +525,10 @@ def ivf_train(
     fill)."""
     import numpy as np
 
+    if metric not in ("dot", "l2"):
+        raise ValueError(f"metric must be 'dot' or 'l2', got {metric!r}")
+    if metric == "l2" and train != "sample":
+        raise ValueError("metric='l2' is implemented for the sample tier only")
     if train == "hierarchical":
         fine, _coarse = kmeans_hierarchical(
             embeddings, id_col, vec_col, n_lists=n_lists,
@@ -536,7 +550,8 @@ def ivf_train(
             .collect()
         )
         x = np.array([r[0] for r in sample], dtype=np.float64)
-        x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        if metric == "dot":
+            x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
         rng = np.random.RandomState(seed)
         cent = x[rng.choice(len(x), size=min(n_lists, len(x)), replace=False)]
         for _ in range(kmeans_iters):
@@ -546,7 +561,14 @@ def ivf_train(
             assign = np.empty(len(x), dtype=np.int64)
             block = max(1, min(len(x), (1 << 27) // max(len(cent), 1)))
             for s in range(0, len(x), block):
-                assign[s : s + block] = np.argmax(x[s : s + block] @ cent.T, axis=1)
+                scores = x[s : s + block] @ cent.T
+                if metric == "l2":
+                    # argmin ||x-c||^2 = argmin(-2x.c + ||c||^2)
+                    assign[s : s + block] = np.argmin(
+                        -2.0 * scores + (cent**2).sum(axis=1)[None, :], axis=1
+                    )
+                else:
+                    assign[s : s + block] = np.argmax(scores, axis=1)
             # vectorized per-centroid mean (a python loop over 50K centroids
             # with a full-sample mask each would be quadratic-ish)
             sums = np.zeros_like(cent)
@@ -555,9 +577,10 @@ def ivf_train(
             np.add.at(counts, assign, 1)
             nz = counts > 0
             cent[nz] = sums[nz] / counts[nz, None]
-            cent = cent / np.maximum(
-                np.linalg.norm(cent, axis=1, keepdims=True), 1e-12
-            )
+            if metric == "dot":
+                cent = cent / np.maximum(
+                    np.linalg.norm(cent, axis=1, keepdims=True), 1e-12
+                )
     else:
         raise ValueError(
             f"train must be 'sample', 'distributed' or 'hierarchical', got {train!r}"
@@ -1147,12 +1170,155 @@ def pq_adc_topk(
     )
 
 
+def ivfpq_residual_native(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_probe: int = 2,
+) -> DataFrame:
+    """Canonical residual-encoded IVFADC (Jégou et al. TPAMI 2011 §III) as
+    pure native expressions, every FP step a fixed-order fold so a SQL
+    oracle reproduces the hash exactly:
+
+    - build: list_id = argmin fixed-order L2²(x, centroid_l) (ties → lowest
+      list id via array_position-on-min; nearest-centroid in the SAME
+      metric ADC scores in — the property residual encoding's recall win
+      rests on), codes[s] = argmin-L2 codeword of the RESIDUAL subvector
+      (x − centroid[list])[s] — one map-only scan, zero Python, zero
+      shuffles;
+    - serve: each query ranks lists by the same L2² (one posexplode + one
+      tiny window — no driver-side argsort), keeps n_probe, and scores the
+      probed candidates through Σ_s L2²((q − centroid[list])_sub_s,
+      codeword[code_s]) — the per-(query, probed-list) LUT fold. The only
+      data shuffle is the final per-query top-k window.
+
+    The production twin (pq_train on residualize() output + Arrow-batched
+    ivfpq_build/ivfpq_topk with residual=True) carries the same math at
+    scale; this tier exists so the residual-encoding semantics themselves
+    sit on the driver's hash-compare gate."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    cent_arr = F.array(*[F.array(*[F.lit(x) for x in c]) for c in centroids])
+
+    def assign_and_residual(v: Column) -> tuple[Column, Column]:
+        dists = F.array(
+            *[_l2sq(v, F.array(*[F.lit(x) for x in c])) for c in centroids]
+        )
+        list_id = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+        res = F.zip_with(v, F.element_at(cent_arr, list_id + 1), lambda x, c: x - c)
+        return list_id, res
+
+    # ---- build: (neighbor_id, list_id, codes) --------------------------
+    v = _as_double(F.col(vec_col))
+    list_id, res = assign_and_residual(v)
+    enc = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        list_id.alias("list_id"),
+        res.alias("res"),
+    )
+    codes = []
+    for s in range(m):
+        sub = F.slice(F.col("res"), s * dsub + 1, dsub)
+        dists = F.array(
+            *[_l2sq(sub, F.array(*[F.lit(x) for x in cw])) for cw in codebooks[s]]
+        )
+        codes.append((F.array_position(dists, F.array_min(dists)) - 1).cast("int"))
+    index = enc.select("neighbor_id", "list_id", F.array(*codes).alias("codes"))
+
+    # ---- probes: top-n_probe lists per query, fully declarative --------
+    qv = _as_double(F.col(vec_col))
+    qdists = F.array(
+        *[_l2sq(qv, F.array(*[F.lit(x) for x in c])) for c in centroids]
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), qv.alias("qv"), qdists.alias("dists")
+    )
+    exploded = q.select(
+        "query_id", "qv", F.posexplode("dists").alias("list_id", "dist")
+    )
+    pw = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("list_id").asc()
+    )
+    probes = (
+        exploded.withColumn("pr", F.row_number().over(pw))
+        .filter(F.col("pr") <= n_probe)
+        .select("query_id", F.col("list_id").cast("int").alias("list_id"), "qv")
+    )
+
+    # ---- ADC over probed candidates ------------------------------------
+    qres = F.zip_with(
+        F.col("qv"), F.element_at(cent_arr, F.col("list_id") + 1), lambda x, c: x - c
+    )
+    cand = index.join(F.broadcast(probes), "list_id").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    ).withColumn("qres", qres)
+    per_sub = []
+    for s in range(m):
+        qsub = F.slice(F.col("qres"), s * dsub + 1, dsub)
+        cb = F.array(*[F.array(*[F.lit(x) for x in cw]) for cw in codebooks[s]])
+        cw = F.element_at(cb, F.col("codes")[s] + 1)
+        per_sub.append(_l2sq(qsub, cw))
+    adc = F.aggregate(F.array(*per_sub), F.lit(0.0), lambda acc, x: acc + x)
+    scored = cand.select("query_id", "neighbor_id", adc.alias("adc"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rnk", F.row_number().over(w).cast("long")).filter(
+        F.col("rnk") <= k
+    )
+
+
+def residualize(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, list_id, embedding=x − centroid[list]) in one Arrow pass — the
+    residual table canonical IVFADC trains its PQ codebook on (Jégou et al.
+    TPAMI 2011 §III: quantizing the residual concentrates the codebook's
+    dynamic range near the origin instead of spreading it across the whole
+    space, which is where the recall-at-equal-code-budget win comes from).
+    Assignment is nearest-centroid in L2 — the SAME metric ADC scores in;
+    residuals are only small (and the recall win only materializes) when
+    the two metrics agree, so pair this with ivf_train(metric="l2").
+    Feed the output to pq_train for residual codebooks, then ivfpq_build/
+    ivfpq_topk with residual=True."""
+    import numpy as np
+    import pandas as pd
+
+    cent = np.array(centroids, dtype=np.float64)
+    cent_sq = (cent**2).sum(axis=1)
+    out_schema = f"{id_col} long, list_id int, {vec_col} array<double>"
+
+    def res(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.array(list(pdf[vec_col]), dtype=np.float64)
+            lists = np.argmin(-2.0 * (x @ cent.T) + cent_sq[None, :], axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(dtype=np.int64),
+                    "list_id": lists.astype(np.int32),
+                    vec_col: list(x - cent[lists]),
+                }
+            )
+
+    return embeddings.select(id_col, vec_col).mapInPandas(res, schema=out_schema)
+
+
 def ivfpq_build(
     embeddings: DataFrame,
     centroids: list[list[float]],
     codebooks: list[list[list[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    residual: bool = False,
 ) -> DataFrame:
     """IVFADC index build in ONE Arrow pass: every vector gets its coarse
     list id (argmax dot against the broadcast centroid matrix) AND its m PQ
@@ -1160,11 +1326,22 @@ def ivfpq_build(
     between the two halves, no second scan. Output
     (neighbor_id, list_id, codes): ~(8 + 4 + m) bytes of index per vector
     regardless of dim. Persist partitioned by list_id (ivf_write_index) and
-    the probe-side partition pruning story carries over unchanged."""
+    the probe-side partition pruning story carries over unchanged.
+
+    ``residual=True`` is canonical IVFADC (Jégou et al. TPAMI 2011, the
+    FAISS METRIC_L2 IndexIVFPQ default): assignment flips to
+    nearest-centroid in L2 (the metric ADC scores in — dot-assigned
+    residuals measurably LOSE recall, see PERF_NOTES r9) and the PQ input
+    is ``x − centroid[list]`` — the assignment is already in hand in the
+    same batch, so the subtraction is free. Pair with ivf_train(metric=
+    "l2") centroids and codebooks trained on ``residualize(...)`` output,
+    serve with ``ivfpq_topk(..., residual=True)``. residual=False (raw x,
+    dot assignment) is kept as the cosine-flavored comparison tier."""
     import numpy as np
     import pandas as pd
 
     cent = np.array(centroids, dtype=np.float64)
+    cent_sq = (cent**2).sum(axis=1)
     books = [np.array(b, dtype=np.float64) for b in codebooks]
     m = len(books)
     dsub = books[0].shape[1]
@@ -1180,16 +1357,20 @@ def ivfpq_build(
                     f"vector dim {x.shape[1]} != m*dsub = {m}*{dsub} "
                     "of the codebook — trailing dimensions would be dropped"
                 )
-            lists = np.argmax(x @ cent.T, axis=1).astype(np.int32)
+            if residual:
+                lists = np.argmin(-2.0 * (x @ cent.T) + cent_sq[None, :], axis=1)
+            else:
+                lists = np.argmax(x @ cent.T, axis=1)
+            enc = x - cent[lists] if residual else x
             codes = np.empty((len(pdf), m), dtype=np.int16)
             for s in range(m):
-                xs = x[:, s * dsub : (s + 1) * dsub]
+                xs = enc[:, s * dsub : (s + 1) * dsub]
                 d = -2.0 * (xs @ books[s].T) + (books[s] ** 2).sum(axis=1)[None, :]
                 codes[:, s] = d.argmin(axis=1)
             yield pd.DataFrame(
                 {
                     "neighbor_id": pdf[id_col].to_numpy(dtype=np.int64),
-                    "list_id": lists,
+                    "list_id": lists.astype(np.int32),
                     "codes": list(codes),
                 }
             )
@@ -1206,37 +1387,57 @@ def ivfpq_topk(
     vec_col: str = "embedding",
     k: int = 5,
     n_probe: int = 4,
+    residual: bool = False,
 ) -> DataFrame:
     """IVFADC serve (Jégou et al., TPAMI 2011, the FAISS default at this
     scale): each query probes its n_probe nearest coarse lists (broadcast
     join on list_id → candidates are corpus·n_probe/n_lists, and against a
     list-partitioned on-disk index the unprobed partitions are never read),
-    then candidates are scored through the query's m×n_codes LUT — m
-    gather-adds per candidate, never a dim-length product. Smaller adc =
-    closer (squared-L2 surrogate)."""
+    then candidates are scored through a m×n_codes LUT — m gather-adds per
+    candidate, never a dim-length product. Smaller adc = closer (squared-L2
+    surrogate).
+
+    ``residual=True`` serves a residual-encoded index (ivfpq_build with
+    residual=True): the LUT is built per (query, probed list) from
+    ``q − centroid[list]`` — n_probe LUTs per query, still m×n_codes
+    doubles each. The LUT dict ships as a Spark BROADCAST variable, not
+    task-closure pickle, so a 10K-query batch serializes it once per
+    executor instead of once per task."""
     import numpy as np
     import pandas as pd
 
     books = [np.array(b, dtype=np.float64) for b in codebooks]
     m = len(books)
     dsub = books[0].shape[1]
+    cent = np.array(centroids, dtype=np.float64)
     q_rows = queries.select(id_col, vec_col).collect()
     q_ids = [int(r[0]) for r in q_rows]
     q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
-    luts = {
-        qid: np.stack(
+
+    def lut_for(q: "np.ndarray") -> "np.ndarray":
+        return np.stack(
             [((q[s * dsub : (s + 1) * dsub] - books[s]) ** 2).sum(axis=1) for s in range(m)]
         )
-        for qid, q in zip(q_ids, q_mat)
-    }
 
     spark = index.sparkSession
     probe_rows = []
-    cent = np.array(centroids, dtype=np.float64)
+    luts: dict = {}
+    cent_sq = (cent**2).sum(axis=1)
     for qid, q in zip(q_ids, q_mat):
-        top = np.argsort(-(cent @ q), kind="stable")[:n_probe]
+        if residual:
+            # probe in L2, the metric the residual index was assigned in
+            top = np.argsort(-2.0 * (cent @ q) + cent_sq, kind="stable")[:n_probe]
+        else:
+            top = np.argsort(-(cent @ q), kind="stable")[:n_probe]
         probe_rows += [(qid, int(l)) for l in top]
+        if residual:
+            # per probed list: LUT of the query's residual vs that list
+            for l in top:
+                luts[(qid, int(l))] = lut_for(q - cent[l])
+        else:
+            luts[qid] = lut_for(q)
     probes = spark.createDataFrame(probe_rows, "query_id long, list_id int")
+    b_luts = spark.sparkContext.broadcast(luts)
 
     cands = index.join(F.broadcast(probes), "list_id").filter(
         F.col("query_id") != F.col("neighbor_id")
@@ -1244,16 +1445,22 @@ def ivfpq_topk(
     out_schema = "query_id long, neighbor_id long, adc double"
 
     def score(batches):
+        lt = b_luts.value
         for pdf in batches:
             if not len(pdf):
                 continue
             codes = np.array(list(pdf["codes"]), dtype=np.int64)
             qids = pdf["query_id"].to_numpy(dtype=np.int64)
+            lists = pdf["list_id"].to_numpy(dtype=np.int64)
             adc = np.zeros(len(pdf), dtype=np.float64)
-            # group rows by query so each LUT gathers once per batch
-            for qid in np.unique(qids):
-                mask = qids == qid
-                lut = luts[int(qid)]
+            # group rows by (query[, list]) so each LUT gathers once per batch
+            keys = qids * (lists.max() + 1 if residual else 1) + (
+                lists if residual else 0
+            )
+            for kk in np.unique(keys):
+                mask = keys == kk
+                qid = int(qids[mask][0])
+                lut = lt[(qid, int(lists[mask][0]))] if residual else lt[qid]
                 c = codes[mask]
                 adc[mask] = sum(lut[s, c[:, s]] for s in range(m))
             yield pd.DataFrame(
@@ -1264,7 +1471,7 @@ def ivfpq_topk(
                 }
             )
 
-    scored = cands.select("query_id", "neighbor_id", "codes").mapInPandas(
+    scored = cands.select("query_id", "neighbor_id", "list_id", "codes").mapInPandas(
         score, schema=out_schema
     )
     w = Window.partitionBy("query_id").orderBy(

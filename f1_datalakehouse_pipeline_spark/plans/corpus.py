@@ -70,6 +70,13 @@ class CorpusReport:
     #: per-document verdict — delivery identity stays byte-equal.
     drift_psi: dict = field(default_factory=dict)
     drift_flagged: list = field(default_factory=list)
+    #: write-audit-publish results (set only when the caller passes
+    #: wap_checks): per-check (violations, total), the number of rows routed
+    #: to quarantine, and whether a critical check aborted the WHOLE batch
+    #: (nothing delivered, no state touched, manifest unchanged).
+    wap_metrics: dict = field(default_factory=dict)
+    wap_quarantined: int = 0
+    wap_batch_quarantined: bool = False
 
 
 def corpus_drift_reference(docs: DataFrame, content_col: str = "text", *, n_buckets: int = 10):
@@ -419,9 +426,31 @@ def run_corpus_pipeline_incremental(
     semantic_vec_id_col: str = "vec_id",
     semantic_vec_col: str = "embedding",
     semantic_lsh_planes: "list[list[list[float]]] | None" = None,
+    wap_checks: "dict | None" = None,
+    wap_critical: "set[str] | None" = None,
 ) -> CorpusReport:
     """Admit ONE NEW BATCH into an already-built corpus — the ingestion form
     of :func:`run_corpus_pipeline`.
+
+    ``wap_checks`` (check_name → boolean VIOLATION predicate over the raw
+    batch — the ``quality.expectations_for_table`` contract) turns on the
+    write-audit-publish admission gate (VERDICT r8 item 4), implemented by
+    the SAME ``streaming.quality_gate.audit_split`` battery as the
+    oracle-gated ``dq_expectations`` and the streaming gate, so corpus
+    admission can never drift from their counting semantics. Per batch:
+    rows violating any check are routed to ``<state_root>/quarantine/``
+    (batch_token-partitioned, idempotent dynamic overwrite — replay-safe
+    like every other state write here) with the names of the checks they
+    broke; one (check_name, violations, total, batch_quarantined) row per
+    check lands in ``<state_root>/wap_metrics/``; clean rows continue into
+    the quality→dedup→chunk pipeline. If a check named in ``wap_critical``
+    has violations, the ENTIRE batch is quarantined and the function
+    returns with shards, manifest and every state store untouched — the
+    WAP abort. Results surface on the report (``wap_metrics``,
+    ``wap_quarantined``, ``wap_batch_quarantined``). Note the
+    quality_min score filter is a DIFFERENT axis (per-document model-score
+    admission); the WAP battery is schema/contract violations an operator
+    must see counted per check.
 
     ``drift_reference`` (a :func:`corpus_drift_reference` result, built once
     from the bootstrap corpus) turns on the per-batch PSI drift gate
@@ -601,6 +630,70 @@ def run_corpus_pipeline_incremental(
         return df
 
     try:
+        if wap_checks:
+            from f1_datalakehouse_pipeline_spark.streaming.quality_gate import (
+                audit_split,
+            )
+
+            critical = wap_critical or set()
+            unknown = critical - set(wap_checks)
+            if unknown:
+                raise ValueError(
+                    f"wap_critical names not in wap_checks: {sorted(unknown)}"
+                )
+            audited = checkpoint_stage(batch)
+            clean, quarantined, metrics = audit_split(audited, wap_checks)
+            mrows = metrics.collect()  # bounded: one row per declared check
+            rep.wap_metrics = {
+                r["check_name"]: (r["violations"], r["total"]) for r in mrows
+            }
+            crit_hit = any(
+                r["check_name"] in critical and r["violations"] > 0
+                for r in mrows
+            )
+
+            def _wap_sink(df: DataFrame, path: str) -> None:
+                # idempotent per-batch sink: replay overwrites its own
+                # batch_token partition (mode pinned on the writer, same as
+                # streaming/quality_gate._overwrite_batch)
+                (
+                    df.withColumn("batch_token", F.lit(batch_token))
+                    .write.option("partitionOverwriteMode", "dynamic")
+                    .mode("overwrite")
+                    .partitionBy("batch_token")
+                    .parquet(path)
+                )
+
+            _wap_sink(
+                spark.createDataFrame(
+                    [
+                        (r["check_name"], r["violations"], r["total"], crit_hit)
+                        for r in mrows
+                    ],
+                    "check_name string, violations long, total long, "
+                    "batch_quarantined boolean",
+                ),
+                os.path.join(state_root, "wap_metrics"),
+            )
+            if crit_hit:
+                # audit failed: quarantine the WHOLE batch; deliver nothing,
+                # touch no state, leave the manifest byte-identical
+                _wap_sink(
+                    quarantined.unionByName(
+                        clean.withColumn(
+                            "violated_checks", F.array().cast("array<string>")
+                        )
+                    ),
+                    os.path.join(state_root, "quarantine"),
+                )
+                rep.wap_batch_quarantined = True
+                rep.wap_quarantined = rep.counts["raw"]
+                return rep
+            rep.wap_quarantined = quarantined.count()
+            if rep.wap_quarantined:
+                _wap_sink(quarantined, os.path.join(state_root, "quarantine"))
+            batch = clean
+
         kept = checkpoint_stage(
             batch.filter(quality_score(F.col(content_col)) >= quality_min)
             .withColumn(content_col, scrub_pii(F.col(content_col)))

@@ -395,6 +395,7 @@ class TableStore:
         sort_by: list[str] | None = None,
         cluster_by: list[str] | None = None,
         expected=_UNSET,
+        changes: DataFrame | None = None,
     ) -> None:
         """Transactional full overwrite: write → (implicit) validate → atomic
         swap. If the write job fails, no swap happens and the live table is
@@ -405,7 +406,17 @@ class TableStore:
         range-partition + sort on the Morton interleave key so EVERY listed
         column gets tight per-file min/max stats (functions/zorder.py; the
         plain-parquet OPTIMIZE ZORDER BY). Mutually exclusive with
-        ``sort_by`` (single-dimension clustering)."""
+        ``sort_by`` (single-dimension clustering).
+
+        ``changes``: write-time CDF rows (table columns + ``_change_type``)
+        describing THIS commit's delta vs the version being replaced; they
+        land under ``<version_dir>/_changes/`` before the publish swap
+        (crash-safe: an unpublished version dir is an orphan, changes
+        included), ride the version's retention/vacuum lifecycle, and are
+        invisible to table scans (underscore-prefixed = Hadoop hidden).
+        mutation APIs that KNOW their delta (merge_upsert, delete_where)
+        pass this so table_changes() serves a metadata-located file read
+        instead of a two-snapshot diff."""
         if cluster_by:
             from pyspark.sql import functions as F
 
@@ -431,6 +442,10 @@ class TableStore:
         self._writer(df, table, sort_by).option("partitionOverwriteMode", "static").mode(
             "overwrite"
         ).save(version_dir)
+        if changes is not None:
+            changes.write.mode("overwrite").parquet(
+                os.path.join(version_dir, "_changes")
+            )
         self._publish(table, version_dir, expected=expected)
 
     def stage_many(
@@ -537,6 +552,15 @@ class TableStore:
         (``WHEN MATCHED AND <flag> THEN DELETE``); a tombstone for an
         absent key is a no-op, and the column itself is stripped before
         the upsert rows are written.
+
+        Write-time CDF: the merge already distinguishes matched/unmatched
+        sides, so the per-commit change rows (insert / update_preimage /
+        update_postimage for value-changed matches / delete for landed
+        tombstones) are emitted HERE into the new version's ``_changes/``
+        files — one extra join keyed the same as the merge itself, paid
+        once at write time instead of a two-snapshot diff per CDC reader
+        (``table_changes``). Matched rows whose values are byte-identical
+        emit nothing, matching the snapshot-diff labeling exactly.
         """
         from pyspark.sql import functions as F
 
@@ -550,7 +574,52 @@ class TableStore:
         kept = current.join(updates.select(*keys), keys, "left_anti")
         # …and only the non-tombstone rows come back
         merged = kept.unionByName(upserts.select(*current.columns))
-        self.overwrite(merged, table, expected=expected)
+
+        # ---- write-time change feed ------------------------------------
+        cols = current.columns
+        val_cols = [c for c in cols if c not in keys]
+        # conform the upsert image so the change rows carry exactly the
+        # types the data write persists (and the snapshot diff would read)
+        u = (
+            conform(upserts.select(*cols), table)
+            .withColumn("__u", F.lit(True))
+            .alias("u")
+        )
+        o = current.withColumn("__o", F.lit(True)).alias("o")
+        cond = None
+        for k in keys:
+            eq = F.col(f"u.{k}") == F.col(f"o.{k}")
+            cond = eq if cond is None else (cond & eq)
+        j = u.join(o, cond, "left_outer")
+        matched = F.col("o.__o").isNotNull()
+        value_changed = (
+            ~F.struct(*[F.col(f"o.{c}") for c in val_cols]).eqNullSafe(
+                F.struct(*[F.col(f"u.{c}") for c in val_cols])
+            )
+            if val_cols
+            else F.lit(False)
+        )
+        ins = j.filter(~matched).select(
+            *[F.col(f"u.{c}") for c in cols], F.lit("insert").alias("_change_type")
+        )
+        upd = j.filter(matched & value_changed)
+        pre = upd.select(
+            *[F.col(f"o.{c}") for c in cols],
+            F.lit("update_preimage").alias("_change_type"),
+        )
+        post = upd.select(
+            *[F.col(f"u.{c}") for c in cols],
+            F.lit("update_postimage").alias("_change_type"),
+        )
+        changes = ins.unionByName(pre).unionByName(post)
+        if delete_col is not None:
+            landed = current.join(
+                updates.filter(tomb).select(*keys), keys, "left_semi"
+            )
+            changes = changes.unionByName(
+                landed.select(*cols, F.lit("delete").alias("_change_type"))
+            )
+        self.overwrite(merged, table, expected=expected, changes=changes)
 
     @staticmethod
     def _leaf_partitions(root: str, depth: int) -> set[tuple[str, ...]]:
@@ -560,6 +629,11 @@ class TableStore:
         for dirpath, dirnames, filenames in os.walk(root):
             rel = os.path.relpath(dirpath, root)
             comps = tuple() if rel == "." else tuple(rel.split(os.sep))
+            if comps and comps[0].startswith(("_", ".")):
+                # metadata dirs (_changes CDF files, _temporary) are not
+                # partitions
+                dirnames[:] = []
+                continue
             if len(comps) == depth:
                 if any(not f.startswith(("_", ".")) for f in filenames):
                     out.add(comps)
@@ -578,6 +652,12 @@ class TableStore:
         for dirpath, dirnames, filenames in os.walk(src):
             rel = os.path.relpath(dirpath, src)
             comps = tuple() if rel == "." else tuple(rel.split(os.sep))
+            if comps and comps[0].startswith(("_", ".")):
+                # never graft metadata dirs: the old version's _changes CDF
+                # files describe ITS commit — carrying them into the new
+                # version would mislabel the new commit's change feed
+                dirnames[:] = []
+                continue
             if len(comps) >= depth and comps[:depth] in skip:
                 dirnames[:] = []
                 continue
@@ -597,6 +677,7 @@ class TableStore:
         table: str,
         sort_by: list[str] | None = None,
         expected=_UNSET,
+        changes: DataFrame | None = None,
     ) -> None:
         """Replace only the partitions present in ``df`` — transactionally.
 
@@ -611,12 +692,12 @@ class TableStore:
         """
         if not PARTITION_SPECS.get(table):
             # unpartitioned table: partition-overwrite degenerates to overwrite
-            self.overwrite(df, table, expected=expected)
+            self.overwrite(df, table, expected=expected, changes=changes)
             return
         if expected is _UNSET:
             expected = self._current_target(table)
         if expected is None:
-            self.overwrite(df, table, sort_by, expected=None)
+            self.overwrite(df, table, sort_by, expected=None, changes=changes)
             return
         depth = len(PARTITION_SPECS[table])
         version_dir = os.path.join(
@@ -628,6 +709,10 @@ class TableStore:
         ).mode("overwrite").save(version_dir)
         replaced = self._leaf_partitions(version_dir, depth)
         self._graft_partitions(expected, version_dir, depth, skip=replaced)
+        if changes is not None:
+            changes.write.mode("overwrite").parquet(
+                os.path.join(version_dir, "_changes")
+            )
         self._publish(table, version_dir, expected=expected)
 
 
@@ -651,11 +736,17 @@ class TableStore:
 
         parts = PARTITION_SPECS.get(table, [])
         current, expected = self.read_pinned(table)
+        # write-time CDF: a DELETE's change feed is exactly the matching
+        # rows — known here for free, no snapshot diff needed at read time
+        deleted = current.filter(F.coalesce(df_predicate, F.lit(False))).select(
+            *current.columns, F.lit("delete").alias("_change_type")
+        )
         if not parts:
             self.overwrite(
                 current.filter(~F.coalesce(df_predicate, F.lit(False))),
                 table,
                 expected=expected,
+                changes=deleted,
             )
             return
         touched = current.filter(df_predicate).select(*parts).distinct()
@@ -675,9 +766,11 @@ class TableStore:
         # full transactional overwrite for that edge
         if remaining.select(*parts).distinct().count() < touched.count():
             kept = current.join(F.broadcast(touched), null_safe, "left_anti")
-            self.overwrite(kept.unionByName(remaining), table, expected=expected)
+            self.overwrite(
+                kept.unionByName(remaining), table, expected=expected, changes=deleted
+            )
             return
-        self.overwrite_partitions(remaining, table, expected=expected)
+        self.overwrite_partitions(remaining, table, expected=expected, changes=deleted)
 
     def history(self, table: str) -> list[dict]:
         """Commit metadata per retained version, newest first (≙ Delta
@@ -754,12 +847,23 @@ class TableStore:
         ``key_cols``: multiset diff (exceptAll both ways) — inserts and
         deletes only, duplicate-count-aware.
 
-        Honest scale note: this computes changes by DIFFING two snapshots
-        (two scans + one key shuffle or hash anti-diff) because the store
-        persists no change files; a production CDF writes per-commit change
-        files at write time and serves this read as a metadata-pruned scan.
-        Within the bounded retention window the diff form costs what a
-        full-outer join costs, and never touches the driver."""
+        Serving tiers (r9): commits made by ``merge_upsert`` / ``delete_where``
+        write their change rows at WRITE TIME into the new version's
+        ``_changes/`` files; a single-step keyed read
+        (``n_back_from == n_back_to + 1``) of such a commit is a plain
+        file scan — no snapshot diff, no key shuffle, cost ∝ |changes| not
+        |table| (the Delta CDF cost shape). The snapshot-diff path remains
+        for: pre-CDF versions (plain ``overwrite`` commits persist no
+        change files — their delta is an arbitrary rewrite the diff
+        computes exactly), multi-step spans (per-step files don't compose
+        into a NET diff without replaying), and the no-keys multiset mode
+        (written files are keyed per the writer's merge keys; the multiset
+        labeling of an update is delete+insert, not pre/post). File-served
+        reads reflect the WRITING commit's key set; pass the same
+        ``key_cols`` the merge used (asserted equal to the snapshot diff in
+        tests/test_tablestore_tx.py). Within the bounded retention window
+        the diff fallback costs what a full-outer join costs, and never
+        touches the driver."""
         from pyspark.sql import functions as F
 
         if n_back_from < n_back_to:
@@ -769,6 +873,14 @@ class TableStore:
                 f"n_back_from={n_back_from} must be the OLDER version "
                 f"(>= n_back_to={n_back_to}): larger n_back = further back"
             )
+        if key_cols and n_back_from == n_back_to + 1:
+            vs = self.versions(table)
+            if n_back_from < len(vs):
+                cpath = os.path.join(vs[n_back_to], "_changes")
+                if os.path.isdir(cpath) and any(
+                    not f.startswith(("_", ".")) for f in os.listdir(cpath)
+                ):
+                    return self.spark.read.parquet(cpath)
         old = self.read_version(table, n_back=n_back_from)
         new = self.read_version(table, n_back=n_back_to)
         cols = new.columns

@@ -691,6 +691,24 @@ def test_funnel_windows_share_one_exchange(spark, sf_dir):
     assert "In(event_type, [click,purchase,view])" in plan
 
 
+def test_windowed_funnel_same_plan_shape_and_horizon_bites(spark, sf_dir):
+    """w22 (time-bounded hops) must keep w19's plan: one user_id exchange,
+    zero joins, pushed isin — the horizon is a pure comparison term inside
+    the window CASE. And the horizon must BITE: the bounded stage-2/3
+    counts sit strictly between 0 and the unbounded w19 counts (a horizon
+    that never excludes a conversion would make the query w19 with a new
+    name)."""
+    plan = plan_of(registry.queries()["w22_funnel_windowed"](spark, sf_dir))
+    assert plan.count("Arguments: hashpartitioning(user_id") == 1
+    assert "SortMergeJoin" not in plan and "Join" not in plan
+    assert "In(event_type, [click,purchase,view])" in plan
+    bounded = {r.stage: r.users for r in registry.queries()["w22_funnel_windowed"](spark, sf_dir).collect()}
+    unbounded = {r.stage: r.users for r in registry.queries()["w19_funnel_stages"](spark, sf_dir).collect()}
+    assert bounded["1_view"] == unbounded["1_view"]
+    assert 0 < bounded["2_click_within_2d"] < unbounded["2_click_after_view"]
+    assert bounded["3_purchase_within_3d"] < unbounded["3_purchase_after_click"]
+
+
 def test_cohort_retention_single_user_exchange_no_join(spark, sf_dir):
     plan = plan_of(registry.queries()["a21_cohort_retention"](spark, sf_dir))
     # first-activity via window, not a groupBy+join back onto the fact

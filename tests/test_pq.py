@@ -318,3 +318,153 @@ def test_pq_train_duplicate_heavy_sample_fills_codebook(spark):
     books = similarity.pq_train(df, n_codes=16, m=4, train_sample=96, iters=4)
     assert len(books) == 4
     assert all(len(b) == 16 and all(len(c) == 2 for c in b) for b in books)
+
+
+# ---------------------------------------------------------------------------
+# r9: canonical RESIDUAL IVFADC (Jégou et al. TPAMI 2011; FAISS METRIC_L2
+# IndexIVFPQ). The oracle-gated native tier is sim_ivfpq_residual_topk;
+# these pin the production (ivf_train(metric=l2) + pq_train-on-residuals +
+# Arrow build/serve) tier: encoder identity, the exactness ladder, the
+# recall-at-equal-code-budget win over raw encoding, and the MSE drop.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def l2_cent(emb):
+    return similarity.ivf_train(emb, n_lists=16, metric="l2")
+
+
+def test_ivfpq_residual_build_matches_standalone_encoder(emb, l2_cent):
+    """One-pass residual build == residualize() + standalone pq_encode:
+    same L2 list assignment, same codes on the subtracted vectors."""
+    rtbl = similarity.residualize(emb, l2_cent).cache()
+    books = similarity.pq_train(rtbl, n_codes=16, m=8)
+    idx = similarity.ivfpq_build(emb, l2_cent, books, residual=True)
+    got = {r.neighbor_id: (r.list_id, list(r.codes)) for r in idx.collect()}
+    want_lists = {r.vec_id: r.list_id for r in rtbl.collect()}
+    want_codes = {
+        r.neighbor_id: list(r.codes)
+        for r in similarity.pq_encode(rtbl, books, id_col="vec_id").collect()
+    }
+    assert len(got) == emb.count()
+    for vid, (lst, codes) in got.items():
+        assert lst == want_lists[vid]
+        assert codes == want_codes[vid]
+    rtbl.unpersist()
+
+
+def test_ivfpq_residual_full_probe_equals_full_adc(emb, emb_np, l2_cent):
+    """Exactness ladder, residual flavor: probing every list must equal the
+    full residual-ADC scan computed independently (numpy reference on the
+    collected index — per-candidate LUT of q − centroid[list])."""
+    ids, x = emb_np
+    cent = np.array(l2_cent)
+    rtbl = similarity.residualize(emb, l2_cent)
+    books = similarity.pq_train(rtbl, n_codes=16, m=8)
+    b = [np.array(bb) for bb in books]
+    idx = similarity.ivfpq_build(emb, l2_cent, books, residual=True).cache()
+    rows = idx.orderBy("neighbor_id").collect()
+    nid = np.array([r.neighbor_id for r in rows], dtype=np.int64)
+    lists = np.array([r.list_id for r in rows], dtype=np.int64)
+    codes = np.array([r.codes for r in rows], dtype=np.int64)
+    queries = emb.filter(F.col("vec_id") < 5)
+
+    got = {}
+    for r in similarity.ivfpq_topk(
+        idx, queries, l2_cent, books, k=5, n_probe=16, residual=True
+    ).collect():
+        got.setdefault(r.query_id, []).append((r.rnk, r.neighbor_id, r.adc))
+    for qrow in queries.collect():
+        qid, q = int(qrow.vec_id), np.array(qrow.embedding, dtype=np.float64)
+        adc = np.zeros(len(nid))
+        for l in np.unique(lists):
+            msk = lists == l
+            lut = np.stack(
+                [
+                    (((q - cent[l])[s * 8 : (s + 1) * 8] - b[s]) ** 2).sum(axis=1)
+                    for s in range(8)
+                ]
+            )
+            adc[msk] = sum(lut[s, codes[msk, s]] for s in range(8))
+        keep = nid != qid
+        order = np.lexsort((nid[keep], adc[keep]))[:5]
+        want = [(i + 1, int(nid[keep][j]), float(adc[keep][j])) for i, j in enumerate(order)]
+        assert sorted(got[qid]) == want, qid
+    idx.unpersist()
+
+
+def test_ivfpq_residual_recall_beats_raw_on_clustered_corpus(spark):
+    """THE canonical claim (VERDICT r8 item 2): at the same (m, n_codes)
+    budget, residual encoding recalls more than raw-x encoding. Clustered
+    corpus (16 tight clusters — the regime the TPAMI paper targets; on
+    near-uniform synthetic vectors the effect drowns in distance
+    concentration, measured and documented in PERF_NOTES r9). Deterministic
+    seeds end to end; measured raw=0.12, residual=0.17 recall@5."""
+    rng = np.random.default_rng(11)
+    centers = rng.normal(0, 1.0, size=(16, 64))
+    pts = np.vstack(
+        [centers[i % 16] + rng.normal(0, 0.2, size=(1, 64)) for i in range(1000)]
+    )
+    emb = spark.createDataFrame(
+        [(int(i), [float(v) for v in pts[i]]) for i in range(1000)],
+        "vec_id long, embedding array<double>",
+    ).cache()
+    emb.count()
+    cent = similarity.ivf_train(emb, n_lists=16, metric="l2")
+    queries = emb.filter(F.col("vec_id") < 20)
+    truth = {}
+    for qi in range(20):
+        d = ((pts - pts[qi]) ** 2).sum(axis=1)
+        d[qi] = np.inf
+        truth[qi] = set(np.argsort(d, kind="stable")[:5].tolist())
+
+    def recall(df):
+        got: dict[int, set] = {}
+        for r in df.collect():
+            got.setdefault(r.query_id, set()).add(r.neighbor_id)
+        return float(np.mean([len(got.get(q, set()) & t) / 5 for q, t in truth.items()]))
+
+    braw = similarity.pq_train(emb, n_codes=16, m=8)
+    iraw = similarity.ivfpq_build(emb, cent, braw)
+    r_raw = recall(similarity.ivfpq_topk(iraw, queries, cent, braw, k=5, n_probe=4))
+    rtbl = similarity.residualize(emb, cent)
+    bres = similarity.pq_train(rtbl, n_codes=16, m=8)
+    ires = similarity.ivfpq_build(emb, cent, bres, residual=True)
+    r_res = recall(
+        similarity.ivfpq_topk(ires, queries, cent, bres, k=5, n_probe=4, residual=True)
+    )
+    assert r_res >= r_raw + 0.02, (r_raw, r_res)
+    emb.unpersist()
+
+
+def test_ivfpq_residual_reconstruction_mse_below_raw(emb, emb_np, l2_cent):
+    """Residual encoding's mechanical win: reconstruction MSE (the quantity
+    ADC error is bounded by) drops vs raw encoding at the same code budget —
+    on the real near-uniform embeddings table too, where recall@5 on 10
+    queries is too noisy to assert."""
+    _, x = emb_np
+    cent = np.array(l2_cent)
+
+    def mse(idx_df, books, residual):
+        b = [np.array(bb) for bb in books]
+        rows = idx_df.orderBy("neighbor_id").collect()
+        codes = np.array([r.codes for r in rows])
+        lists = np.array([r.list_id for r in rows])
+        recon = np.concatenate([b[s][codes[:, s]] for s in range(8)], axis=1)
+        if residual:
+            recon = recon + cent[lists]
+        return float(((recon - x) ** 2).mean())
+
+    braw = similarity.pq_train(emb, n_codes=16, m=8)
+    m_raw = mse(similarity.ivfpq_build(emb, l2_cent, braw), braw, False)
+    rtbl = similarity.residualize(emb, l2_cent)
+    bres = similarity.pq_train(rtbl, n_codes=16, m=8)
+    m_res = mse(similarity.ivfpq_build(emb, l2_cent, bres, residual=True), bres, True)
+    assert m_res < m_raw, (m_raw, m_res)
+
+
+def test_ivf_train_l2_metric_guards():
+    with pytest.raises(ValueError, match="metric"):
+        similarity.ivf_train(None, metric="cosine")
+    with pytest.raises(ValueError, match="sample tier"):
+        similarity.ivf_train(None, train="distributed", metric="l2")

@@ -557,11 +557,16 @@ def test_merge_upsert_cas_snapshot_captured_at_read_time(spark, tmp_path):
         """Injects a rival commit AFTER merge_upsert's read but BEFORE its
         publishing overwrite — exactly the window the advice describes."""
 
-        def overwrite(self, df, table, sort_by=None, cluster_by=None, expected=_UNSET):
+        def overwrite(
+            self, df, table, sort_by=None, cluster_by=None, expected=_UNSET,
+            changes=None,
+        ):
             TableStore(self.spark, self.root).overwrite(
                 _sessions(self.spark, 9, gp="rival"), table
             )
-            super().overwrite(df, table, sort_by, cluster_by, expected=expected)
+            super().overwrite(
+                df, table, sort_by, cluster_by, expected=expected, changes=changes
+            )
 
     store = RacyStore(spark, root)
     TableStore(spark, root).overwrite(_sessions(spark, 5, gp="monaco"), "sessions_silver")
@@ -583,11 +588,15 @@ def test_delete_where_cas_snapshot_captured_at_read_time(spark, tmp_path):
     root = str(tmp_path / "wh")
 
     class RacyStore(TableStore):
-        def overwrite_partitions(self, df, table, sort_by=None, expected=_UNSET):
+        def overwrite_partitions(
+            self, df, table, sort_by=None, expected=_UNSET, changes=None
+        ):
             TableStore(self.spark, self.root).overwrite(
                 _sessions(self.spark, 9, gp="rival"), table
             )
-            super().overwrite_partitions(df, table, sort_by, expected=expected)
+            super().overwrite_partitions(
+                df, table, sort_by, expected=expected, changes=changes
+            )
 
     store = RacyStore(spark, root)
     TableStore(spark, root).overwrite(_sessions(spark, 8, gp="monaco"), "sessions_silver")
@@ -866,3 +875,115 @@ def test_table_changes_past_retention_raises(spark, tmp_path):
     store.overwrite(_sess_mut(spark, [(1, "A")]), "sessions_silver")
     with pytest.raises(IndexError):
         store.table_changes("sessions_silver", 5, 0, key_cols=["session_key"])
+
+
+# ---------------------------------------------------------------------------
+# r9: write-time CDF (VERDICT r8 item 3) — merge/delete commits persist their
+# change rows under <version>/_changes/; single-step keyed reads serve the
+# files, and the labels must be IDENTICAL to the snapshot-diff fallback.
+# ---------------------------------------------------------------------------
+
+
+def _force_snapshot_diff(store, table):
+    """Delete the current version's change files so table_changes falls back
+    to the two-snapshot diff for the same span."""
+    import os
+    import shutil
+
+    p = os.path.join(store.versions(table)[0], "_changes")
+    assert os.path.isdir(p), "commit was expected to have written CDF files"
+    shutil.rmtree(p)
+
+
+def test_cdf_merge_read_equals_snapshot_diff(spark, tmp_path):
+    store = TableStore(spark, str(tmp_path / "wh"))
+    store.overwrite(_sess_mut(spark, [(1, "A"), (2, "B"), (3, "C")]), "sessions_silver")
+    updates = _sess_mut(spark, [(1, "A"), (2, "B2"), (3, "C"), (4, "D")]).withColumn(
+        "__del", F.col("session_key") == 3
+    )
+    store.merge_upsert(
+        updates, "sessions_silver", keys=["session_key"], delete_col="__del"
+    )
+
+    ch_files = store.table_changes("sessions_silver", 1, 0, key_cols=["session_key"])
+    want = {
+        (4, "insert", "D"),
+        (3, "delete", "C"),
+        (2, "update_preimage", "B"),
+        (2, "update_postimage", "B2"),
+        # key 1 matched with identical values: NO change row (diff parity)
+    }
+    got_files = {
+        (r.session_key, r._change_type, r.meeting_name) for r in ch_files.collect()
+    }
+    assert got_files == want
+    cols_files = sorted(ch_files.columns)
+
+    _force_snapshot_diff(store, "sessions_silver")
+    ch_diff = store.table_changes("sessions_silver", 1, 0, key_cols=["session_key"])
+    got_diff = {
+        (r.session_key, r._change_type, r.meeting_name) for r in ch_diff.collect()
+    }
+    assert got_diff == want
+    assert sorted(ch_diff.columns) == cols_files
+
+
+def test_cdf_delete_where_read_equals_snapshot_diff(spark, tmp_path):
+    store = TableStore(spark, str(tmp_path / "wh"))
+    store.overwrite(
+        _sess_mut(spark, [(1, "A"), (2, "B"), (3, "C"), (4, "D")]), "sessions_silver"
+    )
+    store.delete_where(F.col("session_key") <= 2, "sessions_silver")
+    want = {(1, "delete"), (2, "delete")}
+    ch = store.table_changes("sessions_silver", 1, 0, key_cols=["session_key"])
+    assert {(r.session_key, r._change_type) for r in ch.collect()} == want
+    _force_snapshot_diff(store, "sessions_silver")
+    ch2 = store.table_changes("sessions_silver", 1, 0, key_cols=["session_key"])
+    assert {(r.session_key, r._change_type) for r in ch2.collect()} == want
+
+
+def test_cdf_files_not_grafted_into_next_version(spark, tmp_path):
+    """A later partition-overwrite commit (which persists no change files)
+    must NOT inherit the previous commit's _changes via the hardlink graft —
+    that would mislabel the new commit's feed. The keyed single-step read of
+    the new commit falls back to the snapshot diff."""
+    import os
+
+    store = TableStore(spark, str(tmp_path / "wh"))
+    store.overwrite(_sess_mut(spark, [(1, "A"), (2, "B")]), "sessions_silver")
+    store.merge_upsert(
+        _sess_mut(spark, [(2, "B2")]), "sessions_silver", keys=["session_key"]
+    )
+    assert os.path.isdir(
+        os.path.join(store.versions("sessions_silver")[0], "_changes")
+    )
+    store.overwrite_partitions(
+        _sess_mut(spark, [(1, "A"), (2, "B3"), (5, "E")]), "sessions_silver"
+    )
+    cur = store.versions("sessions_silver")[0]
+    assert not os.path.isdir(os.path.join(cur, "_changes"))
+    got = {
+        (r.session_key, r._change_type, r.meeting_name)
+        for r in store.table_changes(
+            "sessions_silver", 1, 0, key_cols=["session_key"]
+        ).collect()
+    }
+    assert got == {
+        (5, "insert", "E"),
+        (2, "update_preimage", "B2"),
+        (2, "update_postimage", "B3"),
+    }
+
+
+def test_cdf_multiset_mode_ignores_change_files(spark, tmp_path):
+    """The no-keys multiset read keeps the snapshot diff even when change
+    files exist: an update's multiset labeling is delete+insert, not
+    pre/post — serving the keyed files would change the contract."""
+    store = TableStore(spark, str(tmp_path / "wh"))
+    store.overwrite(_sess_mut(spark, [(1, "A"), (2, "B")]), "sessions_silver")
+    store.merge_upsert(
+        _sess_mut(spark, [(2, "B2")]), "sessions_silver", keys=["session_key"]
+    )
+    ch = store.table_changes("sessions_silver", 1, 0)
+    got = {(r.session_key, r._change_type, r.meeting_name) for r in ch.collect()}
+    assert got == {(2, "delete", "B"), (2, "insert", "B2")}

@@ -313,6 +313,7 @@ def run_funnel_scale(spark: SparkSession, sf_dir: str, factor: int) -> dict:
         ts_mad_outliers,
         w19_funnel_stages,
         w20_event_transitions,
+        w22_funnel_windowed,
     )
 
     ev = scaled_events(spark, sf_dir, factor)
@@ -320,6 +321,7 @@ def run_funnel_scale(spark: SparkSession, sf_dir: str, factor: int) -> dict:
 
     for name, fn in (
         ("funnel_registry", w19_funnel_stages),
+        ("funnel_windowed", w22_funnel_windowed),
         ("cohort", a21_cohort_retention),
         ("transitions", w20_event_transitions),
         ("mad_outliers", ts_mad_outliers),
@@ -476,6 +478,32 @@ def run_pq_scale(spark: SparkSession, sf_dir: str, factor: int) -> dict:
         out = similarity.ivfpq_topk(idx, queries, cent, books, k=5, n_probe=n_probe)
         r[f"ivfpq_p{n_probe}_recall"], r[f"ivfpq_p{n_probe}_recall_base"] = recalls(out)
         r[f"ivfpq_p{n_probe}_sec"] = round(time.perf_counter() - t0, 2)
+
+    # r9: the canonical RESIDUAL tier (L2 coarse quantizer + PQ trained on
+    # residuals, Jégou et al. TPAMI 2011) at the SAME (m, n_codes) budget,
+    # against the same exact-L2 truth — the recall-at-equal-code-budget
+    # comparison the r8 verdict asked for, at every rung of the ladder.
+    t0 = time.perf_counter()
+    cent_l2 = similarity.ivf_train(emb, n_lists=16, metric="l2")
+    books_res = similarity.pq_train(
+        similarity.residualize(emb, cent_l2), n_codes=256, m=8
+    )
+    r["res_train_sec"] = round(time.perf_counter() - t0, 2)
+    res_path = os.path.join(CACHE, f"ivfpq_res_x{factor}")
+    t0 = time.perf_counter()
+    similarity.ivfpq_build(emb, cent_l2, books_res, residual=True).write.partitionBy(
+        "list_id"
+    ).mode("overwrite").parquet(res_path)
+    r["res_build_write_sec"] = round(time.perf_counter() - t0, 2)
+    r["res_index_bytes"] = _du_bytes(res_path)
+    idx_res = spark.read.parquet(res_path)
+    for n_probe in (2, 4, 8):
+        t0 = time.perf_counter()
+        out = similarity.ivfpq_topk(
+            idx_res, queries, cent_l2, books_res, k=5, n_probe=n_probe, residual=True
+        )
+        r[f"res_p{n_probe}_recall"], r[f"res_p{n_probe}_recall_base"] = recalls(out)
+        r[f"res_p{n_probe}_sec"] = round(time.perf_counter() - t0, 2)
     print(f"  {r}", flush=True)
     return r
 
