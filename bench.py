@@ -159,6 +159,10 @@ def main() -> None:
         "a24_chisq_cells",
         "w21_top_paths",
         "a23_winsorize",
+        # r9 additions (residual IVFADC, write-time CDF read, bounded funnel)
+        "sim_ivfpq_residual_topk",
+        "tablestore_cdf_read",
+        "w22_funnel_windowed",
     ]
 
     # Composition-cost queries: each invocation runs a FULL multi-batch
@@ -243,20 +247,30 @@ def main() -> None:
         # that matter at scale are scheduler-bound at sf0.1 (fixed multi-job
         # overhead dwarfs their ~1-2 s of real compute), so round-over-round
         # regressions on their COMPUTE are judged here instead: the SAME
-        # registry callables, single-run, against a cached 10x-scaled
+        # registry callables against a cached 10x-scaled
         # documents+embeddings dir (full base schema, load_table-compatible).
+        # r9 (VERDICT r8 item 5): median-of-3 WITH min/max spread — the
+        # single-run form carried ±40% swing (disclosed 44.8 vs 31.6 s
+        # back-to-back), an instrument that cannot catch the +30%
+        # regressions this leg exists for.
         try:
             from tools.scale_stress import sf_equiv_dir
 
             sf1_dir = sf_equiv_dir(spark, sf_dir, factor=10)
             spark.catalog.clearCache()
             leg: dict[str, float | int] = {}
+            leg_spread: dict[str, list[float]] = {}
             for name in ("dedup_semantic", "dedup_docs_pipeline", "t_corpus_manifest"):
-                t0 = time.time()
-                qs[name](spark, sf1_dir).write.format("noop").mode("overwrite").save()
-                leg[name] = round(time.time() - t0, 3)
-                spark.catalog.clearCache()
+                samples = []
+                for _ in range(RUNS):
+                    t0 = time.time()
+                    qs[name](spark, sf1_dir).write.format("noop").mode("overwrite").save()
+                    samples.append(time.time() - t0)
+                    spark.catalog.clearCache()
+                leg[name] = round(statistics.median(samples), 3)
+                leg_spread[name] = [round(min(samples), 3), round(max(samples), 3)]
             out["scale_sf1_extras"] = leg
+            out["scale_sf1_extras_spread_min_max"] = leg_spread
         except Exception as e:  # noqa: BLE001 — diagnostic, not fatal
             out["scale_sf1_extras"] = {"error": f"{type(e).__name__}: {e}"[:200]}
 

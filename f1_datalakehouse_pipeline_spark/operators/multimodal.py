@@ -12,8 +12,9 @@ The 100 TB pattern for image/audio/video in a lakehouse:
   chunks — returning true dimensions / sample counts with no media
   libraries needed; PNG (zlib, r6), GIF (pure-Python LZW, r7) and baseline
   JPEG (Huffman + exact numpy IDCT/FDCT, r8) get full PIXEL codecs
-  (decode / re-encode / resize) wired into the default resizer. The
-  remaining codec seam: progressive/arithmetic JPEG and the video/audio
+  (decode / re-encode / resize) wired into the default resizer; r9 adds
+  PROGRESSIVE (SOF2) JPEG decode, ImageIO-verified on real files. The
+  remaining codec seam: arithmetic-coded/12-bit JPEG and the video/audio
   formats raise loudly until a PIL/librosa/ffmpeg codec injects via
   ``decoder=`` / ``resizer=``.
 """
@@ -458,9 +459,10 @@ def png_resize_pixels(payload: bytes, width: int, height: int) -> bytes:
 # Pure-stdlib GIF pixel codec (VERDICT r6 item 6): LZW inflate/deflate in
 # plain Python the way the PNG path uses zlib — first-frame decode to
 # RGB/RGBA samples, palette re-encode, nearest-neighbor resize. (r8: the
-# baseline JPEG codec below closed the third container; the remaining seam
-# is progressive/arithmetic JPEG and the video/audio codecs, which still
-# raise loudly through ``_default_resize`` — inject via ``resizer=``.)
+# baseline JPEG codec below closed the third container; r9: progressive
+# decode landed too; the remaining seam is arithmetic/12-bit JPEG and the
+# video/audio codecs, which still raise loudly through ``_default_resize``
+# — inject via ``resizer=``.)
 # --------------------------------------------------------------------------
 
 
@@ -759,10 +761,14 @@ def gif_resize_pixels(payload: bytes, width: int, height: int) -> bytes:
 # that closes the THIRD container): marker parse → Huffman entropy decode →
 # dequantize → de-zigzag → exact float IDCT (numpy 8×8 basis product) →
 # chroma upsample → YCbCr→RGB, and the full reverse for encode (FDCT,
-# Annex-K tables, canonical Huffman, byte stuffing). Baseline DCT only:
-# progressive (SOF2), arithmetic coding, 12-bit precision and hierarchical
-# modes raise loudly — those are the remaining documented seam, alongside
-# the video/audio codecs.
+# Annex-K tables, canonical Huffman, byte stuffing). r9: PROGRESSIVE
+# (SOF2) decode — T.81 Annex G spectral selection + successive
+# approximation with EOB runs and AC refinement — shares the same
+# coefficient-store + IDCT epilogue and is verified against Java ImageIO
+# on real progressive files. Arithmetic coding, 12-bit precision and
+# hierarchical modes raise loudly — the remaining documented seam,
+# alongside the video/audio codecs. Encode stays baseline (progressive
+# ENCODE buys nothing for a data pipeline that re-encodes for training).
 # --------------------------------------------------------------------------
 
 _JPEG_ZIGZAG = [
@@ -913,14 +919,46 @@ def _jpeg_extend(v: int, t: int) -> int:
     return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
 
 
+def _jpeg_split_restarts(entropy: bytes) -> list:
+    """Split an entropy-coded segment on RSTn markers, unstuffing 0xFF00
+    within each piece (T.81 F.1.2.3)."""
+    segments = []
+    cur = bytearray()
+    i = 0
+    while i < len(entropy):
+        if entropy[i] == 0xFF and i + 1 < len(entropy):
+            nxt = entropy[i + 1]
+            if nxt == 0x00:
+                cur.append(0xFF)
+                i += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                segments.append(bytes(cur))
+                cur = bytearray()
+                i += 2
+                continue
+        cur.append(entropy[i])
+        i += 1
+    segments.append(bytes(cur))
+    return segments
+
+
 def jpeg_decode_pixels(payload: bytes) -> tuple[int, int, int, "bytearray"]:
-    """Decode a BASELINE JPEG (SOF0/SOF1, 8-bit, Huffman) to
-    ``(width, height, channels, row-major samples)`` — channels 1
+    """Decode a BASELINE (SOF0/SOF1) or PROGRESSIVE (SOF2) 8-bit Huffman
+    JPEG to ``(width, height, channels, row-major samples)`` — channels 1
     (grayscale) or 3 (RGB from YCbCr, JFIF/BT.601 matrix). Handles 4:4:4 /
     4:2:2 / 4:2:0 chroma sampling (nearest upsample), restart intervals,
-    byte stuffing, and in-stream quant/Huffman tables. Progressive (SOF2),
-    arithmetic coding (SOF9+), 12-bit precision and hierarchical modes
-    raise ``NotImplementedError`` loudly — the remaining codec seam."""
+    byte stuffing, in-stream quant/Huffman tables (redefinable between
+    scans), and for progressive streams the full T.81 Annex G successive
+    refinement: interleaved/non-interleaved DC first+refine scans,
+    spectral-selection AC scans with EOB-run coding, and AC refinement
+    (correction bits). All scans accumulate into per-block coefficient
+    arrays; dequant + IDCT run once at the end, so the reconstruction path
+    is byte-identical with the baseline decoder's. Arithmetic coding
+    (SOF9+), 12-bit precision and hierarchical modes still raise
+    ``NotImplementedError`` loudly. Verified against Java ImageIO (Spark's
+    ``image`` data source) on real progressive files in
+    tests/test_training_data_ops.py."""
     import numpy as np
 
     b = bytes(payload)
@@ -932,8 +970,8 @@ def jpeg_decode_pixels(payload: bytes) -> tuple[int, int, int, "bytearray"]:
     comps: list = []
     w = h = 0
     dri = 0
-    scan: list = []
-    entropy = b""
+    progressive = False
+    scans: list = []  # each: dict(sel, ss, se, ah, al, segments, dri)
     pos = 2
     while pos + 4 <= len(b):
         if b[pos] != 0xFF:
@@ -957,9 +995,10 @@ def jpeg_decode_pixels(payload: bytes) -> tuple[int, int, int, "bytearray"]:
                         for j in range(64)
                     ]
                     i += 128
-        elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 ext. sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
             if seg[0] != 8:
                 raise NotImplementedError("only 8-bit JPEG precision supported")
+            progressive = marker == 0xC2
             h = int.from_bytes(seg[1:3], "big")
             w = int.from_bytes(seg[3:5], "big")
             n = seg[5]
@@ -972,14 +1011,14 @@ def jpeg_decode_pixels(payload: bytes) -> tuple[int, int, int, "bytearray"]:
                 }
                 for i in range(n)
             ]
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"non-baseline JPEG (SOF marker 0xFF{marker:02X}: progressive/"
+                f"non-baseline JPEG (SOF marker 0xFF{marker:02X}: lossless/"
                 "arithmetic/hierarchical) — the documented codec seam; inject "
                 "a full codec via resize_images(resizer=...)"
             )
-        elif marker == 0xC4:  # DHT (possibly several tables)
+        elif marker == 0xC4:  # DHT (possibly several tables, also mid-stream)
             i = 0
             while i < len(seg):
                 tc, th = seg[i] >> 4, seg[i] & 0xF
@@ -994,11 +1033,13 @@ def jpeg_decode_pixels(payload: bytes) -> tuple[int, int, int, "bytearray"]:
             dri = int.from_bytes(seg[:2], "big")
         elif marker == 0xDA:  # SOS — entropy data follows
             ns = seg[0]
-            scan = [
+            sel = [
                 {"id": seg[1 + 2 * i], "td": seg[2 + 2 * i] >> 4,
                  "ta": seg[2 + 2 * i] & 0xF}
                 for i in range(ns)
             ]
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
             data_start = pos + 2 + seg_len
             j = data_start
             while j + 1 < len(b):
@@ -1007,91 +1048,64 @@ def jpeg_decode_pixels(payload: bytes) -> tuple[int, int, int, "bytearray"]:
                 ):
                     break
                 j += 1
-            entropy = b[data_start:j]
+            scans.append(
+                {
+                    "sel": sel,
+                    "ss": ss,
+                    "se": se,
+                    "ah": ahal >> 4,
+                    "al": ahal & 0xF,
+                    "segments": _jpeg_split_restarts(b[data_start:j]),
+                    "dri": dri,
+                    # tables are redefinable between scans: snapshot the ones
+                    # this scan actually references
+                    "dc": {s["td"]: huff_dc.get(s["td"]) for s in sel},
+                    "ac": {s["ta"]: huff_ac.get(s["ta"]) for s in sel},
+                }
+            )
             pos = j
             continue
         pos += 2 + seg_len
-    if not comps or not scan:
+    if not comps or not scans:
         raise NotImplementedError("JPEG missing SOF/SOS segments")
 
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
     mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
-    basis = _jpeg_idct_basis()
-    planes = {
-        c["id"]: np.zeros((mcus_y * c["v"] * 8, mcus_x * c["h"] * 8),
-                          dtype=np.float64)
+    by_id = {c["id"]: c for c in comps}
+    # per-component coefficient store in ZIGZAG order, MCU-padded grid
+    coefs = {
+        c["id"]: np.zeros((mcus_y * c["v"], mcus_x * c["h"], 64),
+                          dtype=np.int32)
         for c in comps
     }
-    by_id = {c["id"]: c for c in comps}
-    sel = {s["id"]: s for s in scan}
+    # non-interleaved block dims (T.81 A.2.2: from the component's own size)
+    nblocks = {}
+    for c in comps:
+        cw = (w * c["h"] + hmax - 1) // hmax
+        ch_ = (h * c["v"] + vmax - 1) // vmax
+        nblocks[c["id"]] = ((ch_ + 7) // 8, (cw + 7) // 8)
 
-    # restart-interval segments: split on RSTn, unstuff each independently
-    segments = []
-    cur = bytearray()
-    i = 0
-    while i < len(entropy):
-        if entropy[i] == 0xFF and i + 1 < len(entropy):
-            nxt = entropy[i + 1]
-            if nxt == 0x00:
-                cur.append(0xFF)
-                i += 2
-                continue
-            if 0xD0 <= nxt <= 0xD7:
-                segments.append(bytes(cur))
-                cur = bytearray()
-                i += 2
-                continue
-        cur.append(entropy[i])
-        i += 1
-    segments.append(bytes(cur))
+    for sc in scans:
+        _jpeg_decode_scan(sc, comps, by_id, coefs, nblocks,
+                          mcus_x, mcus_y, progressive)
 
-    seg_i = 0
-    reader = _JpegBitReader(segments[0])
-    pred = {c["id"]: 0 for c in comps}
-    mcu_count = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if dri and mcu_count and mcu_count % dri == 0:
-                seg_i += 1
-                reader = _JpegBitReader(segments[seg_i])
-                pred = {c["id"]: 0 for c in comps}
-            for c in comps:
-                cid = c["id"]
-                dc_lut = huff_dc[sel[cid]["td"]]
-                ac_lut = huff_ac[sel[cid]["ta"]]
-                q = np.array(qt[c["tq"]], dtype=np.float64)
-                for by in range(c["v"]):
-                    for bx in range(c["h"]):
-                        zz = np.zeros(64, dtype=np.float64)
-                        t = reader.decode(dc_lut)
-                        diff = _jpeg_extend(reader.bits(t), t) if t else 0
-                        pred[cid] += diff
-                        zz[0] = pred[cid]
-                        k = 1
-                        while k < 64:
-                            rs = reader.decode(ac_lut)
-                            r, sz = rs >> 4, rs & 0xF
-                            if sz == 0:
-                                if r == 15:
-                                    k += 16  # ZRL
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise NotImplementedError(
-                                    "JPEG AC coefficient overrun"
-                                )
-                            zz[k] = _jpeg_extend(reader.bits(sz), sz)
-                            k += 1
-                        block = np.zeros(64, dtype=np.float64)
-                        block[_JPEG_ZIGZAG] = zz * q
-                        spatial = basis.T @ block.reshape(8, 8) @ basis + 128.0
-                        py = (my * c["v"] + by) * 8
-                        px = (mx * c["h"] + bx) * 8
-                        planes[cid][py : py + 8, px : px + 8] = spatial
-            mcu_count += 1
+    # shared reconstruction: dequant (zigzag) → de-zigzag → IDCT per block
+    basis = _jpeg_idct_basis()
+    planes = {}
+    for c in comps:
+        cid = c["id"]
+        q = np.array(qt[c["tq"]], dtype=np.float64)
+        cz = coefs[cid].astype(np.float64) * q  # (by, bx, 64) zigzag
+        by_n, bx_n = cz.shape[:2]
+        deq = np.zeros((by_n, bx_n, 64), dtype=np.float64)
+        deq[:, :, _JPEG_ZIGZAG] = cz
+        blocks = deq.reshape(by_n, bx_n, 8, 8)
+        # IDCT all blocks in two tensordots: basis.T @ B @ basis
+        spatial = np.einsum("ij,abjk,kl->abil", basis.T, blocks, basis) + 128.0
+        plane = spatial.transpose(0, 2, 1, 3).reshape(by_n * 8, bx_n * 8)
+        planes[cid] = plane
 
     # crop/upsample each component to full resolution (nearest)
     full = []
@@ -1123,6 +1137,177 @@ def jpeg_decode_pixels(payload: bytes) -> tuple[int, int, int, "bytearray"]:
         [np.clip(np.round(x), 0, 255) for x in (r, g, bch)], axis=-1
     ).astype(np.uint8)
     return w, h, 3, bytearray(rgb.tobytes())
+
+
+def _jpeg_decode_scan(sc, comps, by_id, coefs, nblocks,
+                      mcus_x, mcus_y, progressive) -> None:
+    """Decode ONE scan's entropy data into the coefficient store.
+
+    Sequential (baseline) scans run the classic interleaved DC+AC block
+    loop. Progressive scans dispatch per T.81 Annex G on (Ss, Ah):
+    DC-first / DC-refine (interleaved or not), AC-first with EOB runs,
+    AC-refine with correction bits. Restart markers reset both the DC
+    predictors and the EOB run."""
+    sel = {s["id"]: s for s in sc["sel"]}
+    scan_comps = [by_id[s["id"]] for s in sc["sel"]]
+    ss, se, ah, al = sc["ss"], sc["se"], sc["ah"], sc["al"]
+    dri, segments = sc["dri"], sc["segments"]
+    seg_i = 0
+    reader = _JpegBitReader(segments[0])
+    pred = {c["id"]: 0 for c in comps}
+    eobrun = 0
+    mcu_count = 0
+
+    def restart():
+        nonlocal seg_i, reader, pred, eobrun
+        seg_i += 1
+        reader = _JpegBitReader(segments[seg_i])
+        pred = {c["id"]: 0 for c in comps}
+        eobrun = 0
+
+    interleaved = len(scan_comps) > 1
+    if interleaved:
+        units_total = mcus_x * mcus_y
+    else:
+        c = scan_comps[0]
+        nby, nbx = nblocks[c["id"]]
+        # a single-component scan of a single-component FRAME still uses the
+        # full (unsubsampled) block grid; nblocks already equals it then
+        units_total = nby * nbx
+
+    def ac_first(zz, ac_lut):
+        nonlocal eobrun
+        if eobrun > 0:
+            eobrun -= 1
+            return
+        k = ss
+        while k <= se:
+            rs = reader.decode(ac_lut)
+            r, sz = rs >> 4, rs & 0xF
+            if sz == 0:
+                if r < 15:
+                    eobrun = (1 << r) - 1
+                    if r:
+                        eobrun += reader.bits(r)
+                    return
+                k += 16  # ZRL
+                continue
+            k += r
+            if k > se:
+                raise NotImplementedError("JPEG AC coefficient overrun")
+            zz[k] = _jpeg_extend(reader.bits(sz), sz) << al
+            k += 1
+
+    def ac_refine(zz, ac_lut):
+        # T.81 G.2.2 / libjpeg jdphuff decode_mcu_AC_refine: newly
+        # significant coefficients arrive as ±1<<Al; every nonzero-history
+        # coefficient passed over receives a correction bit.
+        nonlocal eobrun
+        p1, m1 = 1 << al, -1 << al
+
+        def correct(k):
+            if reader.bit():
+                if zz[k] > 0 and not (zz[k] & p1):
+                    zz[k] += p1
+                elif zz[k] < 0 and not (zz[k] & p1):
+                    zz[k] += m1
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                rs = reader.decode(ac_lut)
+                r, sz = rs >> 4, rs & 0xF
+                if sz == 0:
+                    if r < 15:
+                        eobrun = 1 << r
+                        if r:
+                            eobrun += reader.bits(r)
+                        break  # rest of band handled by the EOB branch below
+                    # r == 15: skip 16 zero-history coefficients
+                    val = 0
+                else:
+                    if sz != 1:
+                        raise NotImplementedError(
+                            "invalid size in AC refinement scan"
+                        )
+                    val = p1 if reader.bit() else m1
+                while k <= se:
+                    if zz[k] != 0:
+                        correct(k)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if val and k <= se:
+                    zz[k] = val
+                k += 1
+        if eobrun > 0:
+            while k <= se:
+                if zz[k] != 0:
+                    correct(k)
+                k += 1
+            eobrun -= 1
+
+    def decode_block(c, zz, dc_lut, ac_lut):
+        cid = c["id"]
+        if not progressive:
+            t = reader.decode(dc_lut)
+            diff = _jpeg_extend(reader.bits(t), t) if t else 0
+            pred[cid] += diff
+            zz[0] = pred[cid]
+            k = 1
+            while k < 64:
+                rs = reader.decode(ac_lut)
+                r, sz = rs >> 4, rs & 0xF
+                if sz == 0:
+                    if r == 15:
+                        k += 16  # ZRL
+                        continue
+                    break  # EOB
+                k += r
+                if k > 63:
+                    raise NotImplementedError("JPEG AC coefficient overrun")
+                zz[k] = _jpeg_extend(reader.bits(sz), sz)
+                k += 1
+            return
+        if ss == 0:
+            if ah == 0:  # DC first
+                t = reader.decode(dc_lut)
+                diff = _jpeg_extend(reader.bits(t), t) if t else 0
+                pred[cid] += diff
+                zz[0] = pred[cid] << al
+            else:  # DC refinement: one raw bit per block
+                if reader.bit():
+                    zz[0] |= 1 << al
+        else:
+            if ah == 0:
+                ac_first(zz, ac_lut)
+            else:
+                ac_refine(zz, ac_lut)
+
+    for unit in range(units_total):
+        if dri and mcu_count and mcu_count % dri == 0:
+            restart()
+        if interleaved:
+            my, mx = divmod(unit, mcus_x)
+            for c in scan_comps:
+                cid = c["id"]
+                dc_lut = sc["dc"].get(sel[cid]["td"])
+                ac_lut = sc["ac"].get(sel[cid]["ta"])
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        zz = coefs[cid][my * c["v"] + by, mx * c["h"] + bx]
+                        decode_block(c, zz, dc_lut, ac_lut)
+        else:
+            c = scan_comps[0]
+            cid = c["id"]
+            nby, nbx = nblocks[cid]
+            by, bx = divmod(unit, nbx)
+            zz = coefs[cid][by, bx]
+            decode_block(
+                c, zz, sc["dc"].get(sel[cid]["td"]), sc["ac"].get(sel[cid]["ta"])
+            )
+        mcu_count += 1
 
 
 class _JpegBitWriter:

@@ -880,7 +880,13 @@ class TableStore:
                 if os.path.isdir(cpath) and any(
                     not f.startswith(("_", ".")) for f in os.listdir(cpath)
                 ):
-                    return self.spark.read.parquet(cpath)
+                    # glob the part files explicitly: the dir's own leading
+                    # underscore (which keeps it invisible to TABLE scans)
+                    # would otherwise trip Hadoop's hidden-path filter into a
+                    # noisy "all paths ignored" warning on every CDF read
+                    return self.spark.read.parquet(
+                        os.path.join(cpath, "*.parquet")
+                    )
         old = self.read_version(table, n_back=n_back_from)
         new = self.read_version(table, n_back=n_back_to)
         cols = new.columns

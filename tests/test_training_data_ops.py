@@ -884,20 +884,27 @@ def test_jpeg_codec_roundtrip_gray_and_rgb():
 
 
 def test_jpeg_codec_seam_raises_stay_loud():
-    """The remaining seam: progressive JPEG (SOF2), alpha channels, and
-    malformed streams raise NotImplementedError with actionable messages."""
+    """The remaining seam (r9: progressive decode LANDED, so the seam moved):
+    arithmetic-coded JPEG (SOF9), alpha channels, and malformed streams
+    raise NotImplementedError with actionable messages."""
     import pytest as _pytest
 
-    prog = bytearray(b"\xff\xd8")
-    prog += _jpeg_seg(0xDB, bytes([0x00]) + bytes([16] * 64))
-    prog += _jpeg_seg(0xC2, bytes([8]) + (8).to_bytes(2, "big")
-                      + (8).to_bytes(2, "big") + bytes([1, 1, 0x11, 0]))
-    with _pytest.raises(NotImplementedError, match="progressive"):
-        multimodal.jpeg_decode_pixels(bytes(prog))
+    arith = bytearray(b"\xff\xd8")
+    arith += _jpeg_seg(0xDB, bytes([0x00]) + bytes([16] * 64))
+    arith += _jpeg_seg(0xC9, bytes([8]) + (8).to_bytes(2, "big")
+                       + (8).to_bytes(2, "big") + bytes([1, 1, 0x11, 0]))
+    with _pytest.raises(NotImplementedError, match="arithmetic"):
+        multimodal.jpeg_decode_pixels(bytes(arith))
     with _pytest.raises(NotImplementedError, match="alpha"):
         multimodal.jpeg_encode_pixels(2, 2, 4, bytes(16))
     with _pytest.raises(NotImplementedError):
         multimodal.jpeg_decode_pixels(b"\xff\xd8\xff\xe0garbage")
+    # a progressive stream with no SOS is still loudly rejected
+    prog = bytearray(b"\xff\xd8")
+    prog += _jpeg_seg(0xC2, bytes([8]) + (8).to_bytes(2, "big")
+                      + (8).to_bytes(2, "big") + bytes([1, 1, 0x11, 0]))
+    with _pytest.raises(NotImplementedError, match="SOF/SOS"):
+        multimodal.jpeg_decode_pixels(bytes(prog))
 
 
 def test_resize_images_default_resizes_jpeg_payloads(spark):
@@ -4062,3 +4069,78 @@ def test_incremental_corpus_wap_gate_quarantine_and_critical_abort(spark, tmp_pa
     r4 = run([(30, texts[3])])
     assert r4.counts["after_near_dedup"] == 1 and markers() == 3
     assert r4.audit_violations == 0
+
+
+_REAL_JPEGS = {
+    # SOF2 progressive, shipped with this machine's Spark distribution /
+    # nodejs docs — REAL encoder output (not our own encoder), used as
+    # cross-engine fixtures. 4:4:4 or grayscale: no chroma-upsampling
+    # ambiguity, so the match bound is rounding-tight.
+    "progressive": [
+        "/opt/spark-4.1.2-bin-hadoop3/data/mllib/images/origin/multi-channel/grayscale.jpg",
+        "/usr/share/doc/nodejs/thin-white-stripe.jpg",
+        "/usr/share/doc/nodejs/full-white-stripe.jpg",
+    ],
+    # SOF0 baseline 4:2:0 — exercises the subsampled real-encoder path; the
+    # looser bound is chroma upsampling METHOD (ours nearest, ImageIO
+    # fancy/bilinear), not coefficient decoding.
+    "baseline_420": [
+        "/opt/spark-4.1.2-bin-hadoop3/data/mllib/images/origin/kittens/DP802813.jpg",
+    ],
+}
+
+
+def _imageio_reference(spark, path):
+    """Decode via Spark's image source (Java ImageIO) → RGB/gray ndarray."""
+    import numpy as np
+
+    row = spark.read.format("image").load(path).select("image.*").collect()[0]
+    ref = np.frombuffer(row.data, np.uint8).reshape(
+        row.height, row.width, row.nChannels
+    )
+    return ref[:, :, ::-1] if row.nChannels == 3 else ref
+
+
+@pytest.mark.parametrize("path", _REAL_JPEGS["progressive"])
+def test_jpeg_progressive_decode_matches_imageio(spark, path):
+    """r9: PROGRESSIVE (SOF2) decode — spectral selection, successive
+    approximation, EOB runs, AC refinement — verified against an
+    independent production decoder (Java ImageIO via Spark's image data
+    source) on real progressive files: every sample within 2 gray levels,
+    mean |diff| under 0.1 (pure rounding/IDCT differences)."""
+    import os
+
+    import numpy as np
+
+    if not os.path.isfile(path):
+        pytest.skip(f"fixture not on this machine: {path}")
+    w, h, ch, px = multimodal.jpeg_decode_pixels(open(path, "rb").read())
+    got = np.frombuffer(bytes(px), np.uint8).reshape(h, w, ch)
+    ref = _imageio_reference(spark, path)
+    assert ref.shape == got.shape
+    d = np.abs(got.astype(int) - ref.astype(int))
+    assert d.max() <= 2, d.max()
+    assert d.mean() < 0.1, d.mean()
+
+
+@pytest.mark.parametrize("path", _REAL_JPEGS["baseline_420"])
+def test_jpeg_baseline_real_file_matches_imageio_within_upsample_method(
+    spark, path
+):
+    """The baseline decoder against a REAL camera JPEG (4:2:0): coefficient
+    decoding must agree with ImageIO; the residual difference is the
+    documented nearest-vs-fancy chroma upsampling choice, bounded here so
+    a real decode regression (wrong coefficients blow past these
+    instantly) cannot hide behind it."""
+    import os
+
+    import numpy as np
+
+    if not os.path.isfile(path):
+        pytest.skip(f"fixture not on this machine: {path}")
+    w, h, ch, px = multimodal.jpeg_decode_pixels(open(path, "rb").read())
+    got = np.frombuffer(bytes(px), np.uint8).reshape(h, w, ch)
+    ref = _imageio_reference(spark, path)
+    d = np.abs(got.astype(int) - ref.astype(int))
+    assert d.mean() < 1.5, d.mean()
+    assert np.percentile(d, 99) <= 6
