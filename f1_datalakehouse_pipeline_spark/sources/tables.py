@@ -91,13 +91,21 @@ class TableStore:
     #: (publishes are metadata-only: milliseconds, not minutes).
     lock_stale_s: float = 60.0
 
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(
+        self, spark: SparkSession, root: str, keep_versions: int = _KEEP_VERSIONS
+    ):
         self.spark = spark
         # Absolutize: _publish creates symlinks whose target embeds the root;
         # a relative root would make the target resolve relative to the
         # symlink's own directory, breaking every read after the first
         # overwrite when the store is built from a relative CLI --warehouse.
         self.root = os.path.abspath(root)
+        # retention depth: current + this many predecessors survive GC.
+        # The default keeps one generation (lazy reads against the prior
+        # version stay valid across one overwrite); a CDC consumer replaying
+        # multi-commit feeds (table_changes_feed) raises it to its replay
+        # horizon — retention bounds how far back the feed can reach.
+        self.keep_versions = keep_versions
 
     def path(self, table: str) -> str:
         return os.path.join(self.root, table)
@@ -302,7 +310,7 @@ class TableStore:
             ]
         except OSError:
             return
-        for stale in committed[_KEEP_VERSIONS:] + stale_orphans:
+        for stale in committed[self.keep_versions:] + stale_orphans:
             shutil.rmtree(stale, ignore_errors=True)
 
     def versions(self, table: str) -> list[str]:
@@ -940,6 +948,75 @@ class TableStore:
             F.lit("update_postimage").alias("_change_type"),
         )
         return ins.unionByName(dels).unionByName(pre).unionByName(post)
+
+    def table_changes_feed(
+        self,
+        table: str,
+        n_back_from: int,
+        n_back_to: int = 0,
+        key_cols: list[str] | None = None,
+    ) -> DataFrame:
+        """PER-COMMIT change feed across a version range (≙ Delta's actual
+        ``table_changes(from, to)`` shape: rows are NOT collapsed to a net
+        diff — every commit's changes appear, stamped). Each step between
+        consecutive retained versions contributes its change rows (served
+        from that commit's write-time ``_changes/`` files when present,
+        else the single-step snapshot diff), stamped with:
+
+        - ``_commit_id``      the stable version-directory name the step
+                              committed (survives later commits shifting
+                              relative n_back positions);
+        - ``_commit_ordinal`` 1-based position of the step within the
+                              requested range, oldest commit = 1 (a RANGE
+                              attribute for replay ordering, not a global
+                              version number — the store's retention is
+                              bounded, so absolute version counters would
+                              lie after a vacuum).
+
+        A consumer replaying the feed applies commits in ascending
+        ``_commit_ordinal``; inside one commit the usual CDF application
+        rules hold (delete/pre-image keys removed, insert/post-image rows
+        upserted). Net-diff semantics across the same range remain
+        available via :func:`table_changes` (which pays a snapshot diff for
+        multi-step spans — composing is exactly what this feed avoids)."""
+        from pyspark.sql import functions as F
+
+        if n_back_from < n_back_to:
+            raise ValueError(
+                f"n_back_from={n_back_from} must be the OLDER version "
+                f"(>= n_back_to={n_back_to}): larger n_back = further back"
+            )
+        vs = self.versions(table)
+        if n_back_from >= len(vs):
+            raise IndexError(
+                f"{table}: only {len(vs)} retained versions, asked for "
+                f"n_back_from={n_back_from}"
+            )
+        out: DataFrame | None = None
+        for ordinal, newer in enumerate(
+            range(n_back_from - 1, n_back_to - 1, -1), start=1
+        ):
+            step = self.table_changes(
+                table, newer + 1, newer, key_cols=key_cols
+            ).select(
+                "*",
+                F.lit(os.path.basename(vs[newer])).alias("_commit_id"),
+                F.lit(ordinal).alias("_commit_ordinal"),
+            )
+            out = step if out is None else out.unionByName(step)
+        if out is None:
+            # empty range (from == to): zero rows, full feed schema
+            base = self.read_version(table, n_back=n_back_to)
+            return (
+                base.select(
+                    "*",
+                    F.lit("insert").alias("_change_type"),
+                    F.lit("").alias("_commit_id"),
+                    F.lit(0).alias("_commit_ordinal"),
+                )
+                .filter(F.lit(False))
+            )
+        return out
 
 
 def compact(

@@ -987,3 +987,76 @@ def test_cdf_multiset_mode_ignores_change_files(spark, tmp_path):
     ch = store.table_changes("sessions_silver", 1, 0)
     got = {(r.session_key, r._change_type, r.meeting_name) for r in ch.collect()}
     assert got == {(2, "delete", "B"), (2, "insert", "B2")}
+
+
+def test_table_changes_feed_per_commit_stamped(spark, tmp_path):
+    """Multi-commit CDF feed (≙ Delta table_changes over a range): every
+    commit's rows appear stamped with a stable _commit_id and a replay
+    ordinal — NOT collapsed to a net diff — with per-step rows identical to
+    the single-step table_changes reads, file-served or not."""
+    store = TableStore(spark, str(tmp_path / "wh"), keep_versions=3)
+    store.overwrite(_sess_mut(spark, [(1, "A"), (2, "B"), (3, "C")]), "sessions_silver")
+    store.merge_upsert(
+        _sess_mut(spark, [(2, "B2"), (4, "D")]), "sessions_silver",
+        keys=["session_key"],
+    )
+    store.delete_where(F.col("session_key") <= 1, "sessions_silver")
+
+    feed = store.table_changes_feed("sessions_silver", 2, 0, key_cols=["session_key"])
+    rows = feed.collect()
+    assert {"_commit_id", "_commit_ordinal"} <= set(feed.columns)
+    by_ord = {}
+    for r in rows:
+        by_ord.setdefault(r._commit_ordinal, set()).add(
+            (r.session_key, r._change_type, r.meeting_name)
+        )
+    # ordinal 1 = oldest commit in range (the merge), 2 = the delete
+    assert by_ord[1] == {
+        (4, "insert", "D"),
+        (2, "update_preimage", "B"),
+        (2, "update_postimage", "B2"),
+    }
+    assert by_ord[2] == {(1, "delete", "A")}
+    # one stable commit id per ordinal, and they differ
+    ids = {r._commit_ordinal: r._commit_id for r in rows}
+    assert len(set(ids.values())) == 2
+    # per-step parity with the single-step reads
+    for ordinal, (f, t) in {1: (2, 1), 2: (1, 0)}.items():
+        step = {
+            (r.session_key, r._change_type, r.meeting_name)
+            for r in store.table_changes(
+                "sessions_silver", f, t, key_cols=["session_key"]
+            ).collect()
+        }
+        assert step == by_ord[ordinal]
+
+
+def test_table_changes_feed_mixed_cdf_and_snapshot_commits(spark, tmp_path):
+    """A plain overwrite in the middle of the range persists no change
+    files; the feed serves that step via the snapshot diff while the
+    file-backed steps stay file-served — one consumer view either way."""
+    store = TableStore(spark, str(tmp_path / "wh"), keep_versions=3)
+    store.overwrite(_sess_mut(spark, [(1, "A"), (2, "B")]), "sessions_silver")
+    # pre-CDF commit: arbitrary rewrite
+    store.overwrite(_sess_mut(spark, [(1, "A"), (3, "C")]), "sessions_silver")
+    store.merge_upsert(
+        _sess_mut(spark, [(3, "C2")]), "sessions_silver", keys=["session_key"]
+    )
+    feed = store.table_changes_feed("sessions_silver", 2, 0, key_cols=["session_key"])
+    by_ord = {}
+    for r in feed.collect():
+        by_ord.setdefault(r._commit_ordinal, set()).add(
+            (r.session_key, r._change_type)
+        )
+    assert by_ord[1] == {(2, "delete"), (3, "insert")}
+    assert by_ord[2] == {(3, "update_preimage"), (3, "update_postimage")}
+
+
+def test_table_changes_feed_guards(spark, tmp_path):
+    store = TableStore(spark, str(tmp_path / "wh"), keep_versions=3)
+    store.overwrite(_sess_mut(spark, [(1, "A")]), "sessions_silver")
+    assert store.table_changes_feed("sessions_silver", 0, 0).count() == 0
+    with pytest.raises(ValueError, match="OLDER"):
+        store.table_changes_feed("sessions_silver", 0, 1)
+    with pytest.raises(IndexError):
+        store.table_changes_feed("sessions_silver", 7, 0)
