@@ -989,7 +989,9 @@ def _fill_empty_cells(xs, cent, asg, empties, k) -> None:
                 cand, dd = cand[dd > 0], dd[dd > 0]
             else:
                 cand, dd = cand[dd == 0], dd[dd == 0]
-                cand = cand[1:]  # one copy already lives on as the centroid
+                # one copy already lives on as the centroid; keep cand and
+                # dd the same length or the argsort below walks off the end
+                cand, dd = cand[1:], dd[1:]
             pool.extend(cand[np.argsort(-dd, kind="stable")].tolist())
             if len(pool) >= len(empties):
                 break

@@ -654,15 +654,14 @@ def run_corpus_pipeline_incremental(
 
             def _wap_sink(df: DataFrame, path: str) -> None:
                 # idempotent per-batch sink: replay overwrites its own
-                # batch_token partition (mode pinned on the writer, same as
-                # streaming/quality_gate._overwrite_batch)
-                (
-                    df.withColumn("batch_token", F.lit(batch_token))
-                    .write.option("partitionOverwriteMode", "dynamic")
-                    .mode("overwrite")
-                    .partitionBy("batch_token")
-                    .parquet(path)
+                # batch_token partition — THE SAME writer as the streaming
+                # gate's sinks (one implementation of the overwrite
+                # semantics, so a future fix lands in both gates at once)
+                from f1_datalakehouse_pipeline_spark.streaming.quality_gate import (
+                    _overwrite_batch,
                 )
+
+                _overwrite_batch(df, batch_token, path, stamp_col="batch_token")
 
             _wap_sink(
                 spark.createDataFrame(

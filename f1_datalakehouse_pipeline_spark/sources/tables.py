@@ -45,6 +45,7 @@ exactly the cost profile of a metadata-only Iceberg/Delta commit.
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import time
@@ -404,6 +405,7 @@ class TableStore:
         cluster_by: list[str] | None = None,
         expected=_UNSET,
         changes: DataFrame | None = None,
+        change_keys: list[str] | None = None,
     ) -> None:
         """Transactional full overwrite: write → (implicit) validate → atomic
         swap. If the write job fails, no swap happens and the live table is
@@ -424,7 +426,12 @@ class TableStore:
         invisible to table scans (underscore-prefixed = Hadoop hidden).
         mutation APIs that KNOW their delta (merge_upsert, delete_where)
         pass this so table_changes() serves a metadata-located file read
-        instead of a two-snapshot diff."""
+        instead of a two-snapshot diff. ``change_keys`` records the key set
+        the change labels were computed under (``None`` = key-agnostic, a
+        pure delete feed); table_changes() only fast-paths readers whose
+        key_cols MATCH — a mismatched reader silently getting the writer's
+        labeling would diverge from the snapshot-diff contract (review
+        finding, r9)."""
         if cluster_by:
             from pyspark.sql import functions as F
 
@@ -451,10 +458,38 @@ class TableStore:
             "overwrite"
         ).save(version_dir)
         if changes is not None:
-            changes.write.mode("overwrite").parquet(
-                os.path.join(version_dir, "_changes")
-            )
+            self._write_changes(version_dir, changes, change_keys)
         self._publish(table, version_dir, expected=expected)
+
+    @staticmethod
+    def _change_keys_match(cpath: str, key_cols: list[str]) -> bool:
+        """Serve change files only to readers whose key_cols MATCH the key
+        set the writer labeled them under (sidecar; "*" = key-agnostic, a
+        pure delete feed). A mismatched reader falls back to the snapshot
+        diff, which computes labels under ITS keys — without this gate the
+        same call would return differently-labeled rows depending on
+        whether a file happened to exist."""
+        kf = os.path.join(cpath, "_keys.json")
+        if not os.path.isfile(kf):
+            return False  # no provenance, no fast path
+        try:
+            with open(kf) as f:
+                spec = json.load(f)
+        except (OSError, ValueError):
+            return False
+        return spec == "*" or spec == sorted(key_cols)
+
+    @staticmethod
+    def _write_changes(
+        version_dir: str, changes: DataFrame, change_keys: list[str] | None
+    ) -> None:
+        cdir = os.path.join(version_dir, "_changes")
+        changes.write.mode("overwrite").parquet(cdir)
+        # sidecar: the key set the labels are valid under ("*" = any keys —
+        # a delete-only feed labels identically under every key choice).
+        # Underscore-prefixed like the dir, so the part-file glob skips it.
+        with open(os.path.join(cdir, "_keys.json"), "w") as f:
+            json.dump(sorted(change_keys) if change_keys else "*", f)
 
     def stage_many(
         self, writes: list[tuple[DataFrame, str]]
@@ -627,7 +662,9 @@ class TableStore:
             changes = changes.unionByName(
                 landed.select(*cols, F.lit("delete").alias("_change_type"))
             )
-        self.overwrite(merged, table, expected=expected, changes=changes)
+        self.overwrite(
+            merged, table, expected=expected, changes=changes, change_keys=keys
+        )
 
     @staticmethod
     def _leaf_partitions(root: str, depth: int) -> set[tuple[str, ...]]:
@@ -686,6 +723,7 @@ class TableStore:
         sort_by: list[str] | None = None,
         expected=_UNSET,
         changes: DataFrame | None = None,
+        change_keys: list[str] | None = None,
     ) -> None:
         """Replace only the partitions present in ``df`` — transactionally.
 
@@ -700,12 +738,18 @@ class TableStore:
         """
         if not PARTITION_SPECS.get(table):
             # unpartitioned table: partition-overwrite degenerates to overwrite
-            self.overwrite(df, table, expected=expected, changes=changes)
+            self.overwrite(
+                df, table, expected=expected,
+                changes=changes, change_keys=change_keys,
+            )
             return
         if expected is _UNSET:
             expected = self._current_target(table)
         if expected is None:
-            self.overwrite(df, table, sort_by, expected=None, changes=changes)
+            self.overwrite(
+                df, table, sort_by, expected=None,
+                changes=changes, change_keys=change_keys,
+            )
             return
         depth = len(PARTITION_SPECS[table])
         version_dir = os.path.join(
@@ -718,9 +762,7 @@ class TableStore:
         replaced = self._leaf_partitions(version_dir, depth)
         self._graft_partitions(expected, version_dir, depth, skip=replaced)
         if changes is not None:
-            changes.write.mode("overwrite").parquet(
-                os.path.join(version_dir, "_changes")
-            )
+            self._write_changes(version_dir, changes, change_keys)
         self._publish(table, version_dir, expected=expected)
 
 
@@ -864,11 +906,13 @@ class TableStore:
         for: pre-CDF versions (plain ``overwrite`` commits persist no
         change files — their delta is an arbitrary rewrite the diff
         computes exactly), multi-step spans (per-step files don't compose
-        into a NET diff without replaying), and the no-keys multiset mode
+        into a NET diff without replaying), the no-keys multiset mode
         (written files are keyed per the writer's merge keys; the multiset
-        labeling of an update is delete+insert, not pre/post). File-served
-        reads reflect the WRITING commit's key set; pass the same
-        ``key_cols`` the merge used (asserted equal to the snapshot diff in
+        labeling of an update is delete+insert, not pre/post), and readers
+        whose ``key_cols`` differ from the key set the writer labeled under
+        (a ``_keys.json`` sidecar records it; a mismatch falls back so the
+        caller always gets labels computed under ITS keys — file-vs-diff
+        equality under matching keys is pinned in
         tests/test_tablestore_tx.py). Within the bounded retention window
         the diff fallback costs what a full-outer join costs, and never
         touches the driver."""
@@ -887,7 +931,7 @@ class TableStore:
                 cpath = os.path.join(vs[n_back_to], "_changes")
                 if os.path.isdir(cpath) and any(
                     not f.startswith(("_", ".")) for f in os.listdir(cpath)
-                ):
+                ) and self._change_keys_match(cpath, key_cols):
                     # glob the part files explicitly: the dir's own leading
                     # underscore (which keeps it invisible to TABLE scans)
                     # would otherwise trip Hadoop's hidden-path filter into a

@@ -42,12 +42,18 @@ from f1_datalakehouse_pipeline_spark.streaming.incremental import (
 
 
 def _overwrite_batch(
-    df: DataFrame, batch_id: int, path: str, stamped: bool = False
+    df: DataFrame,
+    batch_id,
+    path: str,
+    stamped: bool = False,
+    stamp_col: str = "batch_id",
 ) -> None:
     """Idempotent per-batch sink write: dynamic partition overwrite of the
-    batch's own ``batch_id=`` partition. A crash-and-re-run of the same batch
-    REPLACES its partial output instead of appending a duplicate — the
+    batch's own ``<stamp_col>=`` partition. A crash-and-re-run of the same
+    batch REPLACES its partial output instead of appending a duplicate — the
     idempotence exactly_once_batch_writer requires of its upsert.
+    (``stamp_col`` lets the corpus WAP gate share this writer with its
+    batch_token identity — ONE implementation of the sink semantics.)
 
     The dynamic mode is pinned ON THE WRITER (not inherited from the
     session): under Spark's default static partitionOverwriteMode a
@@ -56,11 +62,11 @@ def _overwrite_batch(
     published batch for any caller whose session doesn't set the conf —
     the same per-writer pattern as sources/bronze.py."""
     if not stamped:
-        df = df.withColumn("batch_id", F.lit(batch_id))
+        df = df.withColumn(stamp_col, F.lit(batch_id))
     (
         df.write.option("partitionOverwriteMode", "dynamic")
         .mode("overwrite")
-        .partitionBy("batch_id")
+        .partitionBy(stamp_col)
         .parquet(path)
     )
 

@@ -468,3 +468,19 @@ def test_ivf_train_l2_metric_guards():
         similarity.ivf_train(None, metric="cosine")
     with pytest.raises(ValueError, match="sample tier"):
         similarity.ivf_train(None, train="distributed", metric="l2")
+
+
+def test_fill_empty_cells_all_duplicate_sample_does_not_crash():
+    """Review r9: the degenerate all-duplicate sample (first pass finds no
+    dd>0 donors, second pass draws zero-distance copies) must FILL the
+    cells, not raise — cand and dd slices have to stay aligned."""
+    xs = np.tile(np.array([2.0, 2.0]), (4, 1))  # 4 identical points
+    k = 3
+    asg = np.array([0, 0, 0, 0])
+    cent = np.zeros((k, 2))
+    cent[0] = xs[0]
+    empties = [1, 2]
+    similarity._fill_empty_cells(xs, cent, asg, empties, k)
+    # duplicates are information-theoretically unavoidable here; the
+    # contract is only that every cell is seeded with a real value
+    assert all(any(np.array_equal(cent[c], x) for x in xs) for c in empties)

@@ -1060,3 +1060,59 @@ def test_table_changes_feed_guards(spark, tmp_path):
         store.table_changes_feed("sessions_silver", 0, 1)
     with pytest.raises(IndexError):
         store.table_changes_feed("sessions_silver", 7, 0)
+
+
+def test_cdf_key_mismatch_falls_back_to_snapshot_diff(spark, tmp_path):
+    """Review r9: change files carry the WRITER's key semantics — a reader
+    asking for different key_cols must get the snapshot diff computed under
+    ITS keys, not the file's labels. Discriminating case: the merge updates
+    meeting_name under keys=[session_key]; a reader keying on
+    (session_key, meeting_name) must see that row as delete+insert (the key
+    changed under its view), never as update pre/post."""
+    import json
+    import os
+
+    store = TableStore(spark, str(tmp_path / "wh"))
+    store.overwrite(_sess_mut(spark, [(1, "A"), (2, "B")]), "sessions_silver")
+    store.merge_upsert(
+        _sess_mut(spark, [(2, "B2")]), "sessions_silver", keys=["session_key"]
+    )
+    kf = os.path.join(store.versions("sessions_silver")[0], "_changes", "_keys.json")
+    assert json.load(open(kf)) == ["session_key"]
+    # matching reader: file-served, update labels
+    got = {
+        (r.session_key, r._change_type)
+        for r in store.table_changes(
+            "sessions_silver", 1, 0, key_cols=["session_key"]
+        ).collect()
+    }
+    assert got == {(2, "update_preimage"), (2, "update_postimage")}
+    # mismatched reader: snapshot diff under ITS keys → delete+insert
+    got2 = {
+        (r.session_key, r.meeting_name, r._change_type)
+        for r in store.table_changes(
+            "sessions_silver", 1, 0, key_cols=["session_key", "meeting_name"]
+        ).collect()
+    }
+    assert got2 == {(2, "B", "delete"), (2, "B2", "insert")}
+
+
+def test_cdf_delete_feed_is_key_agnostic(spark, tmp_path):
+    """delete_where's feed labels identically under every key choice, so
+    its sidecar records "*" and any keyed reader is file-served."""
+    import json
+    import os
+
+    store = TableStore(spark, str(tmp_path / "wh"))
+    store.overwrite(_sess_mut(spark, [(1, "A"), (2, "B")]), "sessions_silver")
+    store.delete_where(F.col("session_key") == 1, "sessions_silver")
+    kf = os.path.join(store.versions("sessions_silver")[0], "_changes", "_keys.json")
+    assert json.load(open(kf)) == "*"
+    for keys in (["session_key"], ["session_key", "meeting_name"]):
+        got = {
+            (r.session_key, r._change_type)
+            for r in store.table_changes(
+                "sessions_silver", 1, 0, key_cols=keys
+            ).collect()
+        }
+        assert got == {(1, "delete")}

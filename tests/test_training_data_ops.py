@@ -4144,3 +4144,69 @@ def test_jpeg_baseline_real_file_matches_imageio_within_upsample_method(
     d = np.abs(got.astype(int) - ref.astype(int))
     assert d.mean() < 1.5, d.mean()
     assert np.percentile(d, 99) <= 6
+
+
+def test_jpeg_progressive_hand_crafted_three_scan_stream():
+    """Machine-independent progressive coverage (review r9: the real-file
+    ImageIO tests skip off this machine): a hand-crafted T.81 SOF2 stream —
+    DC-first (Al=1), DC-refinement (Ah=1), AC-first (pure EOB) — must
+    decode to EXACTLY flat 138: DC-first sets coef 2<<1=4, the refinement
+    bit lifts it to 5, dequant 5*16=80, pixel 128+80/8=138. Decoding 136
+    would mean the refinement scan was dropped; 128 means only headers
+    parsed. No shared encoder code anywhere in the fixture."""
+    import numpy as np
+
+    b = bytearray(b"\xff\xd8")
+    b += _jpeg_seg(0xDB, bytes([0x00]) + bytes([16] * 64))
+    b += _jpeg_seg(0xC2, bytes([8]) + (8).to_bytes(2, "big")
+                   + (8).to_bytes(2, "big") + bytes([1, 1, 0x11, 0]))
+    # DC table 0: single symbol '2' at code length 1 (code '0')
+    b += _jpeg_seg(0xC4, bytes([0x00, 1] + [0] * 15 + [2]))
+    # scan 1: DC first, Ss=0 Se=0 Ah=0 Al=1 — code '0' + magnitude '10'
+    # (t=2 → diff 2) → coef = 2<<1 = 4; bits 010 + 1-padding = 0x5F
+    b += _jpeg_seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x01]))
+    b += bytes([0x5F])
+    # scan 2: DC refinement, Ah=1 Al=0 — one raw bit per block, bit=1 →
+    # coef |= 1 → 5; 1-padded byte 0xFF needs stuffing
+    b += _jpeg_seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x10]))
+    b += bytes([0xFF, 0x00])
+    # AC table 0: EOB (0x00) at code length 1
+    b += _jpeg_seg(0xC4, bytes([0x10, 1] + [0] * 15 + [0x00]))
+    # scan 3: AC first, Ss=1 Se=63 Ah=0 Al=0 — immediate EOB
+    b += _jpeg_seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x00]))
+    b += bytes([0x7F])  # code '0' + 1-padding
+    b += b"\xff\xd9"
+    w, h, ch, px = multimodal.jpeg_decode_pixels(bytes(b))
+    assert (w, h, ch) == (8, 8, 1)
+    out = np.frombuffer(bytes(px), np.uint8)
+    assert (out == 138).all(), out[:8]
+
+
+def test_jpeg_progressive_eobrun_spans_blocks():
+    """AC-first EOB-run coding: one EOB1 code (eobrun covers the current
+    AND the next block) must terminate BOTH blocks of a 16×8 image — a
+    decoder that treats EOBn as plain EOB would misparse the stream and
+    either crash or corrupt block 2."""
+    import numpy as np
+
+    b = bytearray(b"\xff\xd8")
+    b += _jpeg_seg(0xDB, bytes([0x00]) + bytes([16] * 64))
+    b += _jpeg_seg(0xC2, bytes([8]) + (8).to_bytes(2, "big")
+                   + (16).to_bytes(2, "big") + bytes([1, 1, 0x11, 0]))
+    # DC table: symbols '0' (code '0') and '2' (code '10')
+    b += _jpeg_seg(0xC4, bytes([0x00, 1, 1] + [0] * 14 + [0, 2]))
+    # scan 1: DC first Al=0 — block 1: code '10' + '11' (diff 3 → 3*16=48
+    # → 134); block 2: code '0' (diff 0 → same DC). bits 1011 0 + pad
+    b += _jpeg_seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x00]))
+    b += bytes([0b10110111])
+    # AC table: EOB1 (0x10) at code length 1
+    b += _jpeg_seg(0xC4, bytes([0x10, 1] + [0] * 15 + [0x10]))
+    # scan 2: AC first — ONE code: EOB1, + 1 appended bit 0 →
+    # eobrun = (1<<1)-1 + 0 = 1: ends block 1 AND skips block 2
+    b += _jpeg_seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x00]))
+    b += bytes([0b00111111])  # code '0', eobrun bit '0', 1-padding
+    b += b"\xff\xd9"
+    w, h, ch, px = multimodal.jpeg_decode_pixels(bytes(b))
+    assert (w, h, ch) == (16, 8, 1)
+    out = np.frombuffer(bytes(px), np.uint8)
+    assert (out == 134).all(), sorted(set(out.tolist()))

@@ -278,6 +278,8 @@ def scaled_events(spark: SparkSession, sf_dir: str, factor: int) -> DataFrame:
         mx = base.agg(
             F.max("user_id").alias("u"), F.max("event_id").alias("e")
         ).collect()[0]
+        if mx["u"] is None:
+            raise ValueError("scaled_events: base events table is empty")
         if mx["u"] >= 1_000_000 or mx["e"] >= 100_000_000:
             raise ValueError(
                 f"scaled_events stride too small: max user_id={mx['u']} "
