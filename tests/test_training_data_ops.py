@@ -4127,11 +4127,11 @@ def test_jpeg_progressive_decode_matches_imageio(spark, path):
 def test_jpeg_baseline_real_file_matches_imageio_within_upsample_method(
     spark, path
 ):
-    """The baseline decoder against a REAL camera JPEG (4:2:0): coefficient
-    decoding must agree with ImageIO; the residual difference is the
-    documented nearest-vs-fancy chroma upsampling choice, bounded here so
-    a real decode regression (wrong coefficients blow past these
-    instantly) cannot hide behind it."""
+    """The baseline decoder against a REAL camera JPEG (4:2:0): with the
+    triangular ("fancy") chroma upsampling in place the decode matches
+    ImageIO to IDCT/rounding residue — mean |diff| < 0.6, p99 <= 3 (was
+    mean 1.9 / max 27 under nearest upsampling; a coefficient-decode
+    regression blows past these bounds instantly)."""
     import os
 
     import numpy as np
@@ -4142,8 +4142,8 @@ def test_jpeg_baseline_real_file_matches_imageio_within_upsample_method(
     got = np.frombuffer(bytes(px), np.uint8).reshape(h, w, ch)
     ref = _imageio_reference(spark, path)
     d = np.abs(got.astype(int) - ref.astype(int))
-    assert d.mean() < 1.5, d.mean()
-    assert np.percentile(d, 99) <= 6
+    assert d.mean() < 0.6, d.mean()
+    assert np.percentile(d, 99) <= 3
 
 
 def test_jpeg_progressive_hand_crafted_three_scan_stream():
