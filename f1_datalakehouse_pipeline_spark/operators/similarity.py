@@ -1441,9 +1441,16 @@ def ivfpq_topk(
     probes = spark.createDataFrame(probe_rows, "query_id long, list_id int")
     b_luts = spark.sparkContext.broadcast(luts)
 
-    cands = index.join(F.broadcast(probes), "list_id").filter(
-        F.col("query_id") != F.col("neighbor_id")
-    )
+    # Static pushdown of the probed-list union: the probe set is known
+    # driver-side, so the scan gets a PartitionFilter (list_id IN ...) —
+    # against a list_id-partitioned on-disk index the unprobed partitions
+    # are pruned at PLANNING time, never listed or read (a literal probes
+    # relation carries no selective predicate, so Spark's dynamic partition
+    # pruning would not fire here; plan-pinned in tests/test_pq.py).
+    probed_all = sorted({l for _, l in probe_rows})
+    cands = index.filter(F.col("list_id").isin(probed_all)).join(
+        F.broadcast(probes), "list_id"
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
     out_schema = "query_id long, neighbor_id long, adc double"
 
     def score(batches):

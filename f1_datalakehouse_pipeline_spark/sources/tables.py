@@ -1089,11 +1089,21 @@ def compact(
     partition dir. Unpartitioned tables degenerate to a full transactional
     overwrite coalesced to ``target_partitions`` files; a ``predicate``
     there would be row-dropping, so it raises instead.
+
+    A compaction changes NO logical rows, so its commit writes an EMPTY
+    key-agnostic change feed: a CDC consumer's ``table_changes_feed`` over
+    a range containing compactions stays file-served end to end (zero rows
+    for the compaction ordinal) instead of paying a full snapshot diff
+    just to learn nothing changed.
     """
     from pyspark.sql import functions as F
 
     parts = PARTITION_SPECS.get(table, [])
     df = store.read(table)
+    # zero-row frame with the feed schema (table cols + _change_type)
+    no_changes = df.select(
+        "*", F.lit("insert").alias("_change_type")
+    ).filter(F.lit(False))
     n = max(1, target_partitions)
     if not parts:
         if predicate is not None:
@@ -1102,7 +1112,7 @@ def compact(
                 "rewrite the whole table minus the non-matching rows (a "
                 "silent DELETE); compact without a predicate instead"
             )
-        store.overwrite(df.coalesce(n), table)
+        store.overwrite(df.coalesce(n), table, changes=no_changes)
         return
     if predicate is not None:
         selected = df.filter(predicate).select(*parts).distinct()
@@ -1119,4 +1129,4 @@ def compact(
             .repartition(*([F.col(c) for c in parts] + [F.col("__compact_bucket")]))
             .drop("__compact_bucket")
         )
-    store.overwrite_partitions(compacted, table)
+    store.overwrite_partitions(compacted, table, changes=no_changes)

@@ -484,3 +484,36 @@ def test_fill_empty_cells_all_duplicate_sample_does_not_crash():
     # duplicates are information-theoretically unavoidable here; the
     # contract is only that every cell is seeded with a real value
     assert all(any(np.array_equal(cent[c], x) for x in xs) for c in empties)
+
+
+def test_ivfpq_topk_prunes_unprobed_partitions_at_plan_time(spark, emb, l2_cent):
+    """The 100 TB claim 'unprobed partitions are never read' is now a PLAN
+    property, not prose: serving against a list_id-partitioned on-disk
+    index puts the probed-list union into the scan's PartitionFilters
+    (static pushdown — dynamic partition pruning can't fire off a literal
+    probes relation), so planning lists only n_probe partitions."""
+    import re
+    import tempfile
+
+    rtbl = similarity.residualize(emb, l2_cent)
+    books = similarity.pq_train(rtbl, n_codes=16, m=8)
+    idx_path = tempfile.mkdtemp(prefix="f1spark-ivfpq-") + "/idx"
+    similarity.ivfpq_build(emb, l2_cent, books, residual=True).write.partitionBy(
+        "list_id"
+    ).parquet(idx_path)
+    idx = spark.read.parquet(idx_path)
+    queries = emb.filter(F.col("vec_id") < 3)
+    out = similarity.ivfpq_topk(
+        idx, queries, l2_cent, books, k=5, n_probe=2, residual=True
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "list_id" in m.group(1), plan[:2000]
+    # and the result is identical to serving from the unpartitioned frame
+    unpart = similarity.ivfpq_build(emb, l2_cent, books, residual=True)
+    want = similarity.ivfpq_topk(
+        unpart, queries, l2_cent, books, k=5, n_probe=2, residual=True
+    )
+    got = {(r.query_id, r.rnk): r.neighbor_id for r in out.collect()}
+    exp = {(r.query_id, r.rnk): r.neighbor_id for r in want.collect()}
+    assert got == exp

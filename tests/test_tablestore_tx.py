@@ -1116,3 +1116,42 @@ def test_cdf_delete_feed_is_key_agnostic(spark, tmp_path):
             ).collect()
         }
         assert got == {(1, "delete")}
+
+
+def test_compact_commit_writes_empty_change_feed(spark, tmp_path):
+    """Compaction changes no logical rows, so its commit carries an EMPTY
+    key-agnostic change feed — a multi-commit table_changes_feed over a
+    range containing the compaction stays file-served (zero rows at that
+    ordinal) instead of paying a snapshot diff to learn nothing changed."""
+    import json
+    import os
+
+    from f1_datalakehouse_pipeline_spark.sources.tables import compact
+
+    store = TableStore(spark, str(tmp_path / "wh"), keep_versions=3)
+    store.overwrite(_sess_mut(spark, [(1, "A"), (2, "B")]), "sessions_silver")
+    store.merge_upsert(
+        _sess_mut(spark, [(2, "B2")]), "sessions_silver", keys=["session_key"]
+    )
+    compact(store, "sessions_silver", target_partitions=1)
+    cdir = os.path.join(store.versions("sessions_silver")[0], "_changes")
+    assert os.path.isdir(cdir)
+    assert json.load(open(os.path.join(cdir, "_keys.json"))) == "*"
+    # single-step keyed read of the compaction commit: zero changes
+    assert (
+        store.table_changes(
+            "sessions_silver", 1, 0, key_cols=["session_key"]
+        ).count()
+        == 0
+    )
+    feed = store.table_changes_feed(
+        "sessions_silver", 2, 0, key_cols=["session_key"]
+    )
+    by_ord = {}
+    for r in feed.collect():
+        by_ord.setdefault(r._commit_ordinal, set()).add(
+            (r.session_key, r._change_type)
+        )
+    assert by_ord == {1: {(2, "update_preimage"), (2, "update_postimage")}}
+    # data intact after compaction
+    assert store.read("sessions_silver").count() == 2
