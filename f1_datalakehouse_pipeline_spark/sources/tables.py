@@ -1063,6 +1063,72 @@ class TableStore:
         return out
 
 
+class ChangeFeedConsumer:
+    """Incremental CDC consumer over :func:`TableStore.table_changes_feed`
+    (≙ a Delta streaming CDF reader's cursor semantics, pull-based):
+    ``poll()`` returns every commit landed since the persisted cursor —
+    per-commit rows stamped with ``_commit_id``/``_commit_ordinal`` —
+    and ``commit()`` advances the cursor to the head observed by the last
+    poll. At-least-once by construction: re-polling without committing
+    re-delivers the same commits, and a crash between poll and commit
+    replays them; consumers dedupe on ``_commit_id`` if they need
+    effectively-once.
+
+    A consumer with no cursor starts at the OLDEST retained version (the
+    full available history — bounded by the store's ``keep_versions``).
+    A cursor pointing at a vacuumed version raises loudly: the replay
+    horizon was exceeded and silently serving a partial feed would corrupt
+    any downstream state built on it (resync from a snapshot instead).
+
+    The cursor is one tiny JSON file per (consumer, table) under
+    ``cursor_dir`` — the consumer's own durable state, deliberately NOT
+    inside the store (many consumers, one table)."""
+
+    def __init__(self, store: TableStore, table: str, cursor_dir: str):
+        self.store = store
+        self.table = table
+        self.cursor_path = os.path.join(cursor_dir, f"{table}.cursor.json")
+        os.makedirs(cursor_dir, exist_ok=True)
+        self._pending_head: str | None = None
+
+    def _cursor(self) -> str | None:
+        try:
+            with open(self.cursor_path) as f:
+                return json.load(f)["commit_id"]
+        except (OSError, ValueError, KeyError):
+            return None
+
+    def poll(self, key_cols: list[str] | None = None) -> DataFrame:
+        """Change rows of every commit since the cursor (empty feed-schema
+        DataFrame if none). Remembers the head for :func:`commit`."""
+        vs = self.store.versions(self.table)
+        names = [os.path.basename(v) for v in vs]
+        cur = self._cursor()
+        if cur is None:
+            n_back_from = len(vs) - 1
+        elif cur in names:
+            n_back_from = names.index(cur)
+        else:
+            raise ValueError(
+                f"{self.table}: cursor commit {cur!r} is no longer retained "
+                f"(vacuumed past the replay horizon; retained: {names}) — "
+                "resync the consumer from a snapshot"
+            )
+        self._pending_head = names[0]
+        return self.store.table_changes_feed(
+            self.table, n_back_from, 0, key_cols=key_cols
+        )
+
+    def commit(self) -> None:
+        """Persist the head observed by the LAST poll (atomic replace)."""
+        if self._pending_head is None:
+            raise RuntimeError("commit() before any poll()")
+        tmp = self.cursor_path + f".{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump({"commit_id": self._pending_head}, f)
+        os.replace(tmp, self.cursor_path)
+
+
 def compact(
     store: TableStore,
     table: str,

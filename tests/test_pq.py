@@ -517,3 +517,95 @@ def test_ivfpq_topk_prunes_unprobed_partitions_at_plan_time(spark, emb, l2_cent)
     got = {(r.query_id, r.rnk): r.neighbor_id for r in out.collect()}
     exp = {(r.query_id, r.rnk): r.neighbor_id for r in want.collect()}
     assert got == exp
+
+
+# ---------------------------------------------------------------------------
+# operators/robust.py: the SKETCH tier the exact-percentile queries promise
+# for 100 TB (percentile_approx swap, flag/clip projection unchanged).
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf_dir):
+    from f1_datalakehouse_pipeline_spark.sources.testdata import load_table
+
+    return load_table(spark, sf_dir, "events")
+
+
+def test_robust_mad_exact_tier_matches_registry_query(spark, sf_dir, events):
+    from f1_datalakehouse_pipeline_spark.operators import robust
+    from f1_datalakehouse_pipeline_spark.registry_ext import ts_mad_outliers
+
+    got = {
+        r.event_id: (r.is_outlier, r.med, r.mad)
+        for r in robust.mad_outliers(
+            events, "event_type", "value", ["event_id"], k=3.0
+        ).collect()
+    }
+    want = {
+        r.event_id: (r.is_outlier, r.med, r.mad)
+        for r in ts_mad_outliers(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_robust_mad_sketch_tier_agrees_with_exact(events):
+    from f1_datalakehouse_pipeline_spark.operators import robust
+
+    exact = {
+        r.event_id: r.is_outlier
+        for r in robust.mad_outliers(
+            events, "event_type", "value", ["event_id"]
+        ).collect()
+    }
+    sketch = {
+        r.event_id: r.is_outlier
+        for r in robust.mad_outliers(
+            events, "event_type", "value", ["event_id"], accuracy=10_000
+        ).collect()
+    }
+    agree = sum(exact[i] == sketch[i] for i in exact) / len(exact)
+    assert agree >= 0.99, agree
+
+
+def test_robust_winsorize_exact_tier_matches_registry_query(spark, sf_dir, events):
+    from f1_datalakehouse_pipeline_spark.operators import robust
+    from f1_datalakehouse_pipeline_spark.registry_ext import a23_winsorize
+
+    got = {
+        r.event_id: (round(r.value_w, 9), r.clipped)
+        for r in robust.winsorize(
+            events, "event_type", "value", ["event_id"]
+        ).collect()
+    }
+    want = {
+        r.event_id: (round(r.value_w, 9), r.clipped)
+        for r in a23_winsorize(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_robust_winsorize_sketch_tier_agrees_with_exact(events):
+    from f1_datalakehouse_pipeline_spark.operators import robust
+
+    exact = {
+        r.event_id: (r.value_w, r.clipped)
+        for r in robust.winsorize(
+            events, "event_type", "value", ["event_id"]
+        ).collect()
+    }
+    sketch = {
+        r.event_id: (r.value_w, r.clipped)
+        for r in robust.winsorize(
+            events, "event_type", "value", ["event_id"], accuracy=10_000
+        ).collect()
+    }
+    flag_agree = sum(
+        exact[i][1] == sketch[i][1] for i in exact
+    ) / len(exact)
+    assert flag_agree >= 0.99, flag_agree
+    # interior (unclipped-in-both) values pass through untouched either way
+    interior = [
+        i for i in exact if not exact[i][1] and not sketch[i][1]
+    ]
+    assert all(exact[i][0] == sketch[i][0] for i in interior)

@@ -1155,3 +1155,53 @@ def test_compact_commit_writes_empty_change_feed(spark, tmp_path):
     assert by_ord == {1: {(2, "update_preimage"), (2, "update_postimage")}}
     # data intact after compaction
     assert store.read("sessions_silver").count() == 2
+
+
+def test_change_feed_consumer_poll_commit_cycle(spark, tmp_path):
+    """CDC consumer semantics: each poll delivers exactly the commits since
+    the cursor; commit() advances; re-poll without commit re-delivers (the
+    at-least-once contract); a vacuumed-past cursor raises loudly."""
+    from f1_datalakehouse_pipeline_spark.sources.tables import ChangeFeedConsumer
+
+    store = TableStore(spark, str(tmp_path / "wh"), keep_versions=3)
+    cons = ChangeFeedConsumer(store, "sessions_silver", str(tmp_path / "cur"))
+    store.overwrite(_sess_mut(spark, [(1, "A"), (2, "B")]), "sessions_silver")
+    # fresh consumer starts at the oldest retained version: only one
+    # version exists, so nothing to deliver yet
+    assert cons.poll(key_cols=["session_key"]).count() == 0
+    cons.commit()
+
+    store.merge_upsert(
+        _sess_mut(spark, [(2, "B2")]), "sessions_silver", keys=["session_key"]
+    )
+    got = {
+        (r.session_key, r._change_type)
+        for r in cons.poll(key_cols=["session_key"]).collect()
+    }
+    assert got == {(2, "update_preimage"), (2, "update_postimage")}
+    # at-least-once: re-poll WITHOUT commit re-delivers
+    assert cons.poll(key_cols=["session_key"]).count() == 2
+    cons.commit()
+    assert cons.poll(key_cols=["session_key"]).count() == 0
+
+    # two commits between polls arrive together, ordinally stamped
+    store.delete_where(F.col("session_key") == 1, "sessions_silver")
+    store.merge_upsert(
+        _sess_mut(spark, [(5, "E")]), "sessions_silver", keys=["session_key"]
+    )
+    rows = cons.poll(key_cols=["session_key"]).collect()
+    by_ord = {}
+    for r in rows:
+        by_ord.setdefault(r._commit_ordinal, set()).add(
+            (r.session_key, r._change_type)
+        )
+    assert by_ord == {1: {(1, "delete")}, 2: {(5, "insert")}}
+    cons.commit()
+
+    # churn past the retention horizon without polling → loud failure
+    for name in ("X", "Y", "Z", "W"):
+        store.merge_upsert(
+            _sess_mut(spark, [(9, name)]), "sessions_silver", keys=["session_key"]
+        )
+    with pytest.raises(ValueError, match="no longer retained"):
+        cons.poll(key_cols=["session_key"])
