@@ -559,13 +559,14 @@ def test_merge_upsert_cas_snapshot_captured_at_read_time(spark, tmp_path):
 
         def overwrite(
             self, df, table, sort_by=None, cluster_by=None, expected=_UNSET,
-            changes=None,
+            changes=None, change_keys=None,
         ):
             TableStore(self.spark, self.root).overwrite(
                 _sessions(self.spark, 9, gp="rival"), table
             )
             super().overwrite(
-                df, table, sort_by, cluster_by, expected=expected, changes=changes
+                df, table, sort_by, cluster_by, expected=expected,
+                changes=changes, change_keys=change_keys,
             )
 
     store = RacyStore(spark, root)
@@ -589,13 +590,15 @@ def test_delete_where_cas_snapshot_captured_at_read_time(spark, tmp_path):
 
     class RacyStore(TableStore):
         def overwrite_partitions(
-            self, df, table, sort_by=None, expected=_UNSET, changes=None
+            self, df, table, sort_by=None, expected=_UNSET, changes=None,
+            change_keys=None,
         ):
             TableStore(self.spark, self.root).overwrite(
                 _sessions(self.spark, 9, gp="rival"), table
             )
             super().overwrite_partitions(
-                df, table, sort_by, expected=expected, changes=changes
+                df, table, sort_by, expected=expected,
+                changes=changes, change_keys=change_keys,
             )
 
     store = RacyStore(spark, root)
