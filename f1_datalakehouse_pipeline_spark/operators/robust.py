@@ -24,6 +24,15 @@ which is the sketch's documented error surface, not a logic divergence.
 Reference anchor: the reference engine has no robust-statistics operators
 at all (SURVEY §2.4 ends at stddev); this extends the a13
 approx-aggregation pattern to the median/MAD family.
+
+Duplication note (deliberate, bounded): ``ts_mad_outliers`` /
+``a23_winsorize`` in registry_ext.py carry their own exact-tier inline
+implementations rather than delegating here — they are driver-green
+queries outside the current 50-slot verification window, and changing a
+green query's implementation restarts its verification clock mid-round.
+Value-identity between the two copies is pinned (tests/test_pq.py
+``test_robust_*_matches_registry_query``); the delegation fold belongs in
+the round where those queries rotate back into the window.
 """
 
 from __future__ import annotations

@@ -1274,6 +1274,56 @@ def ivfpq_residual_native(
     )
 
 
+def ivfpq_topk_refined(
+    index: DataFrame,
+    embeddings: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_probe: int = 4,
+    refine: int = 50,
+    residual: bool = False,
+) -> DataFrame:
+    """Two-stage IVFADC serve with exact re-ranking (FAISS's
+    IndexRefineFlat pattern — the standard production shape): stage 1
+    shortlists ``refine`` candidates per query through the quantized index
+    (ivfpq_topk: probed lists, LUT gather-adds — never touches raw
+    vectors), stage 2 re-scores ONLY the shortlist against the raw vector
+    table in exact L2 and keeps the top ``k``. Compression does the
+    coarse work; exactness costs |queries|·refine raw-vector reads
+    instead of a full scan.
+
+    100 TB shape: the shortlist is tiny (queries × refine ids), so it
+    BROADCASTS into the raw-table join — one pruned scan with a hash
+    semi-join, no shuffle of the big side; the exact distance is the
+    fixed-order fold, so stage 2 is deterministic. With refine ≥ corpus
+    size the result equals the exact brute-force top-k (asserted in
+    tests); recall is monotone in ``refine`` by construction."""
+    shortlist = ivfpq_topk(
+        index, queries, centroids, codebooks,
+        id_col=id_col, vec_col=vec_col,
+        k=refine, n_probe=n_probe, residual=residual,
+    ).select("query_id", "neighbor_id")
+    cand = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
+    ).join(F.broadcast(shortlist), "neighbor_id")
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    )
+    scored = cand.join(F.broadcast(q), "query_id").select(
+        "query_id", "neighbor_id", _l2sq(F.col("qv"), F.col("cv")).alias("d")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("d").asc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rnk", F.row_number().over(w).cast("long")).filter(
+        F.col("rnk") <= k
+    )
+
+
 def residualize(
     embeddings: DataFrame,
     centroids: list[list[float]],

@@ -343,7 +343,9 @@ class TableStore:
         any reproducibility claim built on it.
         """
         vs = self.versions(table)
-        if n_back >= len(vs):
+        if n_back < 0 or n_back >= len(vs):
+            # negative n_back would silently Python-index from the OLDEST
+            # retained version — the opposite of what the caller asked
             raise IndexError(
                 f"{table}: only {len(vs)} retained versions, asked for n_back={n_back}"
             )
@@ -916,8 +918,29 @@ class TableStore:
         tests/test_tablestore_tx.py). Within the bounded retention window
         the diff fallback costs what a full-outer join costs, and never
         touches the driver."""
-        from pyspark.sql import functions as F
+        self._check_span(n_back_from, n_back_to)
+        # ONE versions() snapshot resolves both endpoints: resolving each
+        # endpoint independently would let a commit landing in between
+        # shift the relative indices mid-read (review finding, r9)
+        vs = self.versions(table)
+        if n_back_from >= len(vs):
+            raise IndexError(
+                f"{table}: only {len(vs)} retained versions, asked for "
+                f"n_back_from={n_back_from}"
+            )
+        return self._changes_between(
+            vs[n_back_from],
+            vs[n_back_to],
+            key_cols,
+            allow_files=n_back_from == n_back_to + 1,
+        )
 
+    @staticmethod
+    def _check_span(n_back_from: int, n_back_to: int) -> None:
+        if n_back_to < 0:
+            # Python negative indexing would silently resolve to the OLDEST
+            # retained version — a garbage diff with inverted labels
+            raise ValueError(f"n_back_to={n_back_to} must be >= 0")
         if n_back_from < n_back_to:
             # swapped arguments would silently INVERT every change label
             # (inserts reported as deletes, pre/post images flipped)
@@ -925,22 +948,32 @@ class TableStore:
                 f"n_back_from={n_back_from} must be the OLDER version "
                 f"(>= n_back_to={n_back_to}): larger n_back = further back"
             )
-        if key_cols and n_back_from == n_back_to + 1:
-            vs = self.versions(table)
-            if n_back_from < len(vs):
-                cpath = os.path.join(vs[n_back_to], "_changes")
-                if os.path.isdir(cpath) and any(
-                    not f.startswith(("_", ".")) for f in os.listdir(cpath)
-                ) and self._change_keys_match(cpath, key_cols):
-                    # glob the part files explicitly: the dir's own leading
-                    # underscore (which keeps it invisible to TABLE scans)
-                    # would otherwise trip Hadoop's hidden-path filter into a
-                    # noisy "all paths ignored" warning on every CDF read
-                    return self.spark.read.parquet(
-                        os.path.join(cpath, "*.parquet")
-                    )
-        old = self.read_version(table, n_back=n_back_from)
-        new = self.read_version(table, n_back=n_back_to)
+
+    def _changes_between(
+        self,
+        old_dir: str,
+        new_dir: str,
+        key_cols: list[str] | None,
+        allow_files: bool,
+    ) -> DataFrame:
+        """Change rows between two PINNED version directories (the caller
+        resolved them from one versions() snapshot). ``allow_files``: serve
+        the newer commit's write-time ``_changes/`` when present, keyed, and
+        key-matching — only valid for single-step spans."""
+        from pyspark.sql import functions as F
+
+        if allow_files and key_cols:
+            cpath = os.path.join(new_dir, "_changes")
+            if os.path.isdir(cpath) and any(
+                not f.startswith(("_", ".")) for f in os.listdir(cpath)
+            ) and self._change_keys_match(cpath, key_cols):
+                # glob the part files explicitly: the dir's own leading
+                # underscore (which keeps it invisible to TABLE scans)
+                # would otherwise trip Hadoop's hidden-path filter into a
+                # noisy "all paths ignored" warning on every CDF read
+                return self.spark.read.parquet(os.path.join(cpath, "*.parquet"))
+        old = self.spark.read.option("mergeSchema", "true").parquet(old_dir)
+        new = self.spark.read.option("mergeSchema", "true").parquet(new_dir)
         cols = new.columns
         if old.columns != cols:
             # schema evolution between the versions: conform both to the
@@ -999,6 +1032,7 @@ class TableStore:
         n_back_from: int,
         n_back_to: int = 0,
         key_cols: list[str] | None = None,
+        _versions: list[str] | None = None,
     ) -> DataFrame:
         """PER-COMMIT change feed across a version range (≙ Delta's actual
         ``table_changes(from, to)`` shape: rows are NOT collapsed to a net
@@ -1022,15 +1056,17 @@ class TableStore:
         rules hold (delete/pre-image keys removed, insert/post-image rows
         upserted). Net-diff semantics across the same range remain
         available via :func:`table_changes` (which pays a snapshot diff for
-        multi-step spans — composing is exactly what this feed avoids)."""
+        multi-step spans — composing is exactly what this feed avoids).
+
+        Every step resolves against ONE versions() snapshot taken up front
+        (``_versions`` lets ChangeFeedConsumer pin its own snapshot), so a
+        commit landing mid-read can never shift the steps or their stamps;
+        steps union with NULL backfill so a schema-widening commit inside
+        the range doesn't break the read (review findings, r9)."""
         from pyspark.sql import functions as F
 
-        if n_back_from < n_back_to:
-            raise ValueError(
-                f"n_back_from={n_back_from} must be the OLDER version "
-                f"(>= n_back_to={n_back_to}): larger n_back = further back"
-            )
-        vs = self.versions(table)
+        self._check_span(n_back_from, n_back_to)
+        vs = _versions if _versions is not None else self.versions(table)
         if n_back_from >= len(vs):
             raise IndexError(
                 f"{table}: only {len(vs)} retained versions, asked for "
@@ -1040,17 +1076,23 @@ class TableStore:
         for ordinal, newer in enumerate(
             range(n_back_from - 1, n_back_to - 1, -1), start=1
         ):
-            step = self.table_changes(
-                table, newer + 1, newer, key_cols=key_cols
+            step = self._changes_between(
+                vs[newer + 1], vs[newer], key_cols, allow_files=True
             ).select(
                 "*",
                 F.lit(os.path.basename(vs[newer])).alias("_commit_id"),
                 F.lit(ordinal).alias("_commit_ordinal"),
             )
-            out = step if out is None else out.unionByName(step)
+            out = (
+                step
+                if out is None
+                else out.unionByName(step, allowMissingColumns=True)
+            )
         if out is None:
             # empty range (from == to): zero rows, full feed schema
-            base = self.read_version(table, n_back=n_back_to)
+            base = self.spark.read.option("mergeSchema", "true").parquet(
+                vs[n_back_to]
+            )
             return (
                 base.select(
                     "*",
@@ -1100,8 +1142,19 @@ class ChangeFeedConsumer:
 
     def poll(self, key_cols: list[str] | None = None) -> DataFrame:
         """Change rows of every commit since the cursor (empty feed-schema
-        DataFrame if none). Remembers the head for :func:`commit`."""
+        DataFrame if none). Remembers the head for :func:`commit`.
+
+        The versions() snapshot taken HERE is passed through to the feed —
+        resolving it twice would let a commit landing between the two
+        listings shift the relative indices, silently dropping a commit
+        from this consumer forever (the at-least-once guarantee is exactly
+        what that would break; review finding, r9)."""
         vs = self.store.versions(self.table)
+        if not vs:
+            raise ValueError(
+                f"{self.table}: no committed versions yet — poll after the "
+                "producer's first commit"
+            )
         names = [os.path.basename(v) for v in vs]
         cur = self._cursor()
         if cur is None:
@@ -1116,7 +1169,7 @@ class ChangeFeedConsumer:
             )
         self._pending_head = names[0]
         return self.store.table_changes_feed(
-            self.table, n_back_from, 0, key_cols=key_cols
+            self.table, n_back_from, 0, key_cols=key_cols, _versions=vs
         )
 
     def commit(self) -> None:

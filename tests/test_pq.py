@@ -609,3 +609,57 @@ def test_robust_winsorize_sketch_tier_agrees_with_exact(events):
         i for i in exact if not exact[i][1] and not sketch[i][1]
     ]
     assert all(exact[i][0] == sketch[i][0] for i in interior)
+
+
+def test_ivfpq_refined_recall_and_full_refine_exactness(emb, emb_np, l2_cent):
+    """Two-stage serve (ADC shortlist → exact re-rank on raw vectors): the
+    exact stage recovers most of the quantization loss — measured on this
+    corpus 0.18 unrefined → 0.60/0.80 at refine=20/100 — monotone in the
+    shortlist size, and with refine ≥ corpus and every list probed the
+    result is BIT-EXACTLY the brute-force top-k (ordered ids compared
+    against an independent numpy reference)."""
+    ids, x = emb_np
+    rtbl = similarity.residualize(emb, l2_cent)
+    books = similarity.pq_train(rtbl, n_codes=16, m=8)
+    idx = similarity.ivfpq_build(emb, l2_cent, books, residual=True).cache()
+    queries = emb.filter(F.col("vec_id") < 10)
+    truth = {}
+    for i in range(10):
+        d = ((x - x[i]) ** 2).sum(axis=1)
+        d[i] = np.inf
+        truth[int(ids[i])] = set(ids[np.argsort(d, kind="stable")[:5]].tolist())
+
+    def recall(df):
+        got: dict[int, set] = {}
+        for r in df.collect():
+            got.setdefault(r.query_id, set()).add(r.neighbor_id)
+        return float(np.mean([len(got.get(q, set()) & t) / 5 for q, t in truth.items()]))
+
+    base = recall(
+        similarity.ivfpq_topk(idx, queries, l2_cent, books, k=5, n_probe=8, residual=True)
+    )
+    r20 = recall(
+        similarity.ivfpq_topk_refined(
+            idx, emb, queries, l2_cent, books, k=5, n_probe=8, refine=20, residual=True
+        )
+    )
+    r100 = recall(
+        similarity.ivfpq_topk_refined(
+            idx, emb, queries, l2_cent, books, k=5, n_probe=8, refine=100, residual=True
+        )
+    )
+    assert r20 >= base + 0.2, (base, r20)
+    assert r100 >= r20, (r20, r100)
+
+    full = similarity.ivfpq_topk_refined(
+        idx, emb, queries, l2_cent, books,
+        k=5, n_probe=16, refine=len(ids) + 1, residual=True,
+    )
+    got = {(r.query_id, r.rnk): r.neighbor_id for r in full.collect()}
+    for q in truth:
+        qi = int(np.where(ids == q)[0][0])
+        d = ((x - x[qi]) ** 2).sum(axis=1)
+        d[qi] = np.inf
+        order = np.lexsort((ids, d))[:5]
+        assert [int(ids[j]) for j in order] == [got[(q, i + 1)] for i in range(5)], q
+    idx.unpersist()

@@ -1208,3 +1208,52 @@ def test_change_feed_consumer_poll_commit_cycle(spark, tmp_path):
         )
     with pytest.raises(ValueError, match="no longer retained"):
         cons.poll(key_cols=["session_key"])
+
+
+def test_cdc_span_and_index_guards(spark, tmp_path):
+    """Review r9: negative n_back_to (or n_back) must raise loudly —
+    Python negative indexing would silently serve a current-vs-OLDEST diff
+    with inverted labels."""
+    store = TableStore(spark, str(tmp_path / "wh"))
+    store.overwrite(_sess_mut(spark, [(1, "A")]), "sessions_silver")
+    store.overwrite(_sess_mut(spark, [(1, "A2")]), "sessions_silver")
+    with pytest.raises(ValueError, match="must be >= 0"):
+        store.table_changes("sessions_silver", 1, -1, key_cols=["session_key"])
+    with pytest.raises(ValueError, match="must be >= 0"):
+        store.table_changes_feed("sessions_silver", 1, -1)
+    with pytest.raises(IndexError):
+        store.read_version("sessions_silver", -1)
+
+
+def test_feed_pinned_snapshot_survives_concurrent_commit(spark, tmp_path):
+    """The consumer's at-least-once contract rests on ONE versions()
+    snapshot resolving every step: a feed over a PINNED snapshot must
+    return that snapshot's commits even after a newer commit lands (a
+    re-listing mid-read would shift the indices and drop a commit from the
+    consumer forever)."""
+    store = TableStore(spark, str(tmp_path / "wh"), keep_versions=4)
+    store.overwrite(_sess_mut(spark, [(1, "A"), (2, "B")]), "sessions_silver")
+    store.merge_upsert(
+        _sess_mut(spark, [(2, "B2")]), "sessions_silver", keys=["session_key"]
+    )
+    pinned = store.versions("sessions_silver")
+    # a rival commit lands AFTER the snapshot, BEFORE the feed resolves
+    store.merge_upsert(
+        _sess_mut(spark, [(9, "Z")]), "sessions_silver", keys=["session_key"]
+    )
+    feed = store.table_changes_feed(
+        "sessions_silver", 1, 0, key_cols=["session_key"], _versions=pinned
+    )
+    got = {(r.session_key, r._change_type) for r in feed.collect()}
+    # exactly the pinned snapshot's one step (the B->B2 merge); the rival
+    # commit's insert of key 9 is NOT in this read — it arrives next poll
+    assert got == {(2, "update_preimage"), (2, "update_postimage")}
+
+
+def test_consumer_poll_before_first_commit_raises_clearly(spark, tmp_path):
+    from f1_datalakehouse_pipeline_spark.sources.tables import ChangeFeedConsumer
+
+    store = TableStore(spark, str(tmp_path / "wh"))
+    cons = ChangeFeedConsumer(store, "sessions_silver", str(tmp_path / "cur"))
+    with pytest.raises(ValueError, match="no committed versions"):
+        cons.poll(key_cols=["session_key"])

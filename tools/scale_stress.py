@@ -506,6 +506,17 @@ def run_pq_scale(spark: SparkSession, sf_dir: str, factor: int) -> dict:
         )
         r[f"res_p{n_probe}_recall"], r[f"res_p{n_probe}_recall_base"] = recalls(out)
         r[f"res_p{n_probe}_sec"] = round(time.perf_counter() - t0, 2)
+
+    # two-stage production serve: ADC shortlist → exact re-rank of refine
+    # candidates against the raw table (FAISS IndexRefineFlat shape) — the
+    # tier that recovers quantization loss at |queries|·refine raw reads
+    t0 = time.perf_counter()
+    out = similarity.ivfpq_topk_refined(
+        idx_res, emb, queries, cent_l2, books_res,
+        k=5, n_probe=4, refine=100, residual=True,
+    )
+    r["res_refined_recall"], r["res_refined_recall_base"] = recalls(out)
+    r["res_refined_sec"] = round(time.perf_counter() - t0, 2)
     print(f"  {r}", flush=True)
     return r
 
