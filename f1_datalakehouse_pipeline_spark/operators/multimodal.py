@@ -996,6 +996,14 @@ def jpeg_decode_pixels(payload: bytes) -> tuple[int, int, int, "bytearray"]:
         if b[pos] != 0xFF:
             raise NotImplementedError("JPEG marker desync")
         marker = b[pos + 1]
+        if marker == 0xFF:
+            # T.81 B.1.1.2: any number of 0xFF FILL bytes may precede a
+            # marker. Without this skip, a progressive stream padded
+            # between scans would misparse the real marker byte as the
+            # high byte of a segment length and silently drop every
+            # remaining refinement scan (review finding, r9).
+            pos += 1
+            continue
         if marker == 0xD9:  # EOI
             break
         seg_len = int.from_bytes(b[pos + 2 : pos + 4], "big")

@@ -1014,9 +1014,13 @@ def pq_train(
     deterministic sample (seeded hash order, ≤ train_sample rows collected —
     the same driver-budget contract as ivf_train's sample tier; the
     codebook itself is m·n_codes·dsub doubles, broadcast everywhere it is
-    used). Empty clusters re-seed to distinct farthest points pooled from
-    the largest clusters (size >= 2), so the codebook always fills with no
-    duplicated codewords."""
+    used). Empty clusters re-seed to distinct farthest DATA POINTS pooled
+    from the largest clusters (size >= 2), so the codebook always fills;
+    codewords stay pairwise distinct whenever the sample carries enough
+    distinct values — duplicate-valued donors (or the pool-exhaustion
+    fallback on fully-degenerate samples) can still mint equal codewords,
+    which is information-theoretically unavoidable below the
+    distinct-value count."""
     import numpy as np
 
     sample = (
@@ -1300,8 +1304,10 @@ def ivfpq_topk_refined(
     BROADCASTS into the raw-table join — one pruned scan with a hash
     semi-join, no shuffle of the big side; the exact distance is the
     fixed-order fold, so stage 2 is deterministic. With refine ≥ corpus
-    size the result equals the exact brute-force top-k (asserted in
-    tests); recall is monotone in ``refine`` by construction."""
+    size AND n_probe ≥ n_lists the result equals the exact brute-force
+    top-k (asserted in tests) — candidates outside the probed lists can
+    never enter the shortlist, so refine alone does not buy exactness;
+    recall is monotone in ``refine`` at fixed n_probe by construction."""
     shortlist = ivfpq_topk(
         index, queries, centroids, codebooks,
         id_col=id_col, vec_col=vec_col,

@@ -2464,7 +2464,11 @@ _DELETE_TOMBSTONE_SQL = """
       UNION ALL
       -- the merge batch also INSERTS one unseen key per priority class
       -- (key derived from the priority's leading digit — no window needed)
-      SELECT 90000000 + CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS o_orderkey,
+      -- keys derived ABOVE the table's max key: a fixed 90M base would
+      -- collide with real orderkeys at sf >= 15 (6M*sf), double-booking a
+      -- key across the update and insert legs (review finding, r9)
+      SELECT (SELECT max(o_orderkey) FROM orders) + 1
+               + CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS o_orderkey,
              0 AS o_custkey, 'N' AS o_orderstatus, 0.0 AS o_totalprice,
              o_orderpriority
       FROM (SELECT DISTINCT o_orderpriority FROM orders)
@@ -2520,12 +2524,13 @@ def tablestore_delete_tombstone(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
         F.lit(True).alias("__del"),
     )
+    mx = base.agg(F.max("o_orderkey")).collect()[0][0]  # bounded: one long
     inserts = (
         base.select("o_orderpriority")
         .distinct()
         .select(
             (
-                F.lit(90000000)
+                F.lit(mx + 1)
                 + F.substring("o_orderpriority", 1, 1).cast("long")
             ).alias("o_orderkey"),
             F.lit(0).cast("long").alias("o_custkey"),
@@ -2553,7 +2558,8 @@ _CDF_READ_SQL = """
       FROM orders
     )
     -- the merge batch INSERTS one unseen key per priority class
-    SELECT 90000000 + CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS o_orderkey,
+    SELECT (SELECT max(o_orderkey) FROM orders) + 1
+             + CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS o_orderkey,
            CAST(0 AS BIGINT) AS o_custkey, 'N' AS o_orderstatus,
            0.0 AS o_totalprice, o_orderpriority,
            'insert' AS _change_type
@@ -2621,12 +2627,13 @@ def tablestore_cdf_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
         F.lit(True).alias("__del"),
     )
+    mx = base.agg(F.max("o_orderkey")).collect()[0][0]  # bounded: one long
     inserts = (
         base.select("o_orderpriority")
         .distinct()
         .select(
             (
-                F.lit(90000000)
+                F.lit(mx + 1)
                 + F.substring("o_orderpriority", 1, 1).cast("long")
             ).alias("o_orderkey"),
             F.lit(0).cast("long").alias("o_custkey"),

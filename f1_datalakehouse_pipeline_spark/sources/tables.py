@@ -464,13 +464,16 @@ class TableStore:
         self._publish(table, version_dir, expected=expected)
 
     @staticmethod
-    def _change_keys_match(cpath: str, key_cols: list[str]) -> bool:
+    def _change_keys_match(cpath: str, key_cols: list[str] | None) -> bool:
         """Serve change files only to readers whose key_cols MATCH the key
-        set the writer labeled them under (sidecar; "*" = key-agnostic, a
-        pure delete feed). A mismatched reader falls back to the snapshot
-        diff, which computes labels under ITS keys — without this gate the
-        same call would return differently-labeled rows depending on
-        whether a file happened to exist."""
+        set the writer labeled them under (sidecar). "*" = key-agnostic
+        (a pure delete feed or an empty compaction feed): those labels are
+        valid under EVERY key choice — including the no-keys multiset
+        reader, whose delete-only/empty labeling coincides. A keyed file
+        never serves a differently-keyed or keyless reader; they fall back
+        to the snapshot diff, which computes labels under THEIR semantics —
+        without this gate the same call would return differently-labeled
+        rows depending on whether a file happened to exist."""
         kf = os.path.join(cpath, "_keys.json")
         if not os.path.isfile(kf):
             return False  # no provenance, no fast path
@@ -479,7 +482,9 @@ class TableStore:
                 spec = json.load(f)
         except (OSError, ValueError):
             return False
-        return spec == "*" or spec == sorted(key_cols)
+        if spec == "*":
+            return True
+        return key_cols is not None and spec == sorted(key_cols)
 
     @staticmethod
     def _write_changes(
@@ -608,7 +613,27 @@ class TableStore:
         emit nothing, matching the snapshot-diff labeling exactly.
         """
         from pyspark.sql import functions as F
+        import functools
+        import operator
 
+        # NULL keys are outside the merge contract and would diverge
+        # silently THREE ways: the name-equality merge join never matches
+        # them (old NULL-key row kept AND new one inserted — duplicate
+        # "keys"), the write-time change feed labels under the same
+        # name-equality, and the snapshot-diff fallback compares keys
+        # null-SAFELY — so the same mutation would read differently
+        # depending on which CDF tier served it (review finding, r9).
+        # Reject loudly; the check costs one limit-1 job on the batch side.
+        null_key = functools.reduce(
+            operator.or_, [F.col(k).isNull() for k in keys]
+        )
+        if updates.filter(null_key).limit(1).count():
+            raise ValueError(
+                f"merge_upsert({table}): updates contain NULL in key "
+                f"column(s) {keys} — NULL keys never match (name-equality "
+                "join semantics) and would duplicate rows; filter or "
+                "coalesce them first"
+            )
         current, expected = self.read_pinned(table)
         if delete_col is not None:
             tomb = F.coalesce(F.col(delete_col), F.lit(False))
@@ -962,7 +987,7 @@ class TableStore:
         key-matching — only valid for single-step spans."""
         from pyspark.sql import functions as F
 
-        if allow_files and key_cols:
+        if allow_files:
             cpath = os.path.join(new_dir, "_changes")
             if os.path.isdir(cpath) and any(
                 not f.startswith(("_", ".")) for f in os.listdir(cpath)
@@ -1157,6 +1182,15 @@ class ChangeFeedConsumer:
             )
         names = [os.path.basename(v) for v in vs]
         cur = self._cursor()
+        if cur == self.table and cur not in names:
+            # cursor taken while the table was still a PLAIN (append-created)
+            # directory, whose basename is the table name; the first
+            # transactional overwrite renamed it to legacy-<hex> — follow it
+            # instead of forcing a resync on a fully-retained history
+            # (review finding, r9)
+            legacy = [n for n in names if n.startswith("legacy-")]
+            if len(legacy) == 1:
+                cur = legacy[0]
         if cur is None:
             n_back_from = len(vs) - 1
         elif cur in names:

@@ -1257,3 +1257,49 @@ def test_consumer_poll_before_first_commit_raises_clearly(spark, tmp_path):
     cons = ChangeFeedConsumer(store, "sessions_silver", str(tmp_path / "cur"))
     with pytest.raises(ValueError, match="no committed versions"):
         cons.poll(key_cols=["session_key"])
+
+
+def test_consumer_cursor_survives_legacy_dir_migration(spark, tmp_path):
+    """A cursor committed while the table was still a PLAIN (append-created)
+    directory must keep working after the first transactional overwrite
+    renames that directory to legacy-<hex>: the history is fully retained,
+    so forcing a resync would silently lose the commit (review r9)."""
+    from f1_datalakehouse_pipeline_spark.sources.tables import ChangeFeedConsumer
+
+    store = TableStore(spark, str(tmp_path / "wh"))
+    store.append(_sessions(spark, 3), "sessions_silver")  # plain dir
+    cons = ChangeFeedConsumer(store, "sessions_silver", str(tmp_path / "cur"))
+    assert cons.poll(key_cols=["session_key"]).count() == 0
+    cons.commit()  # cursor = the plain dir's basename (the table name)
+    store.overwrite(_sessions(spark, 4), "sessions_silver")  # migrates
+    got = {
+        (r.session_key, r._change_type)
+        for r in cons.poll(key_cols=["session_key"]).collect()
+    }
+    assert (3, "insert") in got  # the overwrite's delta, not a resync error
+
+
+def test_merge_upsert_rejects_null_keys(spark, tmp_path):
+    """NULL keys never match the merge's name-equality join (old row kept
+    AND new row inserted — duplicate 'keys') and the two CDF tiers would
+    label them differently; the merge rejects them loudly instead."""
+    store = TableStore(spark, str(tmp_path / "wh"))
+    store.overwrite(_sess_mut(spark, [(1, "A")]), "sessions_silver")
+    bad = _sess_mut(spark, [(2, "B")]).withColumn(
+        "session_key", F.lit(None).cast("long")
+    )
+    with pytest.raises(ValueError, match="NULL in key"):
+        store.merge_upsert(bad, "sessions_silver", keys=["session_key"])
+
+
+def test_keyless_reader_served_from_star_sidecar_files(spark, tmp_path):
+    """A '*' (key-agnostic) change file — delete-only or empty — labels
+    identically under EVERY key choice, so the no-keys multiset reader is
+    file-served too; a KEYED file still never serves it (review r9)."""
+    store = TableStore(spark, str(tmp_path / "wh"))
+    store.overwrite(_sess_mut(spark, [(1, "A"), (2, "B")]), "sessions_silver")
+    store.delete_where(F.col("session_key") == 1, "sessions_silver")
+    ch = store.table_changes("sessions_silver", 1, 0)  # keyless multiset
+    assert {(r.session_key, r._change_type) for r in ch.collect()} == {
+        (1, "delete")
+    }

@@ -4210,3 +4210,31 @@ def test_jpeg_progressive_eobrun_spans_blocks():
     assert (w, h, ch) == (16, 8, 1)
     out = np.frombuffer(bytes(px), np.uint8)
     assert (out == 134).all(), sorted(set(out.tolist()))
+
+
+def test_jpeg_fill_bytes_before_markers_are_skipped():
+    """T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker.
+    Without the skip, a padded progressive stream misparses the real
+    marker as a segment length and silently drops every remaining scan —
+    the three-scan fixture with FF-padding between scans must still decode
+    to exactly 138 (review finding, r9)."""
+    import numpy as np
+
+    b = bytearray(b"\xff\xd8")
+    b += b"\xff"  # fill byte before DQT
+    b += _jpeg_seg(0xDB, bytes([0x00]) + bytes([16] * 64))
+    b += _jpeg_seg(0xC2, bytes([8]) + (8).to_bytes(2, "big")
+                   + (8).to_bytes(2, "big") + bytes([1, 1, 0x11, 0]))
+    b += _jpeg_seg(0xC4, bytes([0x00, 1] + [0] * 15 + [2]))
+    b += _jpeg_seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x01]))
+    b += bytes([0x5F])
+    b += b"\xff\xff"  # two fill bytes between scans — the misparse trigger
+    b += _jpeg_seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x10]))
+    b += bytes([0xFF, 0x00])
+    b += _jpeg_seg(0xC4, bytes([0x10, 1] + [0] * 15 + [0x00]))
+    b += _jpeg_seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x00]))
+    b += bytes([0x7F])
+    b += b"\xff\xd9"
+    w, h, ch, px = multimodal.jpeg_decode_pixels(bytes(b))
+    out = np.frombuffer(bytes(px), np.uint8)
+    assert (out == 138).all(), sorted(set(out.tolist()))
