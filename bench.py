@@ -63,6 +63,13 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
 
+    # Host-load evidence (VERDICT r9 item 7): identical code has read
+    # 10.9–14.5 s on this headline depending on what else the host ran
+    # (adjudicated with forensic interleaved A/Bs in r7–r9). Recording
+    # 1/5/15-min load averages at start and end lets a BENCH_r*.json reading
+    # carry its own swing evidence instead of needing that A/B each round.
+    load_start = [round(x, 2) for x in os.getloadavg()]
+
     spark = get_spark("f1-lakehouse-bench")
     spark.sparkContext.setLogLevel("WARN")
     qs = registry.queries()
@@ -216,6 +223,7 @@ def main() -> None:
         "queries_extra": extra_timings,
         "queries_extra_spread_min_max": extra_spread,
         "queries_single_run": single_timings,
+        "host_load_1_5_15_start": load_start,
     }
 
     # Scale section (VERDICT r1 item 6): dedup at an sf1-equivalent document
@@ -274,6 +282,7 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001 — diagnostic, not fatal
             out["scale_sf1_extras"] = {"error": f"{type(e).__name__}: {e}"[:200]}
 
+    out["host_load_1_5_15_end"] = [round(x, 2) for x in os.getloadavg()]
     print(json.dumps(out))
     # The driver captures only the LAST 2000 chars of bench output and
     # parses the tail as JSON; the full object above exceeds that window, so

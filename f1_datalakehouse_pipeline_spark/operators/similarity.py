@@ -997,6 +997,22 @@ def _fill_empty_cells(xs, cent, asg, empties, k) -> None:
                 break
         if len(pool) >= len(empties):
             break
+    if len(pool) < len(empties):
+        # Pool exhaustion: the remaining cells get cent[asg[0]] — identical
+        # codewords, shrinking the effective code count this function exists
+        # to protect. Possible only on (near-)degenerate samples (fewer
+        # distinct points than cells); say so instead of silently minting
+        # duplicates (ADVICE r9).
+        import warnings
+
+        warnings.warn(
+            f"_fill_empty_cells: donor pool exhausted — {len(empties) - len(pool)} "
+            f"of {len(empties)} empty cells fall back to a duplicate codeword "
+            "(sample has fewer distinct points than cells); effective code "
+            "count shrinks accordingly",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     for j, c in enumerate(empties):
         cent[c] = xs[pool[j]] if j < len(pool) else cent[asg[0]]
 
@@ -1436,6 +1452,28 @@ def ivfpq_build(
     return embeddings.select(id_col, vec_col).mapInPandas(build, schema=out_schema)
 
 
+# LUT broadcast variables created by ivfpq_topk, kept until released. The
+# returned DataFrame is lazy, so the function cannot unpersist its own
+# broadcast (tasks read it at materialization time); long-lived sessions
+# that serve repeatedly call release_lut_broadcasts() between batches or
+# executor/driver memory accumulates one LUT dict per serve call
+# (ADVICE r9).
+_LIVE_LUT_BROADCASTS: list = []
+
+
+def release_lut_broadcasts() -> int:
+    """Unpersist every LUT broadcast variable created by ``ivfpq_topk`` so
+    far and return how many were released. Call AFTER the served DataFrames
+    have been materialized (collected/written) — a released broadcast cannot
+    back new tasks, so re-executing a still-lazy serve plan after release
+    fails."""
+    n = 0
+    while _LIVE_LUT_BROADCASTS:
+        _LIVE_LUT_BROADCASTS.pop().unpersist(blocking=False)
+        n += 1
+    return n
+
+
 def ivfpq_topk(
     index: DataFrame,
     queries: DataFrame,
@@ -1460,7 +1498,10 @@ def ivfpq_topk(
     ``q − centroid[list]`` — n_probe LUTs per query, still m×n_codes
     doubles each. The LUT dict ships as a Spark BROADCAST variable, not
     task-closure pickle, so a 10K-query batch serializes it once per
-    executor instead of once per task."""
+    executor instead of once per task. Each call creates one broadcast that
+    outlives the (lazy) result; long-lived serving sessions call
+    ``release_lut_broadcasts()`` after materializing results, or memory
+    accumulates one LUT dict per call."""
     import numpy as np
     import pandas as pd
 
@@ -1496,6 +1537,7 @@ def ivfpq_topk(
             luts[qid] = lut_for(q)
     probes = spark.createDataFrame(probe_rows, "query_id long, list_id int")
     b_luts = spark.sparkContext.broadcast(luts)
+    _LIVE_LUT_BROADCASTS.append(b_luts)
 
     # Static pushdown of the probed-list union: the probe set is known
     # driver-side, so the scan gets a PartitionFilter (list_id IN ...) —

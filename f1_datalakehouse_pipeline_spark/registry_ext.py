@@ -4519,7 +4519,9 @@ def sim_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q − centroid[list] — the encoding that concentrates the codebook's
     dynamic range and buys the recall-at-equal-code-budget win over raw-x
     PQ (closing the r8 citation-vs-implementation gap). Native-expression
-    tier: coarse argmax-dot, residual subtraction, per-subspace argmin and
+    tier: coarse argmin-L2 (fixed-order — the assignment metric the
+    residual design depends on; both this tier and the DuckDB oracle use
+    it), residual subtraction, per-subspace argmin and
     the ADC fold are all fixed-order native ops, with the coarse centroids
     pinned to the first 4 embeddings and the codebook to the first 16 (the
     sim_pq_adc_topk stand-in pattern) so DuckDB derives the identical index

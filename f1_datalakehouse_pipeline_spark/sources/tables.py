@@ -612,6 +612,26 @@ class TableStore:
         (``table_changes``). Matched rows whose values are byte-identical
         emit nothing, matching the snapshot-diff labeling exactly.
         """
+        # The updates plan feeds the NULL-key guard, the anti-join, the
+        # merged image, the change-feed join, and (with tombstones) the
+        # landed-delete probe — up to five evaluations of a potentially
+        # expensive, uncached input pipeline. Persist once at entry; every
+        # consumer below (including the data + change-file writes inside
+        # overwrite()) materializes before this method returns, so the
+        # cache is dropped on exit either way (ADVICE r9).
+        updates = updates.persist()
+        try:
+            self._merge_upsert_body(updates, table, keys, delete_col)
+        finally:
+            updates.unpersist()
+
+    def _merge_upsert_body(
+        self,
+        updates: DataFrame,
+        table: str,
+        keys: list[str],
+        delete_col: str | None,
+    ) -> None:
         from pyspark.sql import functions as F
         import functools
         import operator

@@ -663,3 +663,59 @@ def test_ivfpq_refined_recall_and_full_refine_exactness(emb, emb_np, l2_cent):
         order = np.lexsort((ids, d))[:5]
         assert [int(ids[j]) for j in order] == [got[(q, i + 1)] for i in range(5)], q
     idx.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# r10 ADVICE fixes: LUT-broadcast lifecycle + degenerate-sample warning.
+# ---------------------------------------------------------------------------
+
+
+def test_release_lut_broadcasts_frees_and_allows_reserve(emb, l2_cent):
+    """Every ivfpq_topk call creates one tracked LUT broadcast (ADVICE r9:
+    they used to accumulate forever). release_lut_broadcasts() after
+    materialization drops them all, and a fresh serve afterwards still
+    works (new call → new broadcast)."""
+    books = similarity.pq_train(similarity.residualize(emb, l2_cent), n_codes=16, m=8)
+    idx = similarity.ivfpq_build(emb, l2_cent, books, residual=True)
+    queries = emb.filter(F.col("vec_id") < 3)
+
+    similarity.release_lut_broadcasts()  # drain any prior test's leftovers
+    out1 = similarity.ivfpq_topk(
+        idx, queries, l2_cent, books, k=5, n_probe=2, residual=True
+    ).collect()
+    out2 = similarity.ivfpq_topk(
+        idx, queries, l2_cent, books, k=5, n_probe=2, residual=True
+    ).collect()
+    assert len(out1) and len(out2)
+    assert similarity.release_lut_broadcasts() == 2
+    assert similarity.release_lut_broadcasts() == 0  # idempotent when drained
+    # serving again after a release creates (and tracks) a fresh broadcast
+    out3 = similarity.ivfpq_topk(
+        idx, queries, l2_cent, books, k=5, n_probe=2, residual=True
+    ).collect()
+    assert {(r.query_id, r.rnk, r.neighbor_id) for r in out3} == {
+        (r.query_id, r.rnk, r.neighbor_id) for r in out1
+    }
+    assert similarity.release_lut_broadcasts() == 1
+
+
+def test_fill_empty_cells_warns_only_on_pool_exhaustion():
+    """The cent[asg[0]] fallback silently minted duplicate codewords
+    (ADVICE r9); it must now warn — and NOT warn when donors suffice."""
+    import warnings as _w
+
+    # degenerate: ONE distinct point, 4 cells → the duplicate-relaxation
+    # pass yields a single donor for 3 empties; 2 cells hit the fallback
+    xs = np.array([[0.0, 0.0], [0.0, 0.0]])
+    cent = np.array([[0.0, 0.0], [9.0, 9.0], [9.0, 9.0], [9.0, 9.0]])
+    asg = np.array([0, 0])
+    with pytest.warns(RuntimeWarning, match="donor pool exhausted"):
+        similarity._fill_empty_cells(xs, cent, asg, empties=[1, 2, 3], k=4)
+
+    # healthy: plenty of distinct donors → silence
+    xs = np.array([[0.0, 0.0], [0.5, 0.4], [1.0, 1.0], [2.0, 2.0], [3.0, 3.0]])
+    cent = np.array([[0.0, 0.0], [2.0, 2.0], [9.0, 9.0]])
+    asg = np.array([0, 0, 0, 1, 1])
+    with _w.catch_warnings():
+        _w.simplefilter("error", RuntimeWarning)
+        similarity._fill_empty_cells(xs, cent, asg, empties=[2], k=3)
