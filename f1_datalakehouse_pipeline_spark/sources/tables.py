@@ -216,9 +216,19 @@ class TableStore:
 
     def _swap_locked(self, table: str, version_dir: str) -> None:
         """Swap + sentinel + GC (caller holds the publish lock and has
-        already CAS-checked)."""
+        already CAS-checked). The incoming version's sentinel records its
+        PARENT (the basename of the version it was published over, empty =
+        first commit / unknown): per-commit CDC reads use it to detect a
+        hole in the retained chain instead of silently serving a commit's
+        write-time change files against the wrong predecessor (r10
+        crash-injection finding)."""
         version_dir = os.path.abspath(version_dir)
         current = self._current_target(table)
+        parent = (
+            os.path.basename(current)
+            if current and os.path.isdir(current)
+            else ""
+        )
         # Mark the OUTGOING live version as committed if it isn't yet:
         # it provably served reads, so it is a legitimate predecessor.
         # This self-heals a previous crash between swap and sentinel
@@ -235,6 +245,9 @@ class TableStore:
             os.makedirs(os.path.dirname(legacy), exist_ok=True)
             os.rename(live, legacy)
             open(os.path.join(legacy, _COMMIT_SENTINEL), "w").close()
+            # the migration renamed the predecessor: the incoming version's
+            # parent is the legacy dir's NEW name
+            parent = os.path.basename(legacy)
         tmp_link = os.path.join(self.root, f".{table}.link.{uuid.uuid4().hex[:8]}")
         os.symlink(version_dir, tmp_link)
         os.replace(tmp_link, live)  # the commit point
@@ -245,11 +258,26 @@ class TableStore:
         # outgoing-mark above heals). The reverse order would allow a
         # committed-but-never-live dir to shadow the true predecessor
         # in read_version()/history().
-        open(os.path.join(version_dir, _COMMIT_SENTINEL), "w").close()
+        with open(os.path.join(version_dir, _COMMIT_SENTINEL), "w") as fh:
+            fh.write(parent)
         self._gc_versions(table, keep_target=os.path.realpath(version_dir))
 
     def _is_committed(self, version_dir: str) -> bool:
         return os.path.exists(os.path.join(version_dir, _COMMIT_SENTINEL))
+
+    @staticmethod
+    def _parent_of(version_dir: str) -> str | None:
+        """Basename of the version this one was committed over, as recorded
+        in its sentinel. ``None`` = unknown: a pre-parent-stamp sentinel, a
+        heal-marked outgoing version, a legacy migration, or a first commit
+        — all of which predate (or can't know) the chain, so hole checks
+        treat None as 'assume adjacent' for backward compatibility."""
+        try:
+            with open(os.path.join(version_dir, _COMMIT_SENTINEL)) as f:
+                s = f.read().strip()
+            return s or None
+        except OSError:
+            return None
 
     @staticmethod
     def _orphan_age_s(p: str) -> float:
@@ -311,7 +339,13 @@ class TableStore:
             ]
         except OSError:
             return
-        for stale in committed[self.keep_versions:] + stale_orphans:
+        # OLDEST first: a crash midway through the loop must leave the
+        # retained set contiguous from the head — newest-first removal would
+        # leave a HOLE in the version chain, and a per-commit CDC read
+        # across a hole would serve the newer commit's write-time change
+        # files against the wrong predecessor (r10 crash-injection finding;
+        # the parent-stamp check in table_changes_feed is the backstop).
+        for stale in committed[self.keep_versions:][::-1] + stale_orphans:
             shutil.rmtree(stale, ignore_errors=True)
 
     def versions(self, table: str) -> list[str]:
@@ -907,7 +941,10 @@ class TableStore:
         live = self._current_target(table)
         removed = 0
         others = [v for v in self.versions(table) if os.path.realpath(v) != live]
-        for stale in others[keep:]:
+        # oldest first (same crash-contiguity rule as _gc_versions): a
+        # vacuum interrupted midway leaves the SURVIVING retention window
+        # contiguous from the current version, never a holed chain
+        for stale in others[keep:][::-1]:
             shutil.rmtree(stale, ignore_errors=True)
             removed += 1
         # stale orphans (crashed writes) go too, respecting the TTL grace
@@ -1008,8 +1045,16 @@ class TableStore:
         from pyspark.sql import functions as F
 
         if allow_files:
+            # The write-time files describe new_dir's delta vs its ACTUAL
+            # parent commit. If the chain records a different parent than
+            # old_dir (a hole — versions lost between the two), serving
+            # them would label the wrong delta; the snapshot diff below is
+            # the honest NET answer in that case. Unknown parent (None,
+            # pre-stamp sentinel) keeps the pre-r10 trust.
+            p = self._parent_of(new_dir)
+            chain_ok = p is None or p == os.path.basename(old_dir)
             cpath = os.path.join(new_dir, "_changes")
-            if os.path.isdir(cpath) and any(
+            if chain_ok and os.path.isdir(cpath) and any(
                 not f.startswith(("_", ".")) for f in os.listdir(cpath)
             ) and self._change_keys_match(cpath, key_cols):
                 # glob the part files explicitly: the dir's own leading
@@ -1121,6 +1166,24 @@ class TableStore:
         for ordinal, newer in enumerate(
             range(n_back_from - 1, n_back_to - 1, -1), start=1
         ):
+            # Per-commit replay is only sound if consecutive RETAINED
+            # versions are consecutive COMMITS. Each commit's sentinel
+            # records its parent (r10); a mismatch means commits were lost
+            # from retention (crashed GC under pre-r10 removal order,
+            # manual deletion) — raise instead of silently collapsing the
+            # gap into one mislabeled step. None = pre-stamp commit, no
+            # chain info, keep the pre-r10 trust.
+            p = self._parent_of(vs[newer])
+            if p is not None and p != os.path.basename(vs[newer + 1]):
+                raise ValueError(
+                    f"{table}: retained version chain has a hole — "
+                    f"{os.path.basename(vs[newer])} records parent {p!r} "
+                    f"but the next retained version is "
+                    f"{os.path.basename(vs[newer + 1])}; commits between "
+                    "them were lost, so per-commit replay across the gap "
+                    "is impossible. Resync the consumer from a snapshot, "
+                    "or read the NET delta via table_changes()."
+                )
             step = self._changes_between(
                 vs[newer + 1], vs[newer], key_cols, allow_files=True
             ).select(

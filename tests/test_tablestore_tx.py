@@ -1303,3 +1303,333 @@ def test_keyless_reader_served_from_star_sidecar_files(spark, tmp_path):
     assert {(r.session_key, r._change_type) for r in ch.collect()} == {
         (1, "delete")
     }
+
+
+# ---------------------------------------------------------------------------
+# r10 crash-injection battery (VERDICT r9 item 3a): kill the writer at every
+# seam of the CDC commit path and assert the documented guarantees hold.
+# The r9 review rounds tested RACES; these test CRASHES.
+# ---------------------------------------------------------------------------
+
+
+def test_crash_between_changes_write_and_publish_is_invisible_then_reaped(
+    spark, tmp_path
+):
+    """Kill after the data + _changes/ files are staged but BEFORE the
+    publish swap: the live table and the change feed must be untouched, the
+    half-commit must never be listed as a version, a retry must succeed
+    with exactly ONE commit's changes, and GC must reap the orphan."""
+    from f1_datalakehouse_pipeline_spark.sources.tables import ChangeFeedConsumer
+
+    store = TableStore(spark, str(tmp_path / "wh"), keep_versions=5)
+    store.overwrite(_sess_mut(spark, [(1, "A"), (2, "B")]), "sessions_silver")
+    cons = ChangeFeedConsumer(store, "sessions_silver", str(tmp_path / "cur"))
+    cons.poll(key_cols=["session_key"])
+    cons.commit()
+    vroot = store._version_root("sessions_silver")
+    n_before = len(os.listdir(vroot))
+
+    def boom(table, version_dir, expected=None):
+        raise RuntimeError("killed before publish")
+
+    store._publish = boom  # instance shadow: crash at the publish seam
+    with pytest.raises(RuntimeError, match="killed before publish"):
+        store.merge_upsert(
+            _sess_mut(spark, [(2, "B2")]), "sessions_silver", keys=["session_key"]
+        )
+    del store._publish
+
+    # live table untouched, half-commit invisible to versions() and feed
+    assert {
+        (r.session_key, r.meeting_name)
+        for r in store.read("sessions_silver").collect()
+    } == {(1, "A"), (2, "B")}
+    assert len(store.versions("sessions_silver")) == 1
+    assert cons.poll(key_cols=["session_key"]).count() == 0
+    # …but the staged orphan (data + _changes, no sentinel) is on disk
+    orphans = [
+        d
+        for d in os.listdir(vroot)
+        if not store._is_committed(os.path.join(vroot, d))
+    ]
+    assert len(orphans) == 1 and len(os.listdir(vroot)) == n_before + 1
+    assert os.path.isdir(os.path.join(vroot, orphans[0], "_changes"))
+
+    # retry lands exactly once: one new commit, one update pre/post pair
+    store.merge_upsert(
+        _sess_mut(spark, [(2, "B2")]), "sessions_silver", keys=["session_key"]
+    )
+    rows = cons.poll(key_cols=["session_key"]).collect()
+    assert {(r.session_key, r._change_type) for r in rows} == {
+        (2, "update_preimage"),
+        (2, "update_postimage"),
+    }
+    assert {r._commit_ordinal for r in rows} == {1}
+    cons.commit()
+
+    # GC reaps the orphan once past the TTL grace (forced to zero here)
+    store.orphan_ttl_s = -1.0
+    store.vacuum("sessions_silver", keep=5)
+    assert all(
+        store._is_committed(os.path.join(vroot, d)) for d in os.listdir(vroot)
+    )
+
+
+def test_crash_between_swap_and_sentinel_self_heals_on_next_commit(
+    spark, tmp_path
+):
+    """Kill between the symlink swap (the commit point) and the sentinel
+    write: the unmarked-but-live version must still serve reads (the
+    realpath==current escape), and the next publish must heal it into a
+    committed predecessor so time travel keeps working."""
+    store = TableStore(spark, str(tmp_path / "wh"), keep_versions=3)
+    store.overwrite(_sess_mut(spark, [(1, "A")]), "sessions_silver")
+    store.merge_upsert(
+        _sess_mut(spark, [(2, "B")]), "sessions_silver", keys=["session_key"]
+    )
+    # simulate the crash: the LIVE version loses its sentinel (exactly the
+    # state a kill between os.replace and the sentinel open() leaves)
+    live_target = store._current_target("sessions_silver")
+    os.unlink(os.path.join(live_target, ".committed"))
+
+    # reads and version listing still serve the live version
+    assert store.read("sessions_silver").count() == 2
+    assert os.path.realpath(store.versions("sessions_silver")[0]) == os.path.realpath(
+        live_target
+    )
+
+    # next commit heals: the outgoing version is marked committed and
+    # survives as a time-travelable predecessor
+    store.merge_upsert(
+        _sess_mut(spark, [(3, "C")]), "sessions_silver", keys=["session_key"]
+    )
+    assert store._is_committed(live_target)
+    assert store.read_version("sessions_silver", 1).count() == 2
+    assert store.read("sessions_silver").count() == 3
+    # the healed sentinel is empty (parent unknown) — the feed must still
+    # serve the healed commit's successor without a spurious hole error
+    ch = store.table_changes_feed("sessions_silver", 1, 0, key_cols=["session_key"])
+    assert {(r.session_key, r._change_type) for r in ch.collect()} == {
+        (3, "insert")
+    }
+
+
+def test_consumer_crash_between_poll_and_commit_replays_from_disk_cursor(
+    spark, tmp_path
+):
+    """Kill the consumer after poll() but before commit(): a REPLACEMENT
+    consumer built from the same durable cursor dir must re-deliver the
+    same commits (at-least-once from disk, not from in-memory state)."""
+    from f1_datalakehouse_pipeline_spark.sources.tables import ChangeFeedConsumer
+
+    store = TableStore(spark, str(tmp_path / "wh"), keep_versions=5)
+    cur_dir = str(tmp_path / "cur")
+    store.overwrite(_sess_mut(spark, [(1, "A")]), "sessions_silver")
+    c1 = ChangeFeedConsumer(store, "sessions_silver", cur_dir)
+    c1.poll(key_cols=["session_key"])
+    c1.commit()
+
+    store.merge_upsert(
+        _sess_mut(spark, [(2, "B")]), "sessions_silver", keys=["session_key"]
+    )
+    first = {
+        (r.session_key, r._change_type, r._commit_id)
+        for r in c1.poll(key_cols=["session_key"]).collect()
+    }
+    assert first  # delivered…
+    del c1  # …and the consumer dies before commit()
+
+    c2 = ChangeFeedConsumer(store, "sessions_silver", cur_dir)
+    replay = {
+        (r.session_key, r._change_type, r._commit_id)
+        for r in c2.poll(key_cols=["session_key"]).collect()
+    }
+    assert replay == first  # exact redelivery, same commit ids
+    c2.commit()
+    assert c2.poll(key_cols=["session_key"]).count() == 0
+    # a third consumer after the commit sees nothing (cursor durable)
+    c3 = ChangeFeedConsumer(store, "sessions_silver", cur_dir)
+    assert c3.poll(key_cols=["session_key"]).count() == 0
+
+
+def test_mid_vacuum_crash_leaves_contiguous_chain(spark, tmp_path):
+    """Kill vacuum after its FIRST rmtree: with oldest-first removal the
+    surviving retention window must be contiguous from the current version
+    (pre-r10 newest-first removal left a HOLE in the chain). A consumer
+    whose cursor was the reaped oldest version fails loudly (resync); a
+    consumer parked on a surviving version replays per-commit, unharmed."""
+    import shutil as _shutil
+
+    from f1_datalakehouse_pipeline_spark.sources import tables as tables_mod
+    from f1_datalakehouse_pipeline_spark.sources.tables import ChangeFeedConsumer
+
+    store = TableStore(spark, str(tmp_path / "wh"), keep_versions=5)
+    store.overwrite(_sess_mut(spark, [(1, "A")]), "sessions_silver")
+    lagging = ChangeFeedConsumer(store, "sessions_silver", str(tmp_path / "lag"))
+    lagging.poll(key_cols=["session_key"])
+    lagging.commit()  # cursor = the oldest version
+    for name in ("B", "C", "D"):
+        store.merge_upsert(
+            _sess_mut(spark, [(2, name)]), "sessions_silver", keys=["session_key"]
+        )
+    mid = ChangeFeedConsumer(store, "sessions_silver", str(tmp_path / "mid"))
+    mid.poll(key_cols=["session_key"])
+    mid.commit()  # cursor = current ("D" commit)
+    store.merge_upsert(
+        _sess_mut(spark, [(3, "E")]), "sessions_silver", keys=["session_key"]
+    )
+    vs_before = store.versions("sessions_silver")
+    assert len(vs_before) == 5
+
+    real_rmtree = _shutil.rmtree
+    calls = []
+
+    def crash_after_first(path, **kw):
+        calls.append(path)
+        real_rmtree(path, **kw)
+        raise OSError("killed mid-vacuum")
+
+    tables_mod.shutil.rmtree = crash_after_first
+    try:
+        with pytest.raises(OSError, match="killed mid-vacuum"):
+            store.vacuum("sessions_silver", keep=1)
+    finally:
+        tables_mod.shutil.rmtree = real_rmtree
+    # exactly one dir reaped, and it was the OLDEST retained version
+    assert calls == [vs_before[-1]]
+    vs_after = store.versions("sessions_silver")
+    assert vs_after == vs_before[:-1]  # contiguous from the head — no hole
+
+    # lagging consumer (cursor = the reaped version) fails loudly
+    with pytest.raises(ValueError, match="no longer retained"):
+        lagging.poll(key_cols=["session_key"])
+    # the surviving consumer's per-commit feed is intact
+    rows = mid.poll(key_cols=["session_key"]).collect()
+    assert {(r.session_key, r._change_type) for r in rows} == {(3, "insert")}
+
+
+def test_feed_raises_on_chain_hole_and_net_diff_stays_correct(spark, tmp_path):
+    """A HOLE in the retained chain (a middle version lost — crashed pre-r10
+    GC, manual deletion): the per-commit feed must refuse loudly instead of
+    serving the newer commit's write-time files against the wrong
+    predecessor, while table_changes() across the gap falls back to the
+    snapshot diff and returns the correct NET delta."""
+    store = TableStore(spark, str(tmp_path / "wh"), keep_versions=5)
+    store.overwrite(_sess_mut(spark, [(1, "A"), (2, "B")]), "sessions_silver")
+    store.merge_upsert(  # middle commit: update key 2
+        _sess_mut(spark, [(2, "B2")]), "sessions_silver", keys=["session_key"]
+    )
+    store.merge_upsert(  # head commit: insert key 3 (files describe ONLY this)
+        _sess_mut(spark, [(3, "C")]), "sessions_silver", keys=["session_key"]
+    )
+    vs = store.versions("sessions_silver")
+    import shutil as _shutil
+
+    _shutil.rmtree(vs[1])  # lose the MIDDLE version
+
+    with pytest.raises(ValueError, match="chain has a hole"):
+        store.table_changes_feed("sessions_silver", 1, 0, key_cols=["session_key"])
+
+    # the net read refuses the newer commit's files (they'd claim key 3 is
+    # the only change) and diffs the snapshots: both commits' net delta
+    net = {
+        (r.session_key, r._change_type)
+        for r in store.table_changes(
+            "sessions_silver", 1, 0, key_cols=["session_key"]
+        ).collect()
+    }
+    assert net == {
+        (2, "update_preimage"),
+        (2, "update_postimage"),
+        (3, "insert"),
+    }
+
+
+def test_concurrent_writers_with_polling_consumer_no_commit_lost_or_doubled(
+    spark, tmp_path
+):
+    """VERDICT r9 item 3b: two merge_upsert writers race on one table (CAS
+    retry loop) while a CDC consumer polls/commits concurrently. Every
+    commit that lands must be served EXACTLY once across the consumer's
+    committed polls (no loss, no double-serve), and the final table must
+    hold every writer's rows."""
+    import threading
+
+    from f1_datalakehouse_pipeline_spark.sources.tables import (
+        ChangeFeedConsumer,
+        ConcurrentWriteError,
+    )
+
+    store = TableStore(spark, str(tmp_path / "wh"), keep_versions=40)
+    store.overwrite(_sess_mut(spark, [(0, "seed")]), "sessions_silver")
+
+    n_per_writer = 4
+    errors: list[Exception] = []
+    done = threading.Event()
+
+    def writer(wid: int):
+        try:
+            for i in range(n_per_writer):
+                key = 1000 * (wid + 1) + i
+                df = _sess_mut(spark, [(key, f"w{wid}-{i}")])
+                while True:
+                    try:
+                        store.merge_upsert(
+                            df, "sessions_silver", keys=["session_key"]
+                        )
+                        break
+                    except ConcurrentWriteError:
+                        continue  # CAS lost: re-read fresh data and retry
+        except Exception as e:  # noqa: BLE001 — surfaced after join
+            errors.append(e)
+
+    served: list[tuple[str, int]] = []  # (commit_id, session_key) per poll
+
+    def consumer():
+        cons = ChangeFeedConsumer(store, "sessions_silver", str(tmp_path / "cur"))
+        try:
+            while not done.is_set() or True:
+                rows = cons.poll(key_cols=["session_key"]).collect()
+                cons.commit()
+                served.extend(
+                    (r._commit_id, r.session_key)
+                    for r in rows
+                    if r._change_type == "insert"
+                )
+                if done.is_set():
+                    # one final drain after the writers finished
+                    rows = cons.poll(key_cols=["session_key"]).collect()
+                    cons.commit()
+                    served.extend(
+                        (r._commit_id, r.session_key)
+                        for r in rows
+                        if r._change_type == "insert"
+                    )
+                    return
+        except Exception as e:  # noqa: BLE001 — surfaced after join
+            errors.append(e)
+
+    threads = [threading.Thread(target=writer, args=(w,)) for w in (0, 1)]
+    cons_t = threading.Thread(target=consumer)
+    for t in threads:
+        t.start()
+    cons_t.start()
+    for t in threads:
+        t.join(timeout=600)
+    done.set()
+    cons_t.join(timeout=600)
+    assert not errors, errors
+
+    # every writer row landed exactly once in the table
+    want_keys = {1000 * (w + 1) + i for w in (0, 1) for i in range(n_per_writer)}
+    got = {
+        r.session_key: r.meeting_name
+        for r in store.read("sessions_silver").collect()
+    }
+    assert set(got) == want_keys | {0}
+
+    # no commit double-served: each (commit_id) appears in exactly one poll
+    commit_ids = [c for c, _ in served]
+    assert len(commit_ids) == len(set(commit_ids)), "a commit was served twice"
+    # no commit lost: every writer key was delivered as an insert
+    assert {k for _, k in served} == want_keys
