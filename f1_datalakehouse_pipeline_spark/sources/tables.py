@@ -1240,6 +1240,7 @@ class ChangeFeedConsumer:
         self.cursor_path = os.path.join(cursor_dir, f"{table}.cursor.json")
         os.makedirs(cursor_dir, exist_ok=True)
         self._pending_head: str | None = None
+        self._pending_commits: list[str] = []
 
     def _cursor(self) -> str | None:
         try:
@@ -1285,18 +1286,46 @@ class ChangeFeedConsumer:
                 "resync the consumer from a snapshot"
             )
         self._pending_head = names[0]
+        # commits since the cursor (exclusive), OLDEST FIRST — the replay
+        # order; pending_commits()/commit_through() expose per-commit
+        # micro-batching over one poll (streaming/cdc_source.py)
+        self._pending_commits = names[:n_back_from][::-1]
         return self.store.table_changes_feed(
             self.table, n_back_from, 0, key_cols=key_cols, _versions=vs
         )
+
+    def pending_commits(self) -> list[str]:
+        """Commit ids delivered by the LAST poll, oldest first (the order a
+        replaying consumer applies them; equals the ``_commit_ordinal``
+        stamping of the polled feed)."""
+        return list(self._pending_commits)
+
+    def _persist(self, commit_id: str) -> None:
+        tmp = self.cursor_path + f".{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump({"commit_id": commit_id}, f)
+        os.replace(tmp, self.cursor_path)
 
     def commit(self) -> None:
         """Persist the head observed by the LAST poll (atomic replace)."""
         if self._pending_head is None:
             raise RuntimeError("commit() before any poll()")
-        tmp = self.cursor_path + f".{uuid.uuid4().hex[:8]}"
-        with open(tmp, "w") as f:
-            json.dump({"commit_id": self._pending_head}, f)
-        os.replace(tmp, self.cursor_path)
+        self._persist(self._pending_head)
+
+    def commit_through(self, commit_id: str) -> None:
+        """Persist the cursor AT ``commit_id`` — per-commit advancement for
+        micro-batch consumers that apply one commit at a time and must not
+        re-deliver applied commits after a crash mid-poll. The id must be
+        one delivered by the LAST poll; advancing through the last pending
+        commit is equivalent to :func:`commit`."""
+        if self._pending_head is None:
+            raise RuntimeError("commit_through() before any poll()")
+        if commit_id not in self._pending_commits:
+            raise ValueError(
+                f"{self.table}: {commit_id!r} was not delivered by the last "
+                f"poll (pending, oldest first: {self._pending_commits})"
+            )
+        self._persist(commit_id)
 
 
 def compact(

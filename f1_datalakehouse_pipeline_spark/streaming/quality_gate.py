@@ -105,6 +105,72 @@ def audit_split(
     return clean, quarantined, metrics
 
 
+def gate_batch(
+    batch_df: DataFrame,
+    batch_id,
+    checks: dict[str, Column],
+    critical: set[str],
+    delivery_path: str,
+    quarantine_path: str,
+    metrics_path: str,
+    stamp_col: str = "batch_id",
+    id_type: str = "long",
+) -> bool:
+    """Audit → route → publish ONE batch (the WAP gate body, shared by the
+    file-source stream below and the CDC-feed source in
+    streaming/cdc_source.py — one implementation so the two gates can never
+    drift). Returns whether a critical check quarantined the whole batch.
+    ``stamp_col``/``id_type`` name and type the partition stamp (the file
+    gate stamps ``batch_id`` longs, the CDC gate ``commit_id`` strings)."""
+    batch_df = batch_df.cache()
+    try:
+        clean, quarantined, metrics = audit_split(batch_df, checks)
+        mrows = metrics.collect()  # bounded: one row per declared check
+        crit_hit = any(
+            r["check_name"] in critical and r["violations"] > 0 for r in mrows
+        )
+        if crit_hit:
+            # audit failed: quarantine the WHOLE batch, publish nothing
+            flagged_all = quarantined.unionByName(
+                clean.withColumn(
+                    "violated_checks",
+                    F.array().cast("array<string>"),
+                )
+            )
+            _overwrite_batch(
+                flagged_all, batch_id, quarantine_path, stamp_col=stamp_col
+            )
+        else:
+            _overwrite_batch(
+                quarantined, batch_id, quarantine_path, stamp_col=stamp_col
+            )
+            _overwrite_batch(clean, batch_id, delivery_path, stamp_col=stamp_col)
+        spark = batch_df.sparkSession
+        _overwrite_batch(
+            spark.createDataFrame(
+                [
+                    (
+                        batch_id,
+                        r["check_name"],
+                        r["violations"],
+                        r["total"],
+                        crit_hit,
+                    )
+                    for r in mrows
+                ],
+                f"{stamp_col} {id_type}, check_name string, violations long, "
+                "total long, batch_quarantined boolean",
+            ),
+            batch_id,
+            metrics_path,
+            stamped=True,
+            stamp_col=stamp_col,
+        )
+        return crit_hit
+    finally:
+        batch_df.unpersist()
+
+
 def quality_gate_stream(
     stream_df: DataFrame,
     checks: dict[str, Column],
@@ -142,42 +208,15 @@ def quality_gate_stream(
         raise ValueError(f"critical names not in checks: {sorted(unknown)}")
 
     def gate(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df = batch_df.cache()
-        try:
-            clean, quarantined, metrics = audit_split(batch_df, checks)
-            mrows = metrics.collect()  # bounded: one row per declared check
-            crit_hit = any(
-                r["check_name"] in critical and r["violations"] > 0 for r in mrows
-            )
-            if crit_hit:
-                # audit failed: quarantine the WHOLE batch, publish nothing
-                flagged_all = quarantined.unionByName(
-                    clean.withColumn(
-                        "violated_checks",
-                        F.array().cast("array<string>"),
-                    )
-                )
-                _overwrite_batch(flagged_all, batch_id, quarantine_path)
-            else:
-                _overwrite_batch(quarantined, batch_id, quarantine_path)
-                _overwrite_batch(clean, batch_id, delivery_path)
-            spark = batch_df.sparkSession
-            _overwrite_batch(spark.createDataFrame(
-                [
-                    (
-                        batch_id,
-                        r["check_name"],
-                        r["violations"],
-                        r["total"],
-                        crit_hit,
-                    )
-                    for r in mrows
-                ],
-                "batch_id long, check_name string, violations long, "
-                "total long, batch_quarantined boolean",
-            ), batch_id, metrics_path, stamped=True)
-        finally:
-            batch_df.unpersist()
+        gate_batch(
+            batch_df,
+            batch_id,
+            checks,
+            critical,
+            delivery_path,
+            quarantine_path,
+            metrics_path,
+        )
 
     writer = stream_df.writeStream.foreachBatch(
         exactly_once_batch_writer(gate, ledger_dir)
