@@ -263,6 +263,10 @@ class TableStore:
         self._gc_versions(table, keep_target=os.path.realpath(version_dir))
 
     def _is_committed(self, version_dir: str) -> bool:
+        return self._is_committed_path(version_dir)
+
+    @staticmethod
+    def _is_committed_path(version_dir: str) -> bool:
         return os.path.exists(os.path.join(version_dir, _COMMIT_SENTINEL))
 
     @staticmethod
@@ -355,15 +359,25 @@ class TableStore:
         (≙ Iceberg snapshots, iceberg_manager.py history; bounded retention
         instead of unbounded snapshot log). In-flight or crashed (unmarked)
         dirs are never listed."""
-        live = self.path(table)
-        vroot = self._version_root(table)
+        return self.list_versions(self.root, table)
+
+    @staticmethod
+    def list_versions(root: str, table: str) -> list[str]:
+        """The :func:`versions` listing as a SparkSession-free static —
+        shared with the CDC streaming datasource's offset planner
+        (streaming/cdc_datasource.py), which runs where no TableStore
+        instance exists. ONE implementation so the two can never disagree
+        about what counts as a committed version."""
+        root = os.path.abspath(root)
+        live = os.path.join(root, table)
+        vroot = os.path.join(root, ".versions", table)
         if not os.path.isdir(vroot):
             return [live] if os.path.isdir(live) else []
         current = os.path.realpath(live)
         dirs = [
             os.path.join(vroot, d)
             for d in os.listdir(vroot)
-            if self._is_committed(os.path.join(vroot, d))
+            if TableStore._is_committed_path(os.path.join(vroot, d))
             or os.path.realpath(os.path.join(vroot, d)) == current
         ]
         dirs.sort(key=lambda p: (os.path.realpath(p) != current, -os.path.getmtime(p)))

@@ -1,0 +1,201 @@
+"""The TableStore change feed as a REAL ``spark.readStream`` source, via
+PySpark 4's Python DataSource API — the Spark-native half of the CDC story
+(streaming/cdc_source.py is the pull-loop half for callers that drive their
+own micro-batches):
+
+    register_table_changes_source(spark)
+    stream = (
+        spark.readStream.format("table_changes")
+        .option("root", warehouse_root)
+        .option("table", "sessions_silver")
+        .option("keys", "session_key")
+        .load()
+    )
+    stream.writeStream.foreachBatch(apply).option("checkpointLocation", ...)
+
+Offsets ARE commit ids: ``initialOffset`` is the oldest retained version
+(its content is the initial snapshot, not delivered as changes — the same
+contract as ChangeFeedConsumer), ``latestOffset`` is the current version,
+and ``partitions(start, end)`` plans one input partition per change file of
+every commit in the span — so executors read each commit's WRITE-TIME
+``_changes/`` parquet directly (cost ∝ |changes|, never ∝ |table|) and
+Spark's own offset log provides exactly-once batch replay on restart.
+
+Planning is strict where the pull loop is lenient: a commit in the span
+with no readable change files (a plain ``overwrite()``, whose delta is an
+arbitrary rewrite with no row-level labeling, or a key-set mismatch against
+the writer's ``_keys.json`` sidecar) raises loudly instead of silently
+falling back to a snapshot diff — an executor-side file reader has no
+snapshot-diff tier, and serving a partial feed would corrupt downstream
+state. The parent-stamp hole check from ``table_changes_feed`` runs here
+too (r10 crash-injection finding).
+
+Reference anchor: the reference engine has no streaming or CDC (SURVEY
+§2.9); this is the Delta ``readStream.option("readChangeFeed", true)``
+shape on the plain-parquet TableStore.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import DataSource, DataSourceStreamReader, InputPartition
+from pyspark.sql.types import IntegerType, StringType, StructType
+
+from f1_datalakehouse_pipeline_spark.schemas import ALL_SCHEMAS
+from f1_datalakehouse_pipeline_spark.sources.tables import TableStore
+
+
+def feed_schema(table: str) -> StructType:
+    """Table schema + the CDF stamp columns (the table_changes_feed shape)."""
+    s = StructType(list(ALL_SCHEMAS[table].fields))
+    s = s.add("_change_type", StringType()).add("_commit_id", StringType())
+    return s.add("_commit_ordinal", IntegerType())
+
+
+@dataclass
+class _ChangeFilePartition(InputPartition):
+    path: str
+    commit_id: str
+    ordinal: int
+
+
+class TableChangesStreamReader(DataSourceStreamReader):
+    def __init__(self, schema: StructType, options: dict) -> None:
+        self.root = options["root"]
+        self.table = options["table"]
+        keys = options.get("keys", "")
+        self.key_cols = [k.strip() for k in keys.split(",") if k.strip()] or None
+        self.schema_fields = list(schema.fields)
+        self.fields = [f.name for f in schema.fields[:-3]]  # table columns
+
+    # -- offsets ----------------------------------------------------------
+    def initialOffset(self) -> dict:
+        vs = TableStore.list_versions(self.root, self.table)
+        if not vs:
+            raise ValueError(
+                f"{self.table}: no committed versions yet — start the "
+                "stream after the producer's first commit"
+            )
+        return {"commit_id": os.path.basename(vs[-1])}
+
+    def latestOffset(self) -> dict:
+        vs = TableStore.list_versions(self.root, self.table)
+        return {"commit_id": os.path.basename(vs[0])}
+
+    def partitions(self, start: dict, end: dict):
+        s_id, e_id = start["commit_id"], end["commit_id"]
+        if s_id == e_id:
+            return []
+        vs = TableStore.list_versions(self.root, self.table)
+        names = [os.path.basename(v) for v in vs]
+        if s_id not in names:
+            raise ValueError(
+                f"{self.table}: offset commit {s_id!r} is no longer retained "
+                f"(vacuumed past the replay horizon; retained: {names}) — "
+                "resync from a snapshot and restart with a fresh checkpoint"
+            )
+        if e_id not in names:
+            # the batch's end was planned from an earlier listing; a commit
+            # can't vanish while CURRENT, so this means the horizon moved
+            raise ValueError(
+                f"{self.table}: offset commit {e_id!r} is no longer retained"
+            )
+        lo, hi = names.index(e_id), names.index(s_id)  # newest-first listing
+        parts: list[_ChangeFilePartition] = []
+        for ordinal, i in enumerate(range(hi - 1, lo - 1, -1), start=1):
+            newer, older = vs[i], vs[i + 1]
+            p = TableStore._parent_of(newer)
+            if p is not None and p != os.path.basename(older):
+                raise ValueError(
+                    f"{self.table}: retained version chain has a hole — "
+                    f"{os.path.basename(newer)} records parent {p!r} but the "
+                    f"next retained version is {os.path.basename(older)}; "
+                    "commits were lost, resync from a snapshot"
+                )
+            cpath = os.path.join(newer, "_changes")
+            files = (
+                sorted(
+                    f
+                    for f in os.listdir(cpath)
+                    if f.endswith(".parquet") and not f.startswith(("_", "."))
+                )
+                if os.path.isdir(cpath)
+                else []
+            )
+            if not files or not TableStore._change_keys_match(cpath, self.key_cols):
+                raise ValueError(
+                    f"{self.table}: commit {os.path.basename(newer)} carries "
+                    "no change files readable under keys "
+                    f"{self.key_cols} (plain overwrite, or a different "
+                    "writer key set) — this source serves write-time change "
+                    "files only; use TableStore.table_changes() for the "
+                    "snapshot-diff tier, or resync"
+                )
+            parts += [
+                _ChangeFilePartition(os.path.join(cpath, f), os.path.basename(newer), ordinal)
+                for f in files
+            ]
+        return parts
+
+    def commit(self, end: dict) -> None:
+        pass  # retention is the store's concern; nothing to release here
+
+    # -- executor-side read ------------------------------------------------
+    def read(self, partition: _ChangeFilePartition):
+        """Yield the change file as ONE Arrow RecordBatch (zero per-row
+        Python), columns cast to the Arrow types Spark expects for the
+        declared schema. Timestamps in the files are naive (legacy INT96 →
+        ns) but ARE UTC instants — Spark always writes UTC-adjusted — so
+        the cast to timestamp[us, UTC] is a relabel+truncate, never a
+        wall-clock shift. A column missing from an old file (schema widened
+        since) backfills as typed NULLs."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_type
+
+        tbl = pq.read_table(partition.path)
+        n = len(tbl)
+        arrays, names = [], []
+        for f in self.schema_fields:
+            target = to_arrow_type(f.dataType)
+            if f.name == "_commit_id":
+                col = pa.array([partition.commit_id] * n, type=target)
+            elif f.name == "_commit_ordinal":
+                col = pa.array([partition.ordinal] * n, type=target)
+            elif f.name in tbl.column_names:
+                col = tbl.column(f.name)
+                if pa.types.is_timestamp(col.type) and col.type.tz is None:
+                    # relabel the naive UTC instants before the unit cast
+                    col = col.cast(pa.timestamp(col.type.unit, tz="UTC"))
+                col = col.cast(target)
+            else:
+                col = pa.nulls(n, type=target)
+            arrays.append(
+                col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+            )
+            names.append(f.name)
+        yield pa.RecordBatch.from_arrays(arrays, names)
+
+
+class TableChangesDataSource(DataSource):
+    """``format("table_changes")`` — options: ``root`` (warehouse dir),
+    ``table``, ``keys`` (comma list the writer's change files were labeled
+    under; omit for key-agnostic feeds)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "table_changes"
+
+    def schema(self) -> StructType:
+        return feed_schema(self.options["table"])
+
+    def streamReader(self, schema: StructType) -> TableChangesStreamReader:
+        return TableChangesStreamReader(schema, dict(self.options))
+
+
+def register_table_changes_source(spark) -> None:
+    """Idempotently register the ``table_changes`` streaming format."""
+    spark.dataSource.register(TableChangesDataSource)
