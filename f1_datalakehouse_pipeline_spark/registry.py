@@ -60,9 +60,14 @@ _VERIFY_FIRST = [
     # fill ALL 50 driver slots, so r10 registers ZERO new oracle queries by
     # design: any new query would force an r8-aged row to age 4 (a breach).
     # New r10 surface (CDC streaming source, crash-injection battery,
-    # recall rungs) is pytest/rung-verified instead; new oracle-gated
-    # queries resume in r11 when the 50 r8-aged rows rotate in with the
-    # registered count giving slack again.
+    # recall rungs) is pytest/rung-verified instead. NOTE the steady
+    # state: 150 registered over a 50-slot window is EXACTLY a 3-round
+    # cycle, so EVERY round from here on is slot-full (r11's window is the
+    # 50 r8-aged rows, and so on) — a new oracle query in any future round
+    # forces one named trivially-stable query to age 4, a conscious,
+    # documented exception (PERF_NOTES r10 §rotation-arithmetic), never an
+    # accident. verify_local re-checks all 150 locally every round either
+    # way.
     # The cohort below IS the complete r7-aged set, heavy composition plans
     # first, in three groups: corpus/dedup/similarity compositions, TPC-H
     # (a6_pricing_summary is the TPC-H q1 form), then single-operator rows.
