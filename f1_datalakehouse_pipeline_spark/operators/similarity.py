@@ -1457,7 +1457,12 @@ def ivfpq_build(
 # broadcast (tasks read it at materialization time); long-lived sessions
 # that serve repeatedly call release_lut_broadcasts() between batches or
 # executor/driver memory accumulates one LUT dict per serve call
-# (ADVICE r9).
+# (ADVICE r9). The registry deliberately keeps the Python handles alive:
+# GC'ing a pyspark Broadcast object does NOT unpersist the JVM-side blocks
+# (that memory accumulated regardless, pre-tracking) — the list just makes
+# the only real remedy, an explicit unpersist, possible. Appends are
+# GIL-atomic; callers releasing from one thread while another serves
+# should serialize externally (release drains EVERYTHING tracked).
 _LIVE_LUT_BROADCASTS: list = []
 
 

@@ -270,6 +270,37 @@ class TableStore:
         return os.path.exists(os.path.join(version_dir, _COMMIT_SENTINEL))
 
     @staticmethod
+    def chain_hole(newer_dir: str, older_dir: str) -> str | None:
+        """If ``newer_dir``'s parent stamp contradicts ``older_dir``
+        (commits lost between two RETAINED versions), return the recorded
+        parent as evidence; ``None`` = adjacent, or no chain info (pre-stamp
+        sentinel — assume adjacent for backward compatibility). ONE
+        implementation shared by the per-commit feed and the readStream
+        datasource planner, so the two can never drift on hole semantics."""
+        p = TableStore._parent_of(newer_dir)
+        if p is not None and p != os.path.basename(older_dir):
+            return p
+        return None
+
+    @staticmethod
+    def readable_change_files(version_dir: str, key_cols: list[str] | None) -> list[str]:
+        """Part-file paths of ``version_dir``'s write-time change feed IF
+        servable under ``key_cols`` (``_keys.json`` sidecar match), else
+        ``[]``. Shared by the batch CDF read and the readStream datasource
+        planner — one definition of "this commit has readable change
+        files"."""
+        cpath = os.path.join(version_dir, "_changes")
+        if not os.path.isdir(cpath) or not TableStore._change_keys_match(
+            cpath, key_cols
+        ):
+            return []
+        return sorted(
+            os.path.join(cpath, f)
+            for f in os.listdir(cpath)
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
+
+    @staticmethod
     def _parent_of(version_dir: str) -> str | None:
         """Basename of the version this one was committed over, as recorded
         in its sentinel. ``None`` = unknown: a pre-parent-stamp sentinel, a
@@ -597,14 +628,14 @@ class TableStore:
                 stack.enter_context(self._publish_lock(table))
             for table, _vdir, expected in order:
                 self._check_cas(table, expected)  # nothing swapped yet
-            swapped: list[tuple[str, str | None]] = []
+            swapped: list[tuple[str, str, str | None]] = []
             try:
                 for table, vdir, expected in order:
                     self._swap_locked(table, vdir)
-                    swapped.append((table, expected))
+                    swapped.append((table, vdir, expected))
             except BaseException:
                 # roll already-swapped tables back to their prior targets
-                for table, prior in reversed(swapped):
+                for table, vdir, prior in reversed(swapped):
                     live = self.path(table)
                     try:
                         if prior is None:
@@ -615,6 +646,18 @@ class TableStore:
                             )
                             os.symlink(prior, tmp)
                             os.replace(tmp, live)
+                    except OSError:
+                        pass
+                    # De-commit the rolled-back version (its sentinel was
+                    # written by _swap_locked): with the sentinel gone it is
+                    # an unmarked orphan again — never listed, GC'd past the
+                    # TTL. Leaving it committed would shadow the TRUE
+                    # predecessor in versions()/time travel AND poison the
+                    # parent-stamped CDC chain (either a spurious hole error
+                    # or, after the next real commit, serving the aborted
+                    # commit's change rows as real — r10 review finding).
+                    try:
+                        os.unlink(os.path.join(vdir, _COMMIT_SENTINEL))
                     except OSError:
                         pass
                 raise
@@ -666,12 +709,18 @@ class TableStore:
         # expensive, uncached input pipeline. Persist once at entry; every
         # consumer below (including the data + change-file writes inside
         # overwrite()) materializes before this method returns, so the
-        # cache is dropped on exit either way (ADVICE r9).
-        updates = updates.persist()
+        # cache is dropped on exit either way (ADVICE r9). If the CALLER
+        # already persisted the plan, leave their cache alone — Spark's
+        # cache manager keys by logical plan, so an unconditional unpersist
+        # here would silently evict the caller's entry (r10 review finding).
+        caller_cached = updates.storageLevel.useMemory or updates.storageLevel.useDisk
+        if not caller_cached:
+            updates = updates.persist()
         try:
             self._merge_upsert_body(updates, table, keys, delete_col)
         finally:
-            updates.unpersist()
+            if not caller_cached:
+                updates.unpersist()
 
     def _merge_upsert_body(
         self,
@@ -1065,17 +1114,17 @@ class TableStore:
             # them would label the wrong delta; the snapshot diff below is
             # the honest NET answer in that case. Unknown parent (None,
             # pre-stamp sentinel) keeps the pre-r10 trust.
-            p = self._parent_of(new_dir)
-            chain_ok = p is None or p == os.path.basename(old_dir)
-            cpath = os.path.join(new_dir, "_changes")
-            if chain_ok and os.path.isdir(cpath) and any(
-                not f.startswith(("_", ".")) for f in os.listdir(cpath)
-            ) and self._change_keys_match(cpath, key_cols):
-                # glob the part files explicitly: the dir's own leading
+            files = (
+                self.readable_change_files(new_dir, key_cols)
+                if self.chain_hole(new_dir, old_dir) is None
+                else []
+            )
+            if files:
+                # explicit part-file paths: the dir's own leading
                 # underscore (which keeps it invisible to TABLE scans)
                 # would otherwise trip Hadoop's hidden-path filter into a
                 # noisy "all paths ignored" warning on every CDF read
-                return self.spark.read.parquet(os.path.join(cpath, "*.parquet"))
+                return self.spark.read.parquet(*files)
         old = self.spark.read.option("mergeSchema", "true").parquet(old_dir)
         new = self.spark.read.option("mergeSchema", "true").parquet(new_dir)
         cols = new.columns
@@ -1187,8 +1236,8 @@ class TableStore:
             # manual deletion) — raise instead of silently collapsing the
             # gap into one mislabeled step. None = pre-stamp commit, no
             # chain info, keep the pre-r10 trust.
-            p = self._parent_of(vs[newer])
-            if p is not None and p != os.path.basename(vs[newer + 1]):
+            p = self.chain_hole(vs[newer], vs[newer + 1])
+            if p is not None:
                 raise ValueError(
                     f"{table}: retained version chain has a hole — "
                     f"{os.path.basename(vs[newer])} records parent {p!r} "

@@ -69,7 +69,6 @@ class TableChangesStreamReader(DataSourceStreamReader):
         keys = options.get("keys", "")
         self.key_cols = [k.strip() for k in keys.split(",") if k.strip()] or None
         self.schema_fields = list(schema.fields)
-        self.fields = [f.name for f in schema.fields[:-3]]  # table columns
 
     # -- offsets ----------------------------------------------------------
     def initialOffset(self) -> dict:
@@ -83,6 +82,13 @@ class TableChangesStreamReader(DataSourceStreamReader):
 
     def latestOffset(self) -> dict:
         vs = TableStore.list_versions(self.root, self.table)
+        if not vs:
+            # a restart skips initialOffset, so the missing-table diagnosis
+            # must be just as clear here (wrong root option, renamed table)
+            raise ValueError(
+                f"{self.table}: no committed versions under {self.root!r} — "
+                "wrong 'root'/'table' option, or the table was removed"
+            )
         return {"commit_id": os.path.basename(vs[0])}
 
     def partitions(self, start: dict, end: dict):
@@ -107,25 +113,19 @@ class TableChangesStreamReader(DataSourceStreamReader):
         parts: list[_ChangeFilePartition] = []
         for ordinal, i in enumerate(range(hi - 1, lo - 1, -1), start=1):
             newer, older = vs[i], vs[i + 1]
-            p = TableStore._parent_of(newer)
-            if p is not None and p != os.path.basename(older):
+            # hole detection + file readability are tables.py's shared
+            # definitions (chain_hole / readable_change_files) — the batch
+            # CDF read and this planner can never drift on either gate
+            p = TableStore.chain_hole(newer, older)
+            if p is not None:
                 raise ValueError(
                     f"{self.table}: retained version chain has a hole — "
                     f"{os.path.basename(newer)} records parent {p!r} but the "
                     f"next retained version is {os.path.basename(older)}; "
                     "commits were lost, resync from a snapshot"
                 )
-            cpath = os.path.join(newer, "_changes")
-            files = (
-                sorted(
-                    f
-                    for f in os.listdir(cpath)
-                    if f.endswith(".parquet") and not f.startswith(("_", "."))
-                )
-                if os.path.isdir(cpath)
-                else []
-            )
-            if not files or not TableStore._change_keys_match(cpath, self.key_cols):
+            files = TableStore.readable_change_files(newer, self.key_cols)
+            if not files:
                 raise ValueError(
                     f"{self.table}: commit {os.path.basename(newer)} carries "
                     "no change files readable under keys "
@@ -135,7 +135,7 @@ class TableChangesStreamReader(DataSourceStreamReader):
                     "snapshot-diff tier, or resync"
                 )
             parts += [
-                _ChangeFilePartition(os.path.join(cpath, f), os.path.basename(newer), ordinal)
+                _ChangeFilePartition(f, os.path.basename(newer), ordinal)
                 for f in files
             ]
         return parts

@@ -56,7 +56,9 @@ def _drain(spark, stream, checkpoint, sink: list) -> None:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    # awaitTermination returns False on timeout rather than raising — make
+    # a slow-host partial drain loud instead of asserting on half a sink
+    assert q.awaitTermination(180), "availableNow drain did not finish in 180s"
 
 
 def test_readstream_drains_commits_with_ordinals_and_values(spark, tmp_path):

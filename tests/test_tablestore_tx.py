@@ -1588,7 +1588,7 @@ def test_concurrent_writers_with_polling_consumer_no_commit_lost_or_doubled(
     def consumer():
         cons = ChangeFeedConsumer(store, "sessions_silver", str(tmp_path / "cur"))
         try:
-            while not done.is_set() or True:
+            while True:  # exits via the post-drain return below
                 rows = cons.poll(key_cols=["session_key"]).collect()
                 cons.commit()
                 served.extend(
@@ -1633,3 +1633,88 @@ def test_concurrent_writers_with_polling_consumer_no_commit_lost_or_doubled(
     assert len(commit_ids) == len(set(commit_ids)), "a commit was served twice"
     # no commit lost: every writer key was delivered as an insert
     assert {k for _, k in served} == want_keys
+
+
+def test_publish_many_rollback_decommits_the_aborted_versions(spark, tmp_path):
+    """r10 review finding: a publish_many swap failure rolled the symlinks
+    back but left the already-swapped tables' NEW version dirs COMMITTED —
+    a committed impostor that would shadow the true predecessor in time
+    travel AND poison the parent-stamped CDC chain (spurious hole, or the
+    aborted commit's change rows served as real after the next commit).
+    Rollback must de-commit them back to orphan status."""
+    from f1_datalakehouse_pipeline_spark.sources.tables import ChangeFeedConsumer
+
+    store = TableStore(spark, str(tmp_path / "wh"), keep_versions=5)
+    store.commit_many(
+        [
+            (_sessions(spark, 5, gp="monaco"), "sessions_silver"),
+            (_results(spark, 7, gp="monaco"), "race_results_silver"),
+        ]
+    )
+    cons = ChangeFeedConsumer(store, "race_results_silver", str(tmp_path / "cur"))
+    cons.poll()
+    cons.commit()
+
+    # crash INSIDE the swap loop: first table (sorted order:
+    # race_results_silver) swaps fine, second (sessions_silver) dies
+    real_swap = store._swap_locked
+    staged = store.stage_many(
+        [
+            (_sessions(spark, 9, gp="miami"), "sessions_silver"),
+            (_results(spark, 11, gp="miami"), "race_results_silver"),
+        ]
+    )
+
+    def crashing_swap(table, vdir):
+        if table == "sessions_silver":
+            raise OSError("killed mid-swap")
+        real_swap(table, vdir)
+
+    store._swap_locked = crashing_swap
+    try:
+        with pytest.raises(OSError, match="killed mid-swap"):
+            store.publish_many(staged)
+    finally:
+        del store._swap_locked
+
+    # both tables read their PRIOR images
+    assert store.read("sessions_silver").count() == 5
+    assert store.read("race_results_silver").count() == 7
+    # the rolled-back version is an unmarked orphan again: not committed,
+    # never listed, and the feed serves NO aborted change rows
+    for table, vdir, _ in staged:
+        assert not store._is_committed(vdir), table
+        assert os.path.realpath(vdir) not in [
+            os.path.realpath(v) for v in store.versions(table)
+        ], table
+    assert cons.poll().count() == 0
+
+    # the NEXT real commit proceeds with an intact chain (no spurious hole)
+    store.merge_upsert(
+        _results(spark, 2, gp="spa"), "race_results_silver",
+        keys=["session_key"],
+    )
+    rows = cons.poll(key_cols=["session_key"]).collect()
+    # exactly the real commit's delta: pre-images of the replaced monaco
+    # rows + spa post-images — and nothing from the aborted miami batch
+    assert {(r._change_type, r.grand_prix_name) for r in rows} == {
+        ("update_preimage", "monaco"),
+        ("update_postimage", "spa"),
+    }
+    assert "miami" not in {r.grand_prix_name for r in rows}
+
+
+def test_merge_upsert_leaves_caller_managed_cache_alone(spark, tmp_path):
+    """r10 review finding: merge_upsert's internal persist/unpersist must
+    not evict a cache the CALLER created on the same plan (Spark's cache
+    manager keys by logical plan)."""
+    store = TableStore(spark, str(tmp_path / "wh"))
+    store.overwrite(_sess_mut(spark, [(1, "A")]), "sessions_silver")
+    updates = _sess_mut(spark, [(2, "B")]).cache()
+    try:
+        updates.count()
+        store.merge_upsert(updates, "sessions_silver", keys=["session_key"])
+        assert updates.storageLevel.useMemory  # caller's cache survived
+        assert store.read("sessions_silver").count() == 2
+    finally:
+        updates.unpersist()

@@ -245,7 +245,22 @@ def planted_embeddings(
     Irwin-Hall-3), so the corpus is bit-reproducible without RNG state."""
     import numpy as np
 
-    path = os.path.join(CACHE, f"embeddings_planted_d{n_distract}_x{factor}")
+    if factor >= 5000:
+        # fill ids are vec_id + rep·1_000_000; at rep ≥ 5000 they enter the
+        # planted (5e9+) id space and a colliding fill would score as a
+        # true hit — recall would silently overstate (same stride-overflow
+        # guard as scaled_events)
+        raise ValueError(
+            f"planted_embeddings: factor {factor} overflows the fill id "
+            "stride into the planted id space (max 4999)"
+        )
+    # cache key carries EVERY generation parameter: a parameter change must
+    # regenerate, never silently serve a corpus built under different ones
+    path = os.path.join(
+        CACHE,
+        f"embeddings_planted_q{n_queries}_p{n_planted}_d{n_distract}"
+        f"_s{sigma_plant}_r{seed}_x{factor}",
+    )
     if not os.path.isdir(path):
         base = load_table(spark, sf_dir, "embeddings").select(
             "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
@@ -659,6 +674,7 @@ def run_pq_scale(spark: SparkSession, sf_dir: str, factor: int) -> dict:
         out = similarity.ivfpq_topk(idx, queries, cent, books, k=5, n_probe=n_probe)
         r[f"ivfpq_p{n_probe}_recall"], r[f"ivfpq_p{n_probe}_recall_base"] = recalls(out)
         r[f"ivfpq_p{n_probe}_sec"] = round(time.perf_counter() - t0, 2)
+        similarity.release_lut_broadcasts()  # one LUT broadcast per serve
 
     # r9: the canonical RESIDUAL tier (L2 coarse quantizer + PQ trained on
     # residuals, Jégou et al. TPAMI 2011) at the SAME (m, n_codes) budget,
@@ -685,6 +701,7 @@ def run_pq_scale(spark: SparkSession, sf_dir: str, factor: int) -> dict:
         )
         r[f"res_p{n_probe}_recall"], r[f"res_p{n_probe}_recall_base"] = recalls(out)
         r[f"res_p{n_probe}_sec"] = round(time.perf_counter() - t0, 2)
+        similarity.release_lut_broadcasts()
 
     # two-stage production serve: ADC shortlist → exact re-rank of refine
     # candidates against the raw table (FAISS IndexRefineFlat shape) — the
@@ -696,6 +713,7 @@ def run_pq_scale(spark: SparkSession, sf_dir: str, factor: int) -> dict:
     )
     r["res_refined_recall"], r["res_refined_recall_base"] = recalls(out)
     r["res_refined_sec"] = round(time.perf_counter() - t0, 2)
+    similarity.release_lut_broadcasts()
     print(f"  {r}", flush=True)
     return r
 
