@@ -493,6 +493,111 @@ def scaled_events(spark: SparkSession, sf_dir: str, factor: int) -> DataFrame:
     return spark.read.parquet(path)
 
 
+
+
+def run_cdc_scale(spark: SparkSession, sf_dir: str, factor: int) -> dict:
+    """CDC cost-shape rung (r10): the claim under test is the Delta-CDF
+    cost shape — reading a commit's changes costs ∝ |that commit's
+    changes|, NOT ∝ |table| — measured by holding the change batch FIXED
+    (10K updated orders) while the table grows with ``factor``:
+
+    - ``cdf_file_read_sec``: single-step keyed ``table_changes`` served
+      from the commit's write-time files (should stay FLAT up the ladder);
+    - ``snapshot_diff_sec``: the same delta computed by the full-outer
+      snapshot diff (the fallback tier; grows with the table — the cost
+      the write-time files buy out of the read path);
+    - ``stream_drain_sec``: the pull-loop source applying the commit as a
+      micro-batch; ``readstream_drain_sec``: the native
+      ``format("table_changes")`` datasource doing the same through
+      Spark's offset log (both read the same files, so both should track
+      cdf_file_read, not snapshot_diff);
+    - ``merge_sec``: the producing merge itself — plain-parquet MERGE
+      rewrites the table, so this one legitimately grows with |table|
+      (the storage-side trade the module docstrings disclose).
+    """
+    import shutil as _shutil
+    import tempfile
+
+    from f1_datalakehouse_pipeline_spark.sources.tables import TableStore
+    from f1_datalakehouse_pipeline_spark.streaming.cdc_source import (
+        stream_table_changes,
+    )
+
+    wh = tempfile.mkdtemp(prefix="f1spark-cdcscale-")
+    store = TableStore(spark, os.path.join(wh, "wh"), keep_versions=10)
+    orders = load_table(spark, sf_dir, "orders")
+    reps = spark.range(factor).select(F.col("id").alias("rep"))
+    base = orders.crossJoin(reps).select(
+        (F.col("o_orderkey") * factor + F.col("rep")).alias("o_orderkey"),
+        "o_custkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        "o_orderpriority",
+    )
+    r: dict = {"rows": base.count(), "change_rows": 10_000}
+    t0 = time.perf_counter()
+    store.overwrite(base, "orders_managed")
+    r["seed_overwrite_sec"] = round(time.perf_counter() - t0, 2)
+
+    updates = store.read("orders_managed").filter(
+        F.col("o_orderkey") % (r["rows"] // 10_000) == 0
+    ).limit(10_000).withColumn("o_totalprice", F.col("o_totalprice") + 1.0)
+    updates = updates.localCheckpoint()  # pin the batch; don't time its derivation
+    t0 = time.perf_counter()
+    store.merge_upsert(updates, "orders_managed", keys=["o_orderkey"])
+    r["merge_sec"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    n = store.table_changes("orders_managed", 1, 0, key_cols=["o_orderkey"]).count()
+    r["cdf_file_read_sec"] = round(time.perf_counter() - t0, 2)
+    r["cdf_rows"] = n
+    t0 = time.perf_counter()
+    m = store._changes_between(
+        store.versions("orders_managed")[1],
+        store.versions("orders_managed")[0],
+        ["o_orderkey"],
+        allow_files=False,
+    ).count()
+    r["snapshot_diff_sec"] = round(time.perf_counter() - t0, 2)
+    assert m == n, (m, n)  # the two tiers must agree on the delta
+
+    t0 = time.perf_counter()
+    served = stream_table_changes(
+        store, "orders_managed", os.path.join(wh, "cur"),
+        lambda df, cid: df.write.format("noop").mode("overwrite").save(),
+        key_cols=["o_orderkey"],
+    )
+    r["stream_drain_sec"] = round(time.perf_counter() - t0, 2)
+    r["stream_commits"] = served
+
+    from f1_datalakehouse_pipeline_spark.streaming.cdc_datasource import (
+        register_table_changes_source,
+    )
+
+    register_table_changes_source(spark)
+    stream = (
+        spark.readStream.format("table_changes")
+        .option("root", store.root)
+        .option("table", "orders_managed")
+        .option("keys", "o_orderkey")
+        .load()
+    )
+    t0 = time.perf_counter()
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda df, bid: df.write.format("noop").mode("overwrite").save()
+        )
+        .option("checkpointLocation", os.path.join(wh, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    r["readstream_drain_sec"] = round(time.perf_counter() - t0, 2)
+    print(f"  {r}", flush=True)
+    _shutil.rmtree(wh, ignore_errors=True)
+    return r
+
+
 def run_funnel_scale(spark: SparkSession, sf_dir: str, factor: int) -> dict:
     """Behavioral-analytics rung: the r8 funnel/cohort/transition/MAD/chisq
     queries on a factor-scaled events table, plus the per-stage
@@ -2163,6 +2268,7 @@ def main() -> None:
     ap.add_argument("--ann", action="store_true", help="scale the embeddings table and measure ANN variants")
     ap.add_argument("--pq", action="store_true", help="IVFADC rung: PQ train/build walls, on-disk index compression vs raw vectors, full-scan ADC + probed recall@5 vs exact-L2 truth")
     ap.add_argument("--refine-recall", action="store_true", help="refined-serve recall ladder on the PLANTED (non-twin) corpus: probed vs refine=20/100/500 exact-id recall@5 against asserted planted truth (also runs as part of --pq)")
+    ap.add_argument("--cdc", action="store_true", help="CDC cost-shape rung: fixed 10K-row change batch vs growing table — file-served CDF read + both streaming drains should stay FLAT while the snapshot-diff fallback grows")
     ap.add_argument("--funnel", action="store_true", help="behavioral-analytics rung: r8 funnel/cohort/transition/MAD/chisq queries on factor-scaled events + the textbook self-join funnel baseline")
     ap.add_argument("--pipeline", action="store_true", help="run the full F1 pipeline at ~2.5M lap rows")
     ap.add_argument("--novelty", action="store_true", help="measure incremental-probe amortization vs full self-join")
@@ -2228,6 +2334,13 @@ def main() -> None:
         for factor in factors:
             print(f"refine-recall factor {factor}:", flush=True)
             results[str(factor)] = run_refine_recall_scale(spark, args.sf_dir, factor)
+        print(json.dumps(results, indent=2))
+        return
+
+    if args.cdc:
+        for factor in factors:
+            print(f"cdc factor {factor}:", flush=True)
+            results[str(factor)] = run_cdc_scale(spark, args.sf_dir, factor)
         print(json.dumps(results, indent=2))
         return
 
