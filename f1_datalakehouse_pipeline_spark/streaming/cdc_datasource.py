@@ -145,39 +145,40 @@ class TableChangesStreamReader(DataSourceStreamReader):
 
     # -- executor-side read ------------------------------------------------
     def read(self, partition: _ChangeFilePartition):
-        """Yield the change file as ONE Arrow RecordBatch (zero per-row
-        Python), columns cast to the Arrow types Spark expects for the
-        declared schema. Timestamps in the files are naive (legacy INT96 →
-        ns) but ARE UTC instants — Spark always writes UTC-adjusted — so
-        the cast to timestamp[us, UTC] is a relabel+truncate, never a
-        wall-clock shift. A column missing from an old file (schema widened
-        since) backfills as typed NULLs."""
+        """Yield the change file as Arrow RecordBatches, one per parquet
+        row group (zero per-row Python, bounded memory — a multi-GB change
+        file streams through in row-group-sized pieces instead of one
+        whole-file batch), columns cast to the Arrow types Spark expects
+        for the declared schema. Timestamps in the files are naive (legacy
+        INT96 → ns) but ARE UTC instants — Spark always writes
+        UTC-adjusted — so the cast to timestamp[us, UTC] is a
+        relabel+truncate, never a wall-clock shift. A column missing from
+        an old file (schema widened since) backfills as typed NULLs."""
         import pyarrow as pa
         import pyarrow.parquet as pq
         from pyspark.sql.pandas.types import to_arrow_type
 
-        tbl = pq.read_table(partition.path)
-        n = len(tbl)
-        arrays, names = [], []
-        for f in self.schema_fields:
-            target = to_arrow_type(f.dataType)
-            if f.name == "_commit_id":
-                col = pa.array([partition.commit_id] * n, type=target)
-            elif f.name == "_commit_ordinal":
-                col = pa.array([partition.ordinal] * n, type=target)
-            elif f.name in tbl.column_names:
-                col = tbl.column(f.name)
-                if pa.types.is_timestamp(col.type) and col.type.tz is None:
-                    # relabel the naive UTC instants before the unit cast
-                    col = col.cast(pa.timestamp(col.type.unit, tz="UTC"))
-                col = col.cast(target)
-            else:
-                col = pa.nulls(n, type=target)
-            arrays.append(
-                col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-            )
-            names.append(f.name)
-        yield pa.RecordBatch.from_arrays(arrays, names)
+        pf = pq.ParquetFile(partition.path)
+        for batch in pf.iter_batches():
+            n = len(batch)
+            arrays, names = [], []
+            for f in self.schema_fields:
+                target = to_arrow_type(f.dataType)
+                if f.name == "_commit_id":
+                    col = pa.array([partition.commit_id] * n, type=target)
+                elif f.name == "_commit_ordinal":
+                    col = pa.array([partition.ordinal] * n, type=target)
+                elif f.name in batch.schema.names:
+                    col = batch.column(f.name)
+                    if pa.types.is_timestamp(col.type) and col.type.tz is None:
+                        # relabel the naive UTC instants before the unit cast
+                        col = col.cast(pa.timestamp(col.type.unit, tz="UTC"))
+                    col = col.cast(target)
+                else:
+                    col = pa.nulls(n, type=target)
+                arrays.append(col)
+                names.append(f.name)
+            yield pa.RecordBatch.from_arrays(arrays, names)
 
 
 class TableChangesDataSource(DataSource):
