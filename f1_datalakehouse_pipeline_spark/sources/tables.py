@@ -629,13 +629,27 @@ class TableStore:
             for table, _vdir, expected in order:
                 self._check_cas(table, expected)  # nothing swapped yet
             swapped: list[tuple[str, str, str | None]] = []
+            in_flight: tuple[str, str, str | None] | None = None
             try:
                 for table, vdir, expected in order:
+                    # Track the table BEFORE its swap: _swap_locked can
+                    # crash AFTER its os.replace commit point but BEFORE
+                    # the sentinel write, leaving this table live at the
+                    # aborted version without ever reaching swapped — the
+                    # rollback must cover it too (second r10 review round).
+                    # Rolling back a table whose swap never reached the
+                    # replace is harmless: re-pointing at the unchanged
+                    # prior is a no-op and the sentinel unlink finds
+                    # nothing.
+                    in_flight = (table, vdir, expected)
                     self._swap_locked(table, vdir)
                     swapped.append((table, vdir, expected))
+                    in_flight = None
             except BaseException:
-                # roll already-swapped tables back to their prior targets
-                for table, vdir, prior in reversed(swapped):
+                # roll already-swapped tables back to their prior targets,
+                # INCLUDING the one that crashed mid-swap
+                to_roll = swapped + ([in_flight] if in_flight else [])
+                for table, vdir, prior in reversed(to_roll):
                     live = self.path(table)
                     try:
                         if prior is None:

@@ -104,10 +104,19 @@ class TableChangesStreamReader(DataSourceStreamReader):
                 "resync from a snapshot and restart with a fresh checkpoint"
             )
         if e_id not in names:
-            # the batch's end was planned from an earlier listing; a commit
-            # can't vanish while CURRENT, so this means the horizon moved
+            # The batch's end was planned from an earlier listing. Two ways
+            # here: the retention horizon moved past a slow consumer, or
+            # latestOffset sampled the live symlink during the milliseconds
+            # a publish_many batch held it at a version whose commit was
+            # then ROLLED BACK (the rollback de-commits the dir, so it is
+            # never listed again — serving its rows would resurrect an
+            # aborted commit). Spark's WAL replays the same end offset on
+            # every restart, so the only remedy is a fresh checkpoint.
             raise ValueError(
-                f"{self.table}: offset commit {e_id!r} is no longer retained"
+                f"{self.table}: offset commit {e_id!r} is no longer retained "
+                "(vacuumed past the horizon, or it was a rolled-back "
+                "cross-table publish) — resync downstream state and restart "
+                "the stream with a FRESH checkpoint"
             )
         lo, hi = names.index(e_id), names.index(s_id)  # newest-first listing
         parts: list[_ChangeFilePartition] = []

@@ -1718,3 +1718,61 @@ def test_merge_upsert_leaves_caller_managed_cache_alone(spark, tmp_path):
         assert store.read("sessions_silver").count() == 2
     finally:
         updates.unpersist()
+
+
+def test_publish_many_rolls_back_a_swap_that_crashed_after_its_commit_point(
+    spark, tmp_path
+):
+    """Second r10 review round: a table whose _swap_locked crashed AFTER
+    the os.replace commit point but BEFORE the sentinel write never reached
+    the rollback list — it stayed live at the aborted version, a silent
+    partial publish the next commit would 'heal' into legitimacy. The
+    in-flight table must be rolled back too."""
+    store = TableStore(spark, str(tmp_path / "wh"), keep_versions=5)
+    store.commit_many(
+        [
+            (_sessions(spark, 5, gp="monaco"), "sessions_silver"),
+            (_results(spark, 7, gp="monaco"), "race_results_silver"),
+        ]
+    )
+    staged = store.stage_many(
+        [
+            (_sessions(spark, 9, gp="miami"), "sessions_silver"),
+            (_results(spark, 11, gp="miami"), "race_results_silver"),
+        ]
+    )
+    real_swap = store._swap_locked
+
+    def crashing_swap(table, vdir):
+        if table == "sessions_silver":
+            # reproduce the exact crash state: live symlink REPLACED (the
+            # commit point) but no sentinel written yet
+            tmp = os.path.join(store.root, f".{table}.crash-link")
+            os.symlink(os.path.abspath(vdir), tmp)
+            os.replace(tmp, store.path(table))
+            raise OSError("killed after replace, before sentinel")
+        real_swap(table, vdir)
+
+    store._swap_locked = crashing_swap
+    try:
+        with pytest.raises(OSError, match="killed after replace"):
+            store.publish_many(staged)
+    finally:
+        del store._swap_locked
+
+    # BOTH tables serve their prior images — including the in-flight one
+    s = store.read("sessions_silver")
+    assert s.count() == 5
+    assert s.select("grand_prix_name").distinct().collect()[0][0] == "monaco"
+    assert store.read("race_results_silver").count() == 7
+    # and both staged dirs are unmarked orphans, never listed
+    for table, vdir, _ in staged:
+        assert not store._is_committed(vdir), table
+        assert os.path.realpath(vdir) not in [
+            os.path.realpath(v) for v in store.versions(table)
+        ], table
+    # the next commit proceeds normally and does NOT legitimize the orphan
+    store.overwrite(_sessions(spark, 3, gp="spa"), "sessions_silver")
+    assert store.read("sessions_silver").count() == 3
+    for table, vdir, _ in staged:
+        assert not store._is_committed(vdir), table
