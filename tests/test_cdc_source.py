@@ -250,3 +250,101 @@ def test_cdc_quality_gate_composition(spark, tmp_path):
     assert spark.read.parquet(delivery).count() == 2
     assert spark.read.parquet(quarantine).count() == 3
     assert spark.read.parquet(metrics).count() == 6
+
+
+def test_cdc_random_mutation_walk_replay_reconstructs_the_model(spark, tmp_path):
+    """Model-based end-to-end CDC check: a seeded random walk of merges,
+    tombstone merges, predicate deletes and PLAIN OVERWRITES (the commit
+    kind with no change files — exercising the feed's snapshot-diff
+    fallback mid-stream) runs against both a TableStore and a dict model.
+    The table must equal the model after every walk, and a consumer
+    replaying the per-commit feed with the standard CDF application rules
+    (delete/pre-image removes the key, insert/post-image upserts) must
+    reconstruct the model exactly — across every commit kind interleaved."""
+    import random
+
+    from f1_datalakehouse_pipeline_spark.streaming.cdc_source import (
+        stream_table_changes,
+    )
+
+    for seed in (7, 13):
+        rng = random.Random(seed)
+        store = TableStore(spark, str(tmp_path / f"wh{seed}"), keep_versions=40)
+        model: dict[int, str] = {1: "s1", 2: "s2", 3: "s3"}
+        store.overwrite(_sess(spark, [(k, v) for k, v in model.items()]),
+                        "sessions_silver")
+        replay = dict(model)  # consumer bootstraps from the initial snapshot
+        cur_dir = str(tmp_path / f"cur{seed}")
+        n0 = stream_table_changes(
+            store, "sessions_silver", cur_dir,
+            lambda df, cid: None, key_cols=["session_key"],
+        )
+        assert n0 == 0  # cursor parked at the seed version
+
+        for step in range(12):
+            op = rng.choice(["merge", "merge", "tombstone", "delete", "overwrite"])
+            if op == "merge":
+                ks = rng.sample(range(1, 9), rng.randint(1, 3))
+                rows = [(k, f"v{seed}.{step}.{k}") for k in ks]
+                store.merge_upsert(
+                    _sess(spark, rows), "sessions_silver", keys=["session_key"]
+                )
+                model.update(dict(rows))
+            elif op == "tombstone":
+                ks = rng.sample(range(1, 9), 2)
+                rows = _sess(spark, [(k, "x") for k in ks]).withColumn(
+                    "__del", F.lit(True)
+                )
+                store.merge_upsert(
+                    rows, "sessions_silver", keys=["session_key"], delete_col="__del"
+                )
+                for k in ks:
+                    model.pop(k, None)
+            elif op == "delete":
+                k = rng.randint(1, 8)
+                store.delete_where(
+                    F.col("session_key") == k, "sessions_silver"
+                )
+                model.pop(k, None)
+            else:  # plain overwrite: arbitrary rewrite, NO change files
+                model = {
+                    k: f"ow{seed}.{step}.{k}"
+                    for k in rng.sample(range(1, 9), rng.randint(2, 4))
+                }
+                store.overwrite(
+                    _sess(spark, list(model.items())), "sessions_silver"
+                )
+
+        # the table equals the model…
+        got = {
+            r.session_key: r.meeting_name
+            for r in store.read("sessions_silver").collect()
+        }
+        assert got == model, f"seed {seed}: table diverged from model"
+
+        # …and the per-commit CDF replay reconstructs it from the seed
+        def apply(df, commit_id):
+            # standard CDF application within one commit: removals
+            # (delete/pre-image) first, then upserts (insert/post-image) —
+            # a key both removed and re-upserted in the same commit ends up
+            # at its post-image
+            rows = df.collect()
+            removes = {
+                r.session_key
+                for r in rows
+                if r._change_type in ("delete", "update_preimage")
+            }
+            upserts = {
+                r.session_key: r.meeting_name
+                for r in rows
+                if r._change_type in ("insert", "update_postimage")
+            }
+            for k in removes - set(upserts):
+                replay.pop(k, None)
+            replay.update(upserts)
+
+        n = stream_table_changes(
+            store, "sessions_silver", cur_dir, apply, key_cols=["session_key"]
+        )
+        assert n == 12, f"seed {seed}: expected one batch per mutation"
+        assert replay == model, f"seed {seed}: CDF replay diverged from model"
