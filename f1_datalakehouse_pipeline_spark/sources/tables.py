@@ -411,8 +411,23 @@ class TableStore:
             if TableStore._is_committed_path(os.path.join(vroot, d))
             or os.path.realpath(os.path.join(vroot, d)) == current
         ]
-        dirs.sort(key=lambda p: (os.path.realpath(p) != current, -os.path.getmtime(p)))
-        return dirs
+        # A still-PLAIN (append-created) live dir is the current version even
+        # once .versions/ exists (e.g. a failed first overwrite created the
+        # dir and left only an orphan): without this, a serving table would
+        # list zero versions (r10 review finding).
+        if os.path.isdir(live) and not os.path.islink(live):
+            dirs.append(live)
+        # snapshot each mtime tolerantly: a superseded dir can be reaped by
+        # a concurrent publish's GC between listdir and the sort — skip it,
+        # never crash a pure read path (r10 review finding)
+        keyed = []
+        for p in dirs:
+            try:
+                keyed.append(((os.path.realpath(p) != current, -os.path.getmtime(p)), p))
+            except OSError:
+                continue
+        keyed.sort(key=lambda kp: kp[0])
+        return [p for _, p in keyed]
 
     def read_version(self, table: str, n_back: int = 0, conformed: bool = False) -> DataFrame:
         """Read the table as of ``n_back`` overwrites ago (0 = current).
@@ -476,7 +491,62 @@ class TableStore:
         return w
 
     def append(self, df: DataFrame, table: str) -> None:
-        self._writer(df, table).mode("append").save(self.path(table))
+        """Append rows. On a VERSIONED table this stages a NEW version
+        (hardlink-graft of the current version's data files + the appended
+        rows) published under the usual CAS — appending through the live
+        symlink would mutate a published snapshot in place, invisible to
+        pinned readers, time travel, and EVERY CDC tier (the rows would
+        belong to no commit; r10 review finding). No write-time change
+        files are emitted: append can duplicate merge keys, so keyed
+        labeling is undefined — CDC readers fall back to the snapshot
+        diff, correct under both keyed and multiset semantics. A plain
+        (append-created, pre-transactional) table keeps the cheap in-place
+        append."""
+        live = self.path(table)
+        if not os.path.islink(live):
+            self._writer(df, table).mode("append").save(live)
+            return
+        expected = self._current_target(table)
+        version_dir = os.path.join(
+            self._version_root(table), f"v-{uuid.uuid4().hex[:12]}"
+        )
+        os.makedirs(version_dir, exist_ok=True)
+        for dirpath, dirnames, filenames in os.walk(expected):
+            rel = os.path.relpath(dirpath, expected)
+            comps = tuple() if rel == "." else tuple(rel.split(os.sep))
+            if comps and comps[0].startswith(("_", ".")):
+                # the old version's _changes/ describe ITS commit — never
+                # carried forward (same rule as _graft_partitions)
+                dirnames[:] = []
+                continue
+            for fn in filenames:
+                if fn.startswith(("_", ".")):
+                    continue  # _SUCCESS / .committed / sidecars
+                os.makedirs(os.path.join(version_dir, rel), exist_ok=True)
+                os.link(
+                    os.path.join(dirpath, fn), os.path.join(version_dir, rel, fn)
+                )
+        self._writer(df, table).mode("append").save(version_dir)
+        self._publish(table, version_dir, expected=expected)
+
+    def _stage_version(
+        self, df: DataFrame, table: str, sort_by: list[str] | None = None
+    ) -> str:
+        """Write ``df`` (static mode) into a fresh unpublished version dir
+        and return it — the staging step shared by overwrite, stage_many,
+        and overwrite_partitions (ONE implementation of the protocol: a
+        future staging change cannot silently skip one of the three commit
+        paths; r10 review finding). Static even when the session default is
+        dynamic, otherwise stale partitions would survive inside the fresh
+        version dir."""
+        version_dir = os.path.join(
+            self._version_root(table), f"v-{uuid.uuid4().hex[:12]}"
+        )
+        os.makedirs(os.path.dirname(version_dir), exist_ok=True)
+        self._writer(df, table, sort_by).option(
+            "partitionOverwriteMode", "static"
+        ).mode("overwrite").save(version_dir)
+        return version_dir
 
     def overwrite(
         self,
@@ -513,6 +583,14 @@ class TableStore:
         key_cols MATCH — a mismatched reader silently getting the writer's
         labeling would diverge from the snapshot-diff contract (review
         finding, r9)."""
+        if cluster_by and sort_by:
+            # documented as mutually exclusive; silently applying both would
+            # re-sort every range partition by sort_by AFTER the Morton
+            # ordering, scrambling the Z-order layout the caller asked for
+            raise ValueError(
+                "overwrite(sort_by=..., cluster_by=...): mutually exclusive "
+                "— cluster_by IS a sort (on the Morton interleave key)"
+            )
         if cluster_by:
             from pyspark.sql import functions as F
 
@@ -528,16 +606,7 @@ class TableStore:
             )
         if expected is _UNSET:
             expected = self._current_target(table)
-        version_dir = os.path.join(
-            self._version_root(table), f"v-{uuid.uuid4().hex[:12]}"
-        )
-        os.makedirs(os.path.dirname(version_dir), exist_ok=True)
-        # Full overwrite must be static even when the session default is
-        # dynamic, otherwise stale partitions would survive inside the fresh
-        # version dir.
-        self._writer(df, table, sort_by).option("partitionOverwriteMode", "static").mode(
-            "overwrite"
-        ).save(version_dir)
+        version_dir = self._stage_version(df, table, sort_by)
         if changes is not None:
             self._write_changes(version_dir, changes, change_keys)
         self._publish(table, version_dir, expected=expected)
@@ -591,14 +660,7 @@ class TableStore:
                 raise ValueError(f"duplicate table in stage_many: {table!r}")
             seen.add(table)
             expected = self._current_target(table)
-            version_dir = os.path.join(
-                self._version_root(table), f"v-{uuid.uuid4().hex[:12]}"
-            )
-            os.makedirs(os.path.dirname(version_dir), exist_ok=True)
-            self._writer(df, table).option(
-                "partitionOverwriteMode", "static"
-            ).mode("overwrite").save(version_dir)
-            staged.append((table, version_dir, expected))
+            staged.append((table, self._stage_version(df, table), expected))
         return staged
 
     def publish_many(self, staged: list[tuple[str, str, str | None]]) -> None:
@@ -651,6 +713,42 @@ class TableStore:
                 to_roll = swapped + ([in_flight] if in_flight else [])
                 for table, vdir, prior in reversed(to_roll):
                     live = self.path(table)
+                    if prior is not None and prior == live:
+                        # the prior was a PLAIN (append-created) dir that
+                        # _swap_locked migrated into .versions/ as
+                        # legacy-<hex>; restoring `prior` verbatim would
+                        # create a self-looping symlink (live -> live) and
+                        # the table would read empty. Rename the migrated
+                        # dir back instead — the exact pre-batch state.
+                        vroot = self._version_root(table)
+                        legacy = sorted(
+                            (
+                                os.path.join(vroot, d)
+                                for d in os.listdir(vroot)
+                                if d.startswith("legacy-")
+                            ),
+                            key=os.path.getmtime,
+                        )
+                        try:
+                            os.unlink(live)  # drop the symlink to vdir
+                            if legacy:
+                                os.rename(legacy[-1], live)
+                        except OSError:
+                            pass
+                        try:
+                            os.unlink(os.path.join(vdir, _COMMIT_SENTINEL))
+                        except OSError:
+                            pass
+                        continue
+                    if prior is not None and not os.path.isdir(prior):
+                        # the prior version was GC'd during this batch
+                        # (keep_versions=0 edge): rolling back would point
+                        # the live symlink at nothing and de-commit the only
+                        # remaining copy of the data — leave this table at
+                        # the new version, still committed. Partial publish
+                        # beats data loss; the raised error already tells
+                        # the caller the batch failed.
+                        continue
                     try:
                         if prior is None:
                             os.unlink(live)
@@ -910,13 +1008,7 @@ class TableStore:
             )
             return
         depth = len(PARTITION_SPECS[table])
-        version_dir = os.path.join(
-            self._version_root(table), f"v-{uuid.uuid4().hex[:12]}"
-        )
-        os.makedirs(os.path.dirname(version_dir), exist_ok=True)
-        self._writer(df, table, sort_by).option(
-            "partitionOverwriteMode", "static"
-        ).mode("overwrite").save(version_dir)
+        version_dir = self._stage_version(df, table, sort_by)
         replaced = self._leaf_partitions(version_dir, depth)
         self._graft_partitions(expected, version_dir, depth, skip=replaced)
         if changes is not None:
@@ -1441,7 +1533,11 @@ def compact(
     from pyspark.sql import functions as F
 
     parts = PARTITION_SPECS.get(table, [])
-    df = store.read(table)
+    # PINNED read (not the live symlink): a concurrent commit could swap +
+    # GC the version mid-scan (FileNotFound mid-job); the pinned dir also
+    # supplies the CAS snapshot so a rival commit fails this compaction
+    # loudly instead of being overwritten (r10 review finding)
+    df, expected = store.read_pinned(table)
     # zero-row frame with the feed schema (table cols + _change_type)
     no_changes = df.select(
         "*", F.lit("insert").alias("_change_type")
@@ -1454,7 +1550,7 @@ def compact(
                 "rewrite the whole table minus the non-matching rows (a "
                 "silent DELETE); compact without a predicate instead"
             )
-        store.overwrite(df.coalesce(n), table, changes=no_changes)
+        store.overwrite(df.coalesce(n), table, changes=no_changes, expected=expected)
         return
     if predicate is not None:
         selected = df.filter(predicate).select(*parts).distinct()
@@ -1471,4 +1567,6 @@ def compact(
             .repartition(*([F.col(c) for c in parts] + [F.col("__compact_bucket")]))
             .drop("__compact_bucket")
         )
-    store.overwrite_partitions(compacted, table, changes=no_changes)
+    store.overwrite_partitions(
+        compacted, table, changes=no_changes, expected=expected
+    )

@@ -355,9 +355,10 @@ def test_compact_one_partition_leaves_other_partition_files_untouched(spark, tmp
 
 
 def test_append_then_partition_overwrite_keeps_appended_data(spark, tmp_path):
-    """Appends land inside the current version (through the symlink); a
-    later transactional partition overwrite must carry them into the new
-    version for every partition it does not replace."""
+    """An append on a versioned table commits a NEW version (r10: the old
+    through-the-symlink append mutated a published snapshot in place); a
+    later transactional partition overwrite must carry the appended rows
+    into its version for every partition it does not replace."""
     store = TableStore(spark, str(tmp_path / "wh"))
     store.overwrite(_sessions(spark, 5, gp="monaco"), "sessions_silver")
     # append a second partition through the symlink
@@ -1776,3 +1777,40 @@ def test_publish_many_rolls_back_a_swap_that_crashed_after_its_commit_point(
     assert store.read("sessions_silver").count() == 3
     for table, vdir, _ in staged:
         assert not store._is_committed(vdir), table
+
+
+def test_append_on_versioned_table_is_a_commit(spark, tmp_path):
+    """r10 review finding: the old append wrote THROUGH the live symlink
+    into the committed current version — mutating a published snapshot in
+    place, invisible to time travel and to every CDC tier. Append now
+    commits a NEW version (hardlink graft + appended rows, CAS-published):
+    the prior version is untouched, and the feed serves the appended rows
+    as inserts via the snapshot-diff fallback."""
+    from f1_datalakehouse_pipeline_spark.sources.tables import ChangeFeedConsumer
+
+    store = TableStore(spark, str(tmp_path / "wh"), keep_versions=5)
+    store.overwrite(_sess_mut(spark, [(1, "A"), (2, "B")]), "sessions_silver")
+    cons = ChangeFeedConsumer(store, "sessions_silver", str(tmp_path / "cur"))
+    cons.poll(key_cols=["session_key"])
+    cons.commit()
+    v0 = store._current_target("sessions_silver")
+
+    store.append(_sess_mut(spark, [(3, "C"), (4, "D")]), "sessions_silver")
+
+    # the append is a COMMIT: new version, prior image untouched
+    assert store._current_target("sessions_silver") != v0
+    assert store.read("sessions_silver").count() == 4
+    assert store.read_version("sessions_silver", 1).count() == 2
+    assert len(store.versions("sessions_silver")) == 2
+    # …and CDC sees it (snapshot-diff tier: no change files for appends)
+    assert not os.path.isdir(os.path.join(
+        store._current_target("sessions_silver"), "_changes"
+    ))
+    got = {
+        (r.session_key, r._change_type)
+        for r in cons.poll(key_cols=["session_key"]).collect()
+    }
+    assert got == {(3, "insert"), (4, "insert")}
+    # append inherits the transactional contract: later commits proceed
+    store.overwrite(_sess_mut(spark, [(9, "Z")]), "sessions_silver")
+    assert store.read("sessions_silver").count() == 1
