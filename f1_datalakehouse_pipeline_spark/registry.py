@@ -51,76 +51,73 @@ def _load_extensions() -> None:
 # driver-green in a prior round and untouched since (rotation documented in
 # COVERAGE.md).
 _VERIFY_FIRST = [
-    # r10 rotation (VERDICT r9 item 1, planned FIRST this round — the edit
-    # below is the round's first commit). Aggregating CORRECTNESS_r01..r09,
-    # newest-green-row ages on the 150 registered queries are exactly
-    # {r9: 50, r8: 50, r7: 50} (recomputed this session; the judge verified
-    # the same arithmetic independently in VERDICT r9). The 50 r7-aged
-    # queries reach age 3 at r10 — the COVERAGE.md invariant's edge — and
-    # fill ALL 50 driver slots, so r10 registers ZERO new oracle queries by
-    # design: any new query would force an r8-aged row to age 4 (a breach).
-    # New r10 surface (CDC streaming source, crash-injection battery,
-    # recall rungs) is pytest/rung-verified instead. NOTE the steady
-    # state: 150 registered over a 50-slot window is EXACTLY a 3-round
-    # cycle, so EVERY round from here on is slot-full (r11's window is the
-    # 50 r8-aged rows, and so on) — a new oracle query in any future round
-    # forces one named trivially-stable query to age 4, a conscious,
-    # documented exception (PERF_NOTES r10 §rotation-arithmetic), never an
-    # accident. verify_local re-checks all 150 locally every round either
+    # r11 rotation (VERDICT r10 item 1, the round's first commit).
+    # Aggregating CORRECTNESS_r01..r10, newest-green-row ages on the 150
+    # registered queries are exactly {r10: 50, r9: 50, r8: 50} (recomputed
+    # this session from the files; the judge verified the same arithmetic in
+    # VERDICT r10). The 50 r8-aged queries reach age 3 at r11 — the
+    # COVERAGE.md invariant's edge — and fill ALL 50 driver slots, so r11
+    # registers ZERO new oracle queries by design (slot-full steady state:
+    # 150 over a 50-slot window is an exact 3-round cycle; any new oracle
+    # query would force a named exception per PERF_NOTES r10
+    # §rotation-arithmetic). verify_local re-checks all 150 locally either
     # way.
-    # The cohort below IS the complete r7-aged set, heavy composition plans
-    # first, in three groups: corpus/dedup/similarity compositions, TPC-H
-    # (a6_pricing_summary is the TPC-H q1 form), then single-operator rows.
-    "t_corpus_manifest_stream",
-    "t_corpus_curation",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_exact",
-    "dedup_incremental_novelty",
-    "sim_embedding_neardup",
-    "sim_lsh_bucketed_topk",
-    "t_bpe_encode",
-    "t_chunk_documents",
-    "t_pack_sequences",
-    "t_domain_mix",
-    "t_train_test_split",
-    "t_weighted_sample",
-    "t_shuffle_shards",
-    "t_pii_redact",
-    "t_profile_columns",
-    "t_psi_buckets",
-    "t_repetition_quality",
-    "scd2_historical_build",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q10_returned_items",
-    "tpch_q14_promo_revenue",
-    "tpch_q16_supplier_count",
-    "tpch_q18_large_orders",
-    "tpch_q19_disjunctive_revenue",
-    "tpch_q21_last_shipper",
-    "tpch_q22_rich_inactive",
-    "a6_pricing_summary",
-    "a4_conditional_counts",
-    "a10_approx_distinct",
-    "a12_grouping_sets",
-    "a13_approx_percentile",
-    "a14_salted_aggregate",
-    "a15_corr_decimal",
-    "a16_mode_per_group",
-    "j9_full_outer_reconcile",
-    "mm_binary_metadata",
-    "mm_magic_sniff",
-    "p1_p5_filtered_projection",
-    "p8_percentile_cont",
-    "ts_interpolate_linear",
-    "ts_rollup_gapfill",
-    "w15_range_frame",
-    "w16_percent_rank_cume",
-    "w17_session_window_native",
-    "w4_w6_w7_championship",
-    "w8_dense_rank_rounds",
+    # The cohort below IS the complete r8-aged set, heavy composition plans
+    # first, in three groups: corpus/dedup/similarity compositions (this
+    # window carries both staged folds — the robust-tier delegation for
+    # ts_mad_outliers/a23_winsorize and the pq_adc codebook slice of
+    # af38189, both landing this round BECAUSE they re-verify this round),
+    # TPC-H, then single-operator rows.
+    "t_corpus_manifest",
+    "t_corpus_manifest_semantic",
+    "dedup_semantic",
+    "sim_pq_adc_topk",
+    "sim_sq8_quantized_topk",
+    "t_model_quality_score",
+    "t_token_ids",
+    "t_token_histogram",
+    "t_html_strip",
+    "t_repeat_mixture",
+    "ts_mad_outliers",
+    "a23_winsorize",
+    "dq_expectations",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier",
+    "tpch_q13_custdist",
+    "tpch_q17_small_qty_revenue",
+    "a1_distinct",
+    "a3_count_distinct",
+    "a5_stats_agg",
+    "a8_rollup_revenue",
+    "a9_pivot_doc_counts",
+    "a17_unpivot_metrics",
+    "a21_cohort_retention",
+    "a24_chisq_cells",
+    "f_json_extract",
+    "f_levenshtein_pairs",
+    "f_map_ops",
+    "f_posexplode_tokens",
+    "f_regex_extract_all",
+    "f_time_parse",
+    "f_url_parse",
+    "j1_j5_lookup_join",
+    "j2_left_change_detection",
+    "j3_left_backfill_fillna",
+    "j6_window_group_share",
+    "j8_semi_join",
+    "j12_not_exists_anti",
+    "u2_except_antijoin",
+    "u5_union_schema_drift",
+    "w1_gap_to_best",
+    "w2_personal_best_flag",
+    "w3_best_row_tiebreak",
+    "w5_running_avg",
+    "w9_lead_validity",
+    "w14_ntile_quartiles",
+    "w19_funnel_stages",
+    "w20_event_transitions",
+    "w21_top_paths",
+    "w_sessionize_events",
 ]
 
 
