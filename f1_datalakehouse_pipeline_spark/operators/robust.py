@@ -25,20 +25,10 @@ Reference anchor: the reference engine has no robust-statistics operators
 at all (SURVEY §2.4 ends at stddev); this extends the a13
 approx-aggregation pattern to the median/MAD family.
 
-Duplication note (deliberate, bounded — STAGED FOR r11): ``ts_mad_outliers``
-/ ``a23_winsorize`` in registry_ext.py carry their own exact-tier inline
-implementations rather than delegating here — they are driver-green
-queries outside the r10 50-slot verification window (both r8-aged, so they
-rotate back in at r11), and changing a green query's implementation
-restarts its verification clock mid-round. Value-identity between the two
-copies is pinned (tests/test_pq.py ``test_robust_*_matches_registry_query``);
-the r11 fold is: ts_mad_outliers → ``mad_outliers(events, 'event_type',
-'value', id_cols=['event_id'], k=3.0, accuracy=None)`` and a23_winsorize →
-``winsorize(events, 'event_type', 'value', id_cols=['event_id'], lo=0.05,
-hi=0.95, accuracy=None)`` (both emit the registry queries' exact column
-names in the exact order — the value-identity tests already assert it);
-then delete this note and let the r11 driver window re-verify the rows
-(recipe also in PERF_NOTES.md r10 §staged-folds).
+Since the r11 fold (VERDICT r10 item 2) the oracle-gated registry queries
+``ts_mad_outliers`` / ``a23_winsorize`` DELEGATE here with accuracy=None —
+this module is the single implementation of both tiers, and the registry
+rows re-verified against DuckDB the same round the fold landed.
 """
 
 from __future__ import annotations

@@ -905,19 +905,27 @@ def pq_encode_native(
     """Map-only PQ encode in native expressions: per subspace, the argmin-L2
     codeword (ties → lowest code id via array_position on the exact min).
     Output (id, codes array<int>) — the m-byte row a 100 TB index persists.
-    One scan, zero shuffles, zero Python; the codebook rides along as
-    literal arrays (m·n_codes·dsub doubles — broadcast-sized by design)."""
+    One scan, zero shuffles, zero Python; the codebook rides along as a
+    one-row broadcast relation (m·n_codes·dsub doubles)."""
     m = len(codebooks)
     dsub = len(codebooks[0][0])
+    # r11 fold (VERDICT r9 item 6 / r10 item 3): the codebook rides as DATA
+    # in a 1-row broadcast relation instead of m*n_codes*dsub literals folded
+    # into the expression tree — identical fixed-order arithmetic, a fraction
+    # of the whole-stage-codegen constant (A/B on branch af38189: the
+    # sim_pq_adc_topk median roughly halves).
+    consts = F.broadcast(
+        embeddings.sparkSession.createDataFrame(
+            [(codebooks,)], "cb array<array<array<double>>>"
+        )
+    )
     v = _as_double(F.col(vec_col))
     codes = []
     for s in range(m):
         sub = F.slice(v, s * dsub + 1, dsub)
-        dists = F.array(
-            *[_l2sq(sub, F.array(*[F.lit(x) for x in cw])) for cw in codebooks[s]]
-        )
+        dists = F.transform(F.col("cb")[s], lambda cw: _l2sq(sub, cw))
         codes.append((F.array_position(dists, F.array_min(dists)) - 1).cast("int"))
-    return embeddings.select(
+    return embeddings.crossJoin(consts).select(
         F.col(id_col).alias("neighbor_id"), F.array(*codes).alias("codes")
     )
 
@@ -939,18 +947,25 @@ def pq_adc_topk_native(
     same math, LUT adds instead of dim-length folds.)"""
     m = len(codebooks)
     dsub = len(codebooks[0][0])
+    # Codebook as broadcast DATA, not expression-tree literals — see
+    # pq_encode_native above for the rationale/measurement.
+    consts = F.broadcast(
+        encoded.sparkSession.createDataFrame(
+            [(codebooks,)], "cb array<array<array<double>>>"
+        )
+    )
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
     )
     per_sub = []
     for s in range(m):
         qsub = F.slice(F.col("qv"), s * dsub + 1, dsub)
-        cb = F.array(*[F.array(*[F.lit(x) for x in cw]) for cw in codebooks[s]])
-        cw = F.element_at(cb, F.col("codes")[s] + 1)
+        cw = F.element_at(F.col("cb")[s], F.col("codes")[s] + 1)
         per_sub.append(_l2sq(qsub, cw))
     adc = F.aggregate(F.array(*per_sub), F.lit(0.0), lambda acc, x: acc + x)
     scored = (
-        encoded.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        encoded.crossJoin(consts)
+        .join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", adc.alias("adc"))
     )
     w = Window.partitionBy("query_id").orderBy(

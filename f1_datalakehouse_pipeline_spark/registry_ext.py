@@ -4414,8 +4414,10 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors collapse to m=8 code ids (32× compression — THE way a 100 TB
     embedding index fits storage), full-precision queries score candidates
     through the codebook only. Native-expression tier: encode is a map-only
-    argmin over literal codewords (operators/similarity.pq_encode_native),
-    ADC a fixed-order fold — both bit-reproduced by the oracle, which
+    argmin over the broadcast codebook relation
+    (operators/similarity.pq_encode_native; codebook rides as data since the
+    r11 codegen fold), ADC a fixed-order fold — both bit-reproduced by the
+    oracle, which
     derives the identical pinned codebook (first 16 rows' subvectors, the
     dedup_semantic stand-in pattern) from the table itself. The production
     tier (pq_train k-means + Arrow-vectorized pq_encode/pq_adc_topk) is
@@ -4568,34 +4570,21 @@ def ts_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust per-series outlier flags: median / MAD (median absolute
     deviation) per event_type, flag |x − med| > 3·MAD. Two grouped exact
     percentiles (the p8-proven bit-exact machinery) + two broadcast joins
-    of tiny per-type stats — never a self-join. At 100 TB the exact
-    medians swap for approx_percentile sketches (a13's pattern); the
-    flagging pass is unchanged map-side work."""
-    e = load_table(spark, sf_dir, "events")
-    med = e.groupBy("event_type").agg(
-        F.expr("percentile(CAST(value AS DOUBLE), 0.5)").alias("med")
-    )
-    dev = (
-        e.join(F.broadcast(med), "event_type")
-        .select(
-            "event_id",
-            "event_type",
-            F.col("value").cast("double").alias("value"),
-            "med",
-        )
-        .withColumn("absdev", F.abs(F.col("value") - F.col("med")))
-    )
-    mad = dev.groupBy("event_type").agg(F.expr("percentile(absdev, 0.5)").alias("mad"))
-    return (
-        dev.join(F.broadcast(mad), "event_type")
-        .select(
-            "event_id",
-            "event_type",
-            "value",
-            "med",
-            "mad",
-            (F.col("absdev") > F.lit(3.0) * F.col("mad")).alias("is_outlier"),
-        )
+    of tiny per-type stats — never a self-join. Delegates to the tiered
+    implementation (operators/robust.mad_outliers, accuracy=None = exact);
+    at 100 TB the SAME call with accuracy=10_000 swaps the exact medians
+    for approx_percentile sketches and the flagging pass is unchanged
+    map-side work. (r11 fold of the staged duplicate — VERDICT r10 item 2;
+    value-identity was pinned in tests/test_pq.py before the fold.)"""
+    from f1_datalakehouse_pipeline_spark.operators import robust
+
+    return robust.mad_outliers(
+        load_table(spark, sf_dir, "events"),
+        "event_type",
+        "value",
+        id_cols=["event_id"],
+        k=3.0,
+        accuracy=None,
     )
 
 
@@ -5219,21 +5208,20 @@ def a23_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast back onto the fact; the clip is a pure projection. NULL
     values are EXCLUDED, not imputed — least/greatest skip NULLs in both
     engines, so an unguarded NULL row would silently winsorize missing
-    data to the group's 5th percentile. At 100 TB the bounds swap for
-    approx_percentile sketches and the projection is unchanged."""
-    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
-    bounds = e.groupBy("event_type").agg(
-        F.expr("percentile(CAST(value AS DOUBLE), 0.05)").alias("lo"),
-        F.expr("percentile(CAST(value AS DOUBLE), 0.95)").alias("hi"),
-    )
-    v = F.col("value").cast("double")
-    return (
-        e.join(F.broadcast(bounds), "event_type")
-        .select(
-            "event_id",
-            "event_type",
-            v.alias("value"),
-            F.least(F.greatest(v, F.col("lo")), F.col("hi")).alias("value_w"),
-            ((v < F.col("lo")) | (v > F.col("hi"))).alias("clipped"),
-        )
+    data to the group's 5th percentile. Delegates to the tiered
+    implementation (operators/robust.winsorize, accuracy=None = exact);
+    at 100 TB the SAME call with accuracy set swaps the bounds for
+    approx_percentile sketches and the projection is unchanged. (r11 fold
+    of the staged duplicate — VERDICT r10 item 2; value-identity was
+    pinned in tests/test_pq.py before the fold.)"""
+    from f1_datalakehouse_pipeline_spark.operators import robust
+
+    return robust.winsorize(
+        load_table(spark, sf_dir, "events"),
+        "event_type",
+        "value",
+        id_cols=["event_id"],
+        lo=0.05,
+        hi=0.95,
+        accuracy=None,
     )

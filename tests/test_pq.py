@@ -532,21 +532,50 @@ def events(spark, sf_dir):
     return load_table(spark, sf_dir, "events")
 
 
-def test_robust_mad_exact_tier_matches_registry_query(spark, sf_dir, events):
+def test_robust_mad_exact_tier_known_values(spark):
+    """Hand-computed median/MAD fixture. Before the r11 fold this compared
+    robust.mad_outliers against the registry's inline duplicate; the
+    registry query now DELEGATES here (the staged fold, VERDICT r10
+    item 2), so the independent check is a known-answer fixture plus the
+    DuckDB oracle on ts_mad_outliers itself."""
     from f1_datalakehouse_pipeline_spark.operators import robust
-    from f1_datalakehouse_pipeline_spark.registry_ext import ts_mad_outliers
 
-    got = {
-        r.event_id: (r.is_outlier, r.med, r.mad)
-        for r in robust.mad_outliers(
-            events, "event_type", "value", ["event_id"], k=3.0
-        ).collect()
-    }
-    want = {
-        r.event_id: (r.is_outlier, r.med, r.mad)
-        for r in ts_mad_outliers(spark, sf_dir).collect()
-    }
-    assert got == want
+    # group g: values 1..5 → med=3, absdevs {2,1,0,1,2} → mad=1; k=1.5
+    # flags only |x−3|>1.5 → ids 1 and 5. group h: constant → mad=0, no
+    # flags (0 > 0 is false).
+    df = spark.createDataFrame(
+        [(i, "g", float(i)) for i in range(1, 6)]
+        + [(10 + i, "h", 7.0) for i in range(3)],
+        "event_id int, event_type string, value double",
+    )
+    out = robust.mad_outliers(
+        df, "event_type", "value", ["event_id"], k=1.5
+    )
+    assert out.columns == [
+        "event_id", "event_type", "value", "med", "mad", "is_outlier",
+    ]
+    rows = {r.event_id: r for r in out.collect()}
+    assert rows[3].med == 3.0 and rows[3].mad == 1.0
+    assert {i for i, r in rows.items() if r.is_outlier} == {1, 5}
+    assert rows[11].mad == 0.0 and not rows[11].is_outlier
+
+
+def test_registry_robust_queries_delegate_to_tiered_impl(spark, sf_dir):
+    """The r11 fold contract: the registry queries are the exact tier of
+    operators/robust (accuracy=None) — column names and order are the
+    oracle-compared surface, pinned here so a drift in robust.* column
+    output fails fast instead of at the driver gate."""
+    from f1_datalakehouse_pipeline_spark.registry_ext import (
+        a23_winsorize,
+        ts_mad_outliers,
+    )
+
+    assert ts_mad_outliers(spark, sf_dir).columns == [
+        "event_id", "event_type", "value", "med", "mad", "is_outlier",
+    ]
+    assert a23_winsorize(spark, sf_dir).columns == [
+        "event_id", "event_type", "value", "value_w", "clipped",
+    ]
 
 
 def test_robust_mad_sketch_tier_agrees_with_exact(events):
@@ -568,21 +597,27 @@ def test_robust_mad_sketch_tier_agrees_with_exact(events):
     assert agree >= 0.99, agree
 
 
-def test_robust_winsorize_exact_tier_matches_registry_query(spark, sf_dir, events):
+def test_robust_winsorize_exact_tier_known_values(spark):
+    """Hand-computed winsorize fixture (see the MAD twin above for why this
+    replaced the registry-duplicate comparison at the r11 fold). Values
+    1..21 in one group: exact p05 = 2.0, p95 = 20.0 (linear interpolation
+    on 20 intervals), so 1→2 and 21→20 clip, everything else passes; a
+    NULL row is excluded entirely, not imputed."""
     from f1_datalakehouse_pipeline_spark.operators import robust
-    from f1_datalakehouse_pipeline_spark.registry_ext import a23_winsorize
 
-    got = {
-        r.event_id: (round(r.value_w, 9), r.clipped)
-        for r in robust.winsorize(
-            events, "event_type", "value", ["event_id"]
-        ).collect()
-    }
-    want = {
-        r.event_id: (round(r.value_w, 9), r.clipped)
-        for r in a23_winsorize(spark, sf_dir).collect()
-    }
-    assert got == want
+    df = spark.createDataFrame(
+        [(i, "g", float(i)) for i in range(1, 22)] + [(99, "g", None)],
+        "event_id int, event_type string, value double",
+    )
+    out = robust.winsorize(df, "event_type", "value", ["event_id"])
+    assert out.columns == ["event_id", "event_type", "value", "value_w", "clipped"]
+    rows = {r.event_id: r for r in out.collect()}
+    assert 99 not in rows
+    assert rows[1].value_w == 2.0 and rows[1].clipped
+    assert rows[21].value_w == 20.0 and rows[21].clipped
+    assert all(
+        rows[i].value_w == float(i) and not rows[i].clipped for i in range(2, 21)
+    )
 
 
 def test_robust_winsorize_sketch_tier_agrees_with_exact(events):
