@@ -96,11 +96,14 @@ class TableStore:
         self, spark: SparkSession, root: str, keep_versions: int = _KEEP_VERSIONS
     ):
         self.spark = spark
-        # Absolutize: _publish creates symlinks whose target embeds the root;
-        # a relative root would make the target resolve relative to the
-        # symlink's own directory, breaking every read after the first
-        # overwrite when the store is built from a relative CLI --warehouse.
-        self.root = os.path.abspath(root)
+        # Absolutize AND resolve symlink components: _publish creates
+        # symlinks whose target embeds the root (a relative root would make
+        # the target resolve relative to the symlink's own directory), and
+        # publish_many's rollback compares realpath() outputs against paths
+        # built from this root — with a symlinked root component, abspath
+        # and realpath disagree and the plain-dir restore branch would be
+        # silently skipped (ADVICE r10).
+        self.root = os.path.realpath(os.path.abspath(root))
         # retention depth: current + this many predecessors survive GC.
         # The default keeps one generation (lazy reads against the prior
         # version stay valid across one overwrite); a CDC consumer replaying
@@ -498,10 +501,15 @@ class TableStore:
         pinned readers, time travel, and EVERY CDC tier (the rows would
         belong to no commit; r10 review finding). No write-time change
         files are emitted: append can duplicate merge keys, so keyed
-        labeling is undefined — CDC readers fall back to the snapshot
-        diff, correct under both keyed and multiset semantics. A plain
-        (append-created, pre-transactional) table keeps the cheap in-place
-        append."""
+        labeling is undefined — the BATCH and PULL-LOOP CDC tiers fall
+        back to the snapshot diff, correct under both keyed and multiset
+        semantics. The ``table_changes`` READSTREAM source has no
+        snapshot-diff tier (executor-side file readers only): an append
+        commit in a live stream's span makes its planner raise on every
+        restart until the checkpoint is recreated — feed stream-backed
+        tables through overwrite(..., changes=...)/merge_upsert instead
+        (ADVICE r10). A plain (append-created, pre-transactional) table
+        keeps the cheap in-place append."""
         live = self.path(table)
         if not os.path.islink(live):
             self._writer(df, table).mode("append").save(live)
@@ -511,21 +519,32 @@ class TableStore:
             self._version_root(table), f"v-{uuid.uuid4().hex[:12]}"
         )
         os.makedirs(version_dir, exist_ok=True)
-        for dirpath, dirnames, filenames in os.walk(expected):
-            rel = os.path.relpath(dirpath, expected)
-            comps = tuple() if rel == "." else tuple(rel.split(os.sep))
-            if comps and comps[0].startswith(("_", ".")):
-                # the old version's _changes/ describe ITS commit — never
-                # carried forward (same rule as _graft_partitions)
-                dirnames[:] = []
-                continue
-            for fn in filenames:
-                if fn.startswith(("_", ".")):
-                    continue  # _SUCCESS / .committed / sidecars
-                os.makedirs(os.path.join(version_dir, rel), exist_ok=True)
-                os.link(
-                    os.path.join(dirpath, fn), os.path.join(version_dir, rel, fn)
-                )
+        try:
+            for dirpath, dirnames, filenames in os.walk(expected):
+                rel = os.path.relpath(dirpath, expected)
+                comps = tuple() if rel == "." else tuple(rel.split(os.sep))
+                if comps and comps[0].startswith(("_", ".")):
+                    # the old version's _changes/ describe ITS commit — never
+                    # carried forward (same rule as _graft_partitions)
+                    dirnames[:] = []
+                    continue
+                for fn in filenames:
+                    if fn.startswith(("_", ".")):
+                        continue  # _SUCCESS / .committed / sidecars
+                    os.makedirs(os.path.join(version_dir, rel), exist_ok=True)
+                    os.link(
+                        os.path.join(dirpath, fn), os.path.join(version_dir, rel, fn)
+                    )
+        except OSError as e:
+            # The walk runs WITHOUT the publish lock (grafting may take a
+            # while; the CAS at _publish is the serialization point): a
+            # concurrent publish whose GC reaps `expected` mid-walk must
+            # surface as the CAS contract's failure mode, not a raw
+            # FileNotFoundError (ADVICE r10).
+            raise ConcurrentWriteError(
+                f"{table}: live version changed since append start "
+                f"({expected} vanished mid-graft: {e}) — retry the append"
+            ) from e
         self._writer(df, table).mode("append").save(version_dir)
         self._publish(table, version_dir, expected=expected)
 
@@ -731,6 +750,15 @@ class TableStore:
                         )
                         try:
                             os.unlink(live)  # drop the symlink to vdir
+                        except OSError:
+                            # ENOENT: _swap_locked crashed after the one-time
+                            # legacy migration but BEFORE the symlink
+                            # replace — live is already absent and the
+                            # rename below is exactly the restore needed;
+                            # sharing one try with it stranded the data in
+                            # .versions/legacy-* (ADVICE r10)
+                            pass
+                        try:
                             if legacy:
                                 os.rename(legacy[-1], live)
                         except OSError:

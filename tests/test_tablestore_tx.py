@@ -1814,3 +1814,123 @@ def test_append_on_versioned_table_is_a_commit(spark, tmp_path):
     # append inherits the transactional contract: later commits proceed
     store.overwrite(_sess_mut(spark, [(9, "Z")]), "sessions_silver")
     assert store.read("sessions_silver").count() == 1
+
+
+def test_store_root_with_symlinked_component_rolls_back_plain_dir(spark, tmp_path):
+    """ADVICE r10: publish_many's plain-dir rollback detection compared a
+    realpath()ed prior against a path built from abspath(root). A warehouse
+    reached through a symlinked path component (a /data -> /mnt/disk shape)
+    made the two strings differ, silently skipping the legacy restore and
+    leaving the plain table at the aborted version. TableStore now
+    normalizes root with realpath, so the comparison is apples-to-apples."""
+    real_root = tmp_path / "wh_real"
+    real_root.mkdir()
+    link_root = tmp_path / "wh_link"
+    os.symlink(str(real_root), str(link_root))
+
+    store = TableStore(spark, str(link_root), keep_versions=5)
+    assert store.root == os.path.realpath(str(real_root))
+
+    # a PLAIN (append-created) table + a versioned one
+    store.append(_sess_mut(spark, [(1, "A"), (2, "B")]), "sessions_silver")
+    store.overwrite(_results(spark, 7, gp="monaco"), "race_results_silver")
+    assert not os.path.islink(store.path("sessions_silver"))
+
+    # swap order is sorted: race_results_silver migrates+swaps... actually
+    # sessions_silver sorts AFTER race_results_silver, so crash on it after
+    # the plain table has fully swapped (migration + replace + sentinel)
+    staged = store.stage_many(
+        [
+            (_sess_mut(spark, [(9, "X")]), "sessions_silver"),
+            (_results(spark, 11, gp="miami"), "race_results_silver"),
+        ]
+    )
+    real_swap = store._swap_locked
+
+    def crashing_swap(table, vdir):
+        real_swap(table, vdir)
+        if table == "sessions_silver":
+            raise OSError("killed after the plain table swapped")
+
+    store._swap_locked = crashing_swap
+    try:
+        with pytest.raises(OSError, match="killed after the plain table"):
+            store.publish_many(staged)
+    finally:
+        del store._swap_locked
+
+    # the plain table is RESTORED as a plain dir with its prior rows
+    live = store.path("sessions_silver")
+    assert os.path.isdir(live) and not os.path.islink(live)
+    assert {
+        r.session_key for r in store.read("sessions_silver").collect()
+    } == {1, 2}
+    assert store.read("race_results_silver").count() == 7
+    for table, vdir, _ in staged:
+        assert not store._is_committed(vdir), table
+
+
+def test_rollback_restores_legacy_when_crash_precedes_symlink_replace(
+    spark, tmp_path
+):
+    """ADVICE r10: in the legacy-restore rollback branch, os.unlink(live)
+    and the legacy rename shared one try/except. A _swap_locked crash AFTER
+    the one-time migration rename but BEFORE the symlink replace leaves no
+    live path: the unlink's ENOENT then skipped the rename too, stranding
+    the table's only data in .versions/legacy-* with no live path at all.
+    The unlink now tolerates ENOENT on its own."""
+    import uuid as _uuid
+
+    store = TableStore(spark, str(tmp_path / "wh"), keep_versions=5)
+    store.append(_sess_mut(spark, [(1, "A"), (2, "B")]), "sessions_silver")
+    live = store.path("sessions_silver")
+    assert os.path.isdir(live) and not os.path.islink(live)
+
+    staged = store.stage_many([(_sess_mut(spark, [(9, "X")]), "sessions_silver")])
+    real_swap = store._swap_locked
+
+    def crashing_swap(table, vdir):
+        # reproduce _swap_locked's exact crash state: migration rename done,
+        # symlink replace NOT reached
+        legacy = os.path.join(
+            store._version_root(table), f"legacy-{_uuid.uuid4().hex[:8]}"
+        )
+        os.makedirs(os.path.dirname(legacy), exist_ok=True)
+        os.rename(live, legacy)
+        open(os.path.join(legacy, ".committed"), "w").close()
+        raise OSError("killed between migration and replace")
+
+    store._swap_locked = crashing_swap
+    try:
+        with pytest.raises(OSError, match="killed between migration"):
+            store.publish_many(staged)
+    finally:
+        del store._swap_locked
+
+    # the table is NOT stranded: the legacy dir was renamed back to live
+    assert os.path.isdir(live) and not os.path.islink(live)
+    assert {
+        r.session_key for r in store.read("sessions_silver").collect()
+    } == {1, 2}
+
+
+def test_append_graft_race_surfaces_as_concurrent_write_error(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r10: append()'s hardlink graft walks the expected live
+    version WITHOUT the publish lock; a concurrent publish whose GC reaps
+    that dir mid-walk surfaced as a raw FileNotFoundError from
+    os.walk/os.link instead of the ConcurrentWriteError the CAS contract
+    promises. The graft loop now re-raises OSError as the CAS failure."""
+    from f1_datalakehouse_pipeline_spark.sources.tables import ConcurrentWriteError
+
+    store = TableStore(spark, str(tmp_path / "wh"), keep_versions=5)
+    store.overwrite(_sess_mut(spark, [(1, "A")]), "sessions_silver")
+    assert os.path.islink(store.path("sessions_silver"))
+
+    def vanishing_link(src, dst, **kw):
+        raise FileNotFoundError(2, "reaped mid-walk", src)
+
+    monkeypatch.setattr(os, "link", vanishing_link)
+    with pytest.raises(ConcurrentWriteError, match="changed since append start"):
+        store.append(_sess_mut(spark, [(2, "B")]), "sessions_silver")
