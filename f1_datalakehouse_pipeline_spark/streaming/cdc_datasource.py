@@ -15,11 +15,29 @@ own micro-batches):
 
 Offsets ARE commit ids: ``initialOffset`` is the oldest retained version
 (its content is the initial snapshot, not delivered as changes — the same
-contract as ChangeFeedConsumer), ``latestOffset`` is the current version,
-and ``partitions(start, end)`` plans one input partition per change file of
-every commit in the span — so executors read each commit's WRITE-TIME
-``_changes/`` parquet directly (cost ∝ |changes|, never ∝ |table|) and
-Spark's own offset log provides exactly-once batch replay on restart.
+contract as ChangeFeedConsumer), ``latestOffset`` is the newest COMMITTED
+version, and ``partitions(start, end)`` plans one input partition per
+change file of every commit in the span — so executors read each commit's
+WRITE-TIME ``_changes/`` parquet directly (cost ∝ |changes|, never
+∝ |table|) and Spark's own offset log provides exactly-once batch replay
+on restart.
+
+Admission control (r11, the Delta ``maxFilesPerTrigger`` shape): option
+``maxCommitsPerBatch=N`` caps each micro-batch at N commits. The Python
+DataSource API has no ``SupportsAdmissionControl`` (``latestOffset`` takes
+no start offset and no ReadLimit), so the cap rides on the long-lived
+reader instance: ``latestOffset`` answers at most N commits past the
+newest offset Spark has planned or committed a batch through (tracked via
+``partitions``/``commit``, seeded by ``initialOffset`` on a fresh query) —
+and never mutates that base itself, so repeated latest-offset samples
+between plans (availableNow latching, no-data ticks) are idempotent. The one uncoverable case: a restart whose last batch DID
+commit plans its first backlog batch uncapped (the reader is fresh and the
+API reveals the WAL position only after ``latestOffset`` has answered);
+every subsequent batch is capped. ``latestOffset`` also never samples a
+current-but-uncommitted version dir (the millisecond swap-to-sentinel
+window, or a publish_many version later rolled back): it advances only to
+the newest version carrying the commit sentinel, lagging one micro-batch
+instead of poisoning Spark's WAL with an offset that may vanish.
 
 Planning is strict where the pull loop is lenient: a commit in the span
 with no readable change files (a plain ``overwrite()``, whose delta is an
@@ -69,30 +87,74 @@ class TableChangesStreamReader(DataSourceStreamReader):
         keys = options.get("keys", "")
         self.key_cols = [k.strip() for k in keys.split(",") if k.strip()] or None
         self.schema_fields = list(schema.fields)
+        mc = options.get("maxcommitsperbatch", options.get("maxCommitsPerBatch"))
+        self.max_commits = int(mc) if mc is not None else None
+        if self.max_commits is not None and self.max_commits < 1:
+            raise ValueError(
+                f"maxCommitsPerBatch must be >= 1, got {self.max_commits}"
+            )
+        # Newest commit id Spark has PLANNED a batch through (updated by
+        # partitions()/commit(), seeded by initialOffset) — the admission
+        # cap's base. latestOffset derives from it WITHOUT mutating, so
+        # however many times Spark samples the latest offset between plans
+        # (availableNow latches, no-data ticks), the answer is the same
+        # capped end and the cap can never double-advance.
+        self._last_end: str | None = None
+
+    def _committed_versions(self) -> list[str]:
+        """Retained versions that are safe to serve as offsets: carry the
+        commit sentinel, or ARE the plain (append-created, pre-versioning)
+        live dir, which never has one. Excludes a current-but-uncommitted
+        ``.versions/`` dir — the swap-to-sentinel window, or a publish_many
+        member later rolled back (ADVICE r10)."""
+        vroot = os.path.join(os.path.abspath(self.root), ".versions", self.table)
+        return [
+            v
+            for v in TableStore.list_versions(self.root, self.table)
+            if TableStore._is_committed_path(v)
+            or not v.startswith(vroot + os.sep)
+        ]
 
     # -- offsets ----------------------------------------------------------
     def initialOffset(self) -> dict:
-        vs = TableStore.list_versions(self.root, self.table)
+        vs = self._committed_versions()
         if not vs:
             raise ValueError(
                 f"{self.table}: no committed versions yet — start the "
                 "stream after the producer's first commit"
             )
-        return {"commit_id": os.path.basename(vs[-1])}
+        first = os.path.basename(vs[-1])
+        self._last_end = first  # seed the admission cap for a fresh query
+        return {"commit_id": first}
 
     def latestOffset(self) -> dict:
-        vs = TableStore.list_versions(self.root, self.table)
+        vs = self._committed_versions()
         if not vs:
+            if self._last_end is not None:
+                # mid-publish window on a table we have served before: lag
+                # one micro-batch rather than fail the query
+                return {"commit_id": self._last_end}
             # a restart skips initialOffset, so the missing-table diagnosis
             # must be just as clear here (wrong root option, renamed table)
             raise ValueError(
                 f"{self.table}: no committed versions under {self.root!r} — "
                 "wrong 'root'/'table' option, or the table was removed"
             )
-        return {"commit_id": os.path.basename(vs[0])}
+        names = [os.path.basename(v) for v in vs]  # newest-first
+        end = names[0]
+        if self.max_commits is not None and self._last_end in names:
+            base = names.index(self._last_end)
+            # pending commits are names[:base]; advance at most max_commits
+            end = names[max(0, base - self.max_commits)]
+        return {"commit_id": end}
 
     def partitions(self, start: dict, end: dict):
         s_id, e_id = start["commit_id"], end["commit_id"]
+        # Spark is planning a batch through e_id — that is now the newest
+        # offset it owns, whatever this reader previously answered (also
+        # seeds the cap when a restart replays a WAL-planned batch before
+        # any latestOffset call on this fresh reader instance).
+        self._last_end = e_id
         if s_id == e_id:
             return []
         vs = TableStore.list_versions(self.root, self.table)
@@ -150,7 +212,9 @@ class TableChangesStreamReader(DataSourceStreamReader):
         return parts
 
     def commit(self, end: dict) -> None:
-        pass  # retention is the store's concern; nothing to release here
+        # retention is the store's concern; nothing to release here — but a
+        # committed batch is authoritative for the admission cap's base
+        self._last_end = end["commit_id"]
 
     # -- executor-side read ------------------------------------------------
     def read(self, partition: _ChangeFilePartition):

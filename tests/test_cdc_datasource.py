@@ -147,3 +147,207 @@ def test_readstream_key_mismatch_fails_loudly(spark, tmp_path):
     )
     with pytest.raises(StreamingQueryException, match="no change files"):
         q.awaitTermination(180)
+
+
+def _capped_stream(spark, store, n: int):
+    register_table_changes_source(spark)
+    return (
+        spark.readStream.format("table_changes")
+        .option("root", store.root)
+        .option("table", "sessions_silver")
+        .option("keys", "session_key")
+        .option("maxCommitsPerBatch", str(n))
+        .load()
+    )
+
+
+def test_readstream_max_commits_per_batch_paces_live_stream(spark, tmp_path):
+    """Admission control (VERDICT r10 item 4): a LIVE stream against a
+    bursty producer never plans more than maxCommitsPerBatch commits into
+    one micro-batch, every commit arrives exactly once, and per-commit
+    ordinals stay contiguous within each batch. (Spark calls latestOffset
+    before initialOffset even on a fresh query — spy-logged in
+    PERF_NOTES r11 — so the FIRST planned batch of a fresh reader is the
+    uncapped catch-up; the cap governs every batch after it, which is the
+    mode a pacing option exists for.)"""
+    store = TableStore(spark, str(tmp_path / "wh"), keep_versions=32)
+    store.overwrite(_sess(spark, [(0, "seed")]), "sessions_silver")
+
+    batches: list[list] = []
+
+    def apply(df, bid):
+        rows = df.collect()
+        if rows:
+            batches.append(rows)
+
+    q = (
+        _capped_stream(spark, store, 3)
+        .writeStream.foreachBatch(apply)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        import time
+
+        for i in range(1, 11):  # the 10-commit burst, while the stream runs
+            store.merge_upsert(
+                _sess(spark, [(i, f"S{i}")]), "sessions_silver", keys=["session_key"]
+            )
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if {r.session_key for b in batches for r in b} >= set(range(1, 11)):
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+
+    all_rows = [r for b in batches for r in b]
+    assert sorted(r.session_key for r in all_rows) == list(range(1, 11))
+    n_commits_per_batch = [len({r._commit_id for r in b}) for b in batches]
+    assert all(n <= 3 for n in n_commits_per_batch), n_commits_per_batch
+    assert len(batches) >= 4, n_commits_per_batch  # 10 commits / <=3 each
+    # ordinals are contiguous from 1 within each batch and order commits
+    for b in batches:
+        by_commit: dict = {}
+        for r in b:
+            by_commit.setdefault(r._commit_ordinal, set()).add(r._commit_id)
+        assert sorted(by_commit) == list(range(1, len(by_commit) + 1))
+        assert all(len(cids) == 1 for cids in by_commit.values())
+
+
+def test_readstream_fresh_reader_first_batch_is_uncapped_catchup(spark, tmp_path):
+    """The documented admission-control boundary: a FRESH reader's first
+    planned batch (fresh query or committed-WAL restart) is the whole
+    pending span, because the Python DataSource API answers latestOffset
+    before it reveals any position (latestOffset precedes initialOffset,
+    and a capped guess from the oldest retained commit could regress
+    Spark's WAL below a restarted consumer's true position — duplicates,
+    strictly worse than one big batch). Pinned so a behavior change shows
+    up as a test delta, not silently."""
+    store = TableStore(spark, str(tmp_path / "wh"), keep_versions=16)
+    store.overwrite(_sess(spark, [(0, "seed")]), "sessions_silver")
+    for i in range(1, 6):
+        store.merge_upsert(
+            _sess(spark, [(i, f"S{i}")]), "sessions_silver", keys=["session_key"]
+        )
+
+    got: list = []
+    _drain(spark, _capped_stream(spark, store, 2), str(tmp_path / "ckpt"), got)
+    # one batch, all five commits, exactly once, ordinals 1..5
+    assert sorted(r.session_key for r in got) == [1, 2, 3, 4, 5]
+    assert len({r._commit_id for r in got}) == 5
+    assert sorted({r._commit_ordinal for r in got}) == [1, 2, 3, 4, 5]
+
+
+def test_readstream_restart_mid_backlog_is_exactly_once(spark, tmp_path):
+    """Kill the consumer mid-backlog and restart against the same
+    checkpoint: already-served commits never reappear, nothing is lost.
+    The restarted reader's first batch is the uncapped remainder (the
+    documented fresh-reader case above); pacing resumes after it."""
+    store = TableStore(spark, str(tmp_path / "wh"), keep_versions=16)
+    store.overwrite(_sess(spark, [(0, "seed")]), "sessions_silver")
+
+    served: list = []
+
+    def apply(df, bid):
+        served.extend(df.collect())
+
+    ckpt = str(tmp_path / "ckpt")
+    q = (
+        _capped_stream(spark, store, 2)
+        .writeStream.foreachBatch(apply)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        import time
+
+        for i in range(1, 7):
+            store.merge_upsert(
+                _sess(spark, [(i, f"S{i}")]), "sessions_silver", keys=["session_key"]
+            )
+        deadline = time.time() + 120
+        while time.time() < deadline and len(served) < 2:
+            time.sleep(0.5)
+        assert served, "stream served nothing before the kill"
+    finally:
+        q.stop()  # the mid-backlog kill
+
+    before = sorted(r.session_key for r in served)
+    # restart on the same checkpoint: drain the remainder
+    rest: list = []
+    for _ in range(8):
+        batch: list = []
+        _drain(spark, _capped_stream(spark, store, 2), ckpt, batch)
+        rest.extend(batch)
+        if {r.session_key for r in served + rest} >= set(range(1, 7)):
+            break
+    after = sorted(r.session_key for r in rest)
+    # no commit lost across the kill
+    assert {r.session_key for r in served + rest} == set(range(1, 7)), (before, after)
+    # ...and re-delivery is bounded by foreachBatch's at-least-once unit:
+    # ONE replayed batch of <= 2 commits (the kill can land between the
+    # sink applying a batch and Spark committing it), never a broad replay
+    dupes = [k for k in before if k in set(after)]
+    assert len(dupes) <= 2, (before, after)
+
+
+def test_readstream_crash_inside_foreachbatch_replays_batch(spark, tmp_path):
+    """The exactly-once edge the r10 battery didn't inject (VERDICT r10
+    item 7): the sink fn dies AFTER Spark wrote the batch's offset range to
+    the WAL but BEFORE the sink logic completed. On restart Spark must
+    re-plan and re-deliver THAT batch (at-least-once delivery), and an
+    idempotent keyed sink converges to the exactly-once state."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    store = TableStore(spark, str(tmp_path / "wh"), keep_versions=8)
+    store.overwrite(_sess(spark, [(1, "A")]), "sessions_silver")
+    store.merge_upsert(_sess(spark, [(2, "B")]), "sessions_silver", keys=["session_key"])
+
+    ckpt = str(tmp_path / "ckpt")
+    sink: dict = {}          # keyed upsert: replay-idempotent by construction
+    deliveries: list = []    # every delivery attempt, including the crashed one
+
+    def crash_once_apply(df, bid):
+        rows = df.collect()
+        if not rows:
+            return
+        deliveries.append({r.session_key for r in rows})
+        # partial apply THEN crash on the first delivery: the replayed batch
+        # must overwrite this torn state, not duplicate it
+        for r in rows:
+            sink[r.session_key] = (r.meeting_name, r._change_type)
+        if len(deliveries) == 1:
+            raise RuntimeError("injected sink crash after WAL write")
+
+    q = (
+        _stream(spark, store)
+        .writeStream.foreachBatch(crash_once_apply)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(StreamingQueryException, match="injected sink crash"):
+        q.awaitTermination(180)
+    assert deliveries == [{2}]  # the torn delivery happened
+    assert sink == {2: ("B", "insert")}  # ...and left partial state behind
+
+    # restart with the SAME sink function (crash guard now disarmed): Spark
+    # replays the WAL-planned batch, the keyed upsert converges
+    q2 = (
+        _stream(spark, store)
+        .writeStream.foreachBatch(crash_once_apply)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q2.awaitTermination(180), "replay drain did not finish"
+    assert deliveries == [{2}, {2}], "crashed batch was not re-delivered"
+    assert sink == {2: ("B", "insert")}  # exactly-once CONVERGED state
+
+    # nothing is served twice beyond the replay: a further drain is empty
+    more: list = []
+    _drain(spark, _stream(spark, store), ckpt, more)
+    assert more == []
