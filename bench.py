@@ -19,6 +19,12 @@ state IO) moved to a SINGLE-RUN section (``queries_single_run``), and a
 10x-scaled input dir where their compute actually shows (VERDICT r6
 item 8). t_corpus_manifest's r1-r6 home was queries_extra (median-of-3);
 compare r7+ readings against the single-run + sf1 legs.
+
+r11: the single-run and sf1 legs run BEFORE the ~50-query extras loop
+(they used to run last and inherit its minutes of churn — end loads 7-16
+in both driver and judge runs), and every section records its entry 1-min
+loadavg (``host_load_1m_per_section``) so each reading carries its own
+host-state evidence (VERDICT r10 item 6).
 """
 
 from __future__ import annotations
@@ -86,6 +92,19 @@ def main() -> None:
             qs[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
     spark.catalog.clearCache()
 
+    # Per-section 1-min loadavg snapshots (VERDICT r10 item 6): the heavy
+    # single-run and sf1 legs used to run LAST and inherit the churn of ~50
+    # median-of-3 extras (driver and judge both measured end loads 7-16 with
+    # wide late-leg spreads). They now run FIRST after the headline — ~13 s
+    # of headline churn instead of minutes of extras churn — and every
+    # section carries its own load reading so any residual swing is
+    # attributable without an interleaved A/B.
+    section_load: dict[str, float] = {}
+
+    def _mark(section: str) -> None:
+        section_load[section] = round(os.getloadavg()[0], 2)
+
+    _mark("headline")
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
     for name in HEADLINE:
@@ -106,8 +125,88 @@ def main() -> None:
         timings[name] = round(statistics.median(samples), 3)
         spread[name] = [round(min(samples), 3), round(max(samples), 3)]
 
+    # Composition-cost queries: each invocation runs a FULL multi-batch
+    # pipeline with real state IO in a temp dir (dozens of sequential Spark
+    # jobs — cost is composition, not a plan; VERDICT r6 blemish 1), so they
+    # are timed ONCE to bound total bench wall. Round-over-round deltas on
+    # these are judged at the compute-bound sf1 leg below, not here.
+    # r11: runs BEFORE the extras loop (section-order note above).
+    SINGLE_RUN = [
+        "t_corpus_manifest",
+        "t_corpus_manifest_stream",  # r7: the streaming twin on the gate
+        "t_corpus_manifest_semantic",  # r8: the semantic-stage twin
+    ]
+    _mark("single_run")
+    single_timings: dict[str, float] = {}
+    for name in SINGLE_RUN:
+        if name not in qs:
+            continue
+        t0 = time.time()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        single_timings[name] = round(time.time() - t0, 3)
+        spark.catalog.clearCache()
+
+    # Scale section (VERDICT r1 item 6): dedup at an sf1-equivalent document
+    # count (10x the sf0.1 corpus, bounded dup-cluster structure). Reported
+    # SEPARATELY from "value" so the headline total stays comparable round
+    # over round; tools/scale_stress.py holds the full 50K/500K/5M ladder.
+    scale_sf1_dedup: dict | None = None
+    scale_sf1_extras: dict | None = None
+    scale_sf1_extras_spread: dict[str, list[float]] | None = None
+    if os.environ.get("SPARK_GRAFT_SCALE_BENCH", "1") != "0" and sf == 0.1:
+        # Guarded: a scale-section failure (disk, cache dir perms) must never
+        # cost the headline bench line.
+        _mark("scale_sf1_dedup")
+        try:
+            from f1_datalakehouse_pipeline_spark.operators import dedup
+            from tools.scale_stress import scaled_docs
+
+            docs = scaled_docs(spark, sf_dir, factor=10)
+            scale: dict[str, float | int] = {"docs": docs.count()}
+            t0 = time.time()
+            dedup.minhash_lsh_pairs(docs, "doc_id", "text").write.format("noop").mode("overwrite").save()
+            scale["minhash_lsh_sec"] = round(time.time() - t0, 3)
+            t0 = time.time()
+            dedup.ngram_jaccard_pairs(docs, "doc_id", "text", max_doc_frequency=32).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            scale["ngram_jaccard_capped_sec"] = round(time.time() - t0, 3)
+            scale_sf1_dedup = scale
+        except Exception as e:  # noqa: BLE001 — diagnostic, not fatal
+            scale_sf1_dedup = {"error": f"{type(e).__name__}: {e}"[:200]}
+
+        # sf1 heavy-extras leg (VERDICT r6 item 8): the corpus/dedup extras
+        # that matter at scale are scheduler-bound at sf0.1 (fixed multi-job
+        # overhead dwarfs their ~1-2 s of real compute), so round-over-round
+        # regressions on their COMPUTE are judged here: the SAME registry
+        # callables against a cached 10x-scaled documents+embeddings dir
+        # (full base schema, load_table-compatible), median-of-3 with
+        # min/max spread (VERDICT r8 item 5).
+        _mark("scale_sf1_extras")
+        try:
+            from tools.scale_stress import sf_equiv_dir
+
+            sf1_dir = sf_equiv_dir(spark, sf_dir, factor=10)
+            spark.catalog.clearCache()
+            leg: dict[str, float | int] = {}
+            leg_spread: dict[str, list[float]] = {}
+            for name in ("dedup_semantic", "dedup_docs_pipeline", "t_corpus_manifest"):
+                samples = []
+                for _ in range(RUNS):
+                    t0 = time.time()
+                    qs[name](spark, sf1_dir).write.format("noop").mode("overwrite").save()
+                    samples.append(time.time() - t0)
+                    spark.catalog.clearCache()
+                leg[name] = round(statistics.median(samples), 3)
+                leg_spread[name] = [round(min(samples), 3), round(max(samples), 3)]
+            scale_sf1_extras = leg
+            scale_sf1_extras_spread = leg_spread
+        except Exception as e:  # noqa: BLE001 — diagnostic, not fatal
+            scale_sf1_extras = {"error": f"{type(e).__name__}: {e}"[:200]}
+
     # Round-2+ queries timed SEPARATELY so the headline total stays
     # apples-to-apples with earlier rounds (bench-hygiene rule from r1).
+    _mark("extras")
     EXTRA = [
         "tpch_q10_returned_items",
         "tpch_q18_large_orders",
@@ -172,16 +271,6 @@ def main() -> None:
         "w22_funnel_windowed",
     ]
 
-    # Composition-cost queries: each invocation runs a FULL multi-batch
-    # pipeline with real state IO in a temp dir (dozens of sequential Spark
-    # jobs — cost is composition, not a plan; VERDICT r6 blemish 1), so they
-    # are timed ONCE to bound total bench wall. Round-over-round deltas on
-    # these are judged at the compute-bound sf1 leg below, not here.
-    SINGLE_RUN = [
-        "t_corpus_manifest",
-        "t_corpus_manifest_stream",  # r7: the streaming twin on the gate
-        "t_corpus_manifest_semantic",  # r8: the semantic-stage twin
-    ]
     # r4 (VERDICT r3 item 7): extras get the same median-of-3 + spread
     # treatment as the headline, so regressions on dedup_docs_pipeline-class
     # queries are judged against observed variance, not single shots.
@@ -201,15 +290,6 @@ def main() -> None:
         extra_timings[name] = round(statistics.median(samples), 3)
         extra_spread[name] = [round(min(samples), 3), round(max(samples), 3)]
 
-    single_timings: dict[str, float] = {}
-    for name in SINGLE_RUN:
-        if name not in qs:
-            continue
-        t0 = time.time()
-        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        single_timings[name] = round(time.time() - t0, 3)
-        spark.catalog.clearCache()
-
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_query_wall_time",
@@ -224,63 +304,18 @@ def main() -> None:
         "queries_extra_spread_min_max": extra_spread,
         "queries_single_run": single_timings,
         "host_load_1_5_15_start": load_start,
+        # r11 section order: headline → single_run → sf1 scale legs → extras
+        # (heavy legs no longer inherit the extras churn); each section's
+        # 1-min loadavg at entry:
+        "section_order": ["headline", "single_run", "scale_sf1", "extras"],
+        "host_load_1m_per_section": section_load,
     }
-
-    # Scale section (VERDICT r1 item 6): dedup at an sf1-equivalent document
-    # count (10x the sf0.1 corpus, bounded dup-cluster structure). Reported
-    # SEPARATELY from "value" so the headline total stays comparable round
-    # over round; tools/scale_stress.py holds the full 50K/500K/5M ladder.
-    if os.environ.get("SPARK_GRAFT_SCALE_BENCH", "1") != "0" and sf == 0.1:
-        # Guarded: a scale-section failure (disk, cache dir perms) must never
-        # cost the headline bench line.
-        try:
-            from f1_datalakehouse_pipeline_spark.operators import dedup
-            from tools.scale_stress import scaled_docs
-
-            docs = scaled_docs(spark, sf_dir, factor=10)
-            scale: dict[str, float | int] = {"docs": docs.count()}
-            t0 = time.time()
-            dedup.minhash_lsh_pairs(docs, "doc_id", "text").write.format("noop").mode("overwrite").save()
-            scale["minhash_lsh_sec"] = round(time.time() - t0, 3)
-            t0 = time.time()
-            dedup.ngram_jaccard_pairs(docs, "doc_id", "text", max_doc_frequency=32).write.format(
-                "noop"
-            ).mode("overwrite").save()
-            scale["ngram_jaccard_capped_sec"] = round(time.time() - t0, 3)
-            out["scale_sf1_dedup"] = scale
-        except Exception as e:  # noqa: BLE001 — diagnostic, not fatal
-            out["scale_sf1_dedup"] = {"error": f"{type(e).__name__}: {e}"[:200]}
-
-        # sf1 heavy-extras leg (VERDICT r6 item 8): the corpus/dedup extras
-        # that matter at scale are scheduler-bound at sf0.1 (fixed multi-job
-        # overhead dwarfs their ~1-2 s of real compute), so round-over-round
-        # regressions on their COMPUTE are judged here instead: the SAME
-        # registry callables against a cached 10x-scaled
-        # documents+embeddings dir (full base schema, load_table-compatible).
-        # r9 (VERDICT r8 item 5): median-of-3 WITH min/max spread — the
-        # single-run form carried ±40% swing (disclosed 44.8 vs 31.6 s
-        # back-to-back), an instrument that cannot catch the +30%
-        # regressions this leg exists for.
-        try:
-            from tools.scale_stress import sf_equiv_dir
-
-            sf1_dir = sf_equiv_dir(spark, sf_dir, factor=10)
-            spark.catalog.clearCache()
-            leg: dict[str, float | int] = {}
-            leg_spread: dict[str, list[float]] = {}
-            for name in ("dedup_semantic", "dedup_docs_pipeline", "t_corpus_manifest"):
-                samples = []
-                for _ in range(RUNS):
-                    t0 = time.time()
-                    qs[name](spark, sf1_dir).write.format("noop").mode("overwrite").save()
-                    samples.append(time.time() - t0)
-                    spark.catalog.clearCache()
-                leg[name] = round(statistics.median(samples), 3)
-                leg_spread[name] = [round(min(samples), 3), round(max(samples), 3)]
-            out["scale_sf1_extras"] = leg
-            out["scale_sf1_extras_spread_min_max"] = leg_spread
-        except Exception as e:  # noqa: BLE001 — diagnostic, not fatal
-            out["scale_sf1_extras"] = {"error": f"{type(e).__name__}: {e}"[:200]}
+    if scale_sf1_dedup is not None:
+        out["scale_sf1_dedup"] = scale_sf1_dedup
+    if scale_sf1_extras is not None:
+        out["scale_sf1_extras"] = scale_sf1_extras
+    if scale_sf1_extras_spread is not None:
+        out["scale_sf1_extras_spread_min_max"] = scale_sf1_extras_spread
 
     out["host_load_1_5_15_end"] = [round(x, 2) for x in os.getloadavg()]
     print(json.dumps(out))
