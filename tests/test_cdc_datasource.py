@@ -190,6 +190,15 @@ def test_readstream_max_commits_per_batch_paces_live_stream(spark, tmp_path):
     try:
         import time
 
+        # wait for the first (empty) tick: its initialOffset call seeds the
+        # admission cap's base, so every batch the burst below produces is
+        # capped — bursting before the seed would race the documented
+        # uncapped first batch
+        deadline = time.time() + 60
+        while time.time() < deadline and q.lastProgress is None:
+            time.sleep(0.2)
+        assert q.lastProgress is not None, "stream never ticked"
+
         for i in range(1, 11):  # the 10-commit burst, while the stream runs
             store.merge_upsert(
                 _sess(spark, [(i, f"S{i}")]), "sessions_silver", keys=["session_key"]
@@ -263,6 +272,12 @@ def test_readstream_restart_mid_backlog_is_exactly_once(spark, tmp_path):
     )
     try:
         import time
+
+        # seed the cap via the first empty tick (see the pacing test)
+        deadline = time.time() + 60
+        while time.time() < deadline and q.lastProgress is None:
+            time.sleep(0.2)
+        assert q.lastProgress is not None, "stream never ticked"
 
         for i in range(1, 7):
             store.merge_upsert(
