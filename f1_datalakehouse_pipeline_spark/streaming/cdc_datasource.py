@@ -22,8 +22,12 @@ WRITE-TIME ``_changes/`` parquet directly (cost ∝ |changes|, never
 ∝ |table|) and Spark's own offset log provides exactly-once batch replay
 on restart.
 
-Admission control (r11, the Delta ``maxFilesPerTrigger`` shape): option
-``maxCommitsPerBatch=N`` caps each micro-batch at N commits. The Python
+Admission control (r11, the Delta ``maxFilesPerTrigger`` /
+``maxBytesPerTrigger`` shapes): option ``maxCommitsPerBatch=N`` caps each
+micro-batch at N commits; ``maxBytesPerBatch=B`` additionally stops
+admitting once the commits' cumulative change-file bytes would exceed B
+(soft cap — at least one commit always flows, so an oversized commit can
+never stall the stream). The Python
 DataSource API has no ``SupportsAdmissionControl`` (``latestOffset`` takes
 no start offset and no ReadLimit), so the cap rides on the long-lived
 reader instance: ``latestOffset`` answers at most N commits past the
@@ -93,6 +97,17 @@ class TableChangesStreamReader(DataSourceStreamReader):
             raise ValueError(
                 f"maxCommitsPerBatch must be >= 1, got {self.max_commits}"
             )
+        mb = options.get("maxbytesperbatch", options.get("maxBytesPerBatch"))
+        self.max_bytes = int(mb) if mb is not None else None
+        if self.max_bytes is not None and self.max_bytes < 1:
+            raise ValueError(
+                f"maxBytesPerBatch must be >= 1, got {self.max_bytes}"
+            )
+        # Delta's startingVersion shape: the feed's initial position (that
+        # commit is the initial snapshot; only LATER commits serve as rows).
+        self.starting_commit = options.get(
+            "startingcommit", options.get("startingCommit")
+        )
         # Newest commit id Spark has PLANNED a batch through (updated by
         # partitions()/commit(), seeded by initialOffset) — the admission
         # cap's base. latestOffset derives from it WITHOUT mutating, so
@@ -123,7 +138,19 @@ class TableChangesStreamReader(DataSourceStreamReader):
                 f"{self.table}: no committed versions yet — start the "
                 "stream after the producer's first commit"
             )
-        first = os.path.basename(vs[-1])
+        names = [os.path.basename(v) for v in vs]  # newest-first
+        if self.starting_commit is not None:
+            # Delta's startingVersion shape: begin the feed AT this commit
+            # (its content is the initial snapshot; changes AFTER it serve).
+            if self.starting_commit not in names:
+                raise ValueError(
+                    f"{self.table}: startingCommit {self.starting_commit!r} "
+                    f"is not a retained committed version (retained: {names})"
+                    " — it was vacuumed, rolled back, or never existed"
+                )
+            first = self.starting_commit
+        else:
+            first = names[-1]  # oldest retained
         self._last_end = first  # seed the admission cap for a fresh query
         return {"commit_id": first}
 
@@ -142,11 +169,41 @@ class TableChangesStreamReader(DataSourceStreamReader):
             )
         names = [os.path.basename(v) for v in vs]  # newest-first
         end = names[0]
-        if self.max_commits is not None and self._last_end in names:
+        if (
+            (self.max_commits is not None or self.max_bytes is not None)
+            and self._last_end in names
+        ):
             base = names.index(self._last_end)
-            # pending commits are names[:base]; advance at most max_commits
-            end = names[max(0, base - self.max_commits)]
+            # pending commits, oldest first: names[base-1], ..., names[0].
+            # Admit until either cap trips; always admit at least one commit
+            # (a single commit larger than max_bytes must still flow, the
+            # Delta maxBytesPerTrigger soft-cap semantics).
+            admitted = 0
+            spent = 0
+            end = self._last_end
+            for i in range(base - 1, -1, -1):
+                if self.max_commits is not None and admitted >= self.max_commits:
+                    break
+                if self.max_bytes is not None:
+                    nxt = self._commit_bytes(vs[i])
+                    if admitted > 0 and spent + nxt > self.max_bytes:
+                        break
+                    spent += nxt
+                admitted += 1
+                end = names[i]
         return {"commit_id": end}
+
+    def _commit_bytes(self, version_dir: str) -> int:
+        """Total size of one commit's servable change files (0 when the
+        commit carries none — the planner raises for those later; the size
+        cap should not mask that error with an infinite stall)."""
+        total = 0
+        for f in TableStore.readable_change_files(version_dir, self.key_cols):
+            try:
+                total += os.path.getsize(f)
+            except OSError:
+                pass
+        return total
 
     def partitions(self, start: dict, end: dict):
         s_id, e_id = start["commit_id"], end["commit_id"]
@@ -257,7 +314,12 @@ class TableChangesStreamReader(DataSourceStreamReader):
 class TableChangesDataSource(DataSource):
     """``format("table_changes")`` — options: ``root`` (warehouse dir),
     ``table``, ``keys`` (comma list the writer's change files were labeled
-    under; omit for key-agnostic feeds)."""
+    under; omit for key-agnostic feeds), ``maxCommitsPerBatch`` /
+    ``maxBytesPerBatch`` (admission control — see the module docstring;
+    bytes are of each commit's servable change files, soft cap: a single
+    oversized commit still flows), ``startingCommit`` (begin the feed AT
+    this retained commit instead of the oldest — the Delta
+    ``startingVersion`` shape; only later commits serve as change rows)."""
 
     @classmethod
     def name(cls) -> str:

@@ -366,3 +366,100 @@ def test_readstream_crash_inside_foreachbatch_replays_batch(spark, tmp_path):
     more: list = []
     _drain(spark, _stream(spark, store), ckpt, more)
     assert more == []
+
+
+def test_reader_max_bytes_per_batch_walk(spark, tmp_path):
+    """maxBytesPerBatch, mechanically (the Spark-integration path is the
+    maxCommitsPerBatch live test — the two caps share the admission loop):
+    a tiny byte budget admits one commit per advance (soft cap: the first
+    pending commit always flows however large); a huge budget admits all."""
+    from f1_datalakehouse_pipeline_spark.streaming.cdc_datasource import (
+        TableChangesStreamReader,
+        feed_schema,
+    )
+
+    store = TableStore(spark, str(tmp_path / "wh"), keep_versions=16)
+    store.overwrite(_sess(spark, [(0, "seed")]), "sessions_silver")
+    for i in range(1, 5):
+        store.merge_upsert(
+            _sess(spark, [(i, f"S{i}")]), "sessions_silver", keys=["session_key"]
+        )
+
+    def reader(**extra):
+        return TableChangesStreamReader(
+            feed_schema("sessions_silver"),
+            {
+                "root": store.root,
+                "table": "sessions_silver",
+                "keys": "session_key",
+                **extra,
+            },
+        )
+
+    # budget of 1 byte < any change file: exactly one commit per advance
+    r = reader(maxBytesPerBatch="1")
+    off = r.initialOffset()
+    steps = 0
+    while True:
+        nxt = r.latestOffset()
+        if nxt == off:
+            break
+        assert len({p.commit_id for p in r.partitions(off, nxt)}) == 1
+        off = nxt
+        steps += 1
+        assert steps <= 6, "byte cap failed to converge"
+    assert steps == 4  # one step per pending commit
+
+    # huge budget: everything in one batch
+    r2 = reader(maxBytesPerBatch=str(1 << 40))
+    o0 = r2.initialOffset()
+    o1 = r2.latestOffset()
+    assert len({p.commit_id for p in r2.partitions(o0, o1)}) == 4
+
+    # byte cap composes with the commit cap: min of the two governs
+    r3 = reader(maxBytesPerBatch=str(1 << 40), maxCommitsPerBatch="2")
+    o0 = r3.initialOffset()
+    o1 = r3.latestOffset()
+    assert len({p.commit_id for p in r3.partitions(o0, o1)}) == 2
+
+
+def test_readstream_starting_commit(spark, tmp_path):
+    """startingCommit (the Delta startingVersion shape): the feed begins AT
+    the named retained commit — that commit is the initial snapshot, only
+    LATER commits serve as change rows; an unknown commit fails loudly."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    store = TableStore(spark, str(tmp_path / "wh"), keep_versions=16)
+    store.overwrite(_sess(spark, [(0, "seed")]), "sessions_silver")
+    for i in range(1, 5):
+        store.merge_upsert(
+            _sess(spark, [(i, f"S{i}")]), "sessions_silver", keys=["session_key"]
+        )
+    # versions() lists newest-first; index 2 is the commit that inserted i=2
+    mid = os.path.basename(store.versions("sessions_silver")[2])
+
+    register_table_changes_source(spark)
+
+    def stream(start):
+        return (
+            spark.readStream.format("table_changes")
+            .option("root", store.root)
+            .option("table", "sessions_silver")
+            .option("keys", "session_key")
+            .option("startingCommit", start)
+            .load()
+        )
+
+    got: list = []
+    _drain(spark, stream(mid), str(tmp_path / "ckpt"), got)
+    assert sorted(r.session_key for r in got) == [3, 4]
+
+    q = (
+        stream("v-nonexistent")
+        .writeStream.foreachBatch(lambda df, bid: None)
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(StreamingQueryException, match="startingCommit"):
+        q.awaitTermination(180)
