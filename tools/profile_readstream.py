@@ -20,6 +20,12 @@ Legs (all on the same warehouse + commits, timed wall-clock):
    identical work).
 
 Usage: python tools/profile_readstream.py [K]
+       python tools/profile_readstream.py --backlog N CAP
+The second form measures admission control at backlog scale: N pending
+commits drained through a LIVE capped stream (processingTime trigger, cap
+seeded by the first empty tick), reporting batch count, max commits per
+batch, and wall — the evidence that a deep backlog flows as ceil(N/CAP)
+bounded batches instead of one giant plan.
 Prints one JSON line; humans read PERF_NOTES for the adjudicated numbers.
 """
 
@@ -68,15 +74,17 @@ def _sess(spark, rows):
     )
 
 
-def _stream(spark, store):
+def _stream(spark, store, **opts):
     register_table_changes_source(spark)
-    return (
+    reader = (
         spark.readStream.format("table_changes")
         .option("root", store.root)
         .option("table", "sessions_silver")
         .option("keys", "session_key")
-        .load()
     )
+    for k, v in opts.items():
+        reader = reader.option(k, str(v))
+    return reader.load()
 
 
 def _drain(spark, store, ckpt) -> float:
@@ -92,7 +100,70 @@ def _drain(spark, store, ckpt) -> float:
     return time.time() - t0
 
 
+def backlog_main(n: int, cap: int) -> None:
+    """Drain an n-commit backlog through a capped LIVE stream; one JSON line."""
+    import json as _json
+
+    spark = get_spark("readstream-backlog")
+    spark.sparkContext.setLogLevel("ERROR")
+    tmp = tempfile.mkdtemp(prefix="rs_backlog_")
+    store = TableStore(spark, os.path.join(tmp, "wh"), keep_versions=n + 4)
+    store.overwrite(_sess(spark, [(0, "seed")]), "sessions_silver")
+
+    batches: list[set] = []
+    q = (
+        _stream(spark, store, maxCommitsPerBatch=cap)
+        .writeStream.foreachBatch(
+            lambda df, bid: (
+                lambda rows: batches.append({r._commit_id for r in rows})
+                if rows
+                else None
+            )(df.collect())
+        )
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    # seed the cap with the first empty tick, then build the backlog while
+    # the consumer is PAUSED mid-tick-cycle (commits land faster than the
+    # drain): the backlog accrues because each batch is capped, not because
+    # the producer outruns one tick
+    deadline = time.time() + 60
+    while time.time() < deadline and q.lastProgress is None:
+        time.sleep(0.2)
+    t0 = time.time()
+    for i in range(1, n + 1):
+        store.merge_upsert(
+            _sess(spark, [(i, f"S{i}")]), "sessions_silver", keys=["session_key"]
+        )
+    produce_s = time.time() - t0
+    deadline = time.time() + 600
+    while time.time() < deadline:
+        if sum(len(b) for b in batches) >= n:
+            break
+        time.sleep(0.5)
+    drain_s = time.time() - t0 - produce_s
+    q.stop()
+    print(
+        _json.dumps(
+            {
+                "backlog_commits": n,
+                "cap": cap,
+                "n_batches": len(batches),
+                "max_commits_per_batch": max((len(b) for b in batches), default=0),
+                "commits_served": sum(len(b) for b in batches),
+                "produce_s": round(produce_s, 2),
+                "drain_after_produce_s": round(drain_s, 2),
+                "load_1m": round(os.getloadavg()[0], 2),
+            }
+        )
+    )
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--backlog":
+        backlog_main(int(sys.argv[2]), int(sys.argv[3]))
+        return
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 4
     spark = get_spark("readstream-profile")
     spark.sparkContext.setLogLevel("ERROR")
