@@ -306,8 +306,10 @@ def main() -> None:
         "host_load_1_5_15_start": load_start,
         # r11 section order: headline → single_run → sf1 scale legs → extras
         # (heavy legs no longer inherit the extras churn); each section's
-        # 1-min loadavg at entry:
-        "section_order": ["headline", "single_run", "scale_sf1", "extras"],
+        # 1-min loadavg at entry. section_order is DERIVED from the recorded
+        # sections (dict order = execution order), so a skipped scale leg is
+        # visibly absent instead of claimed (r11 review finding).
+        "section_order": list(section_load),
         "host_load_1m_per_section": section_load,
     }
     if scale_sf1_dedup is not None:

@@ -432,6 +432,34 @@ class TableStore:
         keyed.sort(key=lambda kp: kp[0])
         return [p for _, p in keyed]
 
+    @staticmethod
+    def committed_versions(root: str, table: str) -> list[str]:
+        """:func:`list_versions` restricted to versions safe to serve as
+        STREAM OFFSETS: sentinel-committed ``.versions/`` dirs only. Two
+        classes listed by list_versions are excluded, for different reasons:
+
+        - a current-but-UNCOMMITTED ``.versions/`` dir (the millisecond
+          swap-to-sentinel window, or a publish_many member a rollback
+          later de-commits) — an offset naming it can be WAL-logged by a
+          consumer and then vanish, permanently poisoning the checkpoint
+          (ADVICE r10);
+        - the PLAIN (append-created) live dir — readable as a snapshot but
+          NOT a stable offset identity: its "commit id" is the table name,
+          and the first overwrite renames the dir to ``legacy-<hex>``, so
+          a checkpoint holding the old id could never resolve again (r11
+          review finding). Streams start after the first real commit.
+
+        Defined HERE next to list_versions (not in the reader) so the
+        store and the CDC datasource can never disagree about what counts
+        as an offset-servable version."""
+        vroot = os.path.join(os.path.abspath(root), ".versions", table)
+        return [
+            v
+            for v in TableStore.list_versions(root, table)
+            if v.startswith(vroot + os.sep)
+            and TableStore._is_committed_path(v)
+        ]
+
     def read_version(self, table: str, n_back: int = 0, conformed: bool = False) -> DataFrame:
         """Read the table as of ``n_back`` overwrites ago (0 = current).
 
@@ -540,11 +568,19 @@ class TableStore:
             # while; the CAS at _publish is the serialization point): a
             # concurrent publish whose GC reaps `expected` mid-walk must
             # surface as the CAS contract's failure mode, not a raw
-            # FileNotFoundError (ADVICE r10).
-            raise ConcurrentWriteError(
-                f"{table}: live version changed since append start "
-                f"({expected} vanished mid-graft: {e}) — retry the append"
-            ) from e
+            # FileNotFoundError (ADVICE r10). But ONLY that: translating a
+            # local failure (ENOSPC, EPERM, EMLINK) into the store's
+            # retryable signal would send an automated caller into a retry
+            # loop against a full disk (r11 review finding) — re-raise
+            # unless the prior image actually vanished.
+            import errno
+
+            if e.errno == errno.ENOENT or not os.path.isdir(expected):
+                raise ConcurrentWriteError(
+                    f"{table}: live version changed since append start "
+                    f"({expected} vanished mid-graft: {e}) — retry the append"
+                ) from e
+            raise
         self._writer(df, table).mode("append").save(version_dir)
         self._publish(table, version_dir, expected=expected)
 
@@ -748,21 +784,46 @@ class TableStore:
                             ),
                             key=os.path.getmtime,
                         )
+                        unlinked = False
                         try:
                             os.unlink(live)  # drop the symlink to vdir
-                        except OSError:
-                            # ENOENT: _swap_locked crashed after the one-time
-                            # legacy migration but BEFORE the symlink
-                            # replace — live is already absent and the
-                            # rename below is exactly the restore needed;
-                            # sharing one try with it stranded the data in
+                            unlinked = True
+                        except FileNotFoundError:
+                            # _swap_locked crashed after the one-time legacy
+                            # migration but BEFORE the symlink replace —
+                            # live is already absent and the rename below is
+                            # exactly the restore needed; sharing one try
+                            # with it stranded the data in
                             # .versions/legacy-* (ADVICE r10)
                             pass
-                        try:
-                            if legacy:
-                                os.rename(legacy[-1], live)
                         except OSError:
-                            pass
+                            # cannot modify the live path at all (EACCES,
+                            # EBUSY): leave the table AT the new version,
+                            # still committed — de-committing a version the
+                            # live symlink still points at would let GC reap
+                            # it under live's feet (r11 review finding).
+                            # Partial publish beats a dangling live path.
+                            continue
+                        restored = False
+                        if legacy:
+                            try:
+                                os.rename(legacy[-1], live)
+                                restored = True
+                            except OSError:
+                                pass
+                        if not restored:
+                            if unlinked:
+                                # the restore failed AFTER we dropped live:
+                                # re-point it at the new version rather than
+                                # leave no live path (its commit sentinel is
+                                # intact, so reads and GC stay coherent)
+                                try:
+                                    os.symlink(os.path.abspath(vdir), live)
+                                except OSError:
+                                    pass
+                            continue  # vdir stays committed — it may serve
+                        # prior image restored: NOW the aborted version can
+                        # safely become an unmarked orphan
                         try:
                             os.unlink(os.path.join(vdir, _COMMIT_SENTINEL))
                         except OSError:

@@ -37,7 +37,14 @@ and never mutates that base itself, so repeated latest-offset samples
 between plans (availableNow latching, no-data ticks) are idempotent. The one uncoverable case: a restart whose last batch DID
 commit plans its first backlog batch uncapped (the reader is fresh and the
 API reveals the WAL position only after ``latestOffset`` has answered);
-every subsequent batch is capped. ``latestOffset`` also never samples a
+every subsequent batch is capped. Trigger interaction (r11 review
+finding): Python sources fall back to SINGLE-BATCH execution under
+``Trigger.AvailableNow`` (no SupportsTriggerAvailableNow), so a capped
+source's availableNow run drains AT MOST one batch's worth per query run
+— after an uncommitted-batch replay seeded the cap, that run stops with
+backlog remaining. Capped catch-up consumers must either loop
+availableNow runs until an empty drain (the restart test's shape) or run
+a processingTime trigger; uncapped sources drain fully either way. ``latestOffset`` also never samples a
 current-but-uncommitted version dir (the millisecond swap-to-sentinel
 window, or a publish_many version later rolled back): it advances only to
 the newest version carrying the commit sentinel, lagging one micro-batch
@@ -115,20 +122,20 @@ class TableChangesStreamReader(DataSourceStreamReader):
         # (availableNow latches, no-data ticks), the answer is the same
         # capped end and the cap can never double-advance.
         self._last_end: str | None = None
+        # Consecutive latestOffset samples that found NO committed version:
+        # a mid-publish window lasts milliseconds, so a short run of empty
+        # samples lags harmlessly — a long run means the table was removed
+        # and must fail loudly, not stall forever (r11 review finding).
+        self._empty_samples = 0
 
     def _committed_versions(self) -> list[str]:
-        """Retained versions that are safe to serve as offsets: carry the
-        commit sentinel, or ARE the plain (append-created, pre-versioning)
-        live dir, which never has one. Excludes a current-but-uncommitted
-        ``.versions/`` dir — the swap-to-sentinel window, or a publish_many
-        member later rolled back (ADVICE r10)."""
-        vroot = os.path.join(os.path.abspath(self.root), ".versions", self.table)
-        return [
-            v
-            for v in TableStore.list_versions(self.root, self.table)
-            if TableStore._is_committed_path(v)
-            or not v.startswith(vroot + os.sep)
-        ]
+        """Offset-servable versions — ONE definition, owned by the store
+        (``TableStore.committed_versions``): sentinel-committed ``.versions/``
+        dirs only. Excludes the swap-to-sentinel window AND the plain
+        (append-created) live dir, whose basename is not a stable offset
+        identity (the first overwrite renames it to ``legacy-<hex>``, which
+        would poison any checkpoint holding the old id)."""
+        return TableStore.committed_versions(self.root, self.table)
 
     # -- offsets ----------------------------------------------------------
     def initialOffset(self) -> dict:
@@ -154,19 +161,36 @@ class TableChangesStreamReader(DataSourceStreamReader):
         self._last_end = first  # seed the admission cap for a fresh query
         return {"commit_id": first}
 
+    # A publish window is milliseconds; this many consecutive empty
+    # latest-offset samples means the table is GONE, not mid-swap.
+    _MAX_EMPTY_SAMPLES = 10
+
     def latestOffset(self) -> dict:
         vs = self._committed_versions()
         if not vs:
-            if self._last_end is not None:
+            self._empty_samples += 1
+            if (
+                self._last_end is not None
+                and self._empty_samples < self._MAX_EMPTY_SAMPLES
+            ):
                 # mid-publish window on a table we have served before: lag
                 # one micro-batch rather than fail the query
                 return {"commit_id": self._last_end}
             # a restart skips initialOffset, so the missing-table diagnosis
-            # must be just as clear here (wrong root option, renamed table)
+            # must be just as clear here (wrong root option, renamed table);
+            # a long run of empty samples on a previously-served table means
+            # it was removed — fail loudly instead of stalling forever
             raise ValueError(
                 f"{self.table}: no committed versions under {self.root!r} — "
                 "wrong 'root'/'table' option, or the table was removed"
+                + (
+                    f" (empty for {self._empty_samples} consecutive samples "
+                    "after serving commits)"
+                    if self._last_end is not None
+                    else ""
+                )
             )
+        self._empty_samples = 0
         names = [os.path.basename(v) for v in vs]  # newest-first
         end = names[0]
         if (

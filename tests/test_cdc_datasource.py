@@ -463,3 +463,57 @@ def test_readstream_starting_commit(spark, tmp_path):
     )
     with pytest.raises(StreamingQueryException, match="startingCommit"):
         q.awaitTermination(180)
+
+
+def test_plain_table_is_not_offset_servable(spark, tmp_path):
+    """A plain (append-created) table's dir basename is not a stable offset
+    identity — the first overwrite renames the dir to legacy-<hex>, which
+    would poison any checkpoint holding the old id (r11 review finding).
+    The stream refuses up front with the start-after-first-commit message."""
+    from f1_datalakehouse_pipeline_spark.streaming.cdc_datasource import (
+        TableChangesStreamReader,
+        feed_schema,
+    )
+
+    store = TableStore(spark, str(tmp_path / "wh"), keep_versions=8)
+    store.append(_sess(spark, [(1, "A")]), "sessions_silver")  # plain dir
+    r = TableChangesStreamReader(
+        feed_schema("sessions_silver"),
+        {"root": store.root, "table": "sessions_silver", "keys": "session_key"},
+    )
+    with pytest.raises(ValueError, match="no committed versions yet"):
+        r.initialOffset()
+    # ...and after the first real commit the stream starts normally
+    store.overwrite(_sess(spark, [(1, "A"), (2, "B")]), "sessions_silver")
+    assert r.initialOffset()["commit_id"].startswith(("v-", "legacy-"))
+
+
+def test_latest_offset_bounded_lag_then_loud_failure(spark, tmp_path):
+    """A mid-publish empty listing lags (re-answers the previous offset);
+    a PERSISTENT empty listing — the table was removed — must fail loudly
+    after a bounded number of samples, never stall forever (r11 review
+    finding)."""
+    import shutil
+
+    from f1_datalakehouse_pipeline_spark.streaming.cdc_datasource import (
+        TableChangesStreamReader,
+        feed_schema,
+    )
+
+    store = TableStore(spark, str(tmp_path / "wh"), keep_versions=8)
+    store.overwrite(_sess(spark, [(1, "A")]), "sessions_silver")
+    r = TableChangesStreamReader(
+        feed_schema("sessions_silver"),
+        {"root": store.root, "table": "sessions_silver", "keys": "session_key"},
+    )
+    r.initialOffset()
+    first = r.latestOffset()
+
+    shutil.rmtree(os.path.join(store.root, ".versions", "sessions_silver"))
+    os.unlink(store.path("sessions_silver"))
+    lags = 0
+    with pytest.raises(ValueError, match="consecutive samples"):
+        for _ in range(r._MAX_EMPTY_SAMPLES + 1):
+            assert r.latestOffset() == first  # the lag phase
+            lags += 1
+    assert 1 <= lags < r._MAX_EMPTY_SAMPLES + 1

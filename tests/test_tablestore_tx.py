@@ -1934,3 +1934,68 @@ def test_append_graft_race_surfaces_as_concurrent_write_error(
     monkeypatch.setattr(os, "link", vanishing_link)
     with pytest.raises(ConcurrentWriteError, match="changed since append start"):
         store.append(_sess_mut(spark, [(2, "B")]), "sessions_silver")
+
+
+def test_append_graft_local_failure_is_not_relabeled_concurrent(
+    spark, tmp_path, monkeypatch
+):
+    """r11 review finding: only a VANISHED prior image is the CAS failure
+    mode. A local fault mid-graft (ENOSPC, EPERM) with the expected dir
+    intact must propagate raw — relabeling it ConcurrentWriteError would
+    send an automated retry loop against a full disk."""
+    from f1_datalakehouse_pipeline_spark.sources.tables import ConcurrentWriteError
+
+    store = TableStore(spark, str(tmp_path / "wh"), keep_versions=5)
+    store.overwrite(_sess_mut(spark, [(1, "A")]), "sessions_silver")
+
+    def no_space(src, dst, **kw):
+        raise OSError(28, "No space left on device", dst)  # ENOSPC
+
+    monkeypatch.setattr(os, "link", no_space)
+    with pytest.raises(OSError) as ei:
+        store.append(_sess_mut(spark, [(2, "B")]), "sessions_silver")
+    assert not isinstance(ei.value, ConcurrentWriteError)
+    assert ei.value.errno == 28
+
+
+def test_rollback_unlink_failure_leaves_table_committed_at_new_version(
+    spark, tmp_path, monkeypatch
+):
+    """r11 review finding: when the plain-dir rollback cannot even drop the
+    live symlink (EACCES), it must NOT de-commit the version live still
+    points at — GC would reap it under live's feet, leaving a dangling
+    table. Partial publish (table stays at the new version, committed)
+    beats a dangling live path."""
+    store = TableStore(spark, str(tmp_path / "wh"), keep_versions=5)
+    store.append(_sess_mut(spark, [(1, "A"), (2, "B")]), "sessions_silver")
+    live = store.path("sessions_silver")
+
+    staged = store.stage_many([(_sess_mut(spark, [(9, "X")]), "sessions_silver")])
+    real_swap = store._swap_locked
+
+    def crash_after_swap(table, vdir):
+        real_swap(table, vdir)
+        raise OSError("killed after swap")
+
+    real_unlink = os.unlink
+
+    def deny_live_unlink(path, *a, **kw):
+        if os.path.abspath(path) == os.path.abspath(live):
+            raise PermissionError(13, "Operation not permitted", path)
+        return real_unlink(path, *a, **kw)
+
+    store._swap_locked = crash_after_swap
+    monkeypatch.setattr(os, "unlink", deny_live_unlink)
+    try:
+        with pytest.raises(OSError, match="killed after swap"):
+            store.publish_many(staged)
+    finally:
+        del store._swap_locked
+        monkeypatch.undo()
+
+    # the table still READS (at the new version) and its version is still
+    # committed — never a dangling live path or a de-committed live target
+    _, vdir, _ = staged[0]
+    assert os.path.realpath(live) == os.path.realpath(vdir)
+    assert store._is_committed(vdir)
+    assert {r.session_key for r in store.read("sessions_silver").collect()} == {9}
