@@ -1239,12 +1239,24 @@ def ivfpq_residual_native(
     sit on the driver's hash-compare gate."""
     m = len(codebooks)
     dsub = len(codebooks[0][0])
-    cent_arr = F.array(*[F.array(*[F.lit(x) for x in c]) for c in centroids])
+    # r11 fold (VERDICT r9 item 6 / r10 addendum): centroids AND codebooks
+    # ride as DATA in a 1-row broadcast relation instead of
+    # (n_lists·dim + m·n_codes·dsub) literals folded into the expression
+    # tree — identical fixed-order arithmetic (transform preserves element
+    # order; _l2sq is the same fixed fold), a fraction of the
+    # whole-stage-codegen constant. Same shape as the landed pq_encode /
+    # pq_adc fold above.
+    spark = embeddings.sparkSession
+    consts = F.broadcast(
+        spark.createDataFrame(
+            [(centroids, codebooks)],
+            "cent array<array<double>>, cb array<array<array<double>>>",
+        )
+    )
+    cent_arr = F.col("cent")
 
     def assign_and_residual(v: Column) -> tuple[Column, Column]:
-        dists = F.array(
-            *[_l2sq(v, F.array(*[F.lit(x) for x in c])) for c in centroids]
-        )
+        dists = F.transform(cent_arr, lambda c: _l2sq(v, c))
         list_id = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
         res = F.zip_with(v, F.element_at(cent_arr, list_id + 1), lambda x, c: x - c)
         return list_id, res
@@ -1252,26 +1264,23 @@ def ivfpq_residual_native(
     # ---- build: (neighbor_id, list_id, codes) --------------------------
     v = _as_double(F.col(vec_col))
     list_id, res = assign_and_residual(v)
-    enc = embeddings.select(
+    enc = embeddings.crossJoin(consts).select(
         F.col(id_col).alias("neighbor_id"),
         list_id.alias("list_id"),
         res.alias("res"),
+        "cb",
     )
     codes = []
     for s in range(m):
         sub = F.slice(F.col("res"), s * dsub + 1, dsub)
-        dists = F.array(
-            *[_l2sq(sub, F.array(*[F.lit(x) for x in cw])) for cw in codebooks[s]]
-        )
+        dists = F.transform(F.col("cb")[s], lambda cw: _l2sq(sub, cw))
         codes.append((F.array_position(dists, F.array_min(dists)) - 1).cast("int"))
     index = enc.select("neighbor_id", "list_id", F.array(*codes).alias("codes"))
 
     # ---- probes: top-n_probe lists per query, fully declarative --------
     qv = _as_double(F.col(vec_col))
-    qdists = F.array(
-        *[_l2sq(qv, F.array(*[F.lit(x) for x in c])) for c in centroids]
-    )
-    q = queries.select(
+    qdists = F.transform(cent_arr, lambda c: _l2sq(qv, c))
+    q = queries.crossJoin(consts).select(
         F.col(id_col).alias("query_id"), qv.alias("qv"), qdists.alias("dists")
     )
     exploded = q.select(
@@ -1290,14 +1299,13 @@ def ivfpq_residual_native(
     qres = F.zip_with(
         F.col("qv"), F.element_at(cent_arr, F.col("list_id") + 1), lambda x, c: x - c
     )
-    cand = index.join(F.broadcast(probes), "list_id").filter(
+    cand = index.crossJoin(consts).join(F.broadcast(probes), "list_id").filter(
         F.col("query_id") != F.col("neighbor_id")
     ).withColumn("qres", qres)
     per_sub = []
     for s in range(m):
         qsub = F.slice(F.col("qres"), s * dsub + 1, dsub)
-        cb = F.array(*[F.array(*[F.lit(x) for x in cw]) for cw in codebooks[s]])
-        cw = F.element_at(cb, F.col("codes")[s] + 1)
+        cw = F.element_at(F.col("cb")[s], F.col("codes")[s] + 1)
         per_sub.append(_l2sq(qsub, cw))
     adc = F.aggregate(F.array(*per_sub), F.lit(0.0), lambda acc, x: acc + x)
     scored = cand.select("query_id", "neighbor_id", adc.alias("adc"))

@@ -4524,7 +4524,10 @@ def sim_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tier: coarse argmin-L2 (fixed-order — the assignment metric the
     residual design depends on; both this tier and the DuckDB oracle use
     it), residual subtraction, per-subspace argmin and
-    the ADC fold are all fixed-order native ops, with the coarse centroids
+    the ADC fold are all fixed-order native ops (centroids and codebook
+    ride as a one-row broadcast relation since the r11 codegen fold — same
+    arithmetic, a fraction of the whole-stage-codegen constant), with the
+    coarse centroids
     pinned to the first 4 embeddings and the codebook to the first 16 (the
     sim_pq_adc_topk stand-in pattern) so DuckDB derives the identical index
     from the table itself. n_probe=2 of 4 lists: the oracle also verifies
