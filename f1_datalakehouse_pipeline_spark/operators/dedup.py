@@ -624,14 +624,19 @@ def connected_keepers(pairs: DataFrame, max_iterations: int = 10) -> DataFrame:
                 ).alias("keeper"),
             )
         )
+        # Checkpoint FIRST, then diff the checkpointed rounds: the changed
+        # probe otherwise re-executes the round's two joins a second time
+        # (updated is unmaterialized until the checkpoint) — r11: halves
+        # per-round work, same labels, same convergence decision.
+        new_labels = updated.localCheckpoint(eager=True)  # truncate lineage per round
         changed = (
-            updated.alias("u")
+            new_labels.alias("u")
             .join(labels.alias("l"), "doc")
             .filter(F.col("u.keeper") != F.col("l.keeper"))
             .limit(1)
             .count()
         )
-        labels = updated.localCheckpoint(eager=True)  # truncate lineage per round
+        labels = new_labels
         if changed == 0:
             converged = True
             break
