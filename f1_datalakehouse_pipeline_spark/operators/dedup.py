@@ -1215,12 +1215,19 @@ def semantic_history_hits(
     admitted."""
     from f1_datalakehouse_pipeline_spark.operators import similarity as sim
 
+    # per-row norm precompute (r11): the eps filter keeps the identical
+    # dot/(nb*nh) expression tree, with each norm evaluated once per input
+    # row instead of once per joined pair
     b = batch_asg.select(
-        F.col(id_col), F.col("_v").alias("_vb"), "cluster_id"
+        F.col(id_col),
+        F.col("_v").alias("_vb"),
+        "cluster_id",
+        sim.norm(F.col("_v")).alias("_nb"),
     )
     h = history.select(
         F.col("_v").cast("array<double>").alias("_vh"),
         F.col("cluster_id").cast("long").alias("cluster_id"),
+        sim.norm(F.col("_v").cast("array<double>")).alias("_nh"),
     )
     if lsh_planes is not None:
         if not lsh_planes:
@@ -1246,7 +1253,10 @@ def semantic_history_hits(
         keys = ["cluster_id"]
     return (
         b.join(h, keys)
-        .filter(sim.cosine(F.col("_vb"), F.col("_vh")) >= eps)
+        .filter(
+            (sim.dot(F.col("_vb"), F.col("_vh")) / (F.col("_nb") * F.col("_nh")))
+            >= eps
+        )
         .select(id_col)
         .distinct()
     )
@@ -1321,27 +1331,36 @@ def semantic_dedup_flags(
         sig = sigs[0]
         for s in sigs[1:]:
             sig = sig.unionByName(s)
+        # per-row norm precompute (r11): same dot/(na*nb) expression tree,
+        # norms once per (row, band) instead of once per candidate pair
         a = sig.select(
             F.col(id_col).alias("_id_a"), F.col("_v").alias("_va"),
             "cluster_id", "_band", "_bucket",
+            sim.norm(F.col("_v")).alias("_na"),
         )
         b = sig.select(
             F.col(id_col).alias("_id_b"), F.col("_v").alias("_vb"),
             "cluster_id", "_band", "_bucket",
+            sim.norm(F.col("_v")).alias("_nb"),
         )
         pair_keys = ["cluster_id", "_band", "_bucket"]
     else:
         a = asg.select(
-            F.col(id_col).alias("_id_a"), F.col("_v").alias("_va"), "cluster_id"
+            F.col(id_col).alias("_id_a"), F.col("_v").alias("_va"), "cluster_id",
+            sim.norm(F.col("_v")).alias("_na"),
         )
         b = asg.select(
-            F.col(id_col).alias("_id_b"), F.col("_v").alias("_vb"), "cluster_id"
+            F.col(id_col).alias("_id_b"), F.col("_v").alias("_vb"), "cluster_id",
+            sim.norm(F.col("_v")).alias("_nb"),
         )
         pair_keys = ["cluster_id"]
     removed = (
         a.join(b, pair_keys)
         .filter(F.col("_id_a") < F.col("_id_b"))
-        .filter(sim.cosine(F.col("_va"), F.col("_vb")) >= eps)
+        .filter(
+            (sim.dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")))
+            >= eps
+        )
         .select(F.col("_id_b").alias("_removed_id"))
         .distinct()
     )

@@ -58,14 +58,23 @@ def brute_force_topk(
 
     The query set is broadcast (it is small by construction); candidate rows
     stream map-side, so the only shuffle is the per-query top-k window.
+
+    Norms are precomputed per ROW before the join (r11): the pair score is
+    ``dot/(norm_q * norm_c)`` with each norm evaluated once per input row
+    instead of once per PAIR — identical IEEE expression tree (same
+    sequential folds, same divide), ~3x fewer per-pair FLOPs.
     """
     q = F.broadcast(
         queries.select(
-            F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+            F.col(id_col).alias("query_id"),
+            _as_double(F.col(vec_col)).alias("qv"),
+            norm(_as_double(F.col(vec_col))).alias("_nq"),
         )
     )
     c = embeddings.select(
-        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("cv"),
+        norm(_as_double(F.col(vec_col))).alias("_nc"),
     )
     scored = (
         c.crossJoin(q)
@@ -73,7 +82,7 @@ def brute_force_topk(
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("qv"), F.col("cv")).alias("cosine"),
+            (dot(F.col("qv"), F.col("cv")) / (F.col("_nq") * F.col("_nc"))).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -102,17 +111,27 @@ def lsh_bucketed_topk(
     vec_col: str = "embedding",
     k: int = 5,
 ) -> DataFrame:
-    """Approximate top-k: score only candidates in the query's sign bucket."""
+    """Approximate top-k: score only candidates in the query's sign bucket.
+    Per-row norm precompute before the bucket join (r11) — see
+    :func:`brute_force_topk`; bit-identical scores."""
     q = queries.select(
-        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+        F.col(id_col).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("qv"),
+        norm(_as_double(F.col(vec_col))).alias("_nq"),
     ).withColumn("bucket", hyperplane_bucket(F.col("qv"), planes))
     c = embeddings.select(
-        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("cv"),
+        norm(_as_double(F.col(vec_col))).alias("_nc"),
     ).withColumn("bucket", hyperplane_bucket(F.col("cv"), planes))
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cosine"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot(F.col("qv"), F.col("cv")) / (F.col("_nq") * F.col("_nc"))).alias("cosine"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -683,18 +702,26 @@ def ivf_query(
     Per-batch cost ∝ corpus·n_probe/n_lists, independent of how many query
     batches the index has already served."""
     q = queries.select(
-        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+        F.col(id_col).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("qv"),
+        norm(_as_double(F.col(vec_col))).alias("_nq"),
     ).withColumn(
         "list_id",
         F.explode(
             F.transform(_top_lists(F.col("qv"), centroids, n_probe), lambda s: s["i"])
         ),
     )
+    # per-row norm precompute before the probe join (r11): candidate norms
+    # once per (row, probed list), query norms once per query — the pair
+    # score keeps the identical dot/(nq*nc) expression tree
+    cand = assigned.withColumn("_nc", norm(_as_double(F.col("cv"))))
     scored = (
-        assigned.join(F.broadcast(q), "list_id")
+        cand.join(F.broadcast(q), "list_id")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
-            "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cosine")
+            "query_id",
+            "neighbor_id",
+            (dot(F.col("qv"), F.col("cv")) / (F.col("_nq") * F.col("_nc"))).alias("cosine"),
         )
         .distinct()
     )
@@ -829,15 +856,19 @@ def sq8_quantized_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         sq8_dequantize(F.col(vec_col), mins, maxs).alias("qv"),
+        norm(sq8_dequantize(F.col(vec_col), mins, maxs)).alias("_nq"),
     )
     c = embeddings.select(
         F.col(id_col).alias("neighbor_id"),
         sq8_dequantize(F.col(vec_col), mins, maxs).alias("cv"),
+        norm(sq8_dequantize(F.col(vec_col), mins, maxs)).alias("_nc"),
     )
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .select(
-            "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cosine_q")
+            "query_id",
+            "neighbor_id",
+            (dot(F.col("qv"), F.col("cv")) / (F.col("_nq") * F.col("_nc"))).alias("cosine_q"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

@@ -550,11 +550,18 @@ def sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/similarity.lsh_bucketed_topk); the exact form is the oracle.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").cast("array<double>").alias("qv"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").cast("array<double>").alias("cv"))
+    v = F.col("embedding").cast("array<double>")
+    # per-row norm precompute (r11): identical dot/(na*nb) expression tree,
+    # each norm evaluated n times instead of n^2/2 times
+    a = emb.select(F.col("vec_id").alias("id_a"), v.alias("qv"), similarity.norm(v).alias("_na"))
+    b = emb.select(F.col("vec_id").alias("id_b"), v.alias("cv"), similarity.norm(v).alias("_nb"))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", similarity.cosine(F.col("qv"), F.col("cv")).alias("cosine"))
+        .select(
+            "id_a",
+            "id_b",
+            (similarity.dot(F.col("qv"), F.col("cv")) / (F.col("_na") * F.col("_nb"))).alias("cosine"),
+        )
         .filter(F.col("cosine") >= 0.2)
     )
 
