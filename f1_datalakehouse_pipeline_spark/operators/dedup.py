@@ -29,6 +29,7 @@ stage is exactly reproducible in the DuckDB oracle.
 from __future__ import annotations
 
 import logging
+import math
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -915,6 +916,18 @@ def filter_novel(batch: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _centroid_norm(c: "list[float]") -> float:
+    """Plan-time Python twin of ``similarity.norm``'s sequential fold over a
+    LITERAL centroid: ``acc += x*x`` in element order, then sqrt — the same
+    IEEE double operations in the same order, so the hoisted literal is
+    bit-equal to the per-row fold it replaces (oracle-exactness depends on
+    this)."""
+    acc = 0.0
+    for x in c:
+        acc += float(x) * float(x)
+    return math.sqrt(acc)
+
+
 def semantic_cluster_assign(
     df: DataFrame,
     id_col: str,
@@ -933,26 +946,38 @@ def semantic_cluster_assign(
     comparison is lexicographic, so the max struct carries the highest
     cosine and, among exact ties, the highest ``-cid`` = lowest cid —
     matching the oracle's ``ROW_NUMBER() ... ORDER BY cos DESC, cid ASC``.
+
+    r11 (opt): the per-centroid score keeps the identical
+    ``dot/(norm(v)·norm(c))`` expression tree, but ``norm(v)`` (and the
+    array<double> cast) ride an intermediate column evaluated once per ROW
+    instead of once per (row, centroid) — referenced k times and non-cheap,
+    so CollapseProject keeps the hoist a separate Project — and each
+    centroid's norm is folded at plan-build time (:func:`_centroid_norm`,
+    bit-equal by construction). Per-row FLOPs drop from k·3d to k·d + d.
     """
     from f1_datalakehouse_pipeline_spark.operators import similarity as sim
 
     v = F.col(vec_col).cast("array<double>")
+    tmp = df.withColumn("_sca_vd", v).withColumn("_sca_nv", sim.norm(F.col("_sca_vd")))
     best = F.array_max(
         F.array(
             *[
                 F.struct(
-                    sim.cosine(v, F.array(*[F.lit(float(x)) for x in c])).alias("cos"),
+                    (
+                        sim.dot(F.col("_sca_vd"), F.array(*[F.lit(float(x)) for x in c]))
+                        / (F.col("_sca_nv") * F.lit(_centroid_norm(c)))
+                    ).alias("cos"),
                     F.lit(-i).cast("long").alias("neg_cid"),
                 )
                 for i, c in enumerate(centroids)
             ]
         )
     )
-    return df.withColumn("_best", best).select(
+    return tmp.withColumn("_best", best).select(
         "*",
         (-F.col("_best.neg_cid")).alias("cluster_id"),
         F.col("_best.cos").alias("centroid_cos"),
-    ).drop("_best")
+    ).drop("_best", "_sca_vd", "_sca_nv")
 
 
 def semantic_cluster_assign_table(
@@ -987,16 +1012,25 @@ def semantic_cluster_assign_table(
     """
     from f1_datalakehouse_pipeline_spark.operators import similarity as sim
 
-    v = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v"))
+    # r11 (opt): per-row norm precompute before the broadcast fan-out — the
+    # score keeps the identical dot/(nv·nc) expression tree, with norm(_v)
+    # evaluated once per input row (not once per row×centroid) and norm(_cv)
+    # once per centroid row on the broadcast side.
+    v = df.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+        sim.norm(F.col(vec_col).cast("array<double>")).alias("_nv"),
+    )
     c = centroids_df.select(
         F.col("cluster_id").cast("long").alias("_cid"),
         F.col("centroid").cast("array<double>").alias("_cv"),
+        sim.norm(F.col("centroid").cast("array<double>")).alias("_ncv"),
     )
     scored = v.join(F.broadcast(c)).select(
         F.col(id_col),
         F.col("_v"),
         F.struct(
-            sim.cosine(F.col("_v"), F.col("_cv")).alias("cos"),
+            (sim.dot(F.col("_v"), F.col("_cv")) / (F.col("_nv") * F.col("_ncv"))).alias("cos"),
             (-F.col("_cid")).alias("neg_cid"),
         ).alias("_s"),
     )
@@ -1094,6 +1128,9 @@ def semantic_cluster_assign_two_level(
         F.col("cluster_id").cast("long").alias("_cid"),
         F.col("centroid").cast("array<double>").alias("_cv"),
         F.col("coarse_id").cast("long").alias("_coarse"),
+        # r11 (opt): fine-centroid norm once per centroid row on the
+        # broadcast side (see semantic_cluster_assign_table)
+        sim.norm(F.col("centroid").cast("array<double>")).alias("_ncv"),
     )
     # non-empty coarse cells only (bounded collect: ≤ k_coarse longs)
     live = sorted(
@@ -1103,13 +1140,23 @@ def semantic_cluster_assign_two_level(
         raise ValueError("indexed_fine_df has no centroids")
     nprobe = min(nprobe, len(live))
 
-    v = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v"))
+    # r11 (opt): norm(_v) hoisted to a per-row column shared by the coarse
+    # routing scores AND the fine scoring after the probe join; coarse
+    # centroid norms fold at plan-build time (bit-equal, _centroid_norm).
+    v = df.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+        sim.norm(F.col(vec_col).cast("array<double>")).alias("_nv"),
+    )
     scores = F.array(
         *[
             F.struct(
-                sim.cosine(
-                    F.col("_v"),
-                    F.array(*[F.lit(float(x)) for x in coarse_centroids[cid]]),
+                (
+                    sim.dot(
+                        F.col("_v"),
+                        F.array(*[F.lit(float(x)) for x in coarse_centroids[cid]]),
+                    )
+                    / (F.col("_nv") * F.lit(_centroid_norm(coarse_centroids[cid])))
                 ).alias("cos"),
                 F.lit(-cid).cast("long").alias("neg_cid"),
             )
@@ -1120,13 +1167,14 @@ def semantic_cluster_assign_two_level(
     routed = v.select(
         F.col(id_col),
         F.col("_v"),
+        F.col("_nv"),
         F.explode(F.transform(probes, lambda s: -s["neg_cid"])).alias("_coarse"),
     )
     scored = routed.join(F.broadcast(fine), "_coarse").select(
         F.col(id_col),
         F.col("_v"),
         F.struct(
-            sim.cosine(F.col("_v"), F.col("_cv")).alias("cos"),
+            (sim.dot(F.col("_v"), F.col("_cv")) / (F.col("_nv") * F.col("_ncv"))).alias("cos"),
             (-F.col("_cid")).alias("neg_cid"),
         ).alias("_s"),
     )
