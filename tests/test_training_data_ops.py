@@ -3,6 +3,9 @@ streaming) beyond the oracle-backed registry gate."""
 
 from __future__ import annotations
 
+import math
+import struct
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -3609,6 +3612,32 @@ def test_semantic_assign_table_equals_literal(spark, sf_dir):
     flags_tbl = {tuple(r) for r in dedup.semantic_dedup_flags(
         emb, "vec_id", "embedding", cdf, 0.3).collect()}
     assert flags_lit == flags_tbl
+
+
+def test_centroid_norm_bit_equals_spark_fold(spark):
+    """r11 opt: the assignment tiers hoist each literal centroid's norm to a
+    plan-time Python constant (dedup._centroid_norm). The hoist is only
+    oracle-safe if that constant is BIT-equal to the similarity.norm
+    sequential fold it replaced — pin it on awkward values (irrational
+    squares, tiny/huge magnitudes, sign mixes, empty)."""
+    vecs = [
+        [0.1, 0.2, 0.3],
+        [1e-8, -3.7e5, 0.333333333333333, 2.0 / 3.0],
+        [math.pi, -math.e, math.sqrt(2.0)],
+        [5.0e150, 1.0e-200],  # extreme magnitudes, no overflow in x*x at 5e150? (2.5e301 ok)
+        [],
+    ]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "i long, v array<double>"
+    )
+    spark_norms = {
+        r.i: r.n
+        for r in df.select("i", similarity.norm(F.col("v")).alias("n")).collect()
+    }
+    for i, v in enumerate(vecs):
+        assert struct.pack("<d", spark_norms[i]) == struct.pack(
+            "<d", dedup._centroid_norm(v)
+        ), f"norm mismatch on {v}"
 
 
 def test_semantic_assign_table_duplicate_id_guard(spark):
