@@ -261,7 +261,15 @@ def bpe_train_from_words(
 # encoders
 # --------------------------------------------------------------------------
 
-_CHUNK = 64  # replaces per projection when materializing the word table
+# Replaces per projection when materializing the word table. Swept by
+# interleaved A/B at sf0.1 (r11 optimization round): 128 beats 64 in all 3
+# interleaved rounds (medians 4.17/3.06/2.87 vs 4.69/3.94/3.01 s on
+# t_bpe_table_encode — half the sequential localCheckpoint round-trips),
+# while 256 is a wash (analysis cost of the deeper replace chain catches
+# up). Chunking is evaluation structure only: merges apply in model order
+# regardless of chunk boundaries, so results are identical by construction
+# (and oracle-verified).
+_CHUNK = 128
 
 
 def bpe_word_table(words: DataFrame, model: BpeModel) -> DataFrame:
