@@ -190,6 +190,25 @@ def _has_member_partitions(state_dir: str) -> bool:
     return any(d.startswith("batch_token=") for d in os.listdir(state_dir))
 
 
+# Rows per output file for the per-batch state writes below (r11 opt,
+# guide §6: state stores otherwise gain one file PER UPSTREAM PARTITION per
+# batch — 32 tiny files per write locally — and the per-batch probe scan
+# eventually drowns in listing/footer overhead; compact_corpus_state is the
+# after-the-fact repair, this sizes the write in the first place). At the
+# ~100–1000 B/row of hashes/ids/short docs, 1M rows/file lands inside the
+# guide's 128 MB–1 GB output-file target; a batch smaller than one file
+# coalesces to a single file, a huge batch keeps one file per 1M rows.
+_STATE_ROWS_PER_FILE = 1_000_000
+
+
+def _sized(df: DataFrame, n_rows: int) -> DataFrame:
+    """Coalesce a state write to a row-count-derived file count. Pure
+    layout: coalesce never changes data, only the number of write tasks.
+    ``n_rows`` is an already-known count (never a new action); coalesce to
+    MORE partitions than the input has is a no-op, so undercounts are safe."""
+    return df.coalesce(max(1, -(-n_rows // _STATE_ROWS_PER_FILE)))
+
+
 def compose_chunk_id(id_col: str, idx_col: str, shift: int = 12):
     """``(doc_id << shift) | chunk_idx`` with loud execution-time guards.
 
@@ -839,13 +858,22 @@ def run_corpus_pipeline_incremental(
             import shutil
 
             staging = os.path.join(state_root, "_batch_staging")
+            # staging is NOT _sized: it is transient (removed at the commit
+            # marker) so its file count never accumulates, and its partition
+            # count is the parallelism of every downstream state build —
+            # coalescing it to one file was measured to blow the LSH band
+            # index write up 12 → 384 files (the 1-partition input changes
+            # the band pipeline's AQE layout) while saving nothing durable.
             kept.select(id_col, content_col).write.mode("overwrite").parquet(staging)
             kept_s = spark.read.parquet(staging)
             # The exact-hash delta goes into this batch's OWN partition with
             # mode=overwrite: a crash-replay that re-reaches this point
             # rewrites the identical rows instead of double-appending.
-            kept_s.select(
-                portable_hash48(F.col(content_col)).alias("content_hash")
+            _sized(
+                kept_s.select(
+                    portable_hash48(F.col(content_col)).alias("content_hash")
+                ),
+                n_admitted,
             ).write.mode("overwrite").parquet(tok_dir)
             if semantic_eps is not None:
                 # Admitted members' (id, cluster_id, vector) extend the
@@ -873,6 +901,12 @@ def run_corpus_pipeline_incremental(
                 # A zero-row partition write would leave a schema-less dir;
                 # only materialize when some admitted doc has an embedding.
                 if asg_admitted.limit(1).count() > 0:
+                    # NOT _sized: coalesce narrows upstream parallelism to
+                    # the file count, and this write's input is the O(n·k·d)
+                    # assignment itself — collapsing that compute to one
+                    # task costs more than the small files it would save;
+                    # compact_corpus_state remains the member store's
+                    # file-count repair.
                     asg_admitted.write.mode("overwrite").parquet(sem_tok_dir)
             _append_index(
                 lsh_dir,

@@ -1998,6 +1998,40 @@ def test_incremental_corpus_rejects_dups_of_every_earlier_batch(spark, tmp_path)
     assert r3.audit_violations == 0
 
 
+def test_incremental_exact_store_writes_are_size_derived(spark, tmp_path):
+    """r11 opt (guide §6): each admitted batch's exact-hash delta is written
+    with a row-count-derived file count (corpus._sized) instead of one file
+    per upstream partition — at test scale that is exactly ONE data file per
+    committed batch partition, where the pre-change layout left one per
+    shuffle partition (32 locally)."""
+    import glob
+    import os
+
+    from f1_datalakehouse_pipeline_spark.plans.corpus import (
+        run_corpus_pipeline_incremental,
+    )
+
+    out, state = str(tmp_path / "out"), str(tmp_path / "state")
+    kw = dict(quality_min=0.0, near_threshold=0.5, chunk_tokens=8,
+              overlap_tokens=2, n_shards=4, seed="e0", max_doc_frequency=64)
+    docs = [
+        (i, f"document number {i} about spark partition sizing topic {i % 3} today")
+        for i in range(8)
+    ]
+    run_corpus_pipeline_incremental(
+        spark, spark.createDataFrame(docs[:4], ["doc_id", "text"]), out, state, **kw
+    )
+    run_corpus_pipeline_incremental(
+        spark, spark.createDataFrame(docs[4:], ["doc_id", "text"]), out, state, **kw
+    )
+    exact_dir = os.path.join(state, "exact_hashes")
+    parts = [d for d in os.listdir(exact_dir) if d.startswith("batch_token=")]
+    assert len(parts) == 2
+    for d in parts:
+        files = glob.glob(os.path.join(exact_dir, d, "*.parquet"))
+        assert len(files) == 1, (d, files)
+
+
 @pytest.mark.parametrize("shingle_buckets", [None, 8])
 def test_compact_novelty_index_preserves_probe(spark, tmp_path, shingle_buckets):
     """VERDICT r5 item 3: compaction must rewrite the per-batch index appends
