@@ -51,73 +51,73 @@ def _load_extensions() -> None:
 # driver-green in a prior round and untouched since (rotation documented in
 # COVERAGE.md).
 _VERIFY_FIRST = [
-    # r11 rotation (VERDICT r10 item 1, the round's first commit).
-    # Aggregating CORRECTNESS_r01..r10, newest-green-row ages on the 150
-    # registered queries are exactly {r10: 50, r9: 50, r8: 50} (recomputed
-    # this session from the files; the judge verified the same arithmetic in
-    # VERDICT r10). The 50 r8-aged queries reach age 3 at r11 — the
-    # COVERAGE.md invariant's edge — and fill ALL 50 driver slots, so r11
-    # registers ZERO new oracle queries by design (slot-full steady state:
-    # 150 over a 50-slot window is an exact 3-round cycle; any new oracle
-    # query would force a named exception per PERF_NOTES r10
-    # §rotation-arithmetic). verify_local re-checks all 150 locally either
-    # way.
-    # The cohort below IS the complete r8-aged set, heavy composition plans
-    # first, in three groups: corpus/dedup/similarity compositions (this
-    # window carries both staged folds — the robust-tier delegation for
-    # ts_mad_outliers/a23_winsorize and the pq_adc codebook slice of
-    # af38189, both landing this round BECAUSE they re-verify this round),
-    # TPC-H, then single-operator rows.
-    "t_corpus_manifest",
-    "t_corpus_manifest_semantic",
-    "dedup_semantic",
-    "sim_pq_adc_topk",
-    "sim_sq8_quantized_topk",
-    "t_model_quality_score",
-    "t_token_ids",
-    "t_token_histogram",
-    "t_html_strip",
-    "t_repeat_mixture",
-    "ts_mad_outliers",
-    "a23_winsorize",
-    "dq_expectations",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier",
-    "tpch_q13_custdist",
-    "tpch_q17_small_qty_revenue",
-    "a1_distinct",
-    "a3_count_distinct",
-    "a5_stats_agg",
-    "a8_rollup_revenue",
-    "a9_pivot_doc_counts",
-    "a17_unpivot_metrics",
-    "a21_cohort_retention",
-    "a24_chisq_cells",
-    "f_json_extract",
-    "f_levenshtein_pairs",
-    "f_map_ops",
-    "f_posexplode_tokens",
-    "f_regex_extract_all",
-    "f_time_parse",
-    "f_url_parse",
-    "j1_j5_lookup_join",
-    "j2_left_change_detection",
-    "j3_left_backfill_fillna",
-    "j6_window_group_share",
-    "j8_semi_join",
-    "j12_not_exists_anti",
-    "u2_except_antijoin",
-    "u5_union_schema_drift",
-    "w1_gap_to_best",
-    "w2_personal_best_flag",
-    "w3_best_row_tiebreak",
-    "w5_running_avg",
-    "w9_lead_validity",
-    "w14_ntile_quartiles",
-    "w19_funnel_stages",
-    "w20_event_transitions",
-    "w21_top_paths",
-    "w_sessionize_events",
+    # r12 rotation (VERDICT r11 item 2, the round's first commit).
+    # Aggregating CORRECTNESS_r01..r11, newest-green-row ages on the 150
+    # registered queries are exactly {r11: 50, r10: 50, r9: 50} (recomputed
+    # this session: the three files are a pairwise-disjoint partition of all
+    # 150). The 50 r9-aged queries reach age 3 at r12 — the COVERAGE.md
+    # invariant's edge — and fill ALL 50 driver slots, so r12 registers ZERO
+    # new oracle queries by design (slot-full steady state: 150 over a
+    # 50-slot window is an exact 3-round cycle). verify_local re-checks all
+    # 150 locally either way.
+    # The cohort below IS the complete r9-aged set (the CORRECTNESS_r09 key
+    # set), heavy composition plans first: this window re-verifies the r11
+    # optimization fold on the driver — sim_ivfpq_residual_topk (codebook
+    # broadcast fold), sim_cosine_topk (norm precompute),
+    # dedup_docs_pipeline (connected_keepers probe reordering),
+    # t_bpe_table_encode (checkpoint chunk 128) — plus j4_star_join_revenue,
+    # the drift watch item from VERDICT r11 item 4. Then TPC-H, then
+    # single-operator rows.
+    "dedup_docs_pipeline",
+    "sim_ivfpq_residual_topk",
+    "sim_cosine_topk",
+    "t_bpe_table_encode",
+    "tablestore_cdf_read",
+    "tablestore_delete_tombstone",
+    "contamination_pairs",
+    "dedup_containment",
+    "scd2_splice_backdated",
+    "j4_star_join_revenue",
+    "t_fingerprint",
+    "t_lang_id",
+    "t_text_quality",
+    "t_token_doc_frequency",
+    "asof_purchase_to_view",
+    "asof_tolerance_join",
+    "range_join_ship_window",
+    "o1_latest_event",
+    "o2_topk_per_group",
+    "j10_interval_overlap",
+    "j11_correlated_scalar_subquery",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q4_priority_count",
+    "tpch_q6_forecast_revenue",
+    "tpch_q9_product_profit",
+    "tpch_q11_important_stock",
+    "tpch_q12_late_priority",
+    "tpch_q15_top_supplier",
+    "tpch_q20_dominant_supplier",
+    "a2_latest_attr",
+    "a11_share_of_total",
+    "a18_bool_aggs",
+    "a19_histogram_fixed_width",
+    "a20_multi_distinct",
+    "f_array_q_split",
+    "f_datetime_ops",
+    "f_normalize_name",
+    "f_points_when_chain",
+    "f_status_buckets",
+    "f_string_battery",
+    "f_time_format",
+    "u1_union_distinct",
+    "u3_intersect",
+    "w10_recent_form",
+    "w11_lag_delta",
+    "w12_teammate_compare",
+    "w13_constructor_window_agg",
+    "w18_first_last_value",
+    "w22_funnel_windowed",
+    "ts_resample_ohlc",
 ]
 
 
