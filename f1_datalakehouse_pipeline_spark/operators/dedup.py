@@ -597,6 +597,8 @@ def connected_keepers(pairs: DataFrame, max_iterations: int = 10) -> DataFrame:
         .distinct()
         .withColumn("keeper", F.col("doc"))
     )
+    from pyspark.sql import Observation
+
     converged = False
     for _ in range(max_iterations):
         neighbor_min = (
@@ -608,6 +610,9 @@ def connected_keepers(pairs: DataFrame, max_iterations: int = 10) -> DataFrame:
             labels.join(neighbor_min, labels.doc == neighbor_min.src, "left")
             .select(
                 "doc",
+                # the round's INPUT keeper rides along so the convergence
+                # probe below is a per-row comparison, not a second join
+                F.col("keeper").alias("_prev"),
                 F.least(F.col("keeper"), F.coalesce(F.col("n_keeper"), F.col("keeper"))).alias("keeper"),
             )
         )
@@ -620,25 +625,38 @@ def connected_keepers(pairs: DataFrame, max_iterations: int = 10) -> DataFrame:
             propagated.join(parent, propagated.keeper == parent.p_doc, "left")
             .select(
                 "doc",
+                "_prev",
                 F.least(
                     F.col("keeper"), F.coalesce(F.col("p_keeper"), F.col("keeper"))
                 ).alias("keeper"),
             )
         )
-        # Checkpoint FIRST, then diff the checkpointed rounds: the changed
-        # probe otherwise re-executes the round's two joins a second time
-        # (updated is unmaterialized until the checkpoint) — r11: halves
-        # per-round work, same labels, same convergence decision.
-        new_labels = updated.localCheckpoint(eager=True)  # truncate lineage per round
-        changed = (
-            new_labels.alias("u")
-            .join(labels.alias("l"), "doc")
-            .filter(F.col("u.keeper") != F.col("l.keeper"))
-            .limit(1)
-            .count()
+        # Convergence probe FUSED into the round's materialization (r12; the
+        # r11 form checkpointed first, then ran a new-vs-old join + count as
+        # a second action per round): the same per-doc keeper comparison the
+        # probe join made is evaluated inline on the round's own rows via an
+        # observed metric, so the localCheckpoint that truncates lineage
+        # also answers convergence — one action per round instead of two,
+        # and no probe-side join/broadcast at all. Same labels, same
+        # convergence decision (labels hold one row per doc, so "any row
+        # where keeper != _prev" is exactly the old joined predicate).
+        obs = Observation()
+        new_labels = (
+            updated.observe(
+                obs, F.max((F.col("keeper") != F.col("_prev")).cast("int")).alias("chg")
+            )
+            .drop("_prev")
+            .localCheckpoint(eager=True)  # truncate lineage per round
         )
         labels = new_labels
-        if changed == 0:
+        try:
+            # max over zero rows is NULL == converged; a round the optimizer
+            # folded to an EMPTY relation runs zero tasks and records an
+            # inconvertible empty metrics row — also zero rows, converged.
+            chg = obs.get.get("chg") or 0
+        except Exception:
+            chg = 0
+        if chg == 0:
             converged = True
             break
     if not converged:
@@ -957,6 +975,13 @@ def semantic_cluster_assign(
     """
     from f1_datalakehouse_pipeline_spark.operators import similarity as sim
 
+    clash = {"_sca_vd", "_sca_nv", "_best"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"input columns {sorted(clash)} collide with "
+            "semantic_cluster_assign's temporaries — rename them upstream "
+            "(they would be silently overwritten and dropped)"
+        )
     v = F.col(vec_col).cast("array<double>")
     tmp = df.withColumn("_sca_vd", v).withColumn("_sca_nv", sim.norm(F.col("_sca_vd")))
     best = F.array_max(

@@ -42,7 +42,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 import os
@@ -289,43 +289,82 @@ def run_corpus_pipeline(
         )
     _require_integral_id(docs, id_col)
     rep = CorpusReport()
-    rep.counts["raw"] = docs.count()
 
     # Each shuffling stage consumes its input at least twice (the dedup
-    # pair-computation AND the semi/anti-join back; plus the stage-count
-    # action), so stage boundaries are cached — without this every count
-    # and every second branch recomputes the whole upstream lineage
-    # (measured: 141.5 s → see PERF_NOTES r4 composed-pipeline rung).
+    # pair-computation AND the semi/anti-join back), so stage boundaries are
+    # cached — without this every second branch recomputes the whole
+    # upstream lineage (measured: 141.5 s → see PERF_NOTES r4
+    # composed-pipeline rung).
     # The unpersist runs in a finally: a stage that raises must not leak its
     # caches — a lingering cached plan that reads a state/output path would
     # silently serve STALE data to a later run in the same session (writes
     # into new partition subdirs do not invalidate a parent-dir cache).
+    #
+    # r12 (guide §1.2/§5: fewer actions = fewer full passes of scheduling):
+    # the per-stage report counts used to be one count() ACTION per stage;
+    # they now ride OBSERVED metrics attached under each stage cache and are
+    # resolved after the chunk count — the single action that materializes
+    # the whole chain — so N stages cost one materializing pass instead of
+    # N+1 sequential jobs. observe(count) over a cached stage fires exactly
+    # once (on cache fill, whichever action causes it) and count(lit(1)) is
+    # the same aggregate count() ran, so the report values are identical.
     cached: list[DataFrame] = []
+    pending: dict[str, tuple[Observation, DataFrame]] = {}
 
-    def checkpoint_stage(df: DataFrame) -> DataFrame:
+    def checkpoint_stage(df: DataFrame, count_key: str | None = None) -> DataFrame:
+        obs = None
+        if count_key is not None:
+            obs = Observation()
+            df = df.observe(obs, F.count(F.lit(1)).alias("n"))
         df = df.cache()
         cached.append(df)
+        if obs is not None:
+            pending[count_key] = (obs, df)
         return df
+
+    def resolve_counts() -> None:
+        # Observation.get blocks until its metric arrives; every pending
+        # stage sits below the chunk count in lineage, so by the time this
+        # runs each has already fired. Caveat: a stage the optimizer folded
+        # into an EMPTY relation materializes with zero tasks, so its
+        # CollectMetrics accumulator never updates and Spark records a
+        # schema-less empty row that Observation.get cannot convert — fall
+        # back to counting the (materialized, empty) cache: one trivial job,
+        # and only on all-rows-rejected stages.
+        for key, (obs, df) in pending.items():
+            try:
+                n = obs.get.get("n")
+            except Exception:
+                n = None
+            rep.counts[key] = int(n) if n is not None else df.count()
+        pending.clear()
+
+    # the raw count rides the quality stage's materialization too
+    raw_obs = Observation()
+    docs = docs.observe(raw_obs, F.count(F.lit(1)).alias("n"))
+    pending["raw"] = (raw_obs, docs)
 
     try:
         kept = checkpoint_stage(
             docs.filter(quality_score(F.col(content_col)) >= quality_min)
-            .withColumn(content_col, scrub_pii(F.col(content_col)))
+            .withColumn(content_col, scrub_pii(F.col(content_col))),
+            "after_quality",
         )
-        rep.counts["after_quality"] = kept.count()
 
         exact = dedup.exact_dedup(kept, id_col, content_col).select(
             F.col("keeper_id").alias(id_col)
         )
-        kept = checkpoint_stage(kept.join(exact, id_col, "left_semi"))
-        rep.counts["after_exact_dedup"] = kept.count()
+        kept = checkpoint_stage(
+            kept.join(exact, id_col, "left_semi"), "after_exact_dedup"
+        )
 
         pairs = dedup.minhash_lsh_pairs(
             kept, id_col, content_col,
             threshold=near_threshold, max_doc_frequency=max_doc_frequency,
         )
-        kept = checkpoint_stage(dedup.apply_dedup(kept, id_col, pairs))
-        rep.counts["after_near_dedup"] = kept.count()
+        kept = checkpoint_stage(
+            dedup.apply_dedup(kept, id_col, pairs), "after_near_dedup"
+        )
 
         if containment_threshold is not None:
             # Subset-duplication pass: symmetric near-dedup above already
@@ -341,8 +380,10 @@ def run_corpus_pipeline(
                 .select(F.col("contained_doc").alias(id_col))
                 .distinct()
             )
-            kept = checkpoint_stage(kept.join(contained, id_col, "left_anti"))
-            rep.counts["after_containment_dedup"] = kept.count()
+            kept = checkpoint_stage(
+                kept.join(contained, id_col, "left_anti"),
+                "after_containment_dedup",
+            )
 
         if semantic_eps is not None:
             # Meaning-level dedup after the text-level passes (rewordings
@@ -365,8 +406,10 @@ def run_corpus_pipeline(
                 .filter(~F.col("kept"))
                 .select(id_col)
             )
-            kept = checkpoint_stage(kept.join(sem_removed, id_col, "left_anti"))
-            rep.counts["after_semantic_dedup"] = kept.count()
+            kept = checkpoint_stage(
+                kept.join(sem_removed, id_col, "left_anti"),
+                "after_semantic_dedup",
+            )
 
         if benchmark is not None:
             leaks = dedup.contamination_pairs(
@@ -374,8 +417,9 @@ def run_corpus_pipeline(
                 min_containment=contamination_min,
                 max_doc_frequency=max_doc_frequency,
             ).select(F.col("train_id").alias(id_col)).distinct()
-            kept = checkpoint_stage(kept.join(leaks, id_col, "left_anti"))
-            rep.counts["after_decontamination"] = kept.count()
+            kept = checkpoint_stage(
+                kept.join(leaks, id_col, "left_anti"), "after_decontamination"
+            )
 
         if domain_col is not None and domain_budgets is not None:
             # Mixture runs after all cleaning so budgets are spent on docs
@@ -392,8 +436,9 @@ def run_corpus_pipeline(
                 domain_budgets,
                 seed=f"{seed}-mix",
             ).select(id_col)
-            kept = checkpoint_stage(kept.join(admitted, id_col, "left_semi"))
-            rep.counts["after_mixture"] = kept.count()
+            kept = checkpoint_stage(
+                kept.join(admitted, id_col, "left_semi"), "after_mixture"
+            )
 
         chunks = checkpoint_stage(
             chunk_documents(
@@ -403,7 +448,11 @@ def run_corpus_pipeline(
                 F.col("chunk_text"),
             )
         )
-        rep.counts["chunks"] = chunks.count()
+        # THE materializing action: executes every stage above (filling the
+        # caches) and fires every pending stage-count observation.
+        n_chunks = chunks.count()
+        resolve_counts()
+        rep.counts["chunks"] = n_chunks
 
         if rep.counts["chunks"] == 0:
             # Every doc was filtered out. A zero-row partitionBy write would
@@ -641,12 +690,38 @@ def run_corpus_pipeline_incremental(
     # verdicts to the in-session replay this function's crash contract
     # exists for (partition-subdir writes don't invalidate parent-dir
     # caches, so Spark never refreshes the stale entry itself).
+    #
+    # r12: per-stage report counts ride observed metrics under the stage
+    # caches (same design and rationale as the batch form above) and resolve
+    # after the chunk count — the per-batch action count drops by one job
+    # per stage with identical report values. The gating values this
+    # function branches on (chunks, n_admitted) are only needed AFTER that
+    # materializing action, so control flow is unchanged.
     cached: list[DataFrame] = []
+    pending: dict[str, tuple[Observation, DataFrame]] = {}
 
-    def checkpoint_stage(df: DataFrame) -> DataFrame:
+    def checkpoint_stage(df: DataFrame, count_key: str | None = None) -> DataFrame:
+        obs = None
+        if count_key is not None:
+            obs = Observation()
+            df = df.observe(obs, F.count(F.lit(1)).alias("n"))
         df = df.cache()
         cached.append(df)
+        if obs is not None:
+            pending[count_key] = (obs, df)
         return df
+
+    def resolve_counts() -> None:
+        # same empty-stage fallback as the batch form above: a stage folded
+        # to an empty relation runs zero tasks and records an inconvertible
+        # empty metrics row — count the materialized cache instead.
+        for key, (obs, df) in pending.items():
+            try:
+                n = obs.get.get("n")
+            except Exception:
+                n = None
+            rep.counts[key] = int(n) if n is not None else df.count()
+        pending.clear()
 
     try:
         if wap_checks:
@@ -714,9 +789,9 @@ def run_corpus_pipeline_incremental(
 
         kept = checkpoint_stage(
             batch.filter(quality_score(F.col(content_col)) >= quality_min)
-            .withColumn(content_col, scrub_pii(F.col(content_col)))
+            .withColumn(content_col, scrub_pii(F.col(content_col))),
+            "after_quality",
         )
-        rep.counts["after_quality"] = kept.count()
 
         # exact: within-batch keepers, then drop hashes already admitted
         keepers = dedup.exact_dedup(kept, id_col, content_col).select(
@@ -734,8 +809,7 @@ def run_corpus_pipeline_incremental(
                 portable_hash48(F.col(content_col)) == seen.content_hash,
                 "left_anti",
             )
-        kept = checkpoint_stage(kept)
-        rep.counts["after_exact_dedup"] = kept.count()
+        kept = checkpoint_stage(kept, "after_exact_dedup")
 
         # near: batch self-join + history index probe (batch-proportional)
         pairs = dedup.minhash_lsh_pairs(
@@ -750,8 +824,7 @@ def run_corpus_pipeline_incremental(
                 threshold=near_threshold, max_doc_frequency=max_doc_frequency,
             )
             kept = dedup.filter_novel(kept, hits, id_col)
-        kept = checkpoint_stage(kept)
-        rep.counts["after_near_dedup"] = kept.count()
+        kept = checkpoint_stage(kept, "after_near_dedup")
 
         if semantic_eps is not None:
             # Assignment computed ONCE per batch (cached: the within-batch
@@ -794,9 +867,9 @@ def run_corpus_pipeline_incremental(
                     )
                 )
             kept = checkpoint_stage(
-                kept.join(sem_removed.distinct(), id_col, "left_anti")
+                kept.join(sem_removed.distinct(), id_col, "left_anti"),
+                "after_semantic_dedup",
             )
-            rep.counts["after_semantic_dedup"] = kept.count()
 
         if benchmark is not None:
             leaks = dedup.contamination_pairs(
@@ -804,8 +877,9 @@ def run_corpus_pipeline_incremental(
                 min_containment=contamination_min,
                 max_doc_frequency=max_doc_frequency,
             ).select(F.col("train_id").alias(id_col)).distinct()
-            kept = checkpoint_stage(kept.join(leaks, id_col, "left_anti"))
-            rep.counts["after_decontamination"] = kept.count()
+            kept = checkpoint_stage(
+                kept.join(leaks, id_col, "left_anti"), "after_decontamination"
+            )
 
         chunks = checkpoint_stage(
             chunk_documents(
@@ -815,7 +889,11 @@ def run_corpus_pipeline_incremental(
                 F.col("chunk_text"),
             )
         )
-        rep.counts["chunks"] = chunks.count()
+        # THE materializing action of the batch: fills every stage cache and
+        # fires every pending stage-count observation.
+        n_chunks = chunks.count()
+        resolve_counts()
+        rep.counts["chunks"] = n_chunks
 
         from f1_datalakehouse_pipeline_spark.sources.shards import MANIFEST_DIR
 
@@ -901,13 +979,17 @@ def run_corpus_pipeline_incremental(
                 # A zero-row partition write would leave a schema-less dir;
                 # only materialize when some admitted doc has an embedding.
                 if asg_admitted.limit(1).count() > 0:
-                    # NOT _sized: coalesce narrows upstream parallelism to
-                    # the file count, and this write's input is the O(n·k·d)
-                    # assignment itself — collapsing that compute to one
-                    # task costs more than the small files it would save;
-                    # compact_corpus_state remains the member store's
-                    # file-count repair.
-                    asg_admitted.write.mode("overwrite").parquet(sem_tok_dir)
+                    # REBALANCE, not _sized (r12; r11 rejected coalesce here
+                    # because it narrows upstream parallelism to the file
+                    # count and this write's input is the O(n·k·d)
+                    # assignment itself): the rebalance shuffle sits AFTER
+                    # the assignment compute, so assignment keeps full
+                    # parallelism while the write lands AQE-advisory-sized
+                    # files instead of one per assignment partition per
+                    # batch. compact_corpus_state remains the deep repair.
+                    asg_admitted.hint("rebalance").write.mode(
+                        "overwrite"
+                    ).parquet(sem_tok_dir)
             _append_index(
                 lsh_dir,
                 dedup.minhash_band_index(

@@ -119,11 +119,18 @@ def append_training_shards(
     if not os.path.isdir(os.path.join(out_path, MANIFEST_DIR)):
         raise ValueError(f"no existing shard manifest under {out_path!r}")
     old = read_shard_manifest(spark, out_path)
-    head = old.limit(1).collect()
-    if not head:
+    # ONE bounded collect (one row per shard) answers every validation the
+    # r11 form ran four separate driver actions for (head probe, algo
+    # distinct, seed distinct, n_shards head/max) — this sits on the
+    # per-micro-batch streaming-ingest hot path, where each extra action is
+    # a scheduled job. The collected rows also back the offset join and
+    # manifest merge below via a driver-local DataFrame, so the append never
+    # re-scans the manifest dir it is about to swap out.
+    old_rows = old.collect()
+    if not old_rows:
         raise ValueError(f"no existing shard manifest under {out_path!r}")
     if "checksum_algo" in old.columns:
-        algos = {r[0] for r in old.select("checksum_algo").distinct().collect()}
+        algos = {r["checksum_algo"] for r in old_rows}
     else:
         # pre-versioning manifest: raw 48-bit-sum checksums. Summing those
         # with current-algo terms would stamp a silently mixed-formula
@@ -135,16 +142,17 @@ def append_training_shards(
             f"cannot append to a manifest with checksum_algo {algos}; "
             f"rewrite the shard set under {CHECKSUM_ALGO!r} first"
         )
-    seeds = {r[0] for r in old.select("seed").distinct().collect()}
+    seeds = {r["seed"] for r in old_rows}
     if seeds != {seed}:
         raise ValueError(
             f"append seed {seed!r} != shard-set seed {seeds}; appending under a "
             "different seed would interleave two incompatible permutations"
         )
     if "n_shards" in old.columns:
-        n_shards = int(head[0]["n_shards"])
+        n_shards = int(old_rows[0]["n_shards"])
     else:  # pre-column manifest: every shard of a real corpus is occupied
-        n_shards = int(old.agg(F.max("shard_id")).collect()[0][0]) + 1
+        n_shards = max(int(r["shard_id"]) for r in old_rows) + 1
+    old = spark.createDataFrame(old_rows, old.schema)
 
     assigned = (
         shuffle_assignments(df, id_col, n_shards, seed)
@@ -191,9 +199,9 @@ def append_training_shards(
         .withColumn("checksum_algo", F.lit(CHECKSUM_ALGO))
         .withColumn("n_shards", F.lit(n_shards))
     )
-    # stage-then-swap: the merged manifest derives from the OLD manifest's
-    # DataFrame, so overwriting the dir it is lazily read from would clobber
-    # the input mid-job. The swap is rename-aside, not delete-then-rename:
+    # stage-then-swap (the merged manifest is driver-local-backed since r12,
+    # so the old dir is no longer a lazy input — the swap stays for crash
+    # safety). The swap is rename-aside, not delete-then-rename:
     # a complete manifest copy exists at every instant (a crash between the
     # two renames leaves the old manifest under _manifest_retired and the
     # new one under _manifest_staged — recover by renaming either back),

@@ -321,24 +321,48 @@ def _append_index(
     side pre-partitioned, shuffling only the (batch-sized) probe side.
     Must stay constant for the life of an index: the bucket count is part
     of the on-disk layout.
+
+    r12 (guide §6/§2.3): all three components derive from the same shingle
+    inverted index ``sh`` (``bands``/``sizes`` are aggregates over it), but
+    three separate write actions re-ran the tokenize→shingle→distinct
+    pipeline once EACH. ``sh`` is now cached for the span of the appends —
+    the bands write (first, preserving the crash-ordering contract: the
+    "index exists" probe keys on ``bands/``) materializes it at full
+    aggregate parallelism, the other two read the cache. The flat writes
+    also carry a REBALANCE hint so each batch appends AQE-advisory-sized
+    files instead of one file per upstream shuffle partition — the guide's
+    small-files fix, scale-adaptive with no tuned constant (a tiny batch
+    appends 1 file per component; a huge one appends ~128 MB files). The
+    bucketed shingles path keeps its own repartition-by-bucket layout.
+    Extra cost: one AQE-coalesced shuffle of each component's (small,
+    post-aggregate or batch-sized) rows, the documented price of sized
+    output (guide §6 "REBALANCE hint before the write").
     """
     bands, sh, sizes = index
-    bands.write.mode("append").partitionBy("band").parquet(
-        os.path.join(index_path, "bands")
-    )
-    if shingle_buckets:
-        save_bucketed(
-            sh,
-            _shingles_table_name(index_path),
-            ["doc"],
-            shingle_buckets,
-            sort_cols=["doc"],
-            path=os.path.join(index_path, "shingles"),
-            mode="append",
+    sh = sh.cache()
+    try:
+        bands.hint("rebalance", "band").write.mode("append").partitionBy(
+            "band"
+        ).parquet(os.path.join(index_path, "bands"))
+        if shingle_buckets:
+            save_bucketed(
+                sh,
+                _shingles_table_name(index_path),
+                ["doc"],
+                shingle_buckets,
+                sort_cols=["doc"],
+                path=os.path.join(index_path, "shingles"),
+                mode="append",
+            )
+        else:
+            sh.hint("rebalance").write.mode("append").parquet(
+                os.path.join(index_path, "shingles")
+            )
+        sizes.hint("rebalance").write.mode("append").parquet(
+            os.path.join(index_path, "sizes")
         )
-    else:
-        sh.write.mode("append").parquet(os.path.join(index_path, "shingles"))
-    sizes.write.mode("append").parquet(os.path.join(index_path, "sizes"))
+    finally:
+        sh.unpersist()
 
 
 def admit_batch(

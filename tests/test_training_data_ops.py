@@ -2032,6 +2032,86 @@ def test_incremental_exact_store_writes_are_size_derived(spark, tmp_path):
         assert len(files) == 1, (d, files)
 
 
+def test_incremental_lsh_and_semantic_store_writes_are_sized(spark, tmp_path):
+    """r12 opt (guide §6): the LSH index appends and the semantic member
+    write land AQE-rebalanced (advisory-sized) files instead of one file per
+    upstream shuffle partition per batch — at test scale exactly ONE data
+    file per flat component per batch (and one per occupied band dir),
+    closing the r11 residue the exact-store sizing left open."""
+    import glob
+    import os
+
+    from f1_datalakehouse_pipeline_spark.plans.corpus import (
+        run_corpus_pipeline_incremental,
+    )
+
+    out, state = str(tmp_path / "out"), str(tmp_path / "state")
+    docs = [
+        (i, f"document number {i} about spark partition sizing topic {i % 3} today")
+        for i in range(8)
+    ]
+    emb = spark.createDataFrame(
+        [(i, [float(i % 4), 1.0, float(i)]) for i in range(8)],
+        ["vec_id", "embedding"],
+    )
+    kw = dict(
+        quality_min=0.0, near_threshold=0.5, chunk_tokens=8, overlap_tokens=2,
+        n_shards=4, seed="e0", max_doc_frequency=64,
+        embeddings=emb, semantic_eps=0.999999,
+        semantic_centroids=[[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]],
+    )
+    run_corpus_pipeline_incremental(
+        spark, spark.createDataFrame(docs[:4], ["doc_id", "text"]), out, state, **kw
+    )
+    run_corpus_pipeline_incremental(
+        spark, spark.createDataFrame(docs[4:], ["doc_id", "text"]), out, state, **kw
+    )
+    # flat LSH components: one data file per batch append
+    for comp in ("shingles", "sizes"):
+        files = glob.glob(os.path.join(state, "lsh", comp, "*.parquet"))
+        assert len(files) == 2, (comp, files)
+    # bands: partitioned by band — one file per occupied band dir per batch
+    for band_dir in glob.glob(os.path.join(state, "lsh", "bands", "band=*")):
+        files = glob.glob(os.path.join(band_dir, "*.parquet"))
+        assert 1 <= len(files) <= 2, (band_dir, files)
+    # semantic members: one file per committed batch partition
+    sem_parts = [
+        d for d in os.listdir(os.path.join(state, "semantic"))
+        if d.startswith("batch_token=")
+    ]
+    assert len(sem_parts) == 2
+    for d in sem_parts:
+        files = glob.glob(os.path.join(state, "semantic", d, "*.parquet"))
+        assert len(files) == 1, (d, files)
+
+
+def test_connected_keepers_fused_probe_still_early_stops(spark):
+    """r12 opt: the convergence probe rides an observed metric on the
+    round's own checkpoint instead of a separate join+count action. The
+    decision must stay identical — for a shallow two-cluster graph the loop
+    must stop after TWO rounds (one that changes labels, one that proves
+    quiescence), not run to max_iterations. Counted via the per-round
+    localCheckpoint calls (1 for edges + 1 per round)."""
+    from pyspark.sql.classic.dataframe import DataFrame as ClassicDF
+
+    calls = {"n": 0}
+    orig = ClassicDF.localCheckpoint
+
+    def counting(self, *a, **k):
+        calls["n"] += 1
+        return orig(self, *a, **k)
+
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (7, 9)], ["doc_a", "doc_b"])
+    try:
+        ClassicDF.localCheckpoint = counting
+        labels = {r.doc: r.keeper for r in dedup.connected_keepers(pairs).collect()}
+    finally:
+        ClassicDF.localCheckpoint = orig
+    assert labels == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7}
+    # 1 edges checkpoint + 2 round checkpoints; max_iterations=10 would be 11
+    assert calls["n"] == 3, calls
+
+
 @pytest.mark.parametrize("shingle_buckets", [None, 8])
 def test_compact_novelty_index_preserves_probe(spark, tmp_path, shingle_buckets):
     """VERDICT r5 item 3: compaction must rewrite the per-batch index appends
