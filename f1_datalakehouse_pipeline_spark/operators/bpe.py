@@ -272,18 +272,72 @@ def bpe_train_from_words(
 _CHUNK = 128
 
 
-def bpe_word_table(words: DataFrame, model: BpeModel) -> DataFrame:
+def bpe_word_table(
+    words: DataFrame, model: BpeModel, *, engine: str = "arrow"
+) -> DataFrame:
     """(word, ...) -> (word, pieces array<string>): the learned merges
-    applied to the distinct-word table in _CHUNK-sized projection chunks
-    with the lineage cut between chunks — total work O(|vocab| * merges)
-    paid ONCE, never inlined into corpus-sized plans."""
+    applied to the distinct-word table — total work O(|vocab| * merges)
+    paid ONCE, never inlined into corpus-sized plans.
+
+    ``engine`` picks the merge-chain evaluator (r12, guide §4.2; both are
+    bit-equal — same framed-replace semantics — and property/oracle-tested):
+
+    - ``"arrow"`` (default): ONE ``mapInArrow`` pass whose task applies the
+      whole merge list via ``pyarrow.compute.replace_substring`` — C-speed
+      vectorized scans over whole Arrow batches, zero localCheckpoint
+      round-trips, O(1) plan size. Framing/unframing stay native JVM
+      expressions on either side, so only (word, sym) strings cross the
+      Python boundary, as Arrow batches.
+    - ``"chain"``: the pre-r12 chunked JVM ``replace`` chain — _CHUNK merges
+      per projection with a lineage cut between chunks (len(merges)/_CHUNK
+      sequential driver round-trips). Kept as the zero-Python-worker form
+      and as the A/B baseline.
+    """
     out = words.select("word").distinct().filter(~F.col("word").contains(SEP))
     out = out.withColumn("sym", _framed(F.col("word")))
     ms = model.merges
-    for i in range(0, len(ms), _CHUNK):
-        out = out.withColumn("sym", _apply_merges(F.col("sym"), ms[i : i + _CHUNK]))
-        out = out.localCheckpoint(eager=True)
+    if engine == "arrow":
+        out = _rewrite_syms_arrow(out, ms)
+    elif engine == "chain":
+        for i in range(0, len(ms), _CHUNK):
+            out = out.withColumn("sym", _apply_merges(F.col("sym"), ms[i : i + _CHUNK]))
+            out = out.localCheckpoint(eager=True)
+    else:
+        raise ValueError(f"unknown bpe_word_table engine {engine!r}")
     return out.select("word", _unframed(F.col("sym")).alias("pieces"))
+
+
+def _rewrite_syms_arrow(
+    framed: DataFrame, merges: tuple[tuple[str, str], ...]
+) -> DataFrame:
+    """Apply the merge list to a ``(word, sym)`` framed-symbol table in one
+    Arrow pass: each task walks the merges in model order, each merge one
+    vectorized ``pyarrow.compute.replace_substring`` over the whole batch.
+    ``replace_substring`` replaces non-overlapping occurrences left-to-right
+    scanning past each replacement — the same contract as JVM/DuckDB
+    ``replace`` the chain evaluator and the oracle rely on (pinned by
+    ``test_bpe_word_table_arrow_matches_chain``)."""
+    if not merges:
+        return framed
+    # capture plain tuples, not the model object, so the task closure stays
+    # tiny and picklable
+    pats = [(SEP + a + SEP + SEP + b + SEP, SEP + a + b + SEP) for a, b in merges]
+
+    def rewrite(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            sym = batch.column("sym")
+            for pat, rep in pats:
+                sym = pc.replace_substring(sym, pattern=pat, replacement=rep)
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("word"), sym], names=["word", "sym"]
+            )
+
+    return framed.select("word", "sym").mapInArrow(rewrite, "word string, sym string")
 
 
 def bpe_encode_with_table(

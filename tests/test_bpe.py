@@ -116,6 +116,34 @@ def test_word_table_encode_equals_expr_encode(spark, docs, word_counts):
     assert all(not r.oov for r in via_table)  # table trained on same corpus
 
 
+def test_bpe_word_table_arrow_matches_chain(spark, docs, word_counts):
+    """r12 (guide §4.2): the Arrow merge-chain evaluator (one mapInArrow
+    pass of pyarrow.compute.replace_substring calls) must be bit-equal to
+    the chunked JVM replace chain — same non-overlapping left-to-right
+    replace contract — on the real corpus vocabulary AND on the adversarial
+    overlap/adjacency words the frame semantics exist for. Exercised past
+    _CHUNK so the chain path actually chunks."""
+    merges = bpe.py_bpe_train(word_counts, 140)  # > _CHUNK
+    model = bpe.BpeModel(tuple(merges))
+    words = bpe.word_frequency_table(docs, "text").unionByName(
+        spark.createDataFrame(
+            [("aaa", 1), ("abab", 1), ("aaaa", 1), ("abb", 1), ("", 1)],
+            ["word", "cnt"],
+        )
+    )
+    chain = {
+        r.word: list(r.pieces)
+        for r in bpe.bpe_word_table(words, model, engine="chain").collect()
+    }
+    arrow = {
+        r.word: list(r.pieces)
+        for r in bpe.bpe_word_table(words, model, engine="arrow").collect()
+    }
+    assert arrow == chain
+    with pytest.raises(ValueError, match="unknown bpe_word_table engine"):
+        bpe.bpe_word_table(words, model, engine="nope")
+
+
 def test_encode_oov_falls_back_to_chars(spark, docs, word_counts):
     model = bpe.BpeModel(tuple(bpe.py_bpe_train(word_counts, 10)))
     words = bpe.word_frequency_table(docs, "text")
