@@ -252,6 +252,7 @@ def test_cdc_quality_gate_composition(spark, tmp_path):
     assert spark.read.parquet(metrics).count() == 6
 
 
+@pytest.mark.slow
 def test_cdc_random_mutation_walk_replay_reconstructs_the_model(spark, tmp_path):
     """Model-based end-to-end CDC check: a seeded random walk of merges,
     tombstone merges, predicate deletes and PLAIN OVERWRITES (the commit

@@ -7,6 +7,7 @@ small and the Spark session is reused, so each property runs in seconds.
 
 from __future__ import annotations
 
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -302,6 +303,7 @@ shard_corpora = st.tuples(
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
 )
 @given(case=shard_corpora)
+@pytest.mark.slow
 def test_shard_append_chain_equals_one_shot_for_any_split(spark, tmp_path_factory, case):
     """For ANY corpus and ANY batch split, delivering the batches through an
     append chain must produce the same manifest (rows, tokens, checksum per

@@ -1751,6 +1751,7 @@ def test_pseudonymize_stable_and_salted(spark):
     assert len(tok[1][0]) == 12
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("shingle_buckets", [None, 4])
 def test_novelty_ingest_stream_cross_batch_admission(spark, tmp_path, shingle_buckets):
     """E2E: the streaming admission gate rejects within-batch AND
@@ -1998,46 +1999,14 @@ def test_incremental_corpus_rejects_dups_of_every_earlier_batch(spark, tmp_path)
     assert r3.audit_violations == 0
 
 
-def test_incremental_exact_store_writes_are_size_derived(spark, tmp_path):
-    """r11 opt (guide §6): each admitted batch's exact-hash delta is written
-    with a row-count-derived file count (corpus._sized) instead of one file
-    per upstream partition — at test scale that is exactly ONE data file per
-    committed batch partition, where the pre-change layout left one per
-    shuffle partition (32 locally)."""
-    import glob
-    import os
-
-    from f1_datalakehouse_pipeline_spark.plans.corpus import (
-        run_corpus_pipeline_incremental,
-    )
-
-    out, state = str(tmp_path / "out"), str(tmp_path / "state")
-    kw = dict(quality_min=0.0, near_threshold=0.5, chunk_tokens=8,
-              overlap_tokens=2, n_shards=4, seed="e0", max_doc_frequency=64)
-    docs = [
-        (i, f"document number {i} about spark partition sizing topic {i % 3} today")
-        for i in range(8)
-    ]
-    run_corpus_pipeline_incremental(
-        spark, spark.createDataFrame(docs[:4], ["doc_id", "text"]), out, state, **kw
-    )
-    run_corpus_pipeline_incremental(
-        spark, spark.createDataFrame(docs[4:], ["doc_id", "text"]), out, state, **kw
-    )
-    exact_dir = os.path.join(state, "exact_hashes")
-    parts = [d for d in os.listdir(exact_dir) if d.startswith("batch_token=")]
-    assert len(parts) == 2
-    for d in parts:
-        files = glob.glob(os.path.join(exact_dir, d, "*.parquet"))
-        assert len(files) == 1, (d, files)
-
-
-def test_incremental_lsh_and_semantic_store_writes_are_sized(spark, tmp_path):
-    """r12 opt (guide §6): the LSH index appends and the semantic member
-    write land AQE-rebalanced (advisory-sized) files instead of one file per
-    upstream shuffle partition per batch — at test scale exactly ONE data
-    file per flat component per batch (and one per occupied band dir),
-    closing the r11 residue the exact-store sizing left open."""
+def test_incremental_state_store_writes_are_sized(spark, tmp_path):
+    """Every per-batch state write is sized, not one-file-per-shuffle-
+    partition (guide §6). One 2-batch semantic-enabled pipeline run pins,
+    per committed batch: exactly ONE data file in the exact-hash partition
+    (r11: row-count-derived corpus._sized — this clause was
+    test_incremental_exact_store_writes_are_size_derived before the r12
+    merge), ONE per flat LSH component, ≤ one per occupied band dir, and
+    ONE per semantic member partition (r12: REBALANCE-sized appends)."""
     import glob
     import os
 
@@ -2066,7 +2035,14 @@ def test_incremental_lsh_and_semantic_store_writes_are_sized(spark, tmp_path):
     run_corpus_pipeline_incremental(
         spark, spark.createDataFrame(docs[4:], ["doc_id", "text"]), out, state, **kw
     )
-    # flat LSH components: one data file per batch append
+    # exact-hash store: one data file per committed batch partition (r11)
+    exact_dir = os.path.join(state, "exact_hashes")
+    parts = [d for d in os.listdir(exact_dir) if d.startswith("batch_token=")]
+    assert len(parts) == 2
+    for d in parts:
+        files = glob.glob(os.path.join(exact_dir, d, "*.parquet"))
+        assert len(files) == 1, (d, files)
+    # flat LSH components: one data file per batch append (r12)
     for comp in ("shingles", "sizes"):
         files = glob.glob(os.path.join(state, "lsh", comp, "*.parquet"))
         assert len(files) == 2, (comp, files)
@@ -2074,7 +2050,7 @@ def test_incremental_lsh_and_semantic_store_writes_are_sized(spark, tmp_path):
     for band_dir in glob.glob(os.path.join(state, "lsh", "bands", "band=*")):
         files = glob.glob(os.path.join(band_dir, "*.parquet"))
         assert 1 <= len(files) <= 2, (band_dir, files)
-    # semantic members: one file per committed batch partition
+    # semantic members: one file per committed batch partition (r12)
     sem_parts = [
         d for d in os.listdir(os.path.join(state, "semantic"))
         if d.startswith("batch_token=")
@@ -2224,6 +2200,7 @@ def test_compact_novelty_index_crash_recovery(spark, tmp_path):
     assert not os.path.isdir(bands + "__compact")
 
 
+@pytest.mark.slow
 def test_incremental_corpus_psi_drift_gate(spark, tmp_path):
     """VERDICT r5 item 5: with a drift_reference from the bootstrap corpus,
     each batch's quality/token distributions are PSI-scored in the report —
@@ -2281,6 +2258,7 @@ def test_incremental_corpus_psi_drift_gate(spark, tmp_path):
     assert m_g == m_u
 
 
+@pytest.mark.slow
 def test_compact_corpus_state_preserves_verdicts(spark, tmp_path):
     """compact_corpus_state folds committed exact-hash partitions into one
     and compacts the LSH root; exact and near duplicates of EVERY earlier
@@ -2336,6 +2314,7 @@ def test_compact_corpus_state_preserves_verdicts(spark, tmp_path):
     assert stats2["exact_hashes"]["folded_partitions"] == 2
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("shingle_buckets", [None, 8])
 def test_novelty_ingest_stream_with_inline_compaction(spark, tmp_path, shingle_buckets):
     """compact_every_batches runs index maintenance INSIDE foreachBatch
@@ -2412,6 +2391,7 @@ def test_should_compact_policy(tmp_path):
     assert not should_compact(str(idx), max_files=12, components=None)
 
 
+@pytest.mark.slow
 def test_novelty_ingest_threshold_triggered_compaction(spark, tmp_path):
     """compact_max_files folds the index when its FILE COUNT crosses the
     threshold — no cadence to hand-tune against uneven batch sizes
@@ -3004,6 +2984,7 @@ def test_append_refuses_legacy_unversioned_manifest(spark, tmp_path):
         append_training_shards(batch, "doc_id", "text", out, "legacy-test")
 
 
+@pytest.mark.slow
 def test_mixture_survives_thousands_of_domains(spark):
     """The domain→budget lookup is a flat map literal, not an O(n)-deep CASE
     chain (ADVICE r4): 5000 domains must analyze and run."""
@@ -3025,6 +3006,7 @@ def test_mixture_survives_thousands_of_domains(spark):
     assert rep.count() == 100  # two copies each
 
 
+@pytest.mark.slow
 def test_linear_model_score_at_hashed_feature_dim(spark):
     """The weight vector must hold at a REAL hashed-feature dim (2^16), not
     just the toy dim=64 (ADVICE r4): single array-Literal construction, one
@@ -3112,6 +3094,7 @@ def test_append_training_shards_matches_one_shot(spark, tmp_path):
         append_training_shards(b2, "doc_id", "text", str(tmp_path / "nowhere"), "e0")
 
 
+@pytest.mark.slow
 def test_incremental_corpus_pipeline_equals_one_shot(spark, tmp_path):
     """VERDICT r4 item 5: admitting B1 then B2 incrementally must equal the
     one-shot pipeline over B1∪B2 (B1 carries smaller ids so first-arrival ==
@@ -3183,6 +3166,7 @@ def test_incremental_corpus_pipeline_equals_one_shot(spark, tmp_path):
     assert "alice@example.com" not in joined and "<EMAIL>" in joined
 
 
+@pytest.mark.slow
 def test_incremental_corpus_crash_replay_completes_state(spark, tmp_path, monkeypatch):
     """ADVICE r5 (medium): a crash BETWEEN the two state appends — exact-hash
     partition written, LSH index append lost — must not strand the state.
@@ -3322,6 +3306,7 @@ def test_incremental_corpus_pipeline_empty_batches(spark, tmp_path):
     [(None, None), (1, None), (None, 1)],
     ids=["no-compaction", "cadence", "threshold"],
 )
+@pytest.mark.slow
 def test_corpus_ingest_stream_matches_batch_incremental(
     spark, tmp_path, compact_every, compact_max_files
 ):
@@ -3948,6 +3933,7 @@ def test_corpus_pipeline_semantic_stage(spark, tmp_path):
     assert "straight" in words     # no-embedding doc passed through
 
 
+@pytest.mark.slow
 def test_incremental_corpus_semantic_stage_equals_one_shot(spark, tmp_path):
     """VERDICT r6 item 2: the semantic-dedup stage wired into the INGESTION
     path. B1-then-B2 with embeddings must (a) reject a B2 doc whose text is
@@ -4042,6 +4028,7 @@ def test_incremental_corpus_semantic_stage_equals_one_shot(spark, tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_incremental_semantic_state_compaction_and_replay(
     spark, tmp_path, monkeypatch
 ):
@@ -4140,6 +4127,7 @@ def test_kmeans_table_assignment_equals_literal(spark, sf_dir):
         similarity.kmeans_distributed(emb, n_lists=2, iters=1, assign="bogus")
 
 
+@pytest.mark.slow
 def test_incremental_corpus_wap_gate_quarantine_and_critical_abort(spark, tmp_path):
     """VERDICT r8 item 4: the corpus ingest admission runs through the SAME
     audit_split battery as dq_expectations / the streaming gate. A planted
