@@ -190,7 +190,15 @@ def main() -> None:
             spark.catalog.clearCache()
             leg: dict[str, float | int] = {}
             leg_spread: dict[str, list[float]] = {}
-            for name in ("dedup_semantic", "dedup_docs_pipeline", "t_corpus_manifest"):
+            # r12 ADDITION (never removes/renames): sim_embedding_neardup —
+            # the quadratic pair-join path the r11 norm precompute targeted —
+            # joins the compute-bound leg so its scaling is driver-recorded.
+            for name in (
+                "dedup_semantic",
+                "dedup_docs_pipeline",
+                "t_corpus_manifest",
+                "sim_embedding_neardup",
+            ):
                 samples = []
                 for _ in range(RUNS):
                     t0 = time.time()

@@ -43,6 +43,30 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def score_barrier(score: Column) -> Column:
+    """Wrap a pair score so the optimizer cannot push a filter on it into a
+    join condition (guide §4.4's non-determinism technique).
+
+    A post-join filter like ``cosine >= t`` on an inequality/cross join is
+    otherwise folded into the join CONDITION, where it is evaluated for
+    every candidate COMBINATION — before cheap conjuncts like
+    ``id_a < id_b`` prune anything — and with BroadcastNestedLoopJoin that
+    predicate is not whole-stage-compiled (r12, measured: the all-pairs
+    neardup query spent its whole wall there). The wrapper is
+    ``shuffle(array(score))[0]``: a permutation of ONE element is the
+    identity, so the VALUE is bit-identical, but ``shuffle`` is marked
+    non-deterministic, which stops PushPredicateThroughJoin from moving
+    the expensive score into the join while leaving the cheap key
+    conjuncts behind. (A ``when(rand(seed) >= -1, score)`` guard does NOT
+    survive: Spark 4's optimizer proves the comparison always-true from
+    rand's value range and elides the CASE, un-marking the expression.)
+    Deterministic under task retry — shuffle's seed is fixed at plan build
+    and its per-row draw is a pure function of partition and position —
+    and the single-element array is allocation-trivial next to any real
+    pair score."""
+    return F.shuffle(F.array(score)).getItem(0)
+
+
 def _as_double(a: Column) -> Column:
     return a.cast("array<double>")
 

@@ -548,19 +548,36 @@ def sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     At 100 TB this all-pairs form is replaced by the LSH-bucketed variant
     (operators/similarity.lsh_bucketed_topk); the exact form is the oracle.
+
+    r12 (guide §4.4/§2.6): written naively, the ``cosine >= 0.2`` filter is
+    pushed INTO the BroadcastNestedLoopJoin condition, where it is (a)
+    evaluated for all n² candidate combinations BEFORE the cheap
+    ``id_a < id_b`` conjunct ever prunes half of them, and (b) evaluated on
+    the stream side's natural partitioning — ONE task for a single small
+    parquet file, serializing the whole n² scan. Two fixes, values
+    bit-identical: the scoring sits behind
+    :func:`similarity.score_barrier` so only the cheap inequality remains a
+    join condition (cosine evaluated once per surviving pair, n²/2), and
+    the stream side is repartitioned to the session's default parallelism
+    so the quadratic work actually fans out. Measured (sf0.1, 2000
+    vectors, interleaved): 24.2 → 4.0 s; sf1 leg 115 → see
+    OPTIMIZATION_r12.md.
     """
     emb = load_table(spark, sf_dir, "embeddings")
     v = F.col("embedding").cast("array<double>")
     # per-row norm precompute (r11): identical dot/(na*nb) expression tree,
     # each norm evaluated n times instead of n^2/2 times
     a = emb.select(F.col("vec_id").alias("id_a"), v.alias("qv"), similarity.norm(v).alias("_na"))
+    a = a.repartition(spark.sparkContext.defaultParallelism)
     b = emb.select(F.col("vec_id").alias("id_b"), v.alias("cv"), similarity.norm(v).alias("_nb"))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",
             "id_b",
-            (similarity.dot(F.col("qv"), F.col("cv")) / (F.col("_na") * F.col("_nb"))).alias("cosine"),
+            similarity.score_barrier(
+                similarity.dot(F.col("qv"), F.col("cv")) / (F.col("_na") * F.col("_nb"))
+            ).alias("cosine"),
         )
         .filter(F.col("cosine") >= 0.2)
     )
